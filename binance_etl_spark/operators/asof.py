@@ -1,0 +1,74 @@
+"""As-of (temporal) join — Spark has no native ASOF JOIN; this composes
+one from union + last(ignorenulls) over a window (SURVEY.md §2.5,
+hard-part 2).
+
+Semantics match DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
+l.ts >= r.ts`: each left row is matched to the right row with the
+greatest right.ts <= left.ts for the same key (inclusive).
+
+Scale analysis (why this beats a range self-join at 100 TB):
+- a naive `l JOIN r ON l.key = r.key AND r.ts <= l.ts` explodes to
+  O(|l| x matching |r|) intermediate rows before a per-left-row argmax;
+- the union trick is one shuffle on `key` + one window sort: rows stay
+  O(|l| + |r|) end-to-end, skew handled by AQE like any window.
+For extreme per-key cardinality, pre-bucket both sides by
+(key, time_bucket) and run the same trick per bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right (emitter), 1 = left (receiver)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach `right_cols` from the latest right row
+    with right_ts <= left_ts (per `on` key). Right columns come back
+    prefixed `asof_`. `tolerance` (e.g. '1 hour') nulls out matches
+    older than left_ts - tolerance.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs_proj = [F.col(c) for c in on] + [F.col(right_ts).alias("__ts"), F.lit(0).alias(_SIDE)]
+    rhs_proj += [F.col(c).alias(f"asof_{c}") for c in right_cols]
+    rhs = right.select(*rhs_proj)
+
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    for c in rhs.columns:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    unioned = lhs.unionByName(rhs)
+
+    # Right rows sort before left rows at equal ts -> inclusive (>=) match.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in right_cols:
+        filled = filled.withColumn(f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w))
+    if tolerance is not None:
+        asof_ts = F.last(F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True).over(w)
+        too_old = asof_ts < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        for c in right_cols:
+            filled = filled.withColumn(
+                f"asof_{c}", F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}"))
+            )
+    return filled.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")

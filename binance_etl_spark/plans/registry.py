@@ -1,0 +1,79 @@
+"""Central query registry — the driver-contract surface.
+
+Every operator from SURVEY.md §2 lands here as a named query: a callable
+`(spark, sf_dir) -> DataFrame` plus (when SQL-expressible) a DuckDB oracle
+SQL string over the same parquet tables.  `__spark_entry__.py` re-exports
+this registry verbatim.
+
+Parity rules (hash-match against DuckDB):
+- alias every computed column identically in Spark and SQL;
+- sums/avgs over doubles go through DECIMAL casts so results are
+  order-independent and bit-identical across engines;
+- timestamps leave the query as epoch micros (unix_micros/epoch_us) or
+  dates, never raw engine-native timestamps;
+- every ORDER BY ... LIMIT has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under `name` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every plan module for its registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from binance_etl_spark.plans import (  # noqa: F401
+        analytics,
+        llm_ops,
+        relational,
+        scalar,
+        streaming_analog,
+    )
+
+    _LOADED = True

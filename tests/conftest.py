@@ -1,0 +1,26 @@
+"""Shared test fixtures: one SparkSession per test run."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binance_etl_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("besk-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return os.environ.get("BESK_TEST_SF_DIR", SF_CORRECT)
