@@ -1,0 +1,76 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up pass is NOT taken (we measure
+first-run, plan+execute, like the driver would see), but the session,
+JVM, and file-system cache are shared across queries — matching how a
+long-lived engine serves a query stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+from binance_etl_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the plans that
+# dominate at 100 TB (scan-agg, multi-join, window, asof, dedup, ann).
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_inner_broadcast",
+    "join_asof_events",
+    "win_running_sum",
+    "stream_ohlcv_bars",
+    "book_rebuild",
+    "win_session",
+    "agg_pivot_case",
+    "sort_topk",
+    "scan_lineitem",
+]
+# LLM-pipeline headliners are appended once implemented (kept in one
+# place so bench + SURVEY stay in sync).
+HEADLINE_LLM = [
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "sim_topk_cosine",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    spark = get_spark("besk-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE + HEADLINE_LLM if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution; count avoids driver collect cost
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
