@@ -1,0 +1,106 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY.md
+§2.12): exact, n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design rules:
+- Everything is DataFrame built-ins (split/transform/explode/groupBy/
+  join) — no Python UDFs; shingling and hashing run inside codegen.
+- All hashing is md5-based so the DuckDB oracle can reproduce results
+  bit-for-bit (portable across engines; xxhash64 is Spark-only).
+- MinHash signatures are the *minimum md5 hex string* per seeded hash —
+  lexicographic min over uniform hashes is a valid uniform min-sketch
+  and makes every engine agree on ties.
+
+Scale (100 TB corpus):
+- exact: one shuffle on the content hash; map-side partial aggregation.
+- minhash-LSH: candidate generation joins on band values — shuffle is
+  O(docs x bands), never O(docs^2); exact-Jaccard verification touches
+  only candidate pairs. This is the standard shingle->minhash->band->
+  bucket-join pipeline.
+- simhash: fixed 16-bit sketch per doc; hamming pairs within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+
+
+def tokenize(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles as strings (codegen'd array expr)."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingle_col: str, k: int = 6) -> DataFrame:
+    """k md5-seeded min-hashes per doc: explode shingles once, aggregate
+    k mins in a single grouped pass (map-side combinable)."""
+    exploded = df.select(id_col, F.explode(shingle_col).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(1, k + 1)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = 3, rows_per_band: int = 2) -> DataFrame:
+    """(id, band_no, band_val) — docs sharing any band value are
+    candidate pairs. Band value hashes the concatenated signature rows."""
+    pairs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r + 1}") for r in range(rows_per_band)]
+        pairs.append(F.struct(F.lit(b).alias("band_no"), F.md5(F.concat(*cols)).alias("band_val")))
+    return sig.select(id_col, F.explode(F.array(*pairs)).alias("band")).select(
+        id_col, F.col("band.band_no").alias("band_no"), F.col("band.band_val").alias("band_val")
+    )
+
+
+def jaccard(a_shingles: Column, b_shingles: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (JVM-side)."""
+    inter = F.size(F.array_intersect(a_shingles, b_shingles))
+    union = F.size(a_shingles) + F.size(b_shingles) - inter
+    return inter.cast("double") / union
+
+
+def simhash16(tok_counts: DataFrame, id_col: str) -> DataFrame:
+    """16-bit SimHash from md5(token) nibbles, count-weighted.
+
+    Input: (id, tok, cnt). Output: (id, simhash int).
+    Bit b of md5's first 4 hex chars votes +cnt/-cnt; bit set iff the
+    vote sum is positive (ties -> 0, deterministically).
+    """
+    h4 = F.expr("substr(md5(tok), 1, 4)")
+    bits = tok_counts.select(
+        id_col,
+        "cnt",
+        h4.alias("h4"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bp"),
+    )
+    digit = F.expr("instr('0123456789abcdef', substr(h4, CAST(bp / 4 AS INT) + 1, 1)) - 1")
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substr(h4, CAST(bp / 4 AS INT) + 1, 1)) - 1, "
+        "bp % 4) % 2"
+    )
+    votes = bits.select(
+        id_col,
+        "bp",
+        F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt")).alias("vote"),
+    )
+    return (
+        votes.groupBy(id_col, "bp")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("shiftleft(bitval, bp)")).cast("int").alias("simhash"))
+    )
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+§2.12): language-ID, quality scoring, token counting, fingerprinting.
+All built-in expressions (split/regexp/agg) — zero Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny function-word list used for quality scoring (documents fixture
+# vocabulary includes these).
+STOPWORDS = ("the", "a", "and", "of")
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space marks.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok, cnt) — the shared exploded-term view."""
+    return (
+        docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lang_profiles(docs: DataFrame, top_n: int = 5) -> DataFrame:
+    """Per-language profile: top-N tokens by (count desc, token) —
+    the n-gram-profile method (Cavnar-Trenkle) at token granularity."""
+    tc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    return tc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top_n).select(
+        "lang", "tok", "rn"
+    )
+
+
+def classify_lang(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Predict language by profile-token overlap, count-weighted;
+    deterministic tie-break on lang string."""
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    hits = (
+        terms.join(F.broadcast(profiles), "tok")
+        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("cand_lang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "overlap")
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics per doc: token count, mean token
+    length, stopword ratio, repetition (1 - type/token ratio)."""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_tokens"),
+        ((F.length("text") - n_toks + 1).cast("double") / n_toks).alias("mean_tok_len"),
+        (n_stop.cast("double") / n_toks).alias("stopword_ratio"),
+        (F.lit(1.0) - n_distinct.cast("double") / n_toks).alias("repetition"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_col: Column) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max md5 over shingles
+    + distinct-shingle count (content-defined, order-invariant)."""
+    ex = docs.select("doc_id", F.explode(shingle_col).alias("sh")).select(
+        "doc_id", F.md5(F.col("sh")).alias("h")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.countDistinct("h").alias("n_shingles"),
+    )

@@ -1,6 +1,612 @@
-"""North-star LLM-data-pipeline operators (SURVEY.md §2.12) — filled in
-incrementally: dedup (exact/minhash/simhash/jaccard/embedding),
-similarity search (brute-force + LSH + IVF), text analysis, multimodal
-column plumbing."""
+"""North-star LLM-data-pipeline operators (SURVEY.md §2.12): dedup
+(exact / n-gram-Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+similarity search (brute-force top-k, IVF probing), text analysis
+(lang-ID, quality, token counting, fingerprinting), multimodal columns.
+
+Near-dup queries run on a constructed corpus: the documents table
+UNION'd with deterministic perturbed variants (first token dropped /
+one embedding dimension negated, ids offset by 1,000,000) — real
+near-duplicates with known structure, since the synthetic corpus has
+none. Caps (doc_id < N) bound candidate generation; the operators
+in operators/dedup.py are uncapped and scale via LSH banding.
+
+All hashing is md5-based and all float reductions go through
+floor-to-e12-integer units so the DuckDB oracle matches bit-for-bit
+(see operators/similarity.py docstring).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.operators import dedup as D
+from binance_etl_spark.operators import similarity as S
+from binance_etl_spark.operators import text as T
+from binance_etl_spark.operators.multimodal import decode_frames, with_media_meta
+from binance_etl_spark.plans.registry import register
+
+CAP_JACCARD = 1000
+CAP_SIMHASH = 300
+CAP_EMB = 300
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+
+_SQL_A = f"""
+  a AS (
+    SELECT doc_id AS a_id, {_SQL_SHINGLES} AS a_sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < {{cap}})
+  )"""
+
+_SQL_B = f"""
+  b AS (
+    SELECT doc_id + 1000000 AS b_id, {_SQL_SHINGLES} AS b_sh
+    FROM (SELECT doc_id, string_split(substr(text, instr(text, ' ') + 1), ' ') AS toks
+          FROM documents WHERE doc_id < {{cap}})
+  )"""
+
+
+def _variant_docs(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """Perturbed copies: drop the first token, offset ids by 1e6."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < cap)
+    return d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY sha256(text)
+    """,
+    doc="Exact dedup by content hash over a corpus with known exact "
+    "duplicates (every doc twice). One shuffle on sha256(text); "
+    "map-side combinable; this is how exact dedup runs at 100 TB.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return corpus.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH {_SQL_A.format(cap=CAP_JACCARD)}, {_SQL_B.format(cap=CAP_JACCARD)},
+    am AS (SELECT a_id, a_sh,
+                  list_aggregate(list_transform(a_sh, s -> md5(s)), 'min') AS msh FROM a),
+    bm AS (SELECT b_id, b_sh,
+                  list_aggregate(list_transform(b_sh, s -> md5(s)), 'min') AS msh FROM b),
+    scored AS (
+      SELECT a_id, b_id,
+             len(list_filter(a_sh, x -> list_contains(b_sh, x))) AS n_common,
+             len(a_sh) AS n_a, len(b_sh) AS n_b
+      FROM am JOIN bm USING (msh)
+    )
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jacc
+    FROM scored
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
+    """,
+    doc="n-gram Jaccard near-dup: 3-token shingles, min-md5-shingle "
+    "blocking (MinHash with one hash — candidate probability equals "
+    "Jaccard), exact Jaccard verification at >= 0.6. Candidates join "
+    "on the blocking key: no O(n^2) pair generation.",
+    tags=("dedup",),
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
+    a = docs.select(F.col("doc_id").alias("a_id"), D.shingles(F.col("text")).alias("a_sh"))
+    b = _variant_docs(spark, sf_dir, CAP_JACCARD).select(
+        F.col("doc_id").alias("b_id"), D.shingles(F.col("text")).alias("b_sh")
+    )
+    am = a.withColumn("msh", F.array_min(F.transform("a_sh", F.md5)))
+    bm = b.withColumn("msh", F.array_min(F.transform("b_sh", F.md5)))
+    jacc = D.jaccard(F.col("a_sh"), F.col("b_sh"))
+    return (
+        am.join(bm, "msh")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("n_common"),
+            jacc.alias("jacc"),
+        )
+        .where(F.col("jacc") >= 0.6)
+    )
+
+
+_SQL_SIG = (
+    "list_aggregate(list_transform({sh}, s -> md5(concat('{i}:', s))), 'min')"
+)
+
+
+def _sql_minhash_cte(side: str, cap: int) -> str:
+    sh = f"{side}_sh"
+    sigs = ", ".join(f"{_SQL_SIG.format(sh=sh, i=i)} AS mh{i}" for i in range(1, 7))
+    bands = ", ".join(
+        f"md5(concat(mh{2 * b + 1}, mh{2 * b + 2})) AS band{b}" for b in range(3)
+    )
+    return f"""
+    {side}sig AS (SELECT {side}_id, {sh}, {sigs} FROM {side}),
+    {side}band AS (SELECT {side}_id, {sh}, {bands} FROM {side}sig)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_A.format(cap=CAP_JACCARD)}, {_SQL_B.format(cap=CAP_JACCARD)},
+    {_sql_minhash_cte("a", CAP_JACCARD)},
+    {_sql_minhash_cte("b", CAP_JACCARD)},
+    cand AS (
+      SELECT DISTINCT a_id, b_id, a_sh, b_sh FROM (
+        SELECT a_id, b_id, a_sh, b_sh FROM aband JOIN bband ON aband.band0 = bband.band0
+        UNION ALL
+        SELECT a_id, b_id, a_sh, b_sh FROM aband JOIN bband ON aband.band1 = bband.band1
+        UNION ALL
+        SELECT a_id, b_id, a_sh, b_sh FROM aband JOIN bband ON aband.band2 = bband.band2
+      )
+    ), verified AS (
+      SELECT a_id, b_id,
+             len(list_filter(a_sh, x -> list_contains(b_sh, x))) AS n_common,
+             len(a_sh) AS n_a, len(b_sh) AS n_b
+      FROM cand
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jacc
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    """,
+    doc="MinHash (k=6, md5-seeded) + LSH banding (3 bands x 2 rows): "
+    "docs sharing any band are candidates; candidates are verified "
+    "with exact Jaccard >= 0.5. The banded equi-join keeps shuffle at "
+    "O(docs x bands) — the 100 TB-scale near-dup pipeline.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
+    a = docs.select(F.col("doc_id").alias("a_id"), D.shingles(F.col("text")).alias("a_sh"))
+    b = _variant_docs(spark, sf_dir, CAP_JACCARD).select(
+        F.col("doc_id").alias("b_id"), D.shingles(F.col("text")).alias("b_sh")
+    )
+    asig = D.minhash_signature(a.select("a_id", F.col("a_sh").alias("sh")), "a_id", "sh")
+    bsig = D.minhash_signature(b.select("b_id", F.col("b_sh").alias("sh")), "b_id", "sh")
+    abands = D.lsh_bands(asig, "a_id")
+    bbands = D.lsh_bands(bsig, "b_id")
+    cand_ids = (
+        abands.join(bbands, ["band_no", "band_val"]).select("a_id", "b_id").distinct()
+    )
+    cand = cand_ids.join(a, "a_id").join(b, "b_id")
+    jacc = D.jaccard(F.col("a_sh"), F.col("b_sh"))
+    return cand.select("a_id", "b_id", jacc.alias("jacc")).where(F.col("jacc") >= 0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id < {CAP_SIMHASH}
+      UNION ALL
+      SELECT doc_id + 1000000 AS id, substr(text, instr(text, ' ') + 1) AS text
+      FROM documents WHERE doc_id < {CAP_SIMHASH}
+    ), tc AS (
+      SELECT id, tok, COUNT(*) AS cnt
+      FROM (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM corpus)
+      GROUP BY id, tok
+    ), bits AS (
+      SELECT id, cnt, substr(md5(tok), 1, 4) AS h4,
+             UNNEST(generate_series(0, 15)) AS bp
+      FROM tc
+    ), votes AS (
+      SELECT id, bp,
+             CASE WHEN ((instr('0123456789abcdef', substr(h4, (bp // 4) + 1, 1)) - 1)
+                        >> (bp % 4)) % 2 = 1
+                  THEN cnt ELSE -cnt END AS vote
+      FROM bits
+    ), hashes AS (
+      SELECT id, CAST(SUM(bitval << bp) AS INT) AS simhash FROM (
+        SELECT id, bp, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bitval
+        FROM votes GROUP BY id, bp
+      ) GROUP BY id
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b
+      ON a.id < 1000000 AND b.id >= 1000000
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash (16-bit, count-weighted md5-nibble votes) near-dup: "
+    "pairs at hamming distance <= 3. Fixed-size sketch per doc; at "
+    "scale, bucket by simhash bands of the sketch instead of the "
+    "cross-comparison used here on the capped corpus.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_SIMHASH)
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        _variant_docs(spark, sf_dir, CAP_SIMHASH).select(F.col("doc_id").alias("id"), "text")
+    )
+    tc = T.token_counts(corpus, id_col="id", text_col="text")
+    hashes = D.simhash16(tc, "id")
+    a = hashes.where(F.col("id") < 1000000).select(
+        F.col("id").alias("a_id"), F.col("simhash").alias("a_h")
+    )
+    b = hashes.where(F.col("id") >= 1000000).select(
+        F.col("id").alias("b_id"), F.col("simhash").alias("b_h")
+    )
+    ham = D.hamming16(F.col("a_h"), F.col("b_h"))
+    return (
+        a.crossJoin(b)
+        .where(ham <= 3)
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+    )
+
+
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1000000000000) AS BIGINT)))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS a_id, embedding AS a_emb,
+             {_SQL_DOT.format(a="embedding", b="embedding")} AS a_n
+      FROM embeddings WHERE vec_id < {CAP_EMB}
+    ), b AS (
+      SELECT vec_id + 1000000 AS b_id,
+             list_concat([-embedding[1]], embedding[2:]) AS b_emb,
+             {_SQL_DOT.format(a="embedding", b="embedding")} AS b_n
+      FROM embeddings WHERE vec_id < {CAP_EMB}
+    ), scored AS (
+      SELECT a_id, b_id,
+             CAST({_SQL_DOT.format(a="a_emb", b="b_emb")} AS DOUBLE)
+               / sqrt(CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)) AS cosine
+      FROM a CROSS JOIN b
+    )
+    SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.9
+    """,
+    doc="Embedding-cosine near-dup: corpus + one-dimension-negated "
+    "variants; pairs at cosine >= 0.9. Exact arithmetic via e-12 "
+    "integer units. At scale the cross join is replaced by LSH/IVF "
+    "blocking (see sim_ann_ivf); note |b_emb| == |a_emb| by "
+    "construction so the variant's norm reuses the original's.",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < CAP_EMB)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        S.sq_norm_e12("embedding").alias("a_n"),
+    )
+    b = e.select(
+        (F.col("vec_id") + 1000000).alias("b_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("b_emb"),
+        S.sq_norm_e12("embedding").alias("b_n"),
+    )
+    scored = a.crossJoin(b).select(
+        "a_id",
+        "b_id",
+        S.cosine_from_e12(S.dot_e12("a_emb", "b_emb"), F.col("a_n"), F.col("b_n")).alias(
+            "cosine"
+        ),
+    )
+    return scored.where(F.col("cosine") >= 0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             CAST({_SQL_DOT.format(a="embedding", b="q_emb")} AS DOUBLE)
+               / sqrt(CAST({_SQL_DOT.format(a="embedding", b="embedding")} AS DOUBLE)
+                      * CAST({_SQL_DOT.format(a="q_emb", b="q_emb")} AS DOUBLE)) AS sim
+      FROM embeddings, q
+    )
+    SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+    doc="Brute-force cosine top-k (k=20) against vec 0 — the exact "
+    "baseline every ANN variant is measured against. One scan, "
+    "broadcast query, TakeOrderedAndProject top-k: no shuffle of the "
+    "vector data at any scale.",
+    tags=("similarity",),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    return S.cosine_topk(e, q, k=20)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    qv AS (
+      SELECT UNNEST(generate_series(1, len(q_emb))) AS pos, q_emb FROM q
+    ), qvals AS (SELECT pos, q_emb[pos] AS qval FROM qv),
+    centroids AS (
+      SELECT label, pos, SUM(v_e12) AS c_e12, COUNT(*) AS n FROM (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v_e12
+        FROM (SELECT label, embedding,
+                     UNNEST(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+      ) GROUP BY label, pos
+    ), scores AS (
+      SELECT label,
+             CAST(SUM(CAST(floor(CAST(qval AS DOUBLE) * CAST(c_e12 AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE) / MAX(n) AS list_score
+      FROM centroids JOIN qvals USING (pos) GROUP BY label
+    ), top_lists AS (
+      SELECT label FROM scores ORDER BY list_score DESC, label LIMIT 2
+    ), cand AS (
+      SELECT e.vec_id, e.label, e.embedding FROM embeddings e JOIN top_lists USING (label)
+    ), scored AS (
+      SELECT vec_id, label,
+             CAST({_SQL_DOT.format(a="embedding", b="q_emb")} AS DOUBLE)
+               / sqrt(CAST({_SQL_DOT.format(a="embedding", b="embedding")} AS DOUBLE)
+                      * CAST({_SQL_DOT.format(a="q_emb", b="q_emb")} AS DOUBLE)) AS sim
+      FROM cand, q
+    )
+    SELECT vec_id, label, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="IVF-style ANN: per-label centroids (exact e-12 integer sums), "
+    "probe the 2 best lists, exact-rank only those lists' vectors. "
+    "Search cost drops by n_lists/nprobe vs brute force — the scale "
+    "path when vectors are clustered (fixture labels are random, so "
+    "recall here only demonstrates mechanics).",
+    tags=("similarity", "ann"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    centroids = S.ivf_centroids_e12(e, "label")
+    return S.ivf_probe(e, centroids, q, list_col="label", nprobe=2, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH d AS (SELECT lang, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct_tokens,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           CAST(SUM(length(text) - len(toks) + 1) AS DOUBLE) / SUM(len(toks)) AS avg_token_len
+    FROM d GROUP BY lang
+    """,
+    doc="Corpus token statistics per language: doc/token/type counts, "
+    "mean doc length, mean token length — single scan, two shuffle-free "
+    "array exprs + one grouped agg.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        (F.length("text") - F.size(toks) + 1).alias("tok_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum("nd").cast("bigint").alias("sum_distinct_tokens"),
+        (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        (F.sum("tok_chars").cast("double") / F.sum("nt")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH tc AS (
+      SELECT lang, tok, COUNT(*) AS c
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    ), profiles AS (
+      SELECT lang, tok FROM (
+        SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+        FROM tc
+      ) WHERE rn <= 5
+    ), terms AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 500
+    ), hits AS (
+      SELECT doc_id, p.lang AS cand_lang, COUNT(*) AS overlap
+      FROM terms t JOIN profiles p USING (tok) GROUP BY doc_id, p.lang
+    )
+    SELECT doc_id, cand_lang AS pred_lang, overlap FROM (
+      SELECT doc_id, cand_lang, overlap,
+             row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+    doc="Language-ID via token-profile overlap (Cavnar-Trenkle n-gram "
+    "profiles at token granularity): top-5 profile per language from "
+    "the corpus, classify by weighted overlap, deterministic "
+    "tie-break. Profiles broadcast; classification is one scan.",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    profiles = T.lang_profiles(docs, top_n=5).select("lang", "tok")
+    return T.classify_lang(docs.where(F.col("doc_id") < 500), profiles)
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_tok_len,
+           CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of'], t)))
+                AS DOUBLE) / len(toks) AS stopword_ratio,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition
+    FROM d
+    """,
+    doc="Quality-scoring features per doc: length, mean token length, "
+    "stopword ratio, repetition (1 - type/token ratio) — the standard "
+    "pre-training filter signals, all codegen'd expressions.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return T.quality_features(docs)
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents WHERE doc_id < 500
+    """,
+    doc="Token counting two ways: whitespace and a BPE-ish pre-tokenizer "
+    "regex (word pieces | numbers | single marks) — the cheap "
+    "token-budget estimator for training-data accounting.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{T.BPE_REGEX}', 0)")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 500)
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fp_min,
+           list_aggregate(list_transform(sh, s -> md5(s)), 'max') AS fp_max,
+           CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM d
+    """,
+    doc="Document fingerprinting: min/max md5 over 3-token shingles + "
+    "shingle count (winnowing-style content-defined signature, "
+    "order-invariant, usable as a cheap near-dup prefilter).",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    shingled = docs.select("doc_id", D.shingles(F.col("text")).alias("sh"))
+    return T.fingerprint(shingled, F.col("sh"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+_MM_ROWS = [
+    (1, "fake-jpeg-bytes-aaaaaaaaaaaaaaaa", "image/jpeg", 64, 64),
+    (2, "fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb", "image/png", 128, 96),
+    (3, "fake-wav-bytes-cccccccccccc", "audio/wav", 0, 0),
+    (4, "fake-mp4-bytes-dddddddddddddddddddddddddddddddd", "video/mp4", 320, 240),
+]
+
+
+def _mm_assets(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        _MM_ROWS, "asset_id BIGINT, payload_str STRING, mime STRING, width INT, height INT"
+    )
+    return df.withColumn("payload", F.encode("payload_str", "UTF-8"))
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    WITH assets(asset_id, payload_str, mime) AS (
+      VALUES (1, 'fake-jpeg-bytes-aaaaaaaaaaaaaaaa', 'image/jpeg'),
+             (2, 'fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb', 'image/png'),
+             (3, 'fake-wav-bytes-cccccccccccc', 'audio/wav'),
+             (4, 'fake-mp4-bytes-dddddddddddddddddddddddddddddddd', 'video/mp4')
+    )
+    SELECT asset_id, mime,
+           octet_length(encode(payload_str)) AS byte_len,
+           sha256(payload_str) AS content_hash
+    FROM assets
+    """,
+    doc="Multimodal metadata over opaque binary columns: byte length + "
+    "content hash computed JVM-side; the binary payload never crosses "
+    "into Python (operators/multimodal.py).",
+    tags=("multimodal",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = with_media_meta(_mm_assets(spark))
+    return assets.select("asset_id", "mime", "byte_len", "content_hash")
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # decode is stubbed (no media libs in container) -> rows-only
+    doc="Frame sampling via mapInPandas over binary payloads — decode "
+    "STUBBED deterministically (no media libs in container); Arrow "
+    "batch shape, schema, and plumbing are production-real.",
+    tags=("multimodal", "udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_frames(_mm_assets(spark), n_frames=4)
