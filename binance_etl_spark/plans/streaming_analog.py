@@ -1,5 +1,177 @@
-"""Batch analogs of the streaming surface (SURVEY.md §2.10) driven by
-replay fixtures — filled in with the replay source and book-sync
-pipeline queries."""
+"""Batch analogs of the streaming surface (SURVEY.md §2.10), driven by
+the deterministic replay fixtures:
+
+- src_replay_trades / src_replay_depth: the replay DataSource scanned in
+  batch mode through the same parse used by the streams; the DuckDB
+  oracle re-parses the identical frames from inline VALUES.
+- book_sync_replay: the book-sync state machine over the depth fixture;
+  the oracle is a HAND-WRITTEN golden table (independently derived from
+  the reference's semantics, book_utils.py:17-51 +
+  spot_depth_etl.py:114-123) — not generated from the implementation.
+
+Streaming twins (same code paths under Structured Streaming, including
+checkpoint restart) are exercised in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.schemas import DECIMAL
+from binance_etl_spark.sources import fixtures as FX
+from binance_etl_spark.sources.replay import read_replay
+from binance_etl_spark.plans.registry import register
+from binance_etl_spark.streaming.book_sync import book_sync_batch
+from binance_etl_spark.streaming.parse import (
+    explode_depth_rows,
+    parse_depth_updates,
+    parse_trades,
+)
+
+
+def _fixture_dir() -> dict[str, str]:
+    return FX.write_fixtures(tempfile.mkdtemp(prefix="besk_fx_q_"))
+
+
+def _sql_frame_values(frames: list[tuple[str, int]]) -> str:
+    rows = ",\n      ".join(
+        "({}, {})".format("'" + f.replace("'", "''") + "'", a) for f, a in frames
+    )
+    return f"(VALUES\n      {rows})"
+
+
+_TRADES_ORACLE = f"""
+    WITH frames(frame, arrival_ms) AS {_sql_frame_values(FX.trade_frames())},
+    ok AS (
+      SELECT CASE WHEN json_valid(frame) THEN frame END AS f, arrival_ms FROM frames
+    )
+    SELECT json_extract_string(f, '$.s') AS symbol,
+           CAST(json_extract(f, '$.E') AS BIGINT) AS "timestamp",
+           arrival_ms AS local_timestamp,
+           CAST(json_extract(f, '$.t') AS BIGINT) AS id,
+           CASE WHEN CAST(json_extract(f, '$.m') AS BOOLEAN)
+                THEN 'sell' ELSE 'buy' END AS side,
+           CAST(json_extract_string(f, '$.p') AS DECIMAL(38,18)) AS price,
+           CAST(json_extract_string(f, '$.q') AS DECIMAL(38,18)) AS quantity
+    FROM ok WHERE json_extract_string(f, '$.e') = 'trade'
+"""
+
+
+@register(
+    "src_replay_trades",
+    oracle=_TRADES_ORACLE,
+    doc="Replay DataSource (batch mode) -> trade parse: the reference's "
+    "trade path (spot_trades_etl.py:38-58) as from_json + select. "
+    "Subscribe-ack and malformed frames drop; decimal strings land as "
+    "DECIMAL(38,18). Streaming twin: tests/test_streaming.py.",
+    tags=("source", "streaming-analog"),
+)
+def src_replay_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture_dir()
+    return parse_trades(read_replay(spark, paths["trades"]))
+
+
+_DEPTH_ORACLE = f"""
+    WITH frames(frame, arrival_ms) AS {_sql_frame_values(FX.depth_frames())},
+    ok AS (
+      SELECT frame, arrival_ms FROM frames
+      WHERE json_valid(frame)
+        AND json_extract_string(frame, '$.e') = 'depthUpdate'
+    ), sides AS (
+      SELECT frame, arrival_ms, 'bid' AS side, '$.b' AS p FROM ok
+      UNION ALL
+      SELECT frame, arrival_ms, 'ask' AS side, '$.a' AS p FROM ok
+    ), ex AS (
+      SELECT frame, arrival_ms, side, p,
+             UNNEST(generate_series(0, CAST(json_array_length(frame, p) AS INT) - 1)) AS i
+      FROM sides
+    )
+    SELECT json_extract_string(frame, '$.s') AS symbol,
+           CAST(json_extract(frame, '$.E') AS BIGINT) AS "timestamp",
+           arrival_ms AS local_timestamp,
+           side,
+           CAST(json_extract_string(frame, p || '[' || i || '][0]') AS DECIMAL(38,18)) AS price,
+           CAST(json_extract_string(frame, p || '[' || i || '][1]') AS DECIMAL(38,18)) AS quantity,
+           CAST(json_extract(frame, '$.u') AS BIGINT) AS last_update_id
+    FROM ex
+"""
+
+
+@register(
+    "src_replay_depth",
+    oracle=_DEPTH_ORACLE,
+    doc="Replay DataSource -> depth parse -> level explode (pre-sync): "
+    "the reference's _save_update flattening (spot_depth_etl.py:92-112) "
+    "— each [price, qty] pair becomes one typed row.",
+    tags=("source", "streaming-analog", "explode"),
+)
+def src_replay_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture_dir()
+    return explode_depth_rows(parse_depth_updates(read_replay(spark, paths["depth"])))
+
+
+# Golden depth table after book sync, hand-derived from the fixture
+# design (binance_etl_spark/sources/fixtures.py) + the reference's
+# semantics: snapshot rows first (ts = local-1, is_snapshot),
+# stale frame dropped, bridge + steady deltas, gap flagged on the
+# 115-117 jump, recovery unflagged.
+_T0 = FX.T0
+_GOLDEN_ROWS = [
+    # (timestamp, local, side, price, qty, is_snapshot, update_id, gap)
+    (_T0 + 154, _T0 + 155, "bid", "598.00000000", "1.00000000", True, 102, False),
+    (_T0 + 154, _T0 + 155, "bid", "597.90000000", "2.50000000", True, 102, False),
+    (_T0 + 154, _T0 + 155, "bid", "597.80000000", "0.75000000", True, 102, False),
+    (_T0 + 154, _T0 + 155, "ask", "598.10000000", "1.20000000", True, 102, False),
+    (_T0 + 154, _T0 + 155, "ask", "598.20000000", "3.00000000", True, 102, False),
+    (_T0 + 154, _T0 + 155, "ask", "598.30000000", "0.50000000", True, 102, False),
+    (_T0 + 150, _T0 + 155, "bid", "598.00000000", "1.50000000", False, 103, False),
+    (_T0 + 150, _T0 + 155, "bid", "597.90000000", "0.00000000", False, 103, False),
+    (_T0 + 150, _T0 + 155, "ask", "598.10000000", "2.00000000", False, 103, False),
+    (_T0 + 250, _T0 + 255, "bid", "597.90000000", "0.80000000", False, 106, False),
+    (_T0 + 250, _T0 + 255, "ask", "598.20000000", "1.10000000", False, 106, False),
+    (_T0 + 350, _T0 + 355, "ask", "598.10000000", "0.00000000", False, 110, False),
+    (_T0 + 350, _T0 + 355, "ask", "598.30000000", "4.00000000", False, 110, False),
+    (_T0 + 450, _T0 + 455, "bid", "598.00000000", "2.20000000", False, 117, True),
+    (_T0 + 550, _T0 + 555, "bid", "597.70000000", "0.50000000", False, 120, False),
+    (_T0 + 550, _T0 + 555, "ask", "598.40000000", "0.90000000", False, 120, False),
+]
+
+_GOLDEN_VALUES = ",\n      ".join(
+    f"('{FX.SYMBOL}', {ts}, {lc}, '{side}', '{p}', '{q}', {str(sn).upper()}, {uid}, "
+    f"{str(gap).upper()})"
+    for ts, lc, side, p, q, sn, uid, gap in _GOLDEN_ROWS
+)
+
+_BOOK_SYNC_ORACLE = f"""
+    WITH golden(symbol, "timestamp", local_timestamp, side, price_s, quantity_s,
+                is_snapshot, update_id, gap) AS (VALUES
+      {_GOLDEN_VALUES})
+    SELECT symbol, "timestamp", local_timestamp, side,
+           CAST(price_s AS DECIMAL(38,18)) AS price,
+           CAST(quantity_s AS DECIMAL(38,18)) AS quantity,
+           is_snapshot, update_id, gap
+    FROM golden
+"""
+
+
+@register(
+    "book_sync_replay",
+    oracle=_BOOK_SYNC_ORACLE,
+    doc="Order-book synchronization over the depth replay fixture "
+    "(reference book_utils.py:17-51): buffered/stale/bridge handling, "
+    "snapshot-first emission with ts = local-1 (spot_depth_etl.py:"
+    "114-123), gap flagged not raised. Oracle = hand-written golden "
+    "table. Streaming twin (applyInPandasWithState + checkpoint "
+    "restart): tests/test_streaming.py.",
+    tags=("streaming-analog", "stateful"),
+)
+def book_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture_dir()
+    updates = parse_depth_updates(read_replay(spark, paths["depth"]))
+    synced = book_sync_batch(updates, {FX.SYMBOL: FX.snapshot()})
+    return synced.withColumn("price", F.col("price").cast(DECIMAL)).withColumn(
+        "quantity", F.col("quantity").cast(DECIMAL)
+    )

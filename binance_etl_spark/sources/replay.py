@@ -1,0 +1,145 @@
+"""Replay source: PySpark 4 Python Data Source over JSONL frame logs.
+
+Batch and streaming readers share one frame iterator; the stream
+reader's offset is the frame index (deterministic replay — SURVEY.md
+§4.2 custom-source decision; the reference's live socket loop is
+base.py:47-60). A live websocket source is this reader with the frame
+iterator swapped for a socket drain; it is deliberately NOT built into
+the test path (no network in CI).
+
+Scale: one fixture file maps to one input partition per micro-batch
+(ordered replay requires per-stream ordering); many (market, symbol)
+streams parallelize across partitions, which is exactly the
+reference's one-thread-per-stream model (factory.py:9-17) made
+cluster-wide.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from binance_etl_spark.schemas import FRAME_SCHEMA
+
+
+@dataclass
+class _Range(InputPartition):
+    path: str
+    start: int
+    end: int  # exclusive frame index
+
+
+def _read_lines(path: str, start: int, end: int):
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if i >= end:
+                break
+            if i < start:
+                continue
+            rec = json.loads(line)
+            yield (rec["frame"], rec["arrival_ms"], rec["seq"])
+
+
+def _count_lines(path: str) -> int:
+    with open(path) as f:
+        return sum(1 for _ in f)
+
+
+class ReplayBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [_Range(self.path, 0, _count_lines(self.path))]
+
+    def read(self, partition: _Range):
+        yield from _read_lines(partition.path, partition.start, partition.end)
+
+
+class ReplayStreamReader(DataSourceStreamReader):
+    """Offset = frame index; maxFramesPerBatch caps each micro-batch
+    (the engine twin of the reference's batch_size flush trigger,
+    storage.py:22-36)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.max_frames = int(options.get("maxframesperbatch", 3))
+        self._pos = 0
+        self._fresh = False
+
+    def initialOffset(self) -> dict:
+        # Only called when no checkpoint exists — safe to pace from 0.
+        self._fresh = True
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # Pacing happens HERE: the offset Spark commits is whatever we
+        # return, so the cap must bound this value, not partitions().
+        # Offsets must be monotonic vs the checkpoint: after a restart
+        # (no initialOffset call) the committed offset is unknown until
+        # commit() fires, so return the true latest instead of pacing —
+        # returning less than the committed offset would re-serve
+        # frames (observed as duplicate sink rows).
+        total = _count_lines(self.path)
+        if self.max_frames <= 0 or not self._fresh:
+            self._pos = max(self._pos, total)
+        else:
+            self._pos = min(self._pos + self.max_frames, total)
+        return {"index": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        return [_Range(self.path, start["index"], end["index"])]
+
+    def read(self, partition: _Range):
+        yield from _read_lines(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        # After a checkpoint restart the committed offset may be ahead
+        # of our fresh pacing counter — never re-serve committed frames.
+        self._pos = max(self._pos, end["index"])
+
+
+class ReplayDataSource(DataSource):
+    """spark.read.format("replay").option("path", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "replay"
+
+    def schema(self) -> str:
+        return FRAME_SCHEMA
+
+    def reader(self, schema) -> ReplayBatchReader:
+        return ReplayBatchReader(self.options)
+
+    def streamReader(self, schema) -> ReplayStreamReader:
+        return ReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ReplayDataSource)
+
+
+def read_replay(spark, path: str):
+    """Batch-mode scan of a replay log."""
+    register(spark)
+    return spark.read.format("replay").option("path", os.fspath(path)).load()
+
+
+def stream_replay(spark, path: str, max_frames_per_batch: int = 3):
+    """Streaming scan; offsets checkpoint/restart like any source."""
+    register(spark)
+    return (
+        spark.readStream.format("replay")
+        .option("path", os.fspath(path))
+        .option("maxFramesPerBatch", str(max_frames_per_batch))
+        .load()
+    )

@@ -1,0 +1,68 @@
+"""End-to-end streaming pipelines: replay/websocket frames ->
+parse -> (book sync) -> checkpointed partitioned sink.
+
+The engine twin of the reference's two ETLs (spot_trades_etl.py,
+spot_depth_etl.py) with the sink semantics upgraded: checkpointed
+append sinks are exactly-once; the reference loses the buffered tail
+on stop (base.py:39-45 never flushes, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from binance_etl_spark.schemas import DECIMAL
+from binance_etl_spark.sources.replay import stream_replay
+from binance_etl_spark.streaming.book_sync import book_sync_stream
+from binance_etl_spark.streaming.parse import parse_depth_updates, parse_trades
+
+
+def trades_stream(spark: SparkSession, replay_path: str, max_frames: int = 3) -> DataFrame:
+    return parse_trades(stream_replay(spark, replay_path, max_frames))
+
+
+def depth_stream(
+    spark: SparkSession,
+    replay_path: str,
+    snapshot_for: dict[str, dict],
+    max_frames: int = 3,
+) -> DataFrame:
+    updates = parse_depth_updates(stream_replay(spark, replay_path, max_frames))
+    synced = book_sync_stream(updates, snapshot_for)
+    return synced.withColumn("price", F.col("price").cast(DECIMAL)).withColumn(
+        "quantity", F.col("quantity").cast(DECIMAL)
+    )
+
+
+def write_table_stream(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = ("symbol",),
+) -> StreamingQuery:
+    """Checkpointed append sink partitioned like the reference's
+    {symbol}.{market} file layout (storage.py:57-59) — but exactly-once
+    and columnar."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+    )
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
+
+
+def stop_all(spark: SparkSession) -> None:
+    """Graceful-stop twin of the reference's signal handler
+    (main.py:12-23): stop every active query, then wait."""
+    for q in spark.streams.active:
+        q.stop()
+    for q in spark.streams.active:
+        q.awaitTermination(30)

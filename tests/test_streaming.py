@@ -1,0 +1,222 @@
+"""Streaming surface tests: replay source, parse, book sync (golden +
+batch/stream equivalence), checkpointed sink restart (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from binance_etl_spark.sources import fixtures as FX
+from binance_etl_spark.sources.replay import read_replay
+from binance_etl_spark.streaming.book_sync import book_sync_batch
+from binance_etl_spark.streaming.parse import (
+    explode_depth_rows,
+    parse_depth_updates,
+    parse_trades,
+)
+from binance_etl_spark.streaming.pipelines import (
+    depth_stream,
+    trades_stream,
+    write_table_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def fx_paths():
+    d = tempfile.mkdtemp(prefix="besk_fx_")
+    return FX.write_fixtures(d)
+
+
+def _collect_sorted(df, keys):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(str(x) for x in t))
+
+
+# ---------------------------------------------------------------------------
+# Replay source + parse (batch)
+# ---------------------------------------------------------------------------
+
+
+def test_replay_batch_trades(spark, fx_paths):
+    frames = read_replay(spark, fx_paths["trades"])
+    assert frames.count() == 12  # ack + 10 trades + malformed
+    trades = parse_trades(frames).collect()
+    assert len(trades) == 10  # ack + malformed dropped
+    sides = [t.side for t in trades]
+    assert sides.count("sell") == 4 and sides.count("buy") == 6  # m = i%3==0
+    t0 = sorted(trades, key=lambda t: t.id)[0]
+    assert t0.symbol == FX.SYMBOL
+    assert str(t0.price) == "598.100000000000000000"
+    assert t0.local_timestamp == t0.timestamp + 7
+
+
+def test_replay_batch_depth_explode(spark, fx_paths):
+    updates = parse_depth_updates(read_replay(spark, fx_paths["depth"]))
+    assert updates.count() == 6  # malformed dropped
+    rows = explode_depth_rows(updates)
+    # level-count conservation: sum(len(bids)+len(asks)) per fixture
+    assert rows.count() == 1 + 3 + 2 + 2 + 1 + 2
+
+
+# ---------------------------------------------------------------------------
+# Book sync: golden semantics (batch twin)
+# ---------------------------------------------------------------------------
+
+
+def _golden_sync_rows(spark, fx_paths):
+    updates = parse_depth_updates(read_replay(spark, fx_paths["depth"]))
+    return book_sync_batch(updates, {FX.SYMBOL: FX.snapshot()}).collect()
+
+
+def test_book_sync_golden(spark, fx_paths):
+    rows = _golden_sync_rows(spark, fx_paths)
+    assert len(rows) == 16
+    by_seq = sorted(rows, key=lambda r: (r.update_id, not r.is_snapshot, r.side, r.price))
+
+    snap = [r for r in rows if r.is_snapshot]
+    assert len(snap) == 6  # 3 bids + 3 asks
+    # snapshot ordered before the bridge delta: ts = local - 1
+    assert all(r.timestamp == r.local_timestamp - 1 for r in snap)
+    assert {r.update_id for r in snap} == {102}
+
+    # stale frame (u=99) never emitted
+    assert all(r.update_id != 99 for r in rows)
+    # bridge frame emitted with its 3 levels
+    assert len([r for r in rows if r.update_id == 103]) == 3
+    # gap flagged exactly on the jump frame (115-117 after 110)
+    gaps = [r for r in rows if r.gap]
+    assert {r.update_id for r in gaps} == {117}
+    # recovery frame not flagged
+    assert all(not r.gap for r in rows if r.update_id == 120)
+    # zero-quantity delete rows flow through (downstream rebuild drops)
+    zero = [r for r in rows if float(r.quantity) == 0.0]
+    assert {(r.update_id, r.side) for r in zero} == {(103, "bid"), (110, "ask")}
+    assert by_seq[0].is_snapshot
+
+
+# ---------------------------------------------------------------------------
+# Batch/stream equivalence
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_trades_stream_equals_batch(spark, fx_paths):
+    batch = parse_trades(read_replay(spark, fx_paths["trades"]))
+    stream = _run_stream_to_memory(
+        spark, trades_stream(spark, fx_paths["trades"], max_frames=3), "mem_trades"
+    )
+    assert _collect_sorted(stream, None) == _collect_sorted(batch, None)
+
+
+def test_depth_stream_equals_batch(spark, fx_paths):
+    snap = {FX.SYMBOL: FX.snapshot()}
+    batch = book_sync_batch(
+        parse_depth_updates(read_replay(spark, fx_paths["depth"])), snap
+    )
+    stream = _run_stream_to_memory(
+        spark,
+        depth_stream(spark, fx_paths["depth"], snap, max_frames=2),
+        "mem_depth",
+    )
+    got = sorted(
+        [(r.update_id, r.side, str(r.price), str(r.quantity), r.is_snapshot, r.gap)
+         for r in stream.collect()]
+    )
+    want = sorted(
+        [(r.update_id, r.side, str(float(r.price)), str(float(r.quantity)), r.is_snapshot, r.gap)
+         for r in batch.collect()]
+    )
+    # compare on normalized floats: batch emits raw strings, stream casts
+    got_norm = sorted([(u, s, str(float(p)), str(float(qy)), isn, g) for u, s, p, qy, isn, g in got])
+    assert got_norm == want
+    assert len(got) == 16
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed sink: exactly-once across restart (vs reference's lossy
+# tail, base.py:39-45)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_restart_no_dup_no_loss(spark, fx_paths):
+    out = tempfile.mkdtemp(prefix="besk_sink_")
+    ckpt = tempfile.mkdtemp(prefix="besk_ckpt_")
+    sdf = trades_stream(spark, fx_paths["trades"], max_frames=4)
+    q = write_table_stream(sdf, out + "/t", ckpt)
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(out + "/t").count()
+    # restart against the same checkpoint: no reprocessing
+    sdf2 = trades_stream(spark, fx_paths["trades"], max_frames=4)
+    q2 = write_table_stream(sdf2, out + "/t", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    n2 = spark.read.parquet(out + "/t").count()
+    assert n1 == 10 and n2 == 10
+
+
+# ---------------------------------------------------------------------------
+# Property tests: sync invariants (SURVEY.md §5.2 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_sync_invariants_random_streams():
+    import json
+    import random
+
+    from binance_etl_spark.streaming.book_sync import SyncState, _sync_step
+
+    rng = random.Random(42)
+    for _ in range(200):
+        last_id = rng.randint(50, 150)
+        snapshot = {"lastUpdateId": last_id, "bids": [["1.0", "1.0"]], "asks": []}
+        u = rng.randint(last_id - 30, last_id + 5)
+        deltas = []
+        for seq in range(rng.randint(1, 15)):
+            span = rng.randint(0, 3)
+            U = u + 1 + (rng.randint(1, 10) if rng.random() < 0.2 else 0)
+            u = U + span
+            deltas.append(
+                {
+                    "symbol": "S",
+                    "timestamp": 1000 + seq,
+                    "local_timestamp": 1007 + seq,
+                    "first_update_id": U,
+                    "last_update_id": u,
+                    "bids_json": json.dumps([["1.0", "2.0"]]),
+                    "asks_json": "[]",
+                    "seq": seq,
+                }
+            )
+        state = SyncState()
+        rows = _sync_step(state, deltas, snapshot)
+        emitted_uids = [r[7] for r in rows if not r[6]]
+        # 1. nothing stale is ever emitted
+        assert all(uid > last_id for uid in emitted_uids)
+        # 2. snapshot rows precede all delta rows iff sync happened
+        snap_rows = [r for r in rows if r[6]]
+        if snap_rows:
+            first_delta_idx = min(i for i, r in enumerate(rows) if not r[6])
+            assert max(i for i, r in enumerate(rows) if r[6]) < first_delta_idx or all(
+                r[6] for r in rows[:first_delta_idx]
+            )
+        # 3. the gap flag is exactly (U != prev_emitted_u + 1) per delta
+        if state.synced:
+            by_u = {d["last_update_id"]: d for d in deltas}
+            seen: list[int] = []
+            flags: dict[int, bool] = {}
+            for r in rows:
+                if r[6]:
+                    continue
+                if not seen or seen[-1] != r[7]:
+                    seen.append(r[7])
+                flags[r[7]] = r[8]
+            for prev_u_, uid in zip(seen, seen[1:]):
+                expected_gap = by_u[uid]["first_update_id"] != prev_u_ + 1
+                assert flags[uid] == expected_gap
