@@ -50,6 +50,11 @@ def main() -> None:
     spark = get_spark("besk-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup: trivial jobs only — no headline query or test
+    # table is pre-executed, so per-query numbers are honest first runs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1, "x")], "a INT, b STRING").groupBy("b").count().collect()
+
     names = [n for n in HEADLINE + HEADLINE_LLM if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:

@@ -162,6 +162,105 @@ def test_checkpoint_restart_no_dup_no_loss(spark, fx_paths):
 
 
 # ---------------------------------------------------------------------------
+# Watermarks + event-time windows + in-stream dedup (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_windowed_ohlcv(spark, fx_paths):
+    """Event-time tumbling window with watermark over the trade stream:
+    the streaming twin of stream_ohlcv_bars."""
+    from pyspark.sql import functions as F
+
+    sdf = trades_stream(spark, fx_paths["trades"], max_frames=20)
+    bars = (
+        sdf.withColumn("ev_ts", F.timestamp_millis("timestamp"))
+        .withWatermark("ev_ts", "10 seconds")
+        .groupBy(F.window("ev_ts", "1 second"), "symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum("quantity").alias("volume"),
+        )
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("mem_bars")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mem_bars").collect()
+    assert sum(r.n_trades for r in rows) == 10
+    assert len(rows) == 2  # trades span T0+100..T0+1000 -> two 1s buckets
+
+
+def test_stream_dedup_within_watermark(spark, fx_paths):
+    """dropDuplicatesWithinWatermark on trade id — bounded-state dedup
+    (the reference relies on ws delivery uniqueness; the engine makes
+    it explicit, SURVEY.md §2.10 'dedup by id')."""
+    from pyspark.sql import functions as F
+
+    # duplicate the replay log to force redelivery
+    import shutil
+
+    dup_path = fx_paths["trades"] + ".dup"
+    with open(fx_paths["trades"]) as src, open(dup_path, "w") as dst:
+        content = src.read()
+        dst.write(content)
+        # re-append with shifted seq so the source emits them again
+        import json as _json
+
+        for line in content.strip().splitlines():
+            rec = _json.loads(line)
+            rec["seq"] += 100
+            dst.write(_json.dumps(rec) + "\n")
+    sdf = trades_stream(spark, dup_path, max_frames=50)
+    deduped = (
+        sdf.withColumn("ev_ts", F.timestamp_millis("timestamp"))
+        .withWatermark("ev_ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("mem_dedup")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mem_dedup").collect()
+    assert len(rows) == 10  # 20 delivered, 10 unique ids
+    shutil.os.remove(dup_path)
+
+
+def test_live_spool_tail(spark, fx_paths):
+    """The live-websocket path minus the socket: a spool file growing
+    between micro-batches is picked up by the same replay reader
+    (sources/websocket.py writes spools in exactly this format)."""
+    import shutil
+
+    from binance_etl_spark.sources.websocket import stream_live
+
+    spool = fx_paths["trades"] + ".spool"
+    with open(fx_paths["trades"]) as src:
+        lines = src.read().strip().splitlines()
+    with open(spool, "w") as f:
+        f.write("\n".join(lines[:6]) + "\n")
+    sdf = parse_trades(stream_live(spark, spool, max_frames_per_batch=100))
+    q = sdf.writeStream.format("memory").queryName("mem_live").outputMode("append").start()
+    q.processAllAvailable()
+    n_first = spark.table("mem_live").count()
+    with open(spool, "a") as f:  # frames arrive while the query runs
+        f.write("\n".join(lines[6:]) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    n_total = spark.table("mem_live").count()
+    assert n_first == 5  # frames 0-5: ack dropped
+    assert n_total == 10
+    shutil.os.remove(spool)
+
+
+# ---------------------------------------------------------------------------
 # Property tests: sync invariants (SURVEY.md §5.2 item 4)
 # ---------------------------------------------------------------------------
 
