@@ -71,7 +71,9 @@ def _ensure_loaded() -> None:
     from binance_etl_spark.plans import (  # noqa: F401
         analytics,
         llm_ops,
+        llm_ops2,
         relational,
+        relational2,
         scalar,
         streaming_analog,
     )

@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the properties PERFORMANCE.md
+documents must stay true. A refactor that silently drops pushdown,
+broadcasts, or top-k planning fails here, not in production."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "scan_lineitem")
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]" in p
+    # projection pruned to 4 columns at the reader
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_flagship_partial_agg_and_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert "PushedFilters" in p and "l_shipdate" in p
+    import re
+
+    # node-detail lines like "(5) Exchange" appear once per plan node
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) >= 2  # partial+final
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1  # exactly one shuffle
+
+
+def test_join_chain_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_inner_broadcast")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p  # no dim should shuffle-join
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    for name in ("sort_topk", "sort_multikey", "sim_topk_cosine"):
+        p = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    # equi key + range residual must plan as a hash/SMJ join with a
+    # post-condition, never BroadcastNestedLoop/CartesianProduct
+    p = _plan(spark, sf_dir, "join_range_seq")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_python_udf_in_batch_relational(spark, sf_dir):
+    # batch relational/scalar plans must stay JVM-side (no BatchEvalPython
+    # / ArrowEvalPython nodes); Python is reserved for stateful ops,
+    # multimodal decode and the explicit UDF demos.
+    for name in ("agg_pricing_summary", "join_inner_broadcast", "fn_string_suite",
+                 "book_rebuild", "dedup_near_jaccard", "sim_topk_cosine"):
+        p = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in p, name
