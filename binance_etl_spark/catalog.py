@@ -51,6 +51,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition for CPU-bound expression work on byte-small inputs.
+
+    A few-MB parquet file scans as one partition, so expensive per-row
+    expressions (shingling, hashing, vector math) run single-threaded
+    regardless of cores. An explicit repartition(N) spreads the rows;
+    the explicit partition count is respected by AQE (only AQE-planned
+    shuffles are coalesced). At 100 TB inputs are naturally
+    many-partitioned and this becomes a no-op cost-wise — but the
+    shuffle is tiny here by definition (input is byte-small).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -78,12 +78,15 @@ def quality_features(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame, shingle_col: Column) -> DataFrame:
     """Winnowing-style document fingerprint: min/max md5 over shingles
-    + distinct-shingle count (content-defined, order-invariant)."""
-    ex = docs.select("doc_id", F.explode(shingle_col).alias("sh")).select(
-        "doc_id", F.md5(F.col("sh")).alias("h")
-    )
-    return ex.groupBy("doc_id").agg(
-        F.min("h").alias("fp_min"),
-        F.max("h").alias("fp_max"),
-        F.countDistinct("h").alias("n_shingles"),
+    + distinct-shingle count (content-defined, order-invariant).
+
+    Array-native (one projection, no explode/groupBy): the shingle set
+    is already per-row, so a grouped aggregation would only add two
+    shuffles and sort-aggregate passes for identical results."""
+    hashes = F.transform(shingle_col, F.md5)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(shingle_col).cast("long").alias("n_shingles"),
     )

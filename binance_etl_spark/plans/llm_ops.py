@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from binance_etl_spark.catalog import load
+from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.operators import dedup as D
 from binance_etl_spark.operators import similarity as S
 from binance_etl_spark.operators import text as T
@@ -57,7 +57,7 @@ _SQL_B = f"""
 
 def _variant_docs(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
     """Perturbed copies: drop the first token, offset ids by 1e6."""
-    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < cap)
+    d = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < cap))
     return d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
@@ -91,7 +91,7 @@ def _variant_docs(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fanout(load(spark, sf_dir, "documents")).select("doc_id", "text")
     corpus = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     return corpus.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
@@ -124,13 +124,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
+    docs = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD))
     a = docs.select(F.col("doc_id").alias("a_id"), D.shingles(F.col("text")).alias("a_sh"))
     b = _variant_docs(spark, sf_dir, CAP_JACCARD).select(
         F.col("doc_id").alias("b_id"), D.shingles(F.col("text")).alias("b_sh")
     )
-    am = a.withColumn("msh", F.array_min(F.transform("a_sh", F.md5)))
-    bm = b.withColumn("msh", F.array_min(F.transform("b_sh", F.md5)))
+    # cache: the shingle arrays feed the join key, the join payload and
+    # the verification expression — without it Catalyst re-derives the
+    # (HOF-interpreted, non-codegen) shingle pipeline per consumer.
+    am = a.withColumn("msh", F.array_min(F.transform("a_sh", F.md5))).cache()
+    bm = b.withColumn("msh", F.array_min(F.transform("b_sh", F.md5))).cache()
     jacc = D.jaccard(F.col("a_sh"), F.col("b_sh"))
     return (
         am.join(bm, "msh")
@@ -192,11 +195,13 @@ def _sql_minhash_cte(side: str, cap: int) -> str:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
-    a = docs.select(F.col("doc_id").alias("a_id"), D.shingles(F.col("text")).alias("a_sh"))
+    docs = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD))
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), D.shingles(F.col("text")).alias("a_sh")
+    ).cache()
     b = _variant_docs(spark, sf_dir, CAP_JACCARD).select(
         F.col("doc_id").alias("b_id"), D.shingles(F.col("text")).alias("b_sh")
-    )
+    ).cache()
     asig = D.minhash_signature(a.select("a_id", F.col("a_sh").alias("sh")), "a_id", "sh")
     bsig = D.minhash_signature(b.select("b_id", F.col("b_sh").alias("sh")), "b_id", "sh")
     abands = D.lsh_bands(asig, "a_id")
@@ -250,7 +255,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_SIMHASH)
+    docs = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_SIMHASH))
     corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
         _variant_docs(spark, sf_dir, CAP_SIMHASH).select(F.col("doc_id").alias("id"), "text")
     )
@@ -305,7 +310,7 @@ _SQL_DOT = (
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < CAP_EMB)
+    e = fanout(load(spark, sf_dir, "embeddings").where(F.col("vec_id") < CAP_EMB))
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
@@ -354,7 +359,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
     return S.cosine_topk(e, q, k=20)
 
@@ -400,7 +405,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
     centroids = S.ivf_centroids_e12(e, "label")
     return S.ivf_probe(e, centroids, q, list_col="label", nprobe=2, k=10)
@@ -429,7 +434,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     per_doc = d.select(
         "lang",
@@ -478,7 +483,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     profiles = T.lang_profiles(docs, top_n=5).select("lang", "tok")
     return T.classify_lang(docs.where(F.col("doc_id") < 500), profiles)
 
@@ -504,7 +509,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < 500))
     return T.quality_features(docs)
 
 
@@ -552,7 +557,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < 500))
     shingled = docs.select("doc_id", D.shingles(F.col("text")).alias("sh"))
     return T.fingerprint(shingled, F.col("sh"))
 

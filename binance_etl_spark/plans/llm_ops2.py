@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from binance_etl_spark.catalog import load
+from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.plans.registry import register
 
 
@@ -147,7 +147,7 @@ _SQL_NORM = (
     tags=("similarity", "ann", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
     dims = spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
     grid = planes.crossJoin(dims).withColumn(
