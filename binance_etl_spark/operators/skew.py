@@ -1,0 +1,48 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+At 100 TB a hot key (one symbol carrying 30% of trades) turns a
+groupBy shuffle into a single straggler task. AQE's skew-join handling
+covers joins; for aggregations the classic fix is salting: shard each
+key into `n_salts` sub-keys, partially aggregate, then merge shards.
+Results are identical to the unsalted aggregation for any
+merge-decomposable aggregate (sum/count/min/max/decimal-sum).
+
+At local scale this is pure overhead — it exists to be correct and
+tested so the 100 TB configuration is a parameter change, not a
+rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Two-phase grouped aggregation with salted shuffle keys.
+
+    `aggs` maps output column -> (merge_fn_name, partial_agg_column);
+    merge_fn_name in {'sum', 'min', 'max'} merges the per-salt partials.
+    Salt derives from a deterministic hash of `salt_src` (default: a
+    high-cardinality column expression) so re-runs shard identically.
+    """
+    salt = (F.xxhash64(F.col(salt_src)) % n_salts if salt_src else F.spark_partition_id() % n_salts)
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[col.alias(f"__p_{out}") for out, (_, col) in aggs.items()]
+    )
+    merge = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](f"__p_{out}").alias(out) for out, (fn, _) in aggs.items()]
+    )

@@ -1,0 +1,65 @@
+"""Tolerance tests for approximate operators (SURVEY.md §5.2 item 1:
+approx ops get rows-only driver checks + our own error-bound asserts)
+and equivalence tests for the skew-salting operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.functions.parity import dsum
+from binance_etl_spark.operators.skew import salted_agg
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    got = {
+        r.event_type: r.n_users_approx
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    for k, approx in got.items():
+        rel_err = abs(approx - exact[k]) / exact[k]
+        assert rel_err < 0.05, (k, approx, exact[k])  # rsd=0.01, generous bound
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    rows = REGISTRY["agg_percentile"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.p50 <= r.p95
+        # approx p50 within 10% of exact p50
+        assert abs(r.p50_approx - r.p50) <= max(0.1 * abs(r.p50), 1e-6)
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .collect()
+    )
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("sum", dsum("l_quantity")),
+            "n": ("sum", F.count(F.lit(1))),
+            "max_price": ("max", F.max("l_extendedprice")),
+        },
+        n_salts=8,
+        salt_src="l_orderkey",
+    ).collect()
+    norm = lambda rows: sorted((r.l_returnflag, str(r.sum_qty), r.n, r.max_price) for r in rows)  # noqa: E731
+    assert norm(plain) == norm(salted)
