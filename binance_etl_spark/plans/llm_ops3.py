@@ -1,0 +1,117 @@
+"""Third batch: UDTF surface, partitioned-sink round trip, stratified
+sampling — closing out SURVEY §2.11 (UDTF) and the partitioned-layout
+prescription (§4.2) as oracle-checked queries."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.plans.registry import register
+
+
+@register(
+    "udtf_explode_frames",
+    oracle="""
+    WITH frames(frame) AS (VALUES
+      ('{"e":"depthUpdate","s":"BNBUSDT","u":103,"b":[["598.00","1.50"],["597.90","0.00"]],"a":[["598.10","2.00"]]}'),
+      ('{"e":"depthUpdate","s":"BNBUSDT","u":106,"b":[["597.90","0.80"]],"a":[]}')
+    ), sides AS (
+      SELECT frame, 'bid' AS side, '$.b' AS p FROM frames
+      UNION ALL SELECT frame, 'ask', '$.a' FROM frames
+    ), ex AS (
+      SELECT frame, side, p,
+             UNNEST(generate_series(0, CAST(json_array_length(frame, p) AS INT) - 1)) AS i
+      FROM sides
+    )
+    SELECT json_extract_string(frame, '$.s') AS symbol,
+           CAST(json_extract(frame, '$.u') AS BIGINT) AS update_id,
+           side,
+           json_extract_string(frame, p || '[' || i || '][0]') AS price,
+           json_extract_string(frame, p || '[' || i || '][1]') AS quantity
+    FROM ex
+    """,
+    doc="Python UDTF (PySpark 4 @udtf) as the frame->levels exploder "
+    "alternative (SURVEY §2.11): one frame row in, N level rows out. "
+    "The built-in explode path (streaming/parse.py) is the production "
+    "choice; the UDTF demonstrates the table-function extension "
+    "surface with identical semantics.",
+    tags=("udf", "udtf", "explode"),
+)
+def udtf_explode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="symbol STRING, update_id BIGINT, side STRING, price STRING, quantity STRING")
+    class ExplodeDepthFrame:
+        def eval(self, frame: str):
+            ev = json.loads(frame)
+            for side, key in (("bid", "b"), ("ask", "a")):
+                for price, qty in ev.get(key, []):
+                    yield ev["s"], ev["u"], side, price, qty
+
+    frames = [
+        ('{"e":"depthUpdate","s":"BNBUSDT","u":103,"b":[["598.00","1.50"],["597.90","0.00"]],"a":[["598.10","2.00"]]}',),
+        ('{"e":"depthUpdate","s":"BNBUSDT","u":106,"b":[["597.90","0.80"]],"a":[]}',),
+    ]
+    df = spark.createDataFrame(frames, "frame STRING")
+    return df.lateralJoin(ExplodeDepthFrame(F.col("frame").outer())).select(
+        "symbol", "update_id", "side", "price", "quantity"
+    )
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    doc="Partitioned-layout round trip (SURVEY §4.2 prescription): "
+    "events written partitioned by event_type, read back with a "
+    "partition filter — the scan touches only 2 of 5 directories "
+    "(partition pruning; asserted in tests/test_plans.py).",
+    tags=("sink", "scan"),
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="besk_part_") + "/events_parted"
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type").isin("click", "purchase"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(38,6)").alias("sum_value"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH sampled AS (
+      SELECT lang, doc_id
+      FROM documents
+      WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 4
+    )
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id
+    FROM sampled GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling: ~25% per language stratum "
+    "by md5 nibble of the id — reproducible across engines, runs and "
+    "cluster sizes (df.sample/TABLESAMPLE are seeded per-partition and "
+    "are NOT stable under repartitioning; hash-gating is). The "
+    "training-data subsampling primitive.",
+    tags=("llm", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    nibble = F.expr("instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1")
+    return (
+        d.where(nibble < 4)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )

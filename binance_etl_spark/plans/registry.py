@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         analytics,
         llm_ops,
         llm_ops2,
+        llm_ops3,
         relational,
         relational2,
         scalar,

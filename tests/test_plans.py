@@ -65,6 +65,30 @@ def test_range_join_is_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    out = tempfile.mkdtemp(prefix="besk_prune_") + "/events_parted"
+    load(spark, sf_dir, "events").select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "event_type" in p
+    # only the click partition's files are scanned
+    assert back.count() == load(spark, sf_dir, "events").where("event_type = 'click'").count()
+
+
 def test_no_python_udf_in_batch_relational(spark, sf_dir):
     # batch relational/scalar plans must stay JVM-side (no BatchEvalPython
     # / ArrowEvalPython nodes); Python is reserved for stateful ops,

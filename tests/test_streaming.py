@@ -233,6 +233,53 @@ def test_stream_dedup_within_watermark(spark, fx_paths):
     shutil.os.remove(dup_path)
 
 
+def test_reference_csv_sink_layout(spark, fx_paths):
+    """write_reference_csv reproduces the reference's exact file naming
+    and header-once shape (reference storage.py:57-75)."""
+    import os
+    import tempfile
+
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.sinks import write_reference_csv
+
+    trades = parse_trades(read_replay(spark, fx_paths["trades"]))
+    out = tempfile.mkdtemp(prefix="besk_refcsv_")
+    path = write_reference_csv(trades, out, FX.SYMBOL, "spot", "trades")
+    assert os.path.basename(path) == f"{FX.SYMBOL}.spot.trades.csv"
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("symbol,timestamp,local_timestamp,id,side,price,quantity")
+    assert len(lines) == 11  # header + 10 trades
+    # values survive the round trip
+    back = spark.read.csv(path, header=True, inferSchema=False)
+    assert back.count() == 10
+
+
+def test_streaming_session_window(spark, fx_paths):
+    """session_window + watermark in a real stream (batch analog:
+    win_session query)."""
+    from pyspark.sql import functions as F
+
+    sdf = trades_stream(spark, fx_paths["trades"], max_frames=20)
+    sessions = (
+        sdf.withColumn("ev_ts", F.timestamp_millis("timestamp"))
+        .withWatermark("ev_ts", "10 seconds")
+        .groupBy(F.session_window("ev_ts", "300 milliseconds"), "symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("mem_sessions")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mem_sessions").collect()
+    # trades are 100ms apart -> gaps < 300ms merge into one session
+    assert sum(r.n for r in rows) == 10
+    assert len(rows) == 1
+
+
 def test_live_spool_tail(spark, fx_paths):
     """The live-websocket path minus the socket: a spool file growing
     between micro-batches is picked up by the same replay reader
