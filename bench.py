@@ -39,8 +39,12 @@ HEADLINE = [
 HEADLINE_LLM = [
     "dedup_exact",
     "dedup_near_jaccard",
+    "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_ann_ivf",
     "text_token_stats",
+    "text_pack_sequences",
+    "sql_q3_topk",
 ]
 
 

@@ -162,6 +162,52 @@ def test_checkpoint_restart_no_dup_no_loss(spark, fx_paths):
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream join (SURVEY.md §2.5 NS): trades x depth in flight
+# ---------------------------------------------------------------------------
+
+
+def test_stream_stream_interval_join(spark, fx_paths):
+    """Each trade joined to depth updates of the same symbol within
+    ±1s of its event time — watermarks on both sides bound the state."""
+    from pyspark.sql import functions as F
+
+    trades = (
+        trades_stream(spark, fx_paths["trades"], max_frames=50)
+        .withColumn("t_ts", F.timestamp_millis("timestamp"))
+        .withWatermark("t_ts", "5 seconds")
+        .select("symbol", "t_ts", F.col("id").alias("trade_id"))
+    )
+    from binance_etl_spark.sources.replay import stream_replay
+    from binance_etl_spark.streaming.parse import parse_depth_updates
+
+    depth = (
+        parse_depth_updates(stream_replay(spark, fx_paths["depth"], 50))
+        .withColumn("d_ts", F.timestamp_millis("timestamp"))
+        .withWatermark("d_ts", "5 seconds")
+        .select(F.col("symbol").alias("d_symbol"), "d_ts", "last_update_id")
+    )
+    joined = trades.join(
+        depth,
+        (trades.symbol == depth.d_symbol)
+        & (depth.d_ts >= trades.t_ts - F.expr("INTERVAL 1 SECOND"))
+        & (depth.d_ts <= trades.t_ts + F.expr("INTERVAL 1 SECOND")),
+        "inner",
+    )
+    q = joined.writeStream.format("memory").queryName("mem_ss").outputMode("append").start()
+    q.processAllAvailable()
+    # sink progress metrics: the engine twin of the reference's
+    # total_messages counters (base.py:76-81)
+    progress = q.lastProgress
+    q.stop()
+    rows = spark.table("mem_ss").collect()
+    # every (trade, depth-update) pair within 1s: trades at T0+100..1000,
+    # 6 parsed depth events (incl. the pre-snapshot stale frame — sync
+    # drops it later, parse does not) at T0+{50,150,250,350,450,550}
+    assert len(rows) == 10 * 6
+    assert progress is not None and "sources" in progress
+
+
+# ---------------------------------------------------------------------------
 # Watermarks + event-time windows + in-stream dedup (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
