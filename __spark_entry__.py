@@ -7,11 +7,17 @@ callable and, when SQL-expressible, a DuckDB oracle SQL string.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from binance_etl_spark.plans import registry as _registry
+# The driver may import this module from any cwd; the engine package
+# lives next to this file.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binance_etl_spark.plans import registry as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
