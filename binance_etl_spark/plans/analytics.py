@@ -321,6 +321,51 @@ def book_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "book_top_of_book",
+    oracle=f"""
+    WITH updates AS (
+      SELECT user_id % 50 AS level,
+             CASE WHEN event_type IN ('click','view') THEN 'bid' ELSE 'ask' END AS side,
+             CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS quantity,
+             ts, event_id
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY side, level
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM updates
+    ), book AS (
+      SELECT side, level, quantity FROM ranked WHERE rn = 1 AND quantity > 0
+    )
+    SELECT MAX(CASE WHEN side = 'bid' THEN level END) AS best_bid,
+           MIN(CASE WHEN side = 'ask' THEN level END) AS best_ask,
+           MIN(CASE WHEN side = 'ask' THEN level END)
+             - MAX(CASE WHEN side = 'bid' THEN level END) AS spread,
+           COUNT(CASE WHEN side = 'bid' THEN 1 END) AS bid_depth,
+           COUNT(CASE WHEN side = 'ask' THEN 1 END) AS ask_depth
+    FROM book
+    """,
+    doc="Top-of-book + spread + depth from the rebuilt book (best bid = "
+    "highest live bid level, best ask = lowest live ask level) — the "
+    "canonical consumer query over the reference's depth table "
+    "(README.md:86-94 points users at exactly this kind of EDA).",
+    tags=("window", "market"),
+)
+def book_top_of_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = _depth_analog(spark, sf_dir)
+    book = rebuild_book(updates, key_cols=["side", "level"], order_cols=["ts", "event_id"])
+    return book.agg(
+        F.max(F.when(F.col("side") == "bid", F.col("level"))).alias("best_bid"),
+        F.min(F.when(F.col("side") == "ask", F.col("level"))).alias("best_ask"),
+        (
+            F.min(F.when(F.col("side") == "ask", F.col("level")))
+            - F.max(F.when(F.col("side") == "bid", F.col("level")))
+        ).alias("spread"),
+        F.count(F.when(F.col("side") == "bid", 1)).alias("bid_depth"),
+        F.count(F.when(F.col("side") == "ask", 1)).alias("ask_depth"),
+    )
+
+
+@register(
     "udf_grouped_book",
     oracle=_BOOK_ORACLE,
     doc="Same book rebuild via groupBy().applyInPandas — the grouped-map "

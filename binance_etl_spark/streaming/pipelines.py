@@ -59,6 +59,31 @@ def write_table_stream(
     return writer.start()
 
 
+def quarantine_stream(spark: SparkSession, replay_path: str, max_frames: int = 1000) -> DataFrame:
+    """DLQ: frames that fail JSON parsing or carry no known event type,
+    preserved verbatim with arrival metadata. The reference logs a
+    warning and drops them (spot_trades_etl.py:56-58); the engine
+    routes them to a sink so nothing is silently lost."""
+    from binance_etl_spark.sources.replay import stream_replay
+
+    frames = stream_replay(spark, replay_path, max_frames)
+    parsed = frames.select(
+        "frame",
+        "arrival_ms",
+        "seq",
+        F.from_json(
+            "frame", "e STRING, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    # NULL-safe: a valid frame with no 'e' field (subscribe acks) has
+    # e IS NULL, and `~isin` on NULL is NULL — coalesce to quarantine it.
+    known = F.coalesce(F.col("j.e").isin("trade", "depthUpdate"), F.lit(False))
+    return parsed.where(F.col("j._corrupt").isNotNull() | ~known).select(
+        "frame", "arrival_ms", "seq"
+    )
+
+
 def stop_all(spark: SparkSession) -> None:
     """Graceful-stop twin of the reference's signal handler
     (main.py:12-23): stop every active query, then wait."""

@@ -1,0 +1,69 @@
+"""Config-driven runner smoke (reference boot path twin, main.py:25-33)
+and DLQ quarantine stream."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from binance_etl_spark.runner import parse_event_id, start_jobs
+from binance_etl_spark.sources import fixtures as FX
+from binance_etl_spark.streaming.pipelines import quarantine_stream, stop_all
+
+
+def test_parse_event_id():
+    spec = parse_event_id("binance.spot.bnbusdt.trade")
+    assert (spec.exchange, spec.market, spec.symbol, spec.event_type) == (
+        "binance", "spot", "bnbusdt", "trade",
+    )
+    with pytest.raises(NotImplementedError):
+        parse_event_id("binance.usd_m_futures.btcusdt.trade")  # reference stub parity
+    with pytest.raises(ValueError):
+        parse_event_id("binance.spot.btcusdt.klines")
+    with pytest.raises(ValueError):
+        parse_event_id("not-an-event-id")
+
+
+def test_runner_end_to_end(spark):
+    d = tempfile.mkdtemp(prefix="besk_runner_")
+    paths = FX.write_fixtures(d)
+    out = d + "/out"
+    config = {
+        "events": [
+            f"binance.spot.{FX.SYMBOL.lower()}.trade",
+            f"binance.spot.{FX.SYMBOL.lower()}.depth",
+        ],
+        "storage": {"format": "parquet", "output_path": out},
+        "sources": {
+            f"{FX.SYMBOL.lower()}.trade": paths["trades"],
+            f"{FX.SYMBOL.lower()}.depth": paths["depth"],
+        },
+        "snapshots": {FX.SYMBOL: FX.snapshot()},
+    }
+    queries = start_jobs(spark, config)
+    assert len(queries) == 2
+    for q in queries:
+        q.processAllAvailable()
+    stop_all(spark)
+    trades = spark.read.parquet(out + "/spot/trades")
+    depth = spark.read.parquet(out + "/spot/depth")
+    assert trades.count() == 10
+    assert depth.count() == 16
+    assert depth.where("is_snapshot").count() == 6
+
+
+def test_quarantine_stream(spark):
+    d = tempfile.mkdtemp(prefix="besk_dlq_")
+    paths = FX.write_fixtures(d)
+    dlq = quarantine_stream(spark, paths["trades"], max_frames=100)
+    q = dlq.writeStream.format("memory").queryName("mem_dlq").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mem_dlq").collect()
+    # trades fixture: 1 subscribe ack (valid JSON, no event type) +
+    # 1 malformed frame -> both quarantined, none lost
+    assert len(rows) == 2
+    frames = sorted(r.frame for r in rows)
+    assert any("result" in f for f in frames)  # the ack
+    assert any(not f.endswith("}") for f in frames)  # the truncated frame
