@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         scalar,
+        scalar2,
         streaming_analog,
     )
 

@@ -132,3 +132,32 @@ _Q3_SQL = f"""
 def sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS n_clicks_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="Same semantics as join_interval, executed through "
+    "operators.interval.interval_join_bucketed: the join key becomes "
+    "(user_id, time_bucket) so the range residual only scans +/-1 bucket "
+    "per row — the 100 TB plan for time-range joins (a plain equi-key "
+    "range join concentrates hot users into single post-filter tasks).",
+    tags=("join", "range"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.interval import interval_join_bucketed
+
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = interval_join_bucketed(p, c, "user_id", "ts", "ts", "30 minutes", how="left")
+    return j.groupBy(F.col("event_id").alias("purchase_id")).agg(
+        F.count(F.col("r_event_id")).alias("n_clicks_before")
+    )
