@@ -104,3 +104,47 @@ def simhash16(tok_counts: DataFrame, id_col: str) -> DataFrame:
 
 def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: (node, cluster_id)
+    where cluster_id = the smallest node id in the component.
+
+    The dedup-pipeline closer: near-dup PAIRS (from LSH/Jaccard) are not
+    clusters — A~B and B~C must collapse into one group {A,B,C} before
+    picking a canonical doc. Each iteration is one join + one grouped
+    min (both map-side combinable); converges in O(component diameter)
+    rounds, and near-dup components are shallow (diameter <= a few
+    hops), so 100 TB runs take ~3-5 shuffles. For adversarial deep
+    graphs, swap the loop body for the large-star/small-star rounds of
+    Kiveris et al. (same DataFrame primitives).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = (nodes if nodes is not None else sym.select(F.col("a").alias("node"))).select(
+        F.col(nodes.columns[0] if nodes is not None else "node").alias("node")
+    ).distinct().withColumn("lbl", F.col("node"))
+    total = None
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("lbl")
+        )
+        labels = (
+            labels.select("node", "lbl")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        # Fixpoint detector: the label sum strictly decreases until done.
+        new_total = labels.agg(F.sum("lbl")).first()[0]
+        if new_total == total:
+            break
+        total = new_total
+    return labels.select("node", F.col("lbl").alias("cluster_id"))

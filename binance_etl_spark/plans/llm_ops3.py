@@ -115,3 +115,99 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+CAP_CC = 400
+
+_SQL_CC_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+
+_SQL_CC_JACC = (
+    "CAST(len(list_filter({l}.sh, x -> list_contains({r}.sh, x))) AS DOUBLE)"
+    " / (len({l}.sh) + len({r}.sh)"
+    " - len(list_filter({l}.sh, x -> list_contains({r}.sh, x))))"
+)
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    a AS (SELECT doc_id AS id, {_SQL_CC_SHINGLES} AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE doc_id < {CAP_CC})),
+    b AS (SELECT doc_id + 1000000 AS id, {_SQL_CC_SHINGLES} AS sh
+          FROM (SELECT doc_id, string_split(substr(text, instr(text, ' ') + 1), ' ') AS toks
+                FROM documents WHERE doc_id < {CAP_CC})),
+    c AS (SELECT doc_id + 2000000 AS id, {_SQL_CC_SHINGLES} AS sh
+          FROM (SELECT doc_id, string_split(substr(t1, instr(t1, ' ') + 1), ' ') AS toks
+                FROM (SELECT doc_id, substr(text, instr(text, ' ') + 1) AS t1
+                      FROM documents WHERE doc_id < {CAP_CC}))),
+    am AS (SELECT id, sh, list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS msh FROM a),
+    bm AS (SELECT id, sh, list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS msh FROM b),
+    cm AS (SELECT id, sh, list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS msh FROM c),
+    pab AS (SELECT am.id AS src, bm.id AS dst FROM am JOIN bm USING (msh)
+            WHERE {_SQL_CC_JACC.format(l="am", r="bm")} >= 0.6),
+    pbc AS (SELECT bm.id AS src, cm.id AS dst FROM bm JOIN cm USING (msh)
+            WHERE {_SQL_CC_JACC.format(l="bm", r="cm")} >= 0.6),
+    edges AS (
+      SELECT src, dst FROM pab UNION SELECT dst, src FROM pab
+      UNION SELECT src, dst FROM pbc UNION SELECT dst, src FROM pbc
+    ),
+    nodes AS (SELECT id FROM a UNION SELECT id FROM b UNION SELECT id FROM c),
+    comp(node, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, comp.lbl FROM comp JOIN edges e ON e.src = comp.node
+    )
+    SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node
+    """,
+    doc="Dedup-cluster assignment: near-dup PAIRS (min-md5-shingle "
+    "blocking + exact Jaccard >= 0.6, over a corpus with drop-1-token "
+    "and drop-2-token variants) collapsed into connected components by "
+    "min-label propagation (operators/dedup.py::connected_components); "
+    "cluster_id = min doc id = the canonical doc to keep. The variant "
+    "chain a~b~c has NO direct a~c edge, so the result proves "
+    "multi-hop propagation, which pair-level dedup cannot produce. "
+    "Oracle: DuckDB recursive CTE over the same edges.",
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import dedup as D
+    from binance_etl_spark.operators.dedup import connected_components
+
+    base = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_CC))
+    drop1 = F.expr("substr(text, instr(text, ' ') + 1)")
+
+    def prepped(df: DataFrame, offset: int, tag: str) -> DataFrame:
+        out = df.select(
+            (F.col("doc_id") + offset).alias(f"{tag}_id"),
+            D.shingles(F.col("text")).alias(f"{tag}_sh"),
+        )
+        return out.withColumn("msh", F.array_min(F.transform(f"{tag}_sh", F.md5))).cache()
+
+    am = prepped(base, 0, "a")
+    bm = prepped(base.withColumn("text", drop1), 1_000_000, "b")
+    cm = prepped(base.withColumn("text", drop1).withColumn("text", drop1), 2_000_000, "c")
+
+    def pairs(l: DataFrame, r: DataFrame, lt: str, rt: str) -> DataFrame:
+        jacc = D.jaccard(F.col(f"{lt}_sh"), F.col(f"{rt}_sh"))
+        return (
+            l.join(r, "msh")
+            .where(jacc >= 0.6)
+            .select(F.col(f"{lt}_id").alias("src"), F.col(f"{rt}_id").alias("dst"))
+        )
+
+    edges = pairs(am, bm, "a", "b").union(pairs(bm, cm, "b", "c"))
+    nodes = (
+        am.select(F.col("a_id").alias("node"))
+        .union(bm.select("b_id"))
+        .union(cm.select("c_id"))
+    )
+    return connected_components(edges, nodes=nodes)
