@@ -1,0 +1,186 @@
+"""LLM training-data pipeline operators, round 2 (NS provenance,
+SURVEY.md §2.12): PII-style redaction, repetition-based quality
+scoring, per-domain weighted sampling, deterministic global shuffle,
+and per-label embedding centroids.
+
+All batch paths are built-in expressions (codegen'd or Arrow-free HOFs)
+— no Python in the hot path. Cross-engine determinism follows the
+parity rules: integer/decimal exact sums, floor-e12 units for float
+vector math, md5 hex for portable hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.plans.registry import register
+
+_REDACT_PAT = r"\b(customer|user|key)\b"
+_NUM_PAT = "[0-9]+"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           length(regexp_replace(regexp_replace(text, '{_REDACT_PAT}', '<REDACTED>', 'g'),
+                                 '{_NUM_PAT}', '<NUM>', 'g')) AS redacted_len,
+           len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_terms,
+           len(regexp_extract_all(text, '{_NUM_PAT}')) AS n_nums
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_REDACT_PAT}')) > 0
+    """,
+    doc="Sensitive-term redaction pass: regexp_replace of a term "
+    "denylist and digit runs with placeholder tags, plus per-doc match "
+    "counts (regexp_count). Patterns restricted to the syntax Java "
+    "regex and RE2 interpret identically (literal alternation, \\b, "
+    "digit runs). Pure codegen'd string expressions — the scrub is a "
+    "single map stage at any scale.",
+    tags=("text", "llm", "quality"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace("text", _REDACT_PAT, "<REDACTED>"), _NUM_PAT, "<NUM>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.length(red).alias("redacted_len"),
+            F.regexp_count("text", F.lit(_REDACT_PAT)).alias("n_terms"),
+            F.regexp_count("text", F.lit(_NUM_PAT)).alias("n_nums"),
+        )
+        .where(F.col("n_terms") > 0)
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1])))) AS DOUBLE)
+             / (len(toks) - 1) AS bigram_uniq_ratio
+    FROM t
+    WHERE len(toks) > 1
+    """,
+    doc="Repetition-based quality signal: distinct-token and "
+    "distinct-bigram ratios per document — low ratios flag boilerplate/"
+    "looped text for corpus filtering. Array HOFs (transform over an "
+    "index sequence) build bigrams without exploding; the int->double "
+    "division is exact on both engines. Per-row map stage, "
+    "embarrassingly parallel at 100 TB.",
+    tags=("text", "llm", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "uniq_ratio"
+        ),
+        (
+            F.size(F.array_distinct(bigrams)).cast("double") / (F.size("toks") - 1)
+        ).alias("bigram_uniq_ratio"),
+    )
+
+
+@register(
+    "sample_weighted_domains",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hv,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 60 ELSE 25 END AS rate
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+    FROM h WHERE hv % 100 < rate
+    GROUP BY source
+    """,
+    doc="Per-domain weighted sampling (corpus mixing): each source gets "
+    "a target rate (even-numbered sources 60%, odd 25%), rows kept by a "
+    "deterministic md5-byte hash of the stable doc key — reproducible "
+    "across runs/engines, no RNG state, and re-running on new data "
+    "keeps prior decisions (the property CRFM-style data recipes need). "
+    "Pure map-side filter: no shuffle until the audit count.",
+    tags=("sampling", "llm"),
+)
+def sample_weighted_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    hv = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(60)
+    ).otherwise(F.lit(25))
+    return (
+        d.where((hv % 100) < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_kept_id"))
+    )
+
+
+@register(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+    ORDER BY skey LIMIT 100
+    """,
+    doc="Deterministic global shuffle for training-order assignment: "
+    "sort key = md5(seed || stable id). Seeded, engine-independent, and "
+    "resumable — the same corpus always shuffles identically. Locally "
+    "verified via the top-100 prefix (TakeOrderedAndProject: per-"
+    "partition top-k + merge, no global sort). At 100 TB the full "
+    "shuffle materializes with repartitionByRange(skey) + "
+    "sortWithinPartitions — total order across output files without a "
+    "single-reducer sort.",
+    tags=("sampling", "llm", "sort"),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat(F.lit("s42:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    return d.select("doc_id", skey.alias("skey")).orderBy("skey").limit(100)
+
+
+@register(
+    "emb_centroid_label",
+    oracle="""
+    SELECT label, i - 1 AS pos, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+    doc="Per-label embedding centroids (the k-means update step / class "
+    "prototypes for embedding-space dedup and clustering): posexplode "
+    "the vector, group by (label, dimension), exact floor-e12 integer-"
+    "unit mean (float->double widening and IEEE multiply are bit-"
+    "identical across engines; bigint partial sums are map-side "
+    "combinable). One shuffle of labels x dims rows regardless of "
+    "corpus size — the 100 TB centroid plan.",
+    tags=("similarity", "llm", "agg"),
+)
+def emb_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(load(spark, sf_dir, "embeddings"))
+    x = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    units = F.floor(F.col("x").cast("double") * 1e12).cast("bigint")
+    return x.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(units).cast("double") / 1e12 / F.count(F.lit(1))).alias("centroid"),
+    )

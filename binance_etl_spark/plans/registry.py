@@ -70,15 +70,19 @@ def _ensure_loaded() -> None:
         return
     from binance_etl_spark.plans import (  # noqa: F401
         analytics,
+        formats,
         llm_ops,
         llm_ops2,
         llm_ops3,
+        llm_ops4,
         relational,
         relational2,
         relational3,
         scalar,
         scalar2,
         streaming_analog,
+        subqueries,
+        timeseries,
     )
 
     _LOADED = True

@@ -1,0 +1,171 @@
+"""Time-series maintenance operators: gap-fill + forward-fill resampling,
+CDC latest-state compaction, and skew-salted aggregation.
+
+These are the queries a market-data consumer runs over the reference's
+output tables (SURVEY.md §2 DATA provenance): the depth table is a
+sparse delta stream — "book state at time T" requires filling the
+buckets where nothing changed with the last known value (the batch twin
+of the streaming book state in streaming/book_sync.py), and "current
+book" is the latest-row-per-key compaction (reference book semantics:
+last update wins per price level, qty=0 deletes —
+spot_depth_etl.py:98-100 / README.md:60).
+
+Scale notes: the spine is generated per key with `sequence()` —
+distributed, never a driver loop; forward-fill is one window per key
+(state = one value per key); compaction is row_number=1 per key, which
+Spark runs as one shuffle + per-partition sort, and at 100 TB is the
+standard "merge-on-read view" plan. Salted aggregation splits hot keys
+across `n_salts` partial groups so a single hot symbol cannot create a
+straggler reducer (operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.functions.parity import dsum, sql_dsum
+from binance_etl_spark.plans.registry import register
+
+# 6-hour buckets over the 30-day events table: ~2 events per user-bucket
+# on average, with plenty of empty buckets to prove the fill path.
+_BKT_US = 21_600 * 1_000_000
+
+
+@register(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH pb AS (
+      SELECT user_id, epoch_us(ts) // {_BKT_US} AS bkt, value,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {_BKT_US}
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    lastv AS (SELECT user_id, bkt, value FROM pb WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bkt) AS b0, MAX(bkt) AS b1
+               FROM lastv GROUP BY user_id),
+    spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bkt FROM bounds)
+    SELECT s.user_id, s.bkt,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           (l.value IS NULL) AS filled
+    FROM spine s
+    LEFT JOIN lastv l ON l.user_id = s.user_id AND l.bkt = s.bkt
+    """,
+    doc="Resample-to-grid with forward fill: per user, a dense 6-hour "
+    "bucket spine from first to last observation (sequence + explode — "
+    "generated inside executors, O(1) driver work), left-joined with the "
+    "last value per occupied bucket (row_number desc = 1), gaps filled "
+    "by last(value, ignorenulls) over an unbounded-preceding frame. "
+    "This is 'book state at time T' for the reference's sparse delta "
+    "table. `filled` marks synthesized rows. Value is carried verbatim "
+    "(no arithmetic) so double parity is exact.",
+    tags=("timeseries", "window", "join"),
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.expr(f"unix_micros(ts) div {_BKT_US}").alias("bkt"),
+    )
+    w_last = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        e.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bkt", "value")
+    )
+    spine = (
+        lastv.groupBy("user_id")
+        .agg(F.min("bkt").alias("b0"), F.max("bkt").alias("b1"))
+        .select("user_id", F.explode(F.sequence("b0", "b1")).alias("bkt"))
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(lastv, ["user_id", "bkt"], "left")
+    return joined.select(
+        "user_id",
+        "bkt",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        F.col("value").isNull().alias("filled"),
+    )
+
+
+@register(
+    "upsert_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           value AS last_value, epoch_us(ts) AS ts_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="CDC latest-state compaction (merge-on-read 'current book' "
+    "view): one row per (user_id, event_type) — the newest by (ts, "
+    "event_id). The reference's book semantics are exactly this per "
+    "(side, price) level (spot_depth_etl.py:98-100: last update wins, "
+    "qty=0 deletes). One shuffle + per-partition sort; at 100 TB this "
+    "is the standard upsert-view plan over an append-only log.",
+    tags=("timeseries", "window", "dedup"),
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew-resistant grouped aggregation through "
+    "operators/skew.py::salted_agg: each group key is sharded into 8 "
+    "salted sub-keys (xxhash64 of the high-cardinality l_orderkey), "
+    "partially aggregated, then merged — identical results to the plain "
+    "GROUP BY oracle because sum/count are merge-decomposable and the "
+    "partials are exact decimals. At 100 TB this bounds any reducer at "
+    "1/8th of the hottest key instead of all of it.",
+    tags=("agg", "skew"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "sum_qty": ("sum", dsum("l_quantity")),
+            "sum_price": ("sum", dsum("l_extendedprice")),
+        },
+        n_salts=8,
+        salt_src="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("decimal(38,6)").alias("sum_qty"),
+        F.col("sum_price").cast("decimal(38,6)").alias("sum_price"),
+    )
