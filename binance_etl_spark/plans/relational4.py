@@ -1,0 +1,136 @@
+"""Fifth relational batch: bucketed co-located joins, unpivot (wide ->
+long reshaping), and histogram binning.
+
+Bucketing is the flagship 100 TB technique here: a fact table written
+once with `bucketBy(N, key)` + `sortBy(key)` joins against any other
+table bucketed the same way with NO exchange on either side — the
+shuffle is paid once at write time and amortized over every subsequent
+join (tests/test_bucketed.py asserts the exchange-free plan). The
+reference's per-(symbol, market) file layout (storage.py:57-59) is the
+degenerate single-bucket version of the same idea.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.functions.parity import dsum, sql_dsum
+from binance_etl_spark.plans.registry import register
+
+_N_BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = _N_BUCKETS
+) -> None:
+    """Write `df` as a bucketed+sorted parquet table (external path)."""
+    path = tempfile.mkdtemp(prefix=f"besk_bucket_{table}_") + f"/{table}"
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """orders+lineitem as co-bucketed tables on the join key."""
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "orders_b",
+        "o_orderkey",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        "lineitem_b",
+        "l_orderkey",
+    )
+    return spark.table("orders_b"), spark.table("lineitem_b")
+
+
+@register(
+    "join_bucketed_colocate",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n, {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Co-located bucketed join: both sides written with bucketBy(8, "
+    "orderkey) + sortBy, so the fact-fact join runs as a bucket-wise "
+    "sort-merge with ZERO exchange on either side (asserted in "
+    "tests/test_bucketed.py). At 100 TB this converts the dominant "
+    "fact-fact shuffle (both sides re-partitioned per query) into a "
+    "one-time write-side cost — the single biggest lever for repeated "
+    "joins on the same key. Results oracle against the plain join.",
+    tags=("join", "bucketing", "layout"),
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = bucketed_tables(spark, sf_dir)
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
+    )
+
+
+@register(
+    "project_unpivot",
+    oracle=f"""
+    SELECT 'l_quantity' AS measure, COUNT(*) AS n, {sql_dsum('l_quantity')} AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), {sql_dsum('l_extendedprice')} FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), {sql_dsum('l_discount')} FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), {sql_dsum('l_tax')} FROM lineitem
+    """,
+    doc="Unpivot (wide -> long melt) via the native df.unpivot operator: "
+    "four measure columns become (measure, value) rows, then a per-"
+    "measure aggregate. Catalyst plans unpivot as Expand — one scan, "
+    "not four (the UNION ALL oracle text is the semantic spec, not the "
+    "plan). Expand keeps the scan single-pass at 100 TB.",
+    tags=("project", "reshape"),
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key
+    FROM orders GROUP BY 1
+    """,
+    doc="Histogram binning: fixed-width buckets via floor(x / width) — "
+    "IEEE double division + floor are bit-identical across engines. The "
+    "scalable histogram plan: one map-side-combinable groupBy on the "
+    "bin id, O(bins) output regardless of input rows.",
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
+    )
