@@ -45,6 +45,12 @@ HEADLINE_LLM = [
     "text_token_stats",
     "text_pack_sequences",
     "sql_q3_topk",
+    # round-1 late additions: decorrelated scalar subquery, gap-fill
+    # resample, iterative CC dedup clustering, vector centroids.
+    "sub_scalar_corr",
+    "ts_resample_ffill",
+    "dedup_cluster_cc",
+    "emb_centroid_label",
 ]
 
 

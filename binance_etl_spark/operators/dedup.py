@@ -126,10 +126,18 @@ def connected_components(
     Kiveris et al. (same DataFrame primitives).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    # Eager localCheckpoint (not cache): truncates lineage so iteration
+    # N's plan does not embed iterations 0..N-1 plus the (possibly
+    # HOF-heavy) edge-generation pipeline — without it, per-iteration
+    # analysis/planning cost grows linearly and dominates wall-clock.
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (nodes if nodes is not None else sym.select(F.col("a").alias("node"))).select(
         F.col(nodes.columns[0] if nodes is not None else "node").alias("node")
-    ).distinct().withColumn("lbl", F.col("node"))
+    ).distinct().withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     total = None
     for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
@@ -140,7 +148,7 @@ def connected_components(
             .union(prop)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         # Fixpoint detector: the label sum strictly decreases until done.
         new_total = labels.agg(F.sum("lbl")).first()[0]

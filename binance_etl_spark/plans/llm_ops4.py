@@ -159,6 +159,32 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_kmeans_lloyd",
+    oracle=None,  # iterative, driver-coordinated: rows-only check; the
+    # invariants (partition of the input, deterministic refit) are unit
+    # tested in tests/test_kmeans.py.
+    doc="Lloyd's k-means over the embedding column "
+    "(operators/kmeans.py): deterministic smallest-id init, 3 fixed "
+    "iterations, k=8. Centroids are driver-side literals (implicit "
+    "broadcast, the MLlib strategy); assignment is a narrow shuffle-"
+    "free map (zip_with/aggregate distances, argmin via array_min on "
+    "(dist, cid) structs); the update is one map-side-combinable "
+    "groupBy of floor-e12 integer units — bit-deterministic across "
+    "partitionings. Returns per-cluster size + exemplar.",
+    tags=("similarity", "llm", "iterative"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.kmeans import kmeans_fit_assign
+
+    e = fanout(load(spark, sf_dir, "embeddings"))
+    assign = kmeans_fit_assign(e, "embedding", "vec_id", k=8, n_iter=3)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("exemplar_id"),
+    )
+
+
+@register(
     "emb_centroid_label",
     oracle="""
     SELECT label, i - 1 AS pos, COUNT(*) AS n,

@@ -50,6 +50,20 @@ def register(
     return deco
 
 
+def register_sql(name: str, sql: str, doc: str = "", tags: tuple[str, ...] = ()) -> None:
+    """Register a shared-text SQL query: the SAME string runs verbatim on
+    spark.sql (over catalog.register_all temp views) and as the DuckDB
+    oracle — the strongest parity statement the harness can make."""
+    from binance_etl_spark.catalog import register_all
+
+    @register(name, oracle=sql, doc=doc, tags=tags)
+    def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_all(spark, sf_dir)
+        return spark.sql(_sql)
+
+    run.__name__ = name
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
     return {name: q.fn for name, q in REGISTRY.items()}

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import load
 from binance_etl_spark.functions.parity import dsum, sql_dsum
-from binance_etl_spark.plans.registry import register
+from binance_etl_spark.plans.registry import register, register_sql
 
 _N_BUCKETS = 8
 
@@ -134,3 +134,48 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
     )
+
+
+register_sql(
+    "sql_q5_region_volume",
+    f"""
+    SELECT n.n_name, COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (local-supplier volume): 6-table join with the "
+    "customer=supplier nation equality, through the spark.sql front end "
+    "— identical ANSI text is the DuckDB oracle. Catalyst broadcasts "
+    "the dim chain (nation/region/supplier) and leaves one fact "
+    "shuffle; AQE would demote any misjudged build side.",
+    tags=("sql", "join", "agg"),
+)
+
+register_sql(
+    "sql_q10_returned",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): fact filter + "
+    "3-dim enrichment + top-20 by revenue with a unique key tie-break. "
+    "Same ANSI text on both engines; the final ORDER BY/LIMIT plans as "
+    "TakeOrderedAndProject (per-partition top-k, no global sort).",
+    tags=("sql", "join", "agg", "topn"),
+)

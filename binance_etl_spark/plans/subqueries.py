@@ -22,23 +22,8 @@ both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-
-from binance_etl_spark.catalog import register_all
 from binance_etl_spark.functions.parity import sql_dsum
-from binance_etl_spark.plans.registry import register
-
-
-def _sql_query(name: str, sql: str, doc: str, tags: tuple[str, ...]):
-    """Register a shared-text SQL query: same string on Spark and DuckDB."""
-
-    @register(name, oracle=sql, doc=doc, tags=tags)
-    def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
-        register_all(spark, sf_dir)
-        return spark.sql(_sql)
-
-    run.__name__ = name
-    return run
+from binance_etl_spark.plans.registry import register_sql as _sql_query
 
 
 _sql_query(
