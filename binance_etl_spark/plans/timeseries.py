@@ -72,10 +72,14 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_last = Window.partitionBy("user_id", "bkt").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    # Materialize once (eager localCheckpoint): lastv feeds BOTH the
+    # spine bounds and the join probe side — without this the plan
+    # duplicates the subtree and scans the fact table twice.
     lastv = (
         e.withColumn("rn", F.row_number().over(w_last))
         .where(F.col("rn") == 1)
         .select("user_id", "bkt", "value")
+        .localCheckpoint(eager=True)
     )
     spine = (
         lastv.groupBy("user_id")
