@@ -58,6 +58,10 @@ def register_sql(name: str, sql: str, doc: str = "", tags: tuple[str, ...] = ())
 
     @register(name, oracle=sql, doc=doc, tags=tags)
     def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        # The driver's session may not be UTC; date/time expressions in
+        # shared-text SQL must mean the same thing as DuckDB's naive
+        # (UTC-equivalent) timestamps. Runtime-settable.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_all(spark, sf_dir)
         return spark.sql(_sql)
 

@@ -179,3 +179,31 @@ register_sql(
     "TakeOrderedAndProject (per-partition top-k, no global sort).",
     tags=("sql", "join", "agg", "topn"),
 )
+
+register_sql(
+    "sql_cte_window_daily",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 1000000) AS BIGINT)) AS v_units
+      FROM events
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    )
+    SELECT user_id, d, n_events,
+           SUM(n_events) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+           CAST(SUM(v_units) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS v_7d
+    FROM daily
+    """,
+    doc="CTE + windowed rolling metrics through the SQL front end "
+    "(identical ANSI text on both engines): daily per-user activity, "
+    "lifetime cumulative count, and a 7-day rolling value sum. Values "
+    "aggregate in exact floor-e6 integer units (portable across "
+    "engines; round() half-up vs half-even differences never arise). "
+    "date_trunc is evaluated under an explicitly-UTC session so "
+    "Spark's tz-aware timestamps match DuckDB's naive ones.",
+    tags=("sql", "window", "cte"),
+)

@@ -83,3 +83,89 @@ def foreach_batch_upsert(
         os.rename(tmp, state_path)
 
     return apply
+
+
+def foreach_batch_agg_merge(
+    state_path: str,
+    key_cols: Sequence[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    sum_src: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming incremental aggregate view: maintain per-key running
+    (count, exact decimal sum) in a parquet table via foreachBatch.
+
+    Unlike the latest-row upsert, an additive merge is NOT naturally
+    idempotent — re-applying a micro-batch would double-count. Exactly-
+    once therefore rides on Spark's micro-batch contract: every state
+    row carries the last applied `batch_id`, and a batch whose id is
+    <= the stored maximum is skipped (restarts with the SAME checkpoint
+    re-offer the same ids). The swap is atomic (staging dir + rename),
+    so a crash between write and rename re-applies cleanly.
+
+    This is materialized-view maintenance at its 100 TB shape: the
+    stream's partial aggregate is map-side combined per micro-batch,
+    and state stays O(distinct keys) regardless of stream length —
+    the engine-side generalization of the reference's monotone counters
+    (reference base.py:30,76-81).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keys = list(key_cols)
+        agg = [F.count(F.lit(1)).cast("bigint").alias(count_col)]
+        if sum_col is not None:
+            agg.append(
+                F.sum(F.col(sum_src or sum_col).cast("decimal(20,6)"))
+                .cast("decimal(38,6)")
+                .alias(sum_col)
+            )
+        partial = batch_df.groupBy(*keys).agg(*agg)
+        if os.path.isdir(state_path):
+            old = spark.read.parquet(state_path)
+            if old.agg(F.max("__batch_id")).first()[0] >= batch_id:
+                return  # replayed micro-batch: already merged
+            merged = (
+                old.drop("__batch_id")
+                .unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum(count_col).cast("bigint").alias(count_col),
+                    *(
+                        [F.sum(sum_col).cast("decimal(38,6)").alias(sum_col)]
+                        if sum_col is not None
+                        else []
+                    ),
+                )
+            )
+        else:
+            merged = partial
+        out = merged.withColumn("__batch_id", F.lit(batch_id))
+        tmp = state_path.rstrip("/") + ".__staging"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    return apply
+
+
+def write_range_sorted(df: DataFrame, path: str, col: str, n_files: int) -> None:
+    """Batch layout writer: range-partition on `col`, sort within each
+    partition, write parquet — every output file covers a DISJOINT
+    value range of `col` (asserted against parquet footer min/max in
+    tests/test_layout.py).
+
+    This is the data-skipping layout for 100 TB scans: a reader with a
+    predicate on `col` prunes whole files from the footer stats alone
+    (and row groups within them), turning point/range lookups into
+    O(matching files) I/O. repartitionByRange samples the column to
+    build balanced range bounds, so skew in `col` does not produce
+    giant files.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,97 @@
+"""Range-sorted layout + incremental aggregate view sink."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.sources import fixtures as FX
+from binance_etl_spark.streaming.pipelines import trades_stream
+from binance_etl_spark.streaming.sinks import (
+    foreach_batch_agg_merge,
+    write_range_sorted,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_range_sorted_files_have_disjoint_ranges(spark):
+    out = tempfile.mkdtemp(prefix="besk_range_") + "/orders_ranged"
+    write_range_sorted(load(spark, SF_DIR, "orders"), out, "o_totalprice", 4)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["o_totalprice"]).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"file ranges overlap: {ranges}"
+
+    # pruned read returns the same rows as a full-scan filter
+    lo_cut = sorted(r[0] for r in ranges)[2]
+    pruned = spark.read.parquet(out).where(F.col("o_totalprice") >= lo_cut).count()
+    full = load(spark, SF_DIR, "orders").where(F.col("o_totalprice") >= lo_cut).count()
+    assert pruned == full
+
+
+@pytest.fixture(scope="module")
+def fx_paths():
+    return FX.write_fixtures(tempfile.mkdtemp(prefix="besk_aggm_fx_"))
+
+
+def test_incremental_agg_view_matches_batch_and_skips_replay(spark, fx_paths):
+    state = tempfile.mkdtemp(prefix="besk_aggm_state_") + "/per_symbol"
+    sink = foreach_batch_agg_merge(
+        state, ["symbol", "side"], count_col="n", sum_col="qty", sum_src="quantity"
+    )
+    sdf = trades_stream(spark, fx_paths["trades"], max_frames=3)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="besk_aggm_ck_"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.symbol, r.side): (r.n, str(r.qty))
+        for r in spark.read.parquet(state).collect()
+    }
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.parse import parse_trades
+
+    want = {
+        (r.symbol, r.side): (r.n, str(r.qty))
+        for r in parse_trades(read_replay(spark, fx_paths["trades"]))
+        .groupBy("symbol", "side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("quantity").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .alias("qty"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+    # replaying an already-applied micro-batch must be a no-op
+    last_id = spark.read.parquet(state).agg(F.max("__batch_id")).first()[0]
+    replay = parse_trades(read_replay(spark, fx_paths["trades"]))
+    sink(replay, last_id)
+    got2 = {
+        (r.symbol, r.side): (r.n, str(r.qty))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == got
