@@ -72,3 +72,36 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
     )
+
+
+@register(
+    "sink_zorder_prune",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE o_custkey <= 300 AND o_totalprice <= 200000
+    GROUP BY o_orderstatus
+    """,
+    doc="Z-order (Morton-curve) clustered layout round-trip "
+    "(operators/zorder.py): orders written clustered on "
+    "(o_custkey, o_totalprice), read back through a 2-D predicate, "
+    "aggregated; oracle on the original table proves the layout is "
+    "lossless. Each output file covers a small rectangle of the 2-D "
+    "value space, so footer stats prune files for predicates on "
+    "EITHER column (measured in tests/test_zorder.py) — the Delta/"
+    "Iceberg Z-ORDER maintenance op, built from plain codegen'd "
+    "Catalyst expressions.",
+    tags=("sink", "layout", "scan"),
+)
+def sink_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.zorder import write_zordered
+
+    o = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="besk_zq_") + "/orders_z"
+    write_zordered(o, path, ("o_custkey", "o_totalprice"), n_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.where((F.col("o_custkey") <= 300) & (F.col("o_totalprice") <= 200000))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
+    )
