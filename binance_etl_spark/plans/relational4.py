@@ -207,3 +207,44 @@ register_sql(
     "Spark's tz-aware timestamps match DuckDB's naive ones.",
     tags=("sql", "window", "cte"),
 )
+
+register_sql(
+    "fn_null_suite",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS st,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS px
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(st) AS n_nonnull_st,
+           COUNT(*) - COUNT(px) AS n_null_px,
+           SUM(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_pending,
+           SUM(CASE WHEN coalesce(st, 'X') = 'X' THEN 1 ELSE 0 END) AS n_coalesced,
+           SUM(CAST(floor(ifnull(px, 0) * 100) AS BIGINT)) AS px_units
+    FROM t
+    """,
+    doc="Null-semantics suite (shared ANSI text): nullif/ifnull/"
+    "coalesce, COUNT(col) vs COUNT(*) null skipping, null-safe "
+    "comparison via IS NOT DISTINCT FROM, and null-absorbing arithmetic "
+    "— the reference never emits nulls (its schemas are total, "
+    "SURVEY.md §1.3), so this is engine DATA surface for querying "
+    "enriched/outer-joined outputs.",
+    tags=("scalar", "null"),
+)
+
+register_sql(
+    "sort_nulls_last",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS px
+    FROM orders
+    ORDER BY px DESC NULLS LAST, o_orderkey
+    LIMIT 10
+    """,
+    doc="Explicit null ordering: DESC NULLS LAST with a unique "
+    "tie-break key, top-10. Both engines honor the ANSI null-ordering "
+    "clause; Spark plans TakeOrderedAndProject.",
+    tags=("sort", "null"),
+)

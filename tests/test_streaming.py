@@ -412,3 +412,29 @@ def test_sync_invariants_random_streams():
             for prev_u_, uid in zip(seen, seen[1:]):
                 expected_gap = by_u[uid]["first_update_id"] != prev_u_ + 1
                 assert flags[uid] == expected_gap
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (SURVEY.md §2.5): in-flight dim enrichment
+# ---------------------------------------------------------------------------
+
+
+def test_stream_static_broadcast_join(spark, fx_paths):
+    """Trades stream enriched against a static symbol-dim DataFrame —
+    the streaming analog of the reference's one-shot snapshot reuse
+    (book_utils.py:26-33: fetch once, apply to every later message).
+    The static side is broadcast: no stream-side shuffle."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("BNBUSDT", "spot", 8), ("BTCUSDT", "spot", 8)],
+        "symbol STRING, market STRING, px_decimals INT",
+    )
+    sdf = trades_stream(spark, fx_paths["trades"], max_frames=3)
+    enriched = sdf.join(F.broadcast(dim), "symbol", "left")
+    got = _run_stream_to_memory(spark, enriched, "mem_ssj")
+    batch = parse_trades(read_replay(spark, fx_paths["trades"])).join(
+        F.broadcast(dim), "symbol", "left"
+    )
+    assert _collect_sorted(got, None) == _collect_sorted(batch, None)
+    assert got.where(F.col("market").isNull()).count() == 0
