@@ -1,0 +1,48 @@
+"""Small-file compaction — the table-maintenance op every streaming
+lakehouse needs.
+
+A micro-batched file sink (the engine's, or the reference's CSV chunks
+— storage.py:22-36 flushes every 1000 rows) accretes many small files;
+at 100 TB small files destroy scan throughput (per-file open cost,
+tiny row groups, starved vectorized readers) and overload the file
+listing. Compaction rewrites a directory to ~target-sized files and
+swaps it atomically.
+
+Sizing comes from the actual on-disk bytes (not row counts), so the
+result aligns with `spark.sql.files.maxPartitionBytes` and one scan
+task maps to one file. coalesce() is used instead of repartition():
+merging files needs NO shuffle — each output task just reads a few
+input files end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite the parquet directory at `path` into
+    ceil(bytes / target_file_bytes) files. Returns the new file count.
+    Atomic: writes a staging dir, then swaps."""
+    total = dir_bytes(path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + ".__compacting"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files

@@ -248,3 +248,19 @@ register_sql(
     "clause; Spark plans TakeOrderedAndProject.",
     tags=("sort", "null"),
 )
+
+register_sql(
+    "join_cross_dims",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+    doc="Explicit CROSS JOIN of two bounded dims with a non-equi "
+    "residual (every nation paired with every FOREIGN region). Spark "
+    "plans BroadcastNestedLoopJoin — acceptable exactly because both "
+    "sides are dimension-sized; the engine's guard for fact-sized "
+    "inputs is the non-equi interval/bucketed join family "
+    "(operators/interval.py).",
+    tags=("join", "cross"),
+)

@@ -1,0 +1,49 @@
+"""Physical-plan pins: the perf properties PERFORMANCE.md claims are
+asserted here so a refactor cannot silently regress them.
+
+These complement the value-level oracle: two plans can both be correct
+while one reads 5× the bytes or shuffles the fact table — at 100 TB
+that difference IS the product.
+"""
+
+from __future__ import annotations
+
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    _ensure_loaded()
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "scan_lineitem")
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
+    # column pruning: ReadSchema must not include unused wide columns
+    assert "l_shipdate" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(spark, "join_inner_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_combine(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_corr_scalar_subquery_is_decorrelated(spark):
+    plan = _plan(spark, "sub_scalar_corr")
+    # decorrelation = per-key aggregate joined back, no per-row subplan
+    assert "HashAggregate(keys=[l_partkey" in plan
+    assert "Join" in plan
