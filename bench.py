@@ -51,6 +51,8 @@ HEADLINE_LLM = [
     "ts_resample_ffill",
     "dedup_cluster_cc",
     "emb_centroid_label",
+    "sql_q5_region_volume",
+    "upsert_latest",
 ]
 
 
