@@ -210,3 +210,70 @@ def emb_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(units).cast("double") / 1e12 / F.count(F.lit(1))).alias("centroid"),
     )
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           64 + (ord(substr(text, 1, 1)) % 128) * 3 AS w,
+           64 + (ord(substr(text, 3, 1)) % 128) * 2 AS h,
+           CAST(floor((64 + (ord(substr(text, 1, 1)) % 128) * 3)
+                * CASE WHEN greatest(64 + (ord(substr(text, 1, 1)) % 128) * 3,
+                                     64 + (ord(substr(text, 3, 1)) % 128) * 2) > 128
+                       THEN 128.0 / greatest(64 + (ord(substr(text, 1, 1)) % 128) * 3,
+                                             64 + (ord(substr(text, 3, 1)) % 128) * 2)
+                       ELSE 1.0 END) AS INT) AS out_w,
+           CAST(floor((64 + (ord(substr(text, 3, 1)) % 128) * 2)
+                * CASE WHEN greatest(64 + (ord(substr(text, 1, 1)) % 128) * 3,
+                                     64 + (ord(substr(text, 3, 1)) % 128) * 2) > 128
+                       THEN 128.0 / greatest(64 + (ord(substr(text, 1, 1)) % 128) * 3,
+                                             64 + (ord(substr(text, 3, 1)) % 128) * 2)
+                       ELSE 1.0 END) AS INT) AS out_h
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="Image resize pipeline over a binary column: documents.text "
+    "encoded to binary payloads (the multimodal column), header parse "
+    "(width/height from the leading payload bytes — the stand-in for a "
+    "real image header decode) runs in Python over Arrow batches via "
+    "mapInPandas; the resize-to-fit geometry (scale to max side 128, "
+    "aspect preserved) is JVM-side codegen'd math. The oracle recomputes "
+    "the identical bytes via ord(substr(text,...)), proving the binary "
+    "round-trip is faithful. Swapping the header stub for PIL changes "
+    "NOTHING outside the mapInPandas body.",
+    tags=("multimodal", "udf"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def parse_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    # stand-in for an image header decode: dims from the
+                    # leading payload bytes (deterministic, oracle-able)
+                    "w": [64 + (bytes(p)[0] % 128) * 3 for p in payloads],
+                    "h": [64 + (bytes(p)[2] % 128) * 2 for p in payloads],
+                }
+            )
+
+    dims = assets.mapInPandas(parse_header, "asset_id BIGINT, w INT, h INT")
+    scale = F.when(
+        F.greatest("w", "h") > 128, F.lit(128.0) / F.greatest("w", "h")
+    ).otherwise(F.lit(1.0))
+    return dims.select(
+        "asset_id",
+        "w",
+        "h",
+        F.floor(F.col("w") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("h") * scale).cast("int").alias("out_h"),
+    )
