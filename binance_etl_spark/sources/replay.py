@@ -111,6 +111,7 @@ class ReplayStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.max_frames = int(options.get("maxframesperbatch", 3))
+        self.lines_per_partition = int(options.get("linesperpartition", 8192))
         self._pos = 0
         self._fresh = False
 
@@ -135,7 +136,18 @@ class ReplayStreamReader(DataSourceStreamReader):
         return {"index": self._pos}
 
     def partitions(self, start: dict, end: dict):
-        return [_Range(self.path, start["index"], end["index"])]
+        # Large catch-up batches (max_frames=0 drains the whole log in
+        # one trigger) split into line-range partitions so the Python
+        # read parallelizes across cores. Replay order is DATA (`seq`),
+        # not partition order: every ordered consumer sorts by seq
+        # (book_sync sorts in its state processor), so this is safe —
+        # and paced batches (max_frames <= lines_per_partition) still
+        # produce exactly one partition.
+        s, e = start["index"], end["index"]
+        step = max(1, self.lines_per_partition)
+        return [
+            _Range(self.path, i, min(i + step, e)) for i in range(s, e, step)
+        ] or [_Range(self.path, s, e)]
 
     def read(self, partition: _Range):
         yield from _read_lines(partition.path, partition.start, partition.end)

@@ -19,3 +19,37 @@ def test_cc_edges_only_no_nodes_df(spark):
     edges = spark.createDataFrame([(10, 20), (20, 30)], "src BIGINT, dst BIGINT")
     got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Property: distributed min-label CC == driver union-find on random
+    graphs (including deeper chains than near-dup graphs produce)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: min(y for y in range(n) if find(y) == find(x)) for x in range(n)}
+
+        edf = spark.createDataFrame(edges or [(0, 0)], "src BIGINT, dst BIGINT")
+        ndf = spark.createDataFrame([(i,) for i in range(n)], "node BIGINT")
+        got = {
+            r.node: r.cluster_id
+            for r in __import__(
+                "binance_etl_spark.operators.dedup", fromlist=["connected_components"]
+            ).connected_components(edf, nodes=ndf).collect()
+        }
+        assert got == want, f"trial {trial} mismatch"
