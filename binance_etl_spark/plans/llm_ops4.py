@@ -11,7 +11,7 @@ vector math, md5 hex for portable hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import fanout, load
@@ -276,4 +276,104 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.floor(F.col("w") * scale).cast("int").alias("out_w"),
         F.floor(F.col("h") * scale).cast("int").alias("out_h"),
+    )
+
+
+_CUR_SH = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+_CUR_JACC = (
+    "CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)"
+    " / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))"
+)
+_CUR_HV = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "curate_corpus_e2e",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                  FROM documents),
+    q AS (SELECT * FROM toks
+          WHERE len(t) >= 20
+            AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5),
+    ex AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn FROM q)
+           WHERE rn = 1),
+    sh AS (SELECT doc_id, source, {_CUR_SH} AS s FROM ex),
+    shm AS (SELECT *, list_aggregate(list_transform(s, x -> md5(x)), 'min') AS msh
+            FROM sh),
+    drops AS (SELECT DISTINCT b.doc_id
+              FROM shm a JOIN shm b ON a.msh = b.msh AND a.doc_id < b.doc_id
+              WHERE {_CUR_JACC} >= 0.8),
+    kept AS (SELECT * FROM shm
+             WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    sampled AS (SELECT * FROM kept
+                WHERE {_CUR_HV} % 100 <
+                      CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                           THEN 60 ELSE 25 END)
+    SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM sampled GROUP BY source
+    """,
+    doc="END-TO-END corpus curation recipe — the composition the "
+    "individual LLM ops exist for, as ONE oracle-checked plan: "
+    "(1) quality gate (>=20 tokens, distinct-token ratio >= 0.5); "
+    "(2) exact dedup (md5 content hash, keep smallest doc_id); "
+    "(3) near-dup removal (3-token shingles, min-md5-shingle blocking, "
+    "exact Jaccard >= 0.8, drop the larger id — left_anti join); "
+    "(4) per-domain weighted sampling (deterministic md5-byte hash). "
+    "Every stage is codegen'd built-ins; the chain is ONE Catalyst "
+    "plan — filters fuse into the scan, the anti-join sees only the "
+    "already-filtered survivors, and nothing materializes in between. "
+    "At 100 TB each stage keeps its individual op's scale shape "
+    "(map-side filters, O(docs x blocks) candidate join).",
+    tags=("llm", "dedup", "sampling", "pipeline"),
+)
+def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import dedup as D
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    q = d.select("doc_id", "source", "text", toks.alias("t")).where(
+        (F.size("t") >= 20)
+        & (F.size(F.array_distinct("t")).cast("double") / F.size("t") >= 0.5)
+    )
+    w_ex = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    ex = q.withColumn("rn", F.row_number().over(w_ex)).where(F.col("rn") == 1)
+    shm = ex.select(
+        "doc_id",
+        "source",
+        D.shingles(F.col("text")).alias("s"),
+    ).withColumn("msh", F.array_min(F.transform("s", F.md5))).localCheckpoint(eager=True)
+
+    a = shm.select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"), "msh"
+    )
+    b = shm.select(
+        F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"), "msh"
+    )
+    drops = (
+        a.join(b, "msh")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (D.jaccard(F.col("a_s"), F.col("b_s")) >= 0.8)
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = shm.join(drops, "doc_id", "left_anti")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(60)
+    ).otherwise(F.lit(25))
+    sampled = kept.where((hv % 100) < rate)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
