@@ -53,6 +53,7 @@ HEADLINE_LLM = [
     "emb_centroid_label",
     "sql_q5_region_volume",
     "upsert_latest",
+    "curate_corpus_e2e",
 ]
 
 
