@@ -29,8 +29,15 @@ def dec(c: Column | str, prec: int = PREC, scale: int = SCALE) -> Column:
 
 
 def dsum(c: Column | str, scale: int = SCALE) -> Column:
-    """Order-independent SUM: decimal-cast, sum, fixed output type."""
-    return F.sum(dec(c, PREC, scale)).cast(f"decimal({SUM_PREC},{scale})")
+    """Order-independent SUM: decimal-cast accumulation, DOUBLE output.
+
+    Accumulation stays decimal (associative, exact, map-side combinable);
+    only the FINAL result is cast to double so the output dtype normalizes
+    identically across Spark and DuckDB client conversions (round-1 driver
+    hashed DECIMAL(38,6) and DuckDB's repr differently despite identical
+    values).
+    """
+    return F.sum(dec(c, PREC, scale)).cast("double")
 
 
 def davg(c: Column | str, scale: int = SCALE) -> Column:
@@ -41,7 +48,7 @@ def davg(c: Column | str, scale: int = SCALE) -> Column:
 
 def sql_dsum(expr: str, scale: int = SCALE) -> str:
     """DuckDB SQL equivalent of dsum()."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{scale}))) AS DECIMAL({SUM_PREC},{scale}))"
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{scale}))) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = SCALE) -> str:

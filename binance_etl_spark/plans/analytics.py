@@ -112,11 +112,11 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS running_value,
+                AS DOUBLE) AS running_value,
            CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS rolling4_value
+                AS DOUBLE) AS rolling4_value
     FROM events
     """,
     doc="Frame aggregates: running + rolling-4 sums per user (rolling "
@@ -132,11 +132,11 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(dval)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(38,6)")
+        .cast("double")
         .alias("running_value"),
         F.sum(dval)
         .over(w.rowsBetween(-3, Window.currentRow))
-        .cast("decimal(38,6)")
+        .cast("double")
         .alias("rolling4_value"),
     )
 

@@ -25,7 +25,7 @@ from binance_etl_spark.plans.registry import register
 @register(
     "scan_jsonl_roundtrip",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_id
     FROM documents GROUP BY lang
     """,

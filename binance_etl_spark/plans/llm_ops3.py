@@ -68,7 +68,7 @@ def udtf_explode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_partitioned_roundtrip",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
     FROM events WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type
     """,
@@ -85,7 +85,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out).where(F.col("event_type").isin("click", "purchase"))
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(38,6)").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
     )
 
 

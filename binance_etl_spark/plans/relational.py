@@ -87,7 +87,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT side,
            COUNT(*) AS n_levels,
-           CAST(SUM(CAST(qty AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS total_qty
+           CAST(SUM(CAST(qty AS DECIMAL(38,18))) AS DOUBLE) AS total_qty
     FROM snapshot GROUP BY side
     """,
     doc="REST book snapshot as a static DataFrame (reference "
@@ -109,7 +109,7 @@ def src_snapshot_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("side").agg(
         F.count(F.lit(1)).alias("n_levels"),
         F.sum(F.col("qty").cast("decimal(38,18)"))
-        .cast("decimal(38,18)")
+        .cast("double")
         .alias("total_qty"),
     )
 

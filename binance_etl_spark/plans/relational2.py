@@ -99,8 +99,8 @@ def agg_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pivoted.select(
         "l_returnflag",
-        F.coalesce(F.col("F"), F.lit(0).cast("decimal(38,6)")).alias("qty_F"),
-        F.coalesce(F.col("O"), F.lit(0).cast("decimal(38,6)")).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
     )
 
 

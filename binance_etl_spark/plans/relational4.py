@@ -192,8 +192,8 @@ register_sql(
       GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
     )
     SELECT user_id, d, n_events,
-           SUM(n_events) OVER (PARTITION BY user_id ORDER BY d
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+           CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
            CAST(SUM(v_units) OVER (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS v_7d
     FROM daily
@@ -220,9 +220,9 @@ register_sql(
     SELECT COUNT(*) AS n_rows,
            COUNT(st) AS n_nonnull_st,
            COUNT(*) - COUNT(px) AS n_null_px,
-           SUM(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_pending,
-           SUM(CASE WHEN coalesce(st, 'X') = 'X' THEN 1 ELSE 0 END) AS n_coalesced,
-           SUM(CAST(floor(ifnull(px, 0) * 100) AS BIGINT)) AS px_units
+           CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           CAST(SUM(CASE WHEN coalesce(st, 'X') = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced,
+           CAST(SUM(CAST(floor(ifnull(px, 0) * 100) AS BIGINT)) AS BIGINT) AS px_units
     FROM t
     """,
     doc="Null-semantics suite (shared ANSI text): nullif/ifnull/"

@@ -294,7 +294,7 @@ def explode_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN contains(price, '.')
                 THEN rtrim(rtrim(price, '0'), '.')
                 ELSE price END AS price_norm,
-           CAST(price AS DECIMAL(38,18)) AS price_dec
+           CAST(price AS DOUBLE) AS price_dec
     FROM raw
     """,
     doc="Arrow-vectorized pandas UDF normalizing Binance decimal strings "
@@ -332,5 +332,5 @@ def udf_scalar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id",
         norm_decimal_str("price").alias("price_norm"),
-        F.col("price").cast("decimal(38,18)").alias("price_dec"),
+        F.col("price").cast("decimal(38,18)").cast("decimal(27,8)").cast("double").alias("price_dec"),
     )

@@ -117,8 +117,8 @@ def fn_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ok WHERE json_extract_string(f, '$.e') = 'trade'
     )
     SELECT side,
-           CAST(SUM(CAST(price * quantity AS DECIMAL(38,16))) AS DECIMAL(38,16)) AS turnover,
-           CAST(SUM(quantity) AS DECIMAL(38,8)) AS volume,
+           CAST(SUM(CAST(price * quantity AS DECIMAL(38,16))) AS DOUBLE) AS turnover,
+           CAST(SUM(quantity) AS DOUBLE) AS volume,
            CAST(SUM(CAST(price * quantity AS DECIMAL(38,16))) AS DOUBLE)
                 / CAST(SUM(quantity) AS DOUBLE) AS vwap
     FROM trades GROUP BY side
@@ -139,11 +139,11 @@ def trades_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = parse_trades(read_replay(spark, paths["trades"]))
     p8 = F.col("price").cast("decimal(18,8)")
     q8 = F.col("quantity").cast("decimal(18,8)")
-    turnover = F.sum((p8 * q8).cast("decimal(38,16)")).cast("decimal(38,16)")
-    volume = F.sum(q8).cast("decimal(38,8)")
+    turnover = F.sum((p8 * q8).cast("decimal(38,16)"))
+    volume = F.sum(q8)
     return trades.groupBy("side").agg(
-        turnover.alias("turnover"),
-        volume.alias("volume"),
+        turnover.cast("double").alias("turnover"),
+        volume.cast("double").alias("volume"),
         (turnover.cast("double") / volume.cast("double")).alias("vwap"),
     )
 

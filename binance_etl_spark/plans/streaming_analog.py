@@ -20,7 +20,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from binance_etl_spark.schemas import DECIMAL
 from binance_etl_spark.sources import fixtures as FX
 from binance_etl_spark.sources.replay import read_replay
 from binance_etl_spark.plans.registry import register
@@ -54,8 +53,8 @@ _TRADES_ORACLE = f"""
            CAST(json_extract(f, '$.t') AS BIGINT) AS id,
            CASE WHEN CAST(json_extract(f, '$.m') AS BOOLEAN)
                 THEN 'sell' ELSE 'buy' END AS side,
-           CAST(json_extract_string(f, '$.p') AS DECIMAL(38,18)) AS price,
-           CAST(json_extract_string(f, '$.q') AS DECIMAL(38,18)) AS quantity
+           CAST(json_extract_string(f, '$.p') AS DOUBLE) AS price,
+           CAST(json_extract_string(f, '$.q') AS DOUBLE) AS quantity
     FROM ok WHERE json_extract_string(f, '$.e') = 'trade'
 """
 
@@ -71,7 +70,15 @@ _TRADES_ORACLE = f"""
 )
 def src_replay_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = _fixture_dir()
-    return parse_trades(read_replay(spark, paths["trades"]))
+    parsed = parse_trades(read_replay(spark, paths["trades"]))
+    # Internal schema stays DECIMAL(38,18) (the engine money type); the
+    # registered OUTPUT is double so the driver's hasher normalizes
+    # identically across engines. Narrow to scale 8 first (exact for
+    # Binance 8-dp strings): small unscaled values make the double cast
+    # correctly rounded, matching DuckDB's strtod on the raw string.
+    return parsed.withColumn(
+        "price", F.col("price").cast("decimal(27,8)").cast("double")
+    ).withColumn("quantity", F.col("quantity").cast("decimal(27,8)").cast("double"))
 
 
 _DEPTH_ORACLE = f"""
@@ -93,8 +100,8 @@ _DEPTH_ORACLE = f"""
            CAST(json_extract(frame, '$.E') AS BIGINT) AS "timestamp",
            arrival_ms AS local_timestamp,
            side,
-           CAST(json_extract_string(frame, p || '[' || i || '][0]') AS DECIMAL(38,18)) AS price,
-           CAST(json_extract_string(frame, p || '[' || i || '][1]') AS DECIMAL(38,18)) AS quantity,
+           CAST(json_extract_string(frame, p || '[' || i || '][0]') AS DOUBLE) AS price,
+           CAST(json_extract_string(frame, p || '[' || i || '][1]') AS DOUBLE) AS quantity,
            CAST(json_extract(frame, '$.u') AS BIGINT) AS last_update_id
     FROM ex
 """
@@ -110,7 +117,10 @@ _DEPTH_ORACLE = f"""
 )
 def src_replay_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = _fixture_dir()
-    return explode_depth_rows(parse_depth_updates(read_replay(spark, paths["depth"])))
+    rows = explode_depth_rows(parse_depth_updates(read_replay(spark, paths["depth"])))
+    return rows.withColumn(
+        "price", F.col("price").cast("decimal(27,8)").cast("double")
+    ).withColumn("quantity", F.col("quantity").cast("decimal(27,8)").cast("double"))
 
 
 # Golden depth table after book sync, hand-derived from the fixture
@@ -150,8 +160,8 @@ _BOOK_SYNC_ORACLE = f"""
                 is_snapshot, update_id, gap) AS (VALUES
       {_GOLDEN_VALUES})
     SELECT symbol, "timestamp", local_timestamp, side,
-           CAST(price_s AS DECIMAL(38,18)) AS price,
-           CAST(quantity_s AS DECIMAL(38,18)) AS quantity,
+           CAST(price_s AS DOUBLE) AS price,
+           CAST(quantity_s AS DOUBLE) AS quantity,
            is_snapshot, update_id, gap
     FROM golden
 """
@@ -172,6 +182,6 @@ def book_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = _fixture_dir()
     updates = parse_depth_updates(read_replay(spark, paths["depth"]))
     synced = book_sync_batch(updates, {FX.SYMBOL: FX.snapshot()})
-    return synced.withColumn("price", F.col("price").cast(DECIMAL)).withColumn(
-        "quantity", F.col("quantity").cast(DECIMAL)
-    )
+    return synced.withColumn(
+        "price", F.col("price").cast("decimal(27,8)").cast("double")
+    ).withColumn("quantity", F.col("quantity").cast("decimal(27,8)").cast("double"))

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import load
-from binance_etl_spark.functions.parity import dsum, sql_dsum
+from binance_etl_spark.functions.parity import dec, dsum, sql_dsum
 from binance_etl_spark.plans.registry import register
 
 # 6-hour buckets over the 30-day events table: ~2 events per user-bucket
@@ -156,13 +156,16 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_spark.operators.skew import salted_agg
 
     li = load(spark, sf_dir, "lineitem")
+    # Partials stay DECIMAL (exact, order-free merge); only the final
+    # output casts to double — a double partial would make the per-salt
+    # merge order-dependent.
     out = salted_agg(
         li,
         keys=["l_returnflag"],
         aggs={
             "n": ("sum", F.count(F.lit(1))),
-            "sum_qty": ("sum", dsum("l_quantity")),
-            "sum_price": ("sum", dsum("l_extendedprice")),
+            "sum_qty": ("sum", F.sum(dec("l_quantity"))),
+            "sum_price": ("sum", F.sum(dec("l_extendedprice"))),
         },
         n_salts=8,
         salt_src="l_orderkey",
@@ -170,6 +173,6 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "n",
-        F.col("sum_qty").cast("decimal(38,6)").alias("sum_qty"),
-        F.col("sum_price").cast("decimal(38,6)").alias("sum_price"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
     )
