@@ -17,8 +17,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
 from binance_etl_spark.session import get_spark
+
+
+def materialize(df) -> int:
+    """Force FULL execution of every output column, returning the row
+    count. A bare count() lets Catalyst prune projections the count
+    does not need (a scan-style query can degrade to a metadata-ish
+    count), understating the work — so reduce a checksum over all
+    columns instead, keeping the reduction distributed (no driver
+    collect of the result set).
+    """
+    cols = [
+        F.col(c).cast("string") if t.startswith("map") else F.col(c)
+        for c, t in df.dtypes
+    ]
+    row = df.select(F.xxhash64(*cols).alias("__h")).agg(
+        F.count("__h").alias("n"), F.expr("bit_xor(__h)").alias("checksum")
+    ).first()
+    return row["n"]
 
 # Headline set: one per operator family, weighted toward the plans that
 # dominate at 100 TB (scan-agg, multi-join, window, asof, dedup, ann).
@@ -74,7 +94,7 @@ def main() -> None:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # force full execution; count avoids driver collect cost
+        n = materialize(df)  # full-column execution, distributed reduce
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

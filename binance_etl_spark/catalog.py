@@ -52,17 +52,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition for CPU-bound expression work on byte-small inputs.
+    """Repartition for CPU-bound expression work on byte-small inputs —
+    but ONLY when the input is actually under-partitioned.
 
     A few-MB parquet file scans as one partition, so expensive per-row
     expressions (shingling, hashing, vector math) run single-threaded
-    regardless of cores. An explicit repartition(N) spreads the rows;
-    the explicit partition count is respected by AQE (only AQE-planned
-    shuffles are coalesced). At 100 TB inputs are naturally
-    many-partitioned and this becomes a no-op cost-wise — but the
-    shuffle is tiny here by definition (input is byte-small).
+    regardless of cores; an explicit repartition(N) spreads the rows
+    (respected by AQE — only AQE-planned shuffles are coalesced). A
+    naturally many-partitioned scan (any 100 TB input) already has
+    >= N partitions, and repartitioning it would be a full shuffle
+    that REDUCES its parallelism — so the helper is a literal no-op
+    there, asserted in tests/test_plans.py.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -106,6 +106,38 @@ def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bands(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    n_bands: int = 4,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """(id, band_no, band_val): split the simhash sketch into bit-bands.
+
+    Pigeonhole completeness: two sketches at hamming distance d differ
+    in at most d bands, so for d < n_bands they MUST agree on >= 1 band
+    — an equi-join on (band_no, band_val) generates every pair within
+    hamming n_bands-1 without an all-pairs comparison. Shuffle is
+    O(docs x n_bands), the same shape as MinHash-LSH banding.
+    """
+    mask = (1 << bits_per_band) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.shiftright(F.col(hash_col), b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return hashes.select(id_col, F.explode(bands).alias("bd")).select(
+        id_col, F.col("bd.band_no").alias("band_no"), F.col("bd.band_val").alias("band_val")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -138,21 +170,25 @@ def connected_components(
     labels = (nodes if nodes is not None else sym.select(F.col("a").alias("node"))).select(
         F.col(nodes.columns[0] if nodes is not None else "node").alias("node")
     ).distinct().withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
-    total = None
+    lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")
         )
-        labels = (
-            labels.select("node", "lbl")
-            .union(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+        # Carry each node's previous label through the same grouped-min
+        # pass so convergence is detected by COUNTING CHANGED LABELS —
+        # type-agnostic (works for string/hash doc ids, where a label
+        # SUM is NULL and would false-converge after one hop) and sound
+        # (no bigint wrap on large id spaces).
+        merged = labels.select("node", "lbl", F.col("lbl").alias("prev")).unionByName(
+            prop.withColumn("prev", F.lit(None).cast(lbl_type))
+        )
+        step = (
+            merged.groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        # Fixpoint detector: the label sum strictly decreases until done.
-        new_total = labels.agg(F.sum("lbl")).first()[0]
-        if new_total == total:
+        labels = step.select("node", "lbl")
+        if step.where(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
             break
-        total = new_total
     return labels.select("node", F.col("lbl").alias("cluster_id"))

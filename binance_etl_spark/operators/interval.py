@@ -53,9 +53,17 @@ def interval_join_bucketed(
         raise ValueError(f"unsupported how={how!r}; use 'inner' or 'left'")
     # LEFT: bucket fan-out means a left row joins one row per bucket —
     # a per-bucket miss would fabricate (left, NULL) rows even when
-    # another bucket matched. Build misses explicitly instead.
+    # another bucket matched. Build misses explicitly instead. The
+    # anti-join must use NULL-SAFE equality: with plain `=`, a left row
+    # containing any NULL column never matches matched_keys (NULL = NULL
+    # is not true) and would be re-emitted as a fabricated miss row in
+    # addition to its inner matches.
     matched_keys = inner.select(*left.columns).dropDuplicates()
-    misses = left.join(matched_keys, on=list(left.columns), how="left_anti")
+    anti_cond = None
+    for c in left.columns:
+        eq = left[c].eqNullSafe(matched_keys[c])
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    misses = left.join(matched_keys, anti_cond, "left_anti")
     for c in right.columns:
         misses = misses.withColumn(f"r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     return inner.unionByName(misses)

@@ -37,6 +37,60 @@ def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
 
 
+def hyperplane_bucket(
+    emb_col: str, n_planes: int = 4, n_dims: int = 64, base: int = 0
+) -> Column:
+    """Sign-pattern LSH bucket as a PURE per-row expression — no joins,
+    no shuffle, no broadcast of any per-vector table.
+
+    Plane p's weight for dim i is an md5-nibble of '<p>_<i>' shifted to
+    [-7.5, 7.5] (engine-portable pseudo-randomness); each contribution
+    floors to e-12 integer units so the sign vote is an order-free
+    bigint sum that DuckDB reproduces bit-for-bit. `base` offsets the
+    global plane index so multiple bands draw independent planes.
+    """
+    out = None
+    for p in range(n_planes):
+        s = F.expr(
+            f"aggregate(transform(sequence(1, {n_dims}), i -> "
+            f"CAST(floor((instr('0123456789abcdef', substr(md5({base + p} || '_' || i), 1, 1)) - 8.5)"
+            f" * CAST(element_at({emb_col}, i) AS DOUBLE) * {E12}) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bit = F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """(id, band_no, bucket): multi-band hyperplane LSH for near-dup
+    blocking. Band b uses global planes [b*planes_per_band, ...), so
+    bands are independent; vectors sharing ANY band bucket become
+    candidate pairs via an equi-join on (band_no, bucket) — the
+    embedding analog of MinHash banding, O(vectors x bands) shuffle."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                hyperplane_bucket(
+                    emb_col, planes_per_band, n_dims, base=b * planes_per_band
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(id_col, F.explode(bands).alias("bd")).select(
+        id_col, F.col("bd.band_no").alias("band_no"), F.col("bd.bucket").alias("bucket")
+    )
+
+
 def cosine_topk(vectors: DataFrame, query: DataFrame, k: int = 20) -> DataFrame:
     """Brute-force top-k: `vectors` (vec_id, embedding, ...) vs a
     one-row `query` (q_embedding). Broadcast the query; deterministic

@@ -249,9 +249,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     doc="SimHash (16-bit, count-weighted md5-nibble votes) near-dup: "
-    "pairs at hamming distance <= 3. Fixed-size sketch per doc; at "
-    "scale, bucket by simhash bands of the sketch instead of the "
-    "cross-comparison used here on the capped corpus.",
+    "pairs at hamming distance <= 3. Candidates come from banding the "
+    "sketch into four 4-bit bands and equi-joining on (band_no, "
+    "band_val): hamming <= 3 pairs differ in at most 3 bands, so by "
+    "pigeonhole they share >= 1 band — the result set is IDENTICAL to "
+    "an all-pairs comparison (the oracle) while the shuffle stays "
+    "O(docs x 4). The 100 TB plan; no cross join anywhere.",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,12 +270,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hashes.where(F.col("id") >= 1000000).select(
         F.col("id").alias("b_id"), F.col("simhash").alias("b_h")
     )
+    abands = D.simhash_bands(a, "a_id", "a_h")
+    bbands = D.simhash_bands(b, "b_id", "b_h")
+    cand = abands.join(bbands, ["band_no", "band_val"]).select("a_id", "b_id").distinct()
+    pairs = cand.join(a, "a_id").join(b, "b_id")
     ham = D.hamming16(F.col("a_h"), F.col("b_h"))
-    return (
-        a.crossJoin(b)
-        .where(ham <= 3)
-        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
-    )
+    return pairs.where(ham <= 3).select("a_id", "b_id", ham.cast("int").alias("hamming"))
 
 
 _SQL_DOT = (
@@ -280,6 +283,30 @@ _SQL_DOT = (
     "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1000000000000) AS BIGINT)))"
     " AS BIGINT)"
 )
+
+
+_N_EMB_BANDS = 4
+_EMB_PLANES_PER_BAND = 4
+
+# Per-plane e-12 sign-vote contribution for a list column (shared with
+# operators/similarity.py::hyperplane_bucket, which is its Spark twin).
+_SQL_BANDS = f"""
+    contrib AS (
+      SELECT c.id, p.plane,
+             CAST(floor((instr('0123456789abcdef',
+                    substr(md5(p.plane || '_' || i.i), 1, 1)) - 8.5)
+                  * CAST(c.emb[i.i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
+      FROM corpus c
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_N_EMB_BANDS * _EMB_PLANES_PER_BAND - 1})) AS plane) p
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) i
+    ), pbits AS (
+      SELECT id, plane, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS bit
+      FROM contrib GROUP BY id, plane
+    ), buckets AS (
+      SELECT id, plane // {_EMB_PLANES_PER_BAND} AS band_no,
+             CAST(SUM(bit << (plane % {_EMB_PLANES_PER_BAND})) AS INT) AS bucket
+      FROM pbits GROUP BY id, plane // {_EMB_PLANES_PER_BAND}
+    )"""
 
 
 @register(
@@ -294,19 +321,33 @@ _SQL_DOT = (
              list_concat([-embedding[1]], embedding[2:]) AS b_emb,
              {_SQL_DOT.format(a="embedding", b="embedding")} AS b_n
       FROM embeddings WHERE vec_id < {CAP_EMB}
+    ), corpus AS (
+      SELECT a_id AS id, a_emb AS emb FROM a
+      UNION ALL
+      SELECT b_id AS id, b_emb AS emb FROM b
+    ), {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT x.id AS a_id, y.id AS b_id
+      FROM buckets x JOIN buckets y
+        ON x.band_no = y.band_no AND x.bucket = y.bucket
+      WHERE x.id < 1000000 AND y.id >= 1000000
     ), scored AS (
-      SELECT a_id, b_id,
+      SELECT c.a_id, c.b_id,
              CAST({_SQL_DOT.format(a="a_emb", b="b_emb")} AS DOUBLE)
                / sqrt(CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE)) AS cosine
-      FROM a CROSS JOIN b
+      FROM cand c JOIN a ON a.a_id = c.a_id JOIN b ON b.b_id = c.b_id
     )
     SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.9
     """,
-    doc="Embedding-cosine near-dup: corpus + one-dimension-negated "
-    "variants; pairs at cosine >= 0.9. Exact arithmetic via e-12 "
-    "integer units. At scale the cross join is replaced by LSH/IVF "
-    "blocking (see sim_ann_ivf); note |b_emb| == |a_emb| by "
-    "construction so the variant's norm reuses the original's.",
+    doc="Embedding-cosine near-dup with hyperplane-LSH blocking: corpus "
+    "+ one-dimension-negated variants; candidate pairs share >= 1 of 4 "
+    "independent 4-plane sign-pattern band buckets (operators/"
+    "similarity.py::band_buckets, a pure per-row expression), then "
+    "exact e-12 cosine >= 0.9 verifies candidates only. The oracle "
+    "implements the SAME blocking, so both engines agree exactly. "
+    "Shuffle is O(vectors x bands) — never O(n^2); no cross join. "
+    "|b_emb| == |a_emb| by construction so the variant's norm reuses "
+    "the original's.",
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +365,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b_emb"),
         S.sq_norm_e12("embedding").alias("b_n"),
     )
-    scored = a.crossJoin(b).select(
+    abands = S.band_buckets(
+        a.select("a_id", F.col("a_emb").alias("emb")),
+        "a_id",
+        "emb",
+        _N_EMB_BANDS,
+        _EMB_PLANES_PER_BAND,
+    )
+    bbands = S.band_buckets(
+        b.select("b_id", F.col("b_emb").alias("emb")),
+        "b_id",
+        "emb",
+        _N_EMB_BANDS,
+        _EMB_PLANES_PER_BAND,
+    )
+    cand = abands.join(bbands, ["band_no", "bucket"]).select("a_id", "b_id").distinct()
+    pairs = cand.join(a, "a_id").join(b, "b_id")
+    scored = pairs.select(
         "a_id",
         "b_id",
         S.cosine_from_e12(S.dot_e12("a_emb", "b_emb"), F.col("a_n"), F.col("b_n")).alias(

@@ -142,46 +142,28 @@ _SQL_NORM = (
     doc="Random-hyperplane LSH ANN: 4 md5-derived hyperplanes hash each "
     "vector to a sign-pattern bucket; the query searches only its own "
     "bucket (expected candidates = n / 2^planes), exact cosine ranks "
-    "them. Bucketing is one scan + grouped agg; the bucket join is an "
-    "equi-join — the LSH scale path for unclustered vectors.",
+    "them. The bucket is a PURE per-row expression "
+    "(operators/similarity.py::hyperplane_bucket) — one narrow scan, "
+    "no per-vector bucket table, no O(n) broadcast; only the 1-row "
+    "query bucket broadcasts. The LSH scale path for unclustered "
+    "vectors.",
     tags=("similarity", "ann", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fanout(load(spark, sf_dir, "embeddings"))
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
-    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("i"))
-    grid = planes.crossJoin(dims).withColumn(
-        "w",
-        F.expr("instr('0123456789abcdef', substr(md5(plane || '_' || i), 1, 1)) - 8.5"),
+    from binance_etl_spark.operators.similarity import (
+        cosine_from_e12,
+        dot_e12,
+        hyperplane_bucket,
+        sq_norm_e12,
     )
-    contrib = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(grid))
-        .select(
-            "vec_id",
-            "plane",
-            F.floor(
-                F.col("w")
-                * F.element_at("embedding", F.col("i")).cast("double")
-                * F.lit(1000000000000)
-            )
-            .cast("bigint")
-            .alias("c"),
-        )
-    )
-    bits = (
-        contrib.groupBy("plane", "vec_id")
-        .agg(F.when(F.sum("c") > 0, 1).otherwise(0).alias("bit"))
-    )
-    buckets = bits.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(bit, plane)")).cast("int").alias("bucket")
-    )
-    qbucket = buckets.where(F.col("vec_id") == 0).select("bucket")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
-    cand = e.join(F.broadcast(buckets), "vec_id").join(F.broadcast(qbucket), "bucket")
-    from binance_etl_spark.operators.similarity import cosine_from_e12, dot_e12, sq_norm_e12
 
-    scored = cand.crossJoin(F.broadcast(q)).select(
+    e = fanout(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    bucketed = e.withColumn("bucket", hyperplane_bucket("embedding", _N_PLANES))
+    qrow = bucketed.where(F.col("vec_id") == 0).select(
+        "bucket", F.col("embedding").alias("q_embedding")
+    )
+    cand = bucketed.join(F.broadcast(qrow), "bucket")
+    scored = cand.select(
         "vec_id",
         cosine_from_e12(
             dot_e12("embedding", "q_embedding"),

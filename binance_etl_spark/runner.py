@@ -88,10 +88,15 @@ def start_jobs(spark: SparkSession, config: dict) -> list[StreamingQuery]:
                 spark, src, snapshots, max_frames=int(config.get("max_frames", 1000))
             )
         table = "trades" if spec.event_type == "trade" else "depth"
+        # Sink path is per (market, symbol, table), matching the
+        # checkpoint granularity: two queries sharing one
+        # FileStreamSink _spark_metadata log would each start at batch
+        # 0 and the later one would silently skip its own batch ids
+        # (reference writes per-symbol files too, storage.py:63-75).
         queries.append(
             write_table_stream(
                 df,
-                os.path.join(out_root, spec.market, table),
+                os.path.join(out_root, spec.market, spec.symbol, table),
                 os.path.join(ckpt_root, spec.market, spec.symbol, table),
                 fmt=fmt,
             )

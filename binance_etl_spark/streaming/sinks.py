@@ -123,7 +123,11 @@ def foreach_batch_agg_merge(
         partial = batch_df.groupBy(*keys).agg(*agg)
         if os.path.isdir(state_path):
             old = spark.read.parquet(state_path)
-            if old.agg(F.max("__batch_id")).first()[0] >= batch_id:
+            # max() is None when the state table has zero rows (an
+            # empty first micro-batch writes a schema-only parquet) —
+            # treat as "nothing applied yet", not a TypeError.
+            last_applied = old.agg(F.max("__batch_id")).first()[0]
+            if last_applied is not None and last_applied >= batch_id:
                 return  # replayed micro-batch: already merged
             merged = (
                 old.drop("__batch_id")

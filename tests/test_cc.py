@@ -53,3 +53,16 @@ def test_cc_random_graphs_match_union_find(spark):
             ).connected_components(edf, nodes=ndf).collect()
         }
         assert got == want, f"trial {trial} mismatch"
+
+
+def test_cc_string_node_ids(spark):
+    # Round-1 advisory: the old SUM(lbl) fixpoint was NULL for string
+    # ids, so NULL == NULL "converged" after one hop and a diameter-3
+    # chain came back unconverged. md5/content-hash doc ids are the
+    # natural key in the dedup pipeline, so string ids must work.
+    edges = spark.createDataFrame(
+        [("bb", "aa"), ("bb", "cc"), ("cc", "dd"), ("zz", "yy")],
+        "src STRING, dst STRING",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {"aa": "aa", "bb": "aa", "cc": "aa", "dd": "aa", "yy": "yy", "zz": "yy"}

@@ -47,3 +47,39 @@ def test_corr_scalar_subquery_is_decorrelated(spark):
     # decorrelation = per-key aggregate joined back, no per-row subplan
     assert "HashAggregate(keys=[l_partkey" in plan
     assert "Join" in plan
+
+
+def test_dedup_simhash_has_no_all_pairs_join(spark):
+    # Banded candidate generation: hamming<=3 pairs must share one of
+    # four 4-bit bands, so the pairing is an equi-join — a cross join
+    # here would be O(n^2) at corpus scale.
+    plan = _plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_embedding_cosine_has_no_all_pairs_join(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_ann_lsh_broadcasts_only_query_row(spark):
+    # The per-vector bucket is a pure projection; the only broadcast
+    # input must be the 1-row query-bucket side, never a full-corpus
+    # table. With the bucket inline there is exactly one
+    # BroadcastExchange (the qrow join side).
+    plan = _plan(spark, "sim_ann_lsh")
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_fanout_is_noop_on_well_partitioned_input(spark):
+    from binance_etl_spark.catalog import fanout
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, n)
+    assert fanout(wide) is wide  # literal no-op, no repartition node
+    narrow = spark.range(0, 10_000, 1, 1)
+    out = fanout(narrow)
+    assert out.rdd.getNumPartitions() == n
+    assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()

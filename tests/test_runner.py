@@ -46,11 +46,40 @@ def test_runner_end_to_end(spark):
     for q in queries:
         q.processAllAvailable()
     stop_all(spark)
-    trades = spark.read.parquet(out + "/spot/trades")
-    depth = spark.read.parquet(out + "/spot/depth")
+    sym = FX.SYMBOL.lower()
+    trades = spark.read.parquet(f"{out}/spot/{sym}/trades")
+    depth = spark.read.parquet(f"{out}/spot/{sym}/depth")
     assert trades.count() == 10
     assert depth.count() == 16
     assert depth.where("is_snapshot").count() == 6
+
+
+def test_runner_two_symbols_no_shared_sink_loss(spark):
+    # Two symbols on the same event type must NOT share a sink: a
+    # shared FileStreamSink _spark_metadata log would make the second
+    # query see its batch 0 as already committed and silently drop its
+    # data (round-1 advisory). Per-symbol sink paths make each query's
+    # commit log private.
+    d = tempfile.mkdtemp(prefix="besk_runner2_")
+    paths = FX.write_fixtures(d)
+    out = d + "/out"
+    config = {
+        "events": ["binance.spot.aaausdt.trade", "binance.spot.bbbusdt.trade"],
+        "storage": {"format": "parquet", "output_path": out},
+        "sources": {
+            "aaausdt.trade": paths["trades"],
+            "bbbusdt.trade": paths["trades"],
+        },
+    }
+    queries = start_jobs(spark, config)
+    assert len(queries) == 2
+    for q in queries:
+        q.processAllAvailable()
+    stop_all(spark)
+    a = spark.read.parquet(out + "/spot/aaausdt/trades")
+    b = spark.read.parquet(out + "/spot/bbbusdt/trades")
+    assert a.count() == 10  # both symbols keep ALL their rows
+    assert b.count() == 10
 
 
 def test_quarantine_stream(spark):
