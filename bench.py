@@ -77,6 +77,58 @@ HEADLINE_LLM = [
 ]
 
 
+def bench_book_sync(spark, n_frames: int = 20_000) -> tuple[float, int]:
+    """Sustained-throughput run of the full market-data path: replay
+    DataSource -> depth parse -> stateful book sync -> materialize.
+    Guards the Python-DataSource + applyInPandas throughput figure
+    (PERFORMANCE.md) against regression; the tiny golden fixture only
+    checks semantics, not speed.
+    """
+    import json
+    import tempfile
+
+    t_base = 1_727_000_000_000
+    d = tempfile.mkdtemp(prefix="besk_bench_bs_")
+    path = os.path.join(d, "depth_big.jsonl")
+    with open(path, "w") as f:
+        u = 103
+        for i in range(n_frames):
+            ev = {
+                "e": "depthUpdate",
+                "E": t_base + 100 * i,
+                "s": "BNBUSDT",
+                "U": u,
+                "u": u + 2,
+                "b": [[f"{598 - (i % 50) * 0.1:.8f}", f"{(i % 7) * 0.5:.8f}"]],
+                "a": [[f"{598.1 + (i % 50) * 0.1:.8f}", f"{(i % 5) * 0.3:.8f}"]],
+            }
+            f.write(
+                json.dumps(
+                    {
+                        "frame": json.dumps(ev, separators=(",", ":")),
+                        "arrival_ms": t_base + 100 * i + 5,
+                        "seq": i,
+                    }
+                )
+                + "\n"
+            )
+            u += 3
+    snapshot = {
+        "lastUpdateId": 102,
+        "bids": [["598.00000000", "1.00000000"]],
+        "asks": [["598.10000000", "1.20000000"]],
+    }
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.book_sync import book_sync_batch
+    from binance_etl_spark.streaming.parse import parse_depth_updates
+
+    t0 = time.perf_counter()
+    updates = parse_depth_updates(read_replay(spark, path))
+    synced = book_sync_batch(updates, {"BNBUSDT": snapshot})
+    n = materialize(synced)
+    return time.perf_counter() - t0, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
@@ -97,6 +149,14 @@ def main() -> None:
         n = materialize(df)  # full-column execution, distributed reduce
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    bs_sec, bs_rows = bench_book_sync(spark)
+    timings["book_sync_stream_20k"] = round(bs_sec, 4)
+    print(
+        f"# book_sync_stream_20k: {bs_sec:.3f}s ({bs_rows} rows, "
+        f"{bs_rows / bs_sec:,.0f} rows/s)",
+        file=sys.stderr,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

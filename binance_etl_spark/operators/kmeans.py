@@ -27,11 +27,24 @@ from pyspark.sql import functions as F
 _UNIT = 1e12
 
 
-def _sq_dist(vec_col: str, centroid: list[float]):
-    """Squared L2 distance between an array<float> column and a literal."""
+def _sq_dist_e12(vec_col: str, centroid: list[float]):
+    """Squared L2 distance in floor-e12 BIGINT units.
+
+    Each per-dimension term floors to integer units before summing, so
+    the total is an order-free bigint add — bit-identical across
+    partitionings AND across engines (a raw double fold depends on
+    element order and on pow-vs-multiply rounding), which is what lets
+    the DuckDB oracle reproduce assignments exactly.
+    """
     c = F.array(*[F.lit(float(v)) for v in centroid])
-    d = F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) ** 2)
-    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    d = F.zip_with(
+        F.col(vec_col),
+        c,
+        lambda a, b: F.floor(
+            (a.cast("double") - b) * (a.cast("double") - b) * F.lit(_UNIT)
+        ).cast("bigint"),
+    )
+    return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def kmeans_fit_assign(
@@ -60,7 +73,7 @@ def kmeans_fit_assign(
         dists = F.array(
             *[
                 F.struct(
-                    _sq_dist(vec_col, c).alias("dist"),
+                    _sq_dist_e12(vec_col, c).alias("dist"),
                     F.lit(i).alias("cid"),
                 )
                 for i, c in enumerate(centroids)
@@ -91,7 +104,7 @@ def kmeans_fit_assign(
 
     final = F.array(
         *[
-            F.struct(_sq_dist(vec_col, c).alias("dist"), F.lit(i).alias("cid"))
+            F.struct(_sq_dist_e12(vec_col, c).alias("dist"), F.lit(i).alias("cid"))
             for i, c in enumerate(centroids)
         ]
     )
@@ -99,5 +112,5 @@ def kmeans_fit_assign(
     return df.select(
         F.col(id_col),
         best["cid"].alias("cluster"),
-        best["dist"].alias("dist"),
+        (best["dist"].cast("double") / _UNIT).alias("dist"),
     )

@@ -158,11 +158,70 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", skey.alias("skey")).orderBy("skey").limit(100)
 
 
+def _kmeans_iter_sql(j: int) -> str:
+    """One unrolled Lloyd iteration: assign under c{j-1}, update to c{j}.
+
+    Mirrors operators/kmeans.py exactly: floor-e12 bigint distance
+    units (order-free sums), ties toward the lower cid, centroid value
+    = CAST(su AS DOUBLE) / 1e12 / n, empty clusters keep their previous
+    centroid.
+    """
+    return f"""
+    a{j} AS (
+      SELECT vec_id, emb, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.emb)), i ->
+                 CAST(floor((CAST(e.emb[i] AS DOUBLE) - c.c[i])
+                            * (CAST(e.emb[i] AS DOUBLE) - c.c[i]) * 1e12) AS BIGINT))) AS d
+        FROM e CROSS JOIN c{j - 1} c
+      )
+    ), asn{j} AS (
+      SELECT vec_id, emb, cid AS cluster FROM a{j} WHERE rn = 1
+    ), u{j} AS (
+      SELECT cluster, i.i AS pos,
+             SUM(CAST(floor(CAST(emb[i.i] AS DOUBLE) * 1e12) AS BIGINT)) AS su,
+             COUNT(*) AS n
+      FROM asn{j} CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) i
+      GROUP BY cluster, i.i
+    ), c{j} AS (
+      SELECT c_prev.cid, COALESCE(nc.c, c_prev.c) AS c
+      FROM c{j - 1} c_prev LEFT JOIN (
+        SELECT cluster AS cid, list(CAST(su AS DOUBLE) / 1e12 / n ORDER BY pos) AS c
+        FROM u{j} GROUP BY cluster
+      ) nc ON nc.cid = c_prev.cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS emb FROM embeddings
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(emb, x -> CAST(x AS DOUBLE)) AS c
+      FROM e ORDER BY vec_id LIMIT 8
+    ), {_kmeans_iter_sql(1)}, {_kmeans_iter_sql(2)}, {_kmeans_iter_sql(3)},
+    afinal AS (
+      SELECT vec_id, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.emb)), i ->
+                 CAST(floor((CAST(e.emb[i] AS DOUBLE) - c.c[i])
+                            * (CAST(e.emb[i] AS DOUBLE) - c.c[i]) * 1e12) AS BIGINT))) AS d
+        FROM e CROSS JOIN c3 c
+      )
+    )
+    SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n_members,
+           MIN(vec_id) AS exemplar_id
+    FROM afinal WHERE rn = 1 GROUP BY cid
+"""
+
+
 @register(
     "sim_kmeans_lloyd",
-    oracle=None,  # iterative, driver-coordinated: rows-only check; the
-    # invariants (partition of the input, deterministic refit) are unit
-    # tested in tests/test_kmeans.py.
+    oracle=_KMEANS_ORACLE,
     doc="Lloyd's k-means over the embedding column "
     "(operators/kmeans.py): deterministic smallest-id init, 3 fixed "
     "iterations, k=8. Centroids are driver-side literals (implicit "

@@ -43,8 +43,34 @@ _ARROW_BATCH = 4096
 def _read_lines(path: str, start: int, end: int):
     """Yield pyarrow RecordBatches (the fast path for Python data
     sources — per-row tuple yielding serializes one row at a time and
-    caps throughput at a few k rows/s)."""
+    caps throughput at a few k rows/s).
+
+    The line range is decoded with pyarrow's C++ JSON reader (one call
+    per slab, no per-line Python json.loads); a malformed or
+    wrong-schema slab falls back to the per-line Python path so replay
+    logs with stray lines still load.
+    """
     import pyarrow as pa
+
+    with open(path) as f:
+        lines = [line for i, line in enumerate(f) if start <= i < end]
+    if not lines:
+        return
+
+    try:
+        from pyarrow import json as pa_json
+
+        schema = pa.schema(
+            [("frame", pa.string()), ("arrival_ms", pa.int64()), ("seq", pa.int64())]
+        )
+        table = pa_json.read_json(
+            pa.BufferReader("".join(lines).encode()),
+            parse_options=pa_json.ParseOptions(explicit_schema=schema),
+        ).select(["frame", "arrival_ms", "seq"])
+        yield from table.to_batches(max_chunksize=_ARROW_BATCH)
+        return
+    except Exception:
+        pass  # fall through to the tolerant per-line path
 
     frames: list[str] = []
     arrivals: list[int] = []
@@ -60,18 +86,13 @@ def _read_lines(path: str, start: int, end: int):
         seqs.clear()
         return batch
 
-    with open(path) as f:
-        for i, line in enumerate(f):
-            if i >= end:
-                break
-            if i < start:
-                continue
-            rec = json.loads(line)
-            frames.append(rec["frame"])
-            arrivals.append(rec["arrival_ms"])
-            seqs.append(rec["seq"])
-            if len(frames) >= _ARROW_BATCH:
-                yield flush()
+    for line in lines:
+        rec = json.loads(line)
+        frames.append(rec["frame"])
+        arrivals.append(rec["arrival_ms"])
+        seqs.append(rec["seq"])
+        if len(frames) >= _ARROW_BATCH:
+            yield flush()
     if frames:
         yield flush()
 
