@@ -264,3 +264,88 @@ register_sql(
     "(operators/interval.py).",
     tags=("join", "cross"),
 )
+
+register_sql(
+    "sql_q2_min_cost",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           l.l_extendedprice AS best_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_size <= 5
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier): correlated scalar MIN "
+    "subquery over a 4-table join, correlated on the outer part key — "
+    "no partsupp table in the catalog, so lineitem plays the offers "
+    "role. Pins Catalyst's decorrelation: the subquery must plan as a "
+    "per-partkey aggregate joined back (one pass over lineitem), not a "
+    "per-row re-execution; all ties at the min price are returned so "
+    "the result is deterministic without a LIMIT. MIN needs no "
+    "decimal-cast (no summation).",
+    tags=("sql", "join", "subquery"),
+)
+
+register_sql(
+    "sql_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape (volume shipping): the nation dim joined TWICE "
+    "under different roles (supplier nation vs customer nation) with a "
+    "symmetric two-nation disjunction, grouped by year. Pins the "
+    "self-joined-dim pattern: both nation sides broadcast, the "
+    "OR-of-ANDs residual stays on the broadcast join, one fact "
+    "shuffle for the final aggregate.",
+    tags=("sql", "join", "agg"),
+)
+
+register_sql(
+    "sql_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 180
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): grouped-HAVING IN "
+    "subquery over the fact table feeding a 3-table detail aggregate "
+    "with top-20. Pins Catalyst's IN->left-semi rewrite (the subquery "
+    "aggregates lineitem once, semi-joins orders — no per-row "
+    "evaluation) and TakeOrderedAndProject for the final top-k. The "
+    "HAVING threshold compares an exact decimal sum, so group "
+    "membership cannot flip on double summation order.",
+    tags=("sql", "join", "subquery", "topn"),
+)

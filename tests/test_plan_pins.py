@@ -83,3 +83,21 @@ def test_fanout_is_noop_on_well_partitioned_input(spark):
     out = fanout(narrow)
     assert out.rdd.getNumPartitions() == n
     assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_min_subquery_is_decorrelated(spark):
+    plan = _plan(spark, "sql_q2_min_cost")
+    # correlated MIN must become a per-partkey aggregate joined back
+    assert "HashAggregate(keys=[l_partkey" in plan
+    assert "min(l_extendedprice" in plan
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    plan = _plan(spark, "sql_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q18_semi_join_and_topk(spark):
+    plan = _plan(spark, "sql_q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
