@@ -1,11 +1,13 @@
 """Multimodal column plumbing (SURVEY.md §2.12): image/audio/video as
 opaque `binary` columns with typed metadata.
 
-The decode step is STUBBED (image/audio libraries are not in this
+Decode surface: `decode_wav` is a REAL decoder (RIFF/WAVE parsing via
+stdlib wave+struct — PCM frames actually extracted from the bytes).
+The VIDEO decode step is STUBBED (ffmpeg/PIL are not in this
 container): `decode_frames` produces deterministic fake frames derived
-from the payload bytes, clearly marked. Everything around it — schema,
-Arrow batch shape, mapInPandas plumbing, partitioning — is real and is
-exactly what a production decode UDF would plug into.
+from the payload bytes, clearly marked. Everything around both —
+schema, Arrow batch shape, mapInPandas plumbing, partitioning — is
+real and is exactly what a production decoder plugs into.
 
 Scale: mapInPandas streams Arrow batches; memory is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob sizes;
@@ -29,6 +31,108 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("byte_len", F.length(F.col(payload_col))).withColumn(
         "content_hash", F.sha2(F.col(payload_col), 256)
     )
+
+
+WAV_STATS_SCHEMA = (
+    "clip_id BIGINT, sample_rate INT, n_channels INT, n_samples BIGINT, "
+    "sum_amp BIGINT, min_amp INT, max_amp INT"
+)
+
+
+def decode_wav(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode: parse RIFF/WAVE binary payloads (stdlib
+    `wave` + struct — no external libs) and reduce PCM16 samples to
+    per-clip stats. This is the actual decode path, not a stub: the
+    bytes go through header parsing and frame extraction inside
+    mapInPandas, Arrow-batched, executor-side.
+    """
+    import io
+    import struct
+
+    import pandas as pd
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                with wave.open(io.BytesIO(bytes(r[payload_col])), "rb") as w:
+                    n, ch, sr = w.getnframes(), w.getnchannels(), w.getframerate()
+                    samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
+                rows.append(
+                    {
+                        "clip_id": int(r["clip_id"]),
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": n,
+                        "sum_amp": sum(samples),
+                        "min_amp": min(samples),
+                        "max_amp": max(samples),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "sample_rate", "n_channels", "n_samples",
+                    "sum_amp", "min_amp", "max_amp",
+                ],
+            )
+
+    return assets.select("clip_id", payload_col).mapInPandas(_decode, WAV_STATS_SCHEMA)
+
+
+BMP_STATS_SCHEMA = (
+    "img_id BIGINT, width INT, height INT, "
+    "sum_b BIGINT, sum_g BIGINT, sum_r BIGINT"
+)
+
+
+def decode_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode: parse 24-bit BMP payloads byte-by-byte —
+    BITMAPFILEHEADER (pixel-array offset), BITMAPINFOHEADER (dims,
+    bpp), bottom-up row order, 4-byte row padding — and reduce pixels
+    to per-channel sums. Pure stdlib struct; runs executor-side over
+    Arrow batches.
+    """
+    import struct
+
+    import pandas as pd
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[payload_col])
+                assert data[:2] == b"BM", "not a BMP payload"
+                (pix_off,) = struct.unpack_from("<I", data, 10)
+                w, h = struct.unpack_from("<ii", data, 18)
+                (bpp,) = struct.unpack_from("<H", data, 28)
+                assert bpp == 24, f"only 24-bit BMP supported, got {bpp}"
+                row_size = (w * 3 + 3) // 4 * 4
+                sb = sg = sr = 0
+                for y in range(abs(h)):
+                    base = pix_off + y * row_size
+                    for x in range(w):
+                        o = base + x * 3
+                        sb += data[o]
+                        sg += data[o + 1]
+                        sr += data[o + 2]
+                rows.append(
+                    {
+                        "img_id": int(r["img_id"]),
+                        "width": w,
+                        "height": abs(h),
+                        "sum_b": sb,
+                        "sum_g": sg,
+                        "sum_r": sr,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["img_id", "width", "height", "sum_b", "sum_g", "sum_r"]
+            )
+
+    return assets.select("img_id", payload_col).mapInPandas(_decode, BMP_STATS_SCHEMA)
 
 
 def decode_frames(assets: DataFrame, payload_col: str = "payload", n_frames: int = 4) -> DataFrame:

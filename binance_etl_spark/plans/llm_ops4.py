@@ -338,6 +338,120 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_decode",
+    oracle="""
+    WITH clips AS (SELECT UNNEST(generate_series(0, 31)) AS clip_id),
+    samples AS (
+      SELECT clip_id, ((clip_id * 7919 + t.i * 31) % 2003) - 1001 AS s
+      FROM clips, UNNEST(generate_series(0, 255 + 16 * clip_id)) AS t(i)
+    )
+    SELECT clip_id, 8000 AS sample_rate, 1 AS n_channels,
+           COUNT(*) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(MIN(s) AS INT) AS min_amp,
+           CAST(MAX(s) AS INT) AS max_amp
+    FROM samples GROUP BY clip_id
+    """,
+    doc="REAL audio decode over a binary column: 32 deterministic PCM16 "
+    "WAV clips (sample i of clip c = ((c*7919 + i*31) % 2003) - 1001) "
+    "are synthesized as genuine RIFF/WAVE bytes, then parsed BACK from "
+    "the binary — header fields and PCM frames — with stdlib wave/"
+    "struct inside Arrow-batched mapInPandas "
+    "(operators/multimodal.py::decode_wav). The oracle recomputes the "
+    "stats from the generative formula, so a single corrupted byte in "
+    "synthesis, transport, or decode breaks the hash. The video path "
+    "(mm_frame_sample) stays stubbed: no media libs in this container.",
+    tags=("multimodal", "udf"),
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import struct
+    import wave
+
+    from binance_etl_spark.operators.multimodal import decode_wav
+
+    def make_wav(c: int) -> bytearray:
+        n = 256 + 16 * c
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                struct.pack(
+                    f"<{n}h", *[((c * 7919 + i * 31) % 2003) - 1001 for i in range(n)]
+                )
+            )
+        return bytearray(buf.getvalue())
+
+    clips = spark.createDataFrame(
+        [(c, make_wav(c)) for c in range(32)], "clip_id BIGINT, payload BINARY"
+    )
+    return decode_wav(clips)
+
+
+@register(
+    "mm_image_decode",
+    oracle="""
+    WITH imgs AS (SELECT UNNEST(generate_series(0, 23)) AS img_id),
+    px AS (
+      SELECT img_id, x.x AS x, y.y AS y
+      FROM imgs,
+           UNNEST(generate_series(0, 16)) AS x(x),
+           UNNEST(generate_series(0, 7 + (img_id % 5))) AS y(y)
+    )
+    SELECT img_id, 17 AS width, CAST(8 + (img_id % 5) AS INT) AS height,
+           CAST(SUM((img_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((img_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((img_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY img_id
+    """,
+    doc="REAL image decode over a binary column: 24 deterministic "
+    "24-bit BMPs (pixel (x,y) of image i has B/G/R = linear formulas "
+    "mod 256; width 17 exercises the 4-byte row padding, bottom-up row "
+    "storage exercised by construction) are synthesized as genuine BMP "
+    "bytes and parsed BACK — file header, info header, padded "
+    "bottom-up pixel array — with stdlib struct inside mapInPandas "
+    "(operators/multimodal.py::decode_bmp). Oracle recomputes the "
+    "channel sums from the generative formula; any byte-layout error "
+    "in synthesis or decode breaks the hash.",
+    tags=("multimodal", "udf"),
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from binance_etl_spark.operators.multimodal import decode_bmp
+
+    def make_bmp(img: int) -> bytearray:
+        w, h = 17, 8 + (img % 5)
+        row_size = (w * 3 + 3) // 4 * 4
+        pixels = bytearray()
+        for y in range(h - 1, -1, -1):  # BMP rows are stored bottom-up
+            row = bytearray()
+            for x in range(w):
+                row += bytes(
+                    [
+                        (img * 31 + x * 7 + y * 13) % 256,
+                        (img * 17 + x * 5 + y * 11) % 256,
+                        (img * 23 + x * 3 + y * 19) % 256,
+                    ]
+                )
+            row += b"\x00" * (row_size - len(row))
+            pixels += row
+        data_size = row_size * h
+        header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+        )
+        return bytearray(header + info + pixels)
+
+    imgs = spark.createDataFrame(
+        [(i, make_bmp(i)) for i in range(24)], "img_id BIGINT, payload BINARY"
+    )
+    return decode_bmp(imgs)
+
+
 _CUR_SH = (
     "list_distinct(list_transform(generate_series(1, len(t) - 2), "
     "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
