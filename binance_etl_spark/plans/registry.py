@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         llm_ops2,
         llm_ops3,
         llm_ops4,
+        llm_ops5,
         relational,
         relational2,
         relational3,
