@@ -74,6 +74,10 @@ HEADLINE_LLM = [
     "sql_q5_region_volume",
     "upsert_latest",
     "curate_corpus_e2e",
+    # round-2 additions: decontamination, batched ANN, Q18-class SQL.
+    "dedup_decontaminate",
+    "sim_topk_batch",
+    "sql_q18_large_orders",
 ]
 
 

@@ -37,24 +37,39 @@ def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
 
 
+def plane_weight(plane: int, dim: int) -> float:
+    """Engine-portable pseudo-random hyperplane weight in [-7.5, 7.5]:
+    the first md5-hex nibble of '<plane>_<dim>' — the same value the
+    DuckDB oracles derive as
+    instr('0123456789abcdef', substr(md5(plane || '_' || i), 1, 1)) - 8.5.
+    """
+    import hashlib
+
+    return int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0], 16) - 7.5
+
+
 def hyperplane_bucket(
     emb_col: str, n_planes: int = 4, n_dims: int = 64, base: int = 0
 ) -> Column:
     """Sign-pattern LSH bucket as a PURE per-row expression — no joins,
     no shuffle, no broadcast of any per-vector table.
 
-    Plane p's weight for dim i is an md5-nibble of '<p>_<i>' shifted to
-    [-7.5, 7.5] (engine-portable pseudo-randomness); each contribution
-    floors to e-12 integer units so the sign vote is an order-free
-    bigint sum that DuckDB reproduces bit-for-bit. `base` offsets the
-    global plane index so multiple bands draw independent planes.
+    The md5-derived plane weights are PRECOMPUTED on the driver and
+    inlined as literal arrays (they are pure pseudo-randomness — the
+    oracle derives the identical values in SQL), so runtime cost is
+    n_planes x n_dims multiply-floor-adds per row with zero hashing.
+    Each contribution floors to e-12 integer units so the sign vote is
+    an order-free bigint sum DuckDB reproduces bit-for-bit. `base`
+    offsets the global plane index so bands draw independent planes.
     """
     out = None
     for p in range(n_planes):
+        ws = ", ".join(
+            f"{plane_weight(base + p, i)!r}D" for i in range(1, n_dims + 1)
+        )
         s = F.expr(
-            f"aggregate(transform(sequence(1, {n_dims}), i -> "
-            f"CAST(floor((instr('0123456789abcdef', substr(md5({base + p} || '_' || i), 1, 1)) - 8.5)"
-            f" * CAST(element_at({emb_col}, i) AS DOUBLE) * {E12}) AS BIGINT)), "
+            f"aggregate(zip_with({emb_col}, array({ws}), (x, w) -> "
+            f"CAST(floor(w * CAST(x AS DOUBLE) * {E12}) AS BIGINT)), "
             f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         bit = F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
