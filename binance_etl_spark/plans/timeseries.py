@@ -176,3 +176,193 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "ts_scd2_history",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS valid_to_us,
+           (lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    doc="SCD type-2 history view: each change event becomes a validity "
+    "interval [valid_from, valid_to) via lead() per (user, event_type); "
+    "the open-ended latest row is flagged is_current. The warehouse twin "
+    "of upsert_latest (which keeps only the current row): the same "
+    "append-only log becomes a point-in-time-queryable dimension with "
+    "ONE window pass — no self-join, one shuffle on the key. This is "
+    "how 'book state as of T' generalizes to slowly-changing reference "
+    "data at 100 TB.",
+    tags=("timeseries", "window"),
+)
+def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros("ts")).over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# Shared linear-interpolation formula — identical text both engines, so
+# IEEE evaluation order matches exactly.
+_INTERP = (
+    "CASE WHEN v1 IS NULL OR b1 = b0 THEN v0 "
+    "ELSE v0 + (v1 - v0) * ((bkt - b0) / (b1 - b0)) END"
+)
+
+
+@register(
+    "ts_interp_linear",
+    oracle=f"""
+    WITH pb AS (
+      SELECT user_id, epoch_us(ts) // {_BKT_US} AS bkt, value,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {_BKT_US}
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    lastv AS (SELECT user_id, bkt, value FROM pb WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bkt) AS b0, MAX(bkt) AS b1
+               FROM lastv GROUP BY user_id),
+    spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bkt FROM bounds),
+    framed AS (
+      SELECT s.user_id, s.bkt,
+             last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             last_value(CASE WHEN l.value IS NOT NULL THEN s.bkt END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b0,
+             first_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bkt
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN l.value IS NOT NULL THEN s.bkt END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bkt
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b1,
+             (l.value IS NULL) AS filled
+      FROM spine s
+      LEFT JOIN lastv l ON l.user_id = s.user_id AND l.bkt = s.bkt
+    )
+    SELECT user_id, bkt, {_INTERP} AS value_interp, filled
+    FROM framed
+    """,
+    doc="Resample-to-grid with LINEAR interpolation: same dense spine "
+    "as ts_resample_ffill, but gaps take "
+    "v0 + (v1-v0) * (bkt-b0)/(b1-b0) between the surrounding "
+    "observations (two IGNORE NULLS window passes: last-preceding and "
+    "first-following value+bucket). The interpolation formula is ONE "
+    "shared text on both engines, so IEEE ordering is identical and "
+    "parity is exact. Tail rows past the last observation fall back to "
+    "forward-fill. Two window passes over the spine, no extra joins — "
+    "the missing-sensor-reading fill at any scale.",
+    tags=("timeseries", "window", "join"),
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.expr(f"unix_micros(ts) div {_BKT_US}").alias("bkt"),
+    )
+    w_last = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        e.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bkt", "value")
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        lastv.groupBy("user_id")
+        .agg(F.min("bkt").alias("b0"), F.max("bkt").alias("b1"))
+        .select("user_id", F.explode(F.sequence("b0", "b1")).alias("bkt"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    occupied_bkt = F.when(F.col("value").isNotNull(), F.col("bkt"))
+    framed = (
+        spine.join(lastv, ["user_id", "bkt"], "left")
+        .select(
+            "user_id",
+            "bkt",
+            F.last("value", ignorenulls=True).over(w_prev).alias("v0"),
+            F.last(occupied_bkt, ignorenulls=True).over(w_prev).alias("b0"),
+            F.first("value", ignorenulls=True).over(w_next).alias("v1"),
+            F.first(occupied_bkt, ignorenulls=True).over(w_next).alias("b1"),
+            F.col("value").isNull().alias("filled"),
+        )
+    )
+    return framed.select(
+        "user_id", "bkt", F.expr(_INTERP).alias("value_interp"), "filled"
+    )
+
+
+@register(
+    "win_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS mv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS mp
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.mv
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewers,
+           COUNT(p.mp) AS n_converted,
+           CAST(SUM(CASE WHEN epoch_us(p.mp) - epoch_us(v.mv)
+                              <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_24h
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="Funnel conversion (view -> purchase): per user, first view "
+    "then first purchase at-or-after it; counts total viewers, "
+    "converters, and 24h converters. Two grouped mins + one broadcast-"
+    "able dim-sized join — never a per-user subquery; event-time "
+    "deltas compared in integer microseconds. The product-analytics "
+    "staple over the reference's event-log shape.",
+    tags=("window", "funnel", "agg"),
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mv"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    j = v.join(p, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("mp").alias("n_converted"),
+        F.sum(
+            F.when(
+                F.unix_micros("mp") - F.unix_micros("mv") <= 86_400_000_000, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted_24h"),
+    )
