@@ -150,12 +150,14 @@ def connected_components(
 
     The dedup-pipeline closer: near-dup PAIRS (from LSH/Jaccard) are not
     clusters — A~B and B~C must collapse into one group {A,B,C} before
-    picking a canonical doc. Each iteration is one join + one grouped
-    min (both map-side combinable); converges in O(component diameter)
-    rounds, and near-dup components are shallow (diameter <= a few
-    hops), so 100 TB runs take ~3-5 shuffles. For adversarial deep
-    graphs, swap the loop body for the large-star/small-star rounds of
-    Kiveris et al. (same DataFrame primitives).
+    picking a canonical doc. Each iteration is one edge-propagation
+    join + one POINTER-JUMPING join (lbl <- lbl(lbl), label doubling)
+    + one grouped min, all map-side combinable. Edge propagation alone
+    needs O(diameter) rounds; pointer jumping compresses chains
+    geometrically, so convergence is O(log diameter) — a 200-node path
+    closes in ~8 rounds instead of 200 (tests/test_cc.py deep-chain
+    case). Raises if max_iter rounds don't converge rather than
+    returning partial labels silently.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Eager localCheckpoint (not cache): truncates lineage so iteration
@@ -171,9 +173,17 @@ def connected_components(
         F.col(nodes.columns[0] if nodes is not None else "node").alias("node")
     ).distinct().withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     lbl_type = dict(labels.dtypes)["lbl"]
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")
+        )
+        # Pointer jumping (label doubling): node's label also adopts its
+        # LABEL's label, halving chain depth every round — O(log
+        # diameter) total rounds vs O(diameter) for edge steps alone.
+        l2 = labels.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
+        jump = labels.join(l2, labels["lbl"] == l2["j_node"]).select(
+            F.col("node"), F.col("j_lbl").alias("lbl")
         )
         # Carry each node's previous label through the same grouped-min
         # pass so convergence is detected by COUNTING CHANGED LABELS —
@@ -182,7 +192,7 @@ def connected_components(
         # (no bigint wrap on large id spaces).
         merged = labels.select("node", "lbl", F.col("lbl").alias("prev")).unionByName(
             prop.withColumn("prev", F.lit(None).cast(lbl_type))
-        )
+        ).unionByName(jump.withColumn("prev", F.lit(None).cast(lbl_type)))
         step = (
             merged.groupBy("node")
             .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
@@ -190,5 +200,10 @@ def connected_components(
         )
         labels = step.select("node", "lbl")
         if step.where(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))

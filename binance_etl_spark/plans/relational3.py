@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import load
 from binance_etl_spark.functions.parity import sql_dsum
-from binance_etl_spark.plans.registry import register
+from binance_etl_spark.plans.registry import register, register_sql
 
 # Shared moment formulas (identical text on both engines). Inputs are
 # the exact e-2-unit moments: n, sx, sy, sxx, syy, sxy.
@@ -363,3 +363,31 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "val")
     )
+
+
+register_sql(
+    "agg_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN l_quantity END) AS p50_qty,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN l_quantity END) AS p90_qty,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS p99_qty
+    FROM ranked GROUP BY l_returnflag
+    """,
+    doc="DISCRETE percentiles (p50/p90/p99 per group) as an exact, "
+    "engine-portable query: the value at sorted position ceil(p*n) "
+    "under a UNIQUE ordering (quantity, orderkey, linenumber). Unlike "
+    "interpolated percentile_cont (whose interpolation differs across "
+    "engines — agg_percentile stays rows-only for that reason), "
+    "percentile_disc picks an actual data value, so both engines agree "
+    "bit-for-bit. ceil() is cast explicitly: Spark returns BIGINT, "
+    "DuckDB DOUBLE. One window pass + grouped conditional max.",
+    tags=("agg", "stats", "sql"),
+)

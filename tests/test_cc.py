@@ -66,3 +66,26 @@ def test_cc_string_node_ids(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {"aa": "aa", "bb": "aa", "cc": "aa", "dd": "aa", "yy": "yy", "zz": "yy"}
+
+
+def test_cc_deep_chain_converges_via_pointer_jumping(spark):
+    # A 200-node path has diameter 199: edge propagation alone would
+    # need 199 rounds (max_iter=20 would silently truncate before the
+    # round-2 convergence guard). Pointer jumping closes it in
+    # O(log n) rounds.
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_raises_when_not_converged(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
