@@ -349,3 +349,55 @@ register_sql(
     "membership cannot flip on double summation order.",
     tags=("sql", "join", "subquery", "topn"),
 )
+
+register_sql(
+    "sql_q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY n_orders DESC, s.s_name
+    LIMIT 15
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept the order waiting): "
+    "EXISTS and NOT EXISTS correlated on the SAME fact table with "
+    "inequality residuals — the hardest decorrelation pattern in the "
+    "TPC-H suite. Catalyst must rewrite to a left-semi plus a left-"
+    "anti join against per-order aggregates, never per-row "
+    "re-execution; top-15 with name tie-break.",
+    tags=("sql", "join", "subquery", "topn"),
+)
+
+register_sql(
+    "sql_q22_idle_customers",
+    """
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_bal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (well-funded customers who never ordered): "
+    "uncorrelated scalar aggregate threshold (exact decimal mean — a "
+    "double AVG would be summation-order-dependent) + correlated NOT "
+    "EXISTS anti-join against the orders fact. Pins the scalar-"
+    "subquery broadcast + left-anti rewrite.",
+    tags=("sql", "join", "subquery", "agg"),
+)

@@ -101,3 +101,14 @@ def test_q18_semi_join_and_topk(spark):
     plan = _plan(spark, "sql_q18_large_orders")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_exists_pair_decorrelates_to_semi_anti(spark):
+    plan = _plan(spark, "sql_q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_anti_join_no_per_row_subquery(spark):
+    plan = _plan(spark, "sql_q22_idle_customers")
+    assert "LeftAnti" in plan
