@@ -105,3 +105,82 @@ def sink_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
     )
+
+
+@register(
+    "sink_compact_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    doc="Small-file COMPACTION round-trip — the table-maintenance op "
+    "every streaming sink needs at 100 TB (a micro-batch sink emits "
+    "per-trigger files; thousands of KB-files destroy scan throughput "
+    "and NameNode/listing budgets). events is first written as 64 "
+    "shards, then compacted to 4 via repartition (a full shuffle — "
+    "correct for compaction, which REQUIRES redistribution), and the "
+    "aggregate over the compacted table oracles against the ORIGINAL "
+    "table: compaction must be byte-lossless. File counts asserted in "
+    "tests/test_layout.py.",
+    tags=("sink", "layout", "maintenance"),
+)
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    frag = tempfile.mkdtemp(prefix="besk_frag_") + "/events_64"
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = tempfile.mkdtemp(prefix="besk_compact_") + "/events_4"
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id < 100
+    ), v2 AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id >= 100 AND doc_id < 200
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_rows,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars_v2
+    FROM (SELECT doc_id, lang, NULL AS n_chars FROM v1
+          UNION ALL SELECT * FROM v2)
+    GROUP BY lang
+    """,
+    doc="SCHEMA EVOLUTION round-trip: a v1 batch (doc_id, lang) and a "
+    "widened v2 batch (+ n_chars) land in the same parquet directory; "
+    "the read uses mergeSchema so v1 rows surface the new column as "
+    "NULL. This is the add-a-column lifecycle every long-lived 100 TB "
+    "table goes through — the oracle proves old rows stay readable and "
+    "null-semantics are exact. (Columnar formats make this metadata-"
+    "only; rewriting history is never required.)",
+    tags=("scan", "format", "maintenance"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="besk_evo_") + "/docs_evolving"
+    d.where(F.col("doc_id") < 100).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(path)
+    d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_v1_rows"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias("total_chars_v2"),
+    )

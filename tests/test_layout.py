@@ -95,3 +95,26 @@ def test_incremental_agg_view_matches_batch_and_skips_replay(spark, fx_paths):
         for r in spark.read.parquet(state).collect()
     }
     assert got2 == got
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
+    import glob
+    import tempfile
+
+    from binance_etl_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    frag = tempfile.mkdtemp(prefix="besk_fragtest_") + "/e64"
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = tempfile.mkdtemp(prefix="besk_comptest_") + "/e4"
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    assert len(glob.glob(frag + "/part-*.parquet")) == 64
+    assert len(glob.glob(compacted + "/part-*.parquet")) == 4
+    a = spark.read.parquet(frag).agg(
+        F.count("*"), F.sum(F.col("value").cast("decimal(20,6)"))
+    ).first()
+    b = spark.read.parquet(compacted).agg(
+        F.count("*"), F.sum(F.col("value").cast("decimal(20,6)"))
+    ).first()
+    assert tuple(a) == tuple(b)
