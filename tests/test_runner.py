@@ -96,3 +96,31 @@ def test_quarantine_stream(spark):
     frames = sorted(r.frame for r in rows)
     assert any("result" in f for f in frames)  # the ack
     assert any(not f.endswith("}") for f in frames)  # the truncated frame
+
+
+def test_progress_monitor_collects_batches(spark):
+    from binance_etl_spark.streaming import monitor as M
+    from binance_etl_spark.streaming.pipelines import trades_stream
+
+    d = tempfile.mkdtemp(prefix="besk_mon_")
+    paths = FX.write_fixtures(d)
+    mon = M.attach(spark)
+    try:
+        df = trades_stream(spark, paths["trades"], max_frames=100)
+        q = (
+            df.writeStream.format("memory")
+            .queryName("mem_mon")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(10)
+        assert mon.wait_for_batches(1)  # listener bus delivers async
+    finally:
+        M.detach(spark, mon)
+    hist = mon.snapshot(spark)
+    rows = hist.collect()
+    assert len(rows) >= 1  # at least one micro-batch progressed
+    assert sum(r.num_input_rows for r in rows) >= 10  # all fixture trades seen
+    assert str(mon.started) != "[]"
