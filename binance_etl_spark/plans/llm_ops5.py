@@ -171,3 +171,69 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("q_id", "vec_id", "sim", "rank")
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS freq
+    FROM tok GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary top-50 by exact term frequency — the "
+    "tokenizer-training / vocabulary-coverage statistic. Explode -> "
+    "map-side-combinable count -> TakeOrderedAndProject (per-partition "
+    "top-k + merge, no global sort); term tie-break makes the cut "
+    "deterministic. At 100 TB the exact count shuffle is O(distinct "
+    "terms) after partial aggregation — vocabulary, not corpus, sized.",
+    tags=("llm", "text", "topn"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "split_grouped_leakproof",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1 < 13
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_id
+    FROM assigned GROUP BY split
+    """,
+    doc="GROUP-AWARE train/val split: the hash key is the SOURCE, not "
+    "the row — every doc of a domain lands in the same split, so "
+    "near-duplicate documents within one domain can never straddle the "
+    "boundary (the leakage mode a row-hash split like split_train_val "
+    "cannot prevent). Same deterministic md5-nibble assignment, "
+    "reproducible at any scale; 13/16 nibbles -> train.",
+    tags=("llm", "split"),
+)
+def split_grouped_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nibble = F.expr("instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1")
+    assigned = d.select(
+        "doc_id",
+        "source",
+        F.when(nibble < 13, "train").otherwise("val").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_id"),
+    )
