@@ -143,6 +143,14 @@ def main() -> None:
     # table is pre-executed, so per-query numbers are honest first runs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.createDataFrame([(1, "x")], "a INT, b STRING").groupBy("b").count().collect()
+    # Python-worker warmup (the mapInPandas/DataSource executor pool
+    # spawns lazily and costs seconds once): a 2-row round-trip, so
+    # Python-path headliners measure throughput, not process spawn.
+    import pandas as _pd  # noqa: F401
+
+    spark.createDataFrame([(1,), (2,)], "x INT").mapInPandas(
+        lambda it: it, "x INT"
+    ).count()
 
     names = [n for n in HEADLINE + HEADLINE_LLM if n in REGISTRY]
     timings: dict[str, float] = {}
