@@ -103,6 +103,7 @@ def _ensure_loaded() -> None:
         streaming_analog,
         subqueries,
         timeseries,
+        tpch,
     )
 
     _LOADED = True

@@ -391,13 +391,18 @@ register_sql(
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_bal
     FROM customer c, thresh
     WHERE c.c_acctbal > thresh.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c.c_nationkey
     """,
-    doc="TPC-H Q22 shape (well-funded customers who never ordered): "
+    doc="TPC-H Q22 shape (well-funded customers gone idle): "
     "uncorrelated scalar aggregate threshold (exact decimal mean — a "
     "double AVG would be summation-order-dependent) + correlated NOT "
-    "EXISTS anti-join against the orders fact. Pins the scalar-"
-    "subquery broadcast + left-anti rewrite.",
+    "EXISTS anti-join against the orders fact, scoped to a recent "
+    "window (every synthetic customer has SOME order, so the "
+    "unwindowed form is vacuously empty). Pins the scalar-subquery "
+    "broadcast + left-anti rewrite with the date filter pushed below "
+    "the anti join.",
     tags=("sql", "join", "subquery", "agg"),
 )

@@ -112,3 +112,54 @@ def test_q21_exists_pair_decorrelates_to_semi_anti(spark):
 def test_q22_anti_join_no_per_row_subquery(spark):
     plan = _plan(spark, "sql_q22_idle_customers")
     assert "LeftAnti" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = _plan(spark, "sql_q4_priority_exists")
+    assert "LeftSemi" in plan
+    # the returnflag gate is pushed into the lineitem scan, not applied
+    # after the semi join
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q6_all_filters_pushed_minimal_schema(spark):
+    plan = _plan(spark, "sql_q6_forecast_revenue")
+    # toString() truncates the filter list; match the stable prefix
+    assert "IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    # 4-column ReadSchema on an 11-column table — the minimal-IO scan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    plan = _plan(spark, "sql_q13_custdist")
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    # the ON-clause residual must reach the orders scan
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan
+
+
+def test_q16_not_in_plans_anti_join(spark):
+    plan = _plan(spark, "sql_q16_supplier_cnt")
+    assert "LeftAnti" in plan
+
+
+def test_q17_correlated_avg_is_decorrelated(spark):
+    # the per-partkey AVG must plan as one aggregate joined back — a
+    # per-row re-scan of lineitem would be O(n^2) at fact scale
+    plan = _plan(spark, "sql_q17_small_qty_revenue")
+    assert "HashAggregate(keys=[l_partkey" in plan
+
+
+def test_q19_disjunction_implied_filters_reach_scan(spark):
+    # the OR-of-ANDs residual spans both join sides, but its
+    # single-side implications (quantity bands) must still push down
+    plan = _plan(spark, "sql_q19_discounted_revenue")
+    assert "LessThanOrEqual(l_quantity" in plan
+
+
+def test_q20_nested_in_stacks_semi_joins(spark):
+    plan = _plan(spark, "sql_q20_promotable_suppliers")
+    assert "LeftSemi" in plan
+    # prefix LIKE pushes as a range/startswith scan filter
+    assert "StringStartsWith(p_name,red)" in plan
