@@ -664,10 +664,38 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # decode is stubbed (no media libs in container) -> rows-only
+    # The stub decode is pure byte math over ASCII payloads (chunk =
+    # payload[f*step : (f+1)*step], step = max(1, len//4)), so DuckDB
+    # replicates it exactly with substr + sha256 — a full value oracle
+    # despite the decode being a stub.
+    oracle="""
+    WITH assets(asset_id, payload_str) AS (
+      VALUES (1, 'fake-jpeg-bytes-aaaaaaaaaaaaaaaa'),
+             (2, 'fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb'),
+             (3, 'fake-wav-bytes-cccccccccccc'),
+             (4, 'fake-mp4-bytes-dddddddddddddddddddddddddddddddd')
+    ),
+    steps AS (
+      SELECT asset_id, payload_str,
+             greatest(1, CAST(floor(length(payload_str) / 4) AS INT)) AS step
+      FROM assets
+    ),
+    frames AS (
+      SELECT s.asset_id,
+             CAST(f.frame_no AS INT) AS frame_no,
+             CAST(f.frame_no * s.step AS BIGINT) AS byte_offset,
+             substr(s.payload_str, f.frame_no * s.step + 1, s.step) AS chunk
+      FROM steps s, generate_series(0, 3) f(frame_no)
+    )
+    SELECT CAST(asset_id AS BIGINT) AS asset_id, frame_no, byte_offset,
+           sha256(chunk) AS frame_hash,
+           CAST(length(chunk) AS INT) AS frame_len
+    FROM frames
+    """,
     doc="Frame sampling via mapInPandas over binary payloads — decode "
     "STUBBED deterministically (no media libs in container); Arrow "
-    "batch shape, schema, and plumbing are production-real.",
+    "batch shape, schema, and plumbing are production-real. The stub "
+    "is deterministic byte math, so it still gets a full value oracle.",
     tags=("multimodal", "udf"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
