@@ -1,0 +1,69 @@
+"""Iterative graph analytics beyond connected components
+(operators/dedup.py::connected_components): PageRank.
+
+Spark-first shape: each iteration is one equi-join (rank ⋈ edges on
+src) + one map-side-combinable aggregate (sum of contributions per
+dst) — O(iterations) shuffles, no driver-side adjacency. Like the CC
+loop, every iteration eagerly `localCheckpoint`s so the plan does not
+snowball across iterations (lineage of iteration k would otherwise
+re-execute iterations 1..k-1 at every action).
+
+Cross-engine determinism (the DuckDB oracle unrolls the same
+iterations): ranks are BIGINT e-12 units; the only non-integer steps
+are `floor(rank / degree)` and `floor(0.85 * in_sum)`, both IEEE
+double ops on integers < 2^53 — bit-identical on every engine. A
+float PageRank would accumulate summation-order drift instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000_000_000  # 1.0 rank mass in e-12 integer units
+DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """PageRank over `edges(src, dst)`, returning (node, rank_units).
+
+    Simplified (no dangling-mass redistribution): nodes without
+    out-edges leak their mass, as in the classic power-iteration
+    demos. rank_0 = 1.0 per node; each iteration sends
+    floor(rank/out_degree) along every edge and re-ranks as
+    base + 0.85 * incoming, base = 0.15 in units.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges ⋈ degree is loop-invariant: materialize once.
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    rank = nodes.withColumn("r", F.lit(UNIT).cast("bigint"))
+    base = int(round((1 - DAMPING) * UNIT))
+    for _ in range(n_iters):
+        contrib = (
+            ed.join(rank, ed["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("r") / F.col("deg")).cast("bigint").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0)))
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", F.col("r").alias("rank_units"))

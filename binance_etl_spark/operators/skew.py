@@ -46,3 +46,35 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge[fn](f"__p_{out}").alias(out) for out, (fn, _) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src: Sequence[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join for when the small side is too large to
+    broadcast AND the join key is hot (one symbol/user carrying a large
+    fraction of the fact rows — a straggler task under a plain shuffle
+    join).
+
+    The small side is replicated `n_salts` times (one copy per salt);
+    the big side shards each key into `n_salts` sub-streams via a
+    deterministic hash of `salt_src` (high-cardinality columns, so a
+    hot key's rows spread across shards). Joining on (key, salt) then
+    dropping the salt is row-for-row identical to the plain join —
+    salting only changes the shuffle layout. AQE's skew-join split is
+    the runtime alternative (tests/test_aqe.py); explicit salting is
+    the plan-level one that also works mid-pipeline where AQE stats
+    are not yet available.
+    """
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)).cast("int"),
+    )
+    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")

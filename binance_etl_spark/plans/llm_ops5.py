@@ -237,3 +237,48 @@ def split_grouped_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@register(
+    "text_lm_unigram_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS n_tok FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(v.n_tok) AS DOUBLE) / COUNT(*) AS avg_tok_freq,
+           CAST(SUM(CASE WHEN v.n_tok <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_ratio
+    FROM tok t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model document scoring — the corpus-level "
+    "quality signal LLM pipelines use beside per-doc heuristics "
+    "(text_quality_score): a doc whose tokens are corpus-rare is "
+    "either novel or noise, and the rare-token ratio separates the "
+    "two regimes. Two map-side-combinable shuffles: token counts "
+    "(vocab is zipf-small, so AQE broadcasts the join-back), then a "
+    "per-doc aggregate. avg corpus frequency is an exact integer sum "
+    "divided once as double — no log(), whose libm rounding differs "
+    "across engines; frequency order equals log-prob order for "
+    "ranking/filtering purposes.",
+    tags=("text", "llm", "quality"),
+)
+def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.dedup import tokenize
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    joined = tok.join(vocab, "tok")
+    n = F.count(F.lit(1))
+    return joined.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        (F.sum("n_tok").cast("double") / n).alias("avg_tok_freq"),
+        (
+            F.sum(F.when(F.col("n_tok") <= 2, 1).otherwise(0)).cast("double") / n
+        ).alias("rare_ratio"),
+    )

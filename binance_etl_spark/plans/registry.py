@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
     from binance_etl_spark.plans import (  # noqa: F401
         analytics,
         formats,
+        graph,
         llm_ops,
         llm_ops2,
         llm_ops3,

@@ -406,3 +406,51 @@ register_sql(
     "the anti join.",
     tags=("sql", "join", "subquery", "agg"),
 )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="Skew-salted equi-join (operators/skew.py::salted_join): the "
+    "supplier+nation side is replicated 8x, lineitem shards per key "
+    "via xxhash64(orderkey, linenumber) % 8, and the join runs on "
+    "(suppkey, salt) — row-identical to the plain join the oracle "
+    "runs, which IS the correctness claim. For the 100 TB case where "
+    "the dim exceeds broadcast threshold and one hot key would "
+    "straggle a plain shuffle join; AQE skew-split is the runtime "
+    "alternative (tests/test_aqe.py), salting the plan-level one.",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.functions.parity import dsum
+    from binance_etl_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    joined = salted_join(li, dim, "s_suppkey", ["l_orderkey", "l_linenumber"])
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

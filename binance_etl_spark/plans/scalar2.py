@@ -148,13 +148,68 @@ def trades_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _patch_vwap_oracle() -> None:
+@register(
+    "trades_twap",
+    oracle="""
+    WITH frames(frame, arrival_ms) AS {values},
+    ok AS (SELECT CASE WHEN json_valid(frame) THEN frame END AS f FROM frames),
+    trades AS (
+      SELECT CASE WHEN CAST(json_extract(f, '$.m') AS BOOLEAN) THEN 'sell' ELSE 'buy' END AS side,
+             CAST(json_extract(f, '$.E') AS BIGINT) AS ts_ms,
+             CAST(json_extract(f, '$.t') AS BIGINT) AS id,
+             CAST(json_extract_string(f, '$.p') AS DECIMAL(19,8)) AS price
+      FROM ok WHERE json_extract_string(f, '$.e') = 'trade'
+    ), spans AS (
+      SELECT side, price,
+             LEAD(ts_ms) OVER (PARTITION BY side ORDER BY ts_ms, id) - ts_ms AS dt_ms
+      FROM trades
+    )
+    SELECT side,
+           CAST(SUM(dt_ms) AS BIGINT) AS held_ms,
+           CAST(SUM(CAST(price * dt_ms AS DECIMAL(38,8))) AS DOUBLE)
+             / CAST(SUM(dt_ms) AS DOUBLE) AS twap
+    FROM spans WHERE dt_ms IS NOT NULL
+    GROUP BY side
+    """,
+    doc="Time-weighted average price per side: each trade's price is "
+    "weighted by how long it stood (lead(ts) - ts within side, trade-id "
+    "tie-break; the still-open last span is excluded). The companion to "
+    "trades_vwap (volume-weighted): TWAP is the execution-quality "
+    "benchmark, VWAP the liquidity one. price DECIMAL(18,8) x BIGINT "
+    "ms is exact in both engines, so the weighted sum is order-free; "
+    "one window pass + one aggregate.",
+    tags=("market", "window", "agg", "streaming-analog"),
+)
+def trades_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.sources import fixtures as FX
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.parse import parse_trades
+
+    paths = FX.write_fixtures(tempfile.mkdtemp(prefix="besk_twap_"))
+    trades = parse_trades(read_replay(spark, paths["trades"]))
+    w = Window.partitionBy("side").orderBy("timestamp", "id")
+    spans = trades.select(
+        "side",
+        F.col("price").cast("decimal(18,8)").alias("price"),
+        (F.lead("timestamp").over(w) - F.col("timestamp")).alias("dt_ms"),
+    ).where(F.col("dt_ms").isNotNull())
+    wsum = F.sum((F.col("price") * F.col("dt_ms")).cast("decimal(38,8)"))
+    held = F.sum("dt_ms")
+    return spans.groupBy("side").agg(
+        held.cast("bigint").alias("held_ms"),
+        (wsum.cast("double") / held.cast("double")).alias("twap"),
+    )
+
+
+def _patch_market_oracles() -> None:
     from binance_etl_spark.plans.registry import REGISTRY
     from binance_etl_spark.plans.streaming_analog import _sql_frame_values
     from binance_etl_spark.sources import fixtures as FX
 
-    q = REGISTRY["trades_vwap"]
-    q.oracle = q.oracle.format(values=_sql_frame_values(FX.trade_frames()))
+    values = _sql_frame_values(FX.trade_frames())
+    for name in ("trades_vwap", "trades_twap"):
+        q = REGISTRY[name]
+        q.oracle = q.oracle.format(values=values)
 
 
-_patch_vwap_oracle()
+_patch_market_oracles()

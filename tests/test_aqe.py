@@ -73,3 +73,54 @@ def test_aqe_demotes_smj_to_broadcast_at_runtime(spark, aqe_conf):
     plan = _final_plan(j)
     assert "BroadcastHashJoin" in plan, f"no runtime broadcast demotion:\n{plan[:2000]}"
     assert "AdaptiveSparkPlan" in plan
+
+
+@pytest.fixture()
+def bloom_conf(spark):
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # let the tiny local scan qualify as the application side; the
+        # MECHANISM (inject might_contain from the filtered build side)
+        # is what 100 TB relies on, where the real thresholds pass.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is not None:
+            spark.conf.set(k, v)
+        else:
+            spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, bloom_conf):
+    """A selective dim filter becomes a bloom pre-filter on the fact
+    scan: at 100 TB this skips most fact rows BEFORE the shuffle join,
+    the single biggest read/shuffle saver for filtered star joins."""
+    from binance_etl_spark.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the result is still correct vs the un-bloomed join
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    expect = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expect))
