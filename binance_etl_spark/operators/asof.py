@@ -33,12 +33,17 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach `right_cols` from the latest right row
-    with right_ts <= left_ts (per `on` key). Right columns come back
+    """For each left row, attach `right_cols` from the matching right
+    row per `on` key: the latest right_ts <= left_ts (backward,
+    default) or the earliest right_ts >= left_ts (forward — the
+    "next quote after the order" direction). Right columns come back
     prefixed `asof_`. `tolerance` (e.g. '1 hour') nulls out matches
-    older than left_ts - tolerance.
+    further than that from left_ts in the match direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = list(right_cols)
 
@@ -55,20 +60,37 @@ def asof_join(
             lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
     unioned = lhs.unionByName(rhs)
 
-    # Right rows sort before left rows at equal ts -> inclusive (>=) match.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col(_SIDE))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts -> inclusive
+        # (>=) match; take the LAST emitter at or before each receiver.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts"), F.col(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # Left rows sort before right rows at equal ts -> inclusive
+        # (<=) match; take the FIRST emitter at or after each receiver.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts"), F.col(_SIDE).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
     filled = unioned
     for c in right_cols:
-        filled = filled.withColumn(f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w))
+        filled = filled.withColumn(f"asof_{c}", pick(f"asof_{c}"))
     if tolerance is not None:
-        asof_ts = F.last(F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True).over(w)
-        too_old = asof_ts < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        asof_ts = pick(F.when(F.col(_SIDE) == 0, F.col("__ts")))
+        delta = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            too_far = asof_ts < F.col("__ts") - delta
+        else:
+            too_far = asof_ts > F.col("__ts") + delta
         for c in right_cols:
             filled = filled.withColumn(
-                f"asof_{c}", F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}"))
+                f"asof_{c}", F.when(too_far, F.lit(None)).otherwise(F.col(f"asof_{c}"))
             )
     return filled.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")

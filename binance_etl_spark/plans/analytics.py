@@ -273,6 +273,79 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           s.event_id AS asof_event_id,
+           s.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') s
+      ON p.user_id = s.user_id AND p.ts <= s.ts
+    """,
+    doc="Forward as-of join: each purchase matched to the user's "
+    "EARLIEST view at or after it — the 'next quote after the order' "
+    "direction (impact/markout analysis). Same union + window plan as "
+    "backward as-of (operators/asof.py), with first(ignorenulls) over "
+    "the following frame; verified against DuckDB's native forward "
+    "ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN s.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN s.event_id END AS asof_event_id,
+           CASE WHEN s.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN s.value END AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join with a staleness bound: matches older than 30 "
+    "minutes are nulled (a quote that old is not 'the prevailing "
+    "quote'). The tolerance is applied inside the same single window "
+    "pass — no second join; oracle nulls DuckDB's native ASOF match "
+    "by the same rule.",
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tolerance="30 minutes",
+    )
+    return joined.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
 def _depth_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events reshaped into the depth-update schema: (side, level, qty)
     keyed update stream where qty == 0 means delete (reference

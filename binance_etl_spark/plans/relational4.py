@@ -454,3 +454,34 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+register_sql(
+    "agg_equidepth_hist",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(ceil(4.0 * rn / n) AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM ranked
+    GROUP BY o_orderpriority, CAST(ceil(4.0 * rn / n) AS INT)
+    ORDER BY o_orderpriority, bucket
+    """,
+    doc="EQUI-DEPTH histogram (quartiles per priority class), the "
+    "companion to agg_histogram's equi-width bins: bucket = "
+    "ceil(4*rank/count) under a unique ordering, so each bucket holds "
+    "~n/4 rows and the (lo, hi) bounds ARE the empirical quartile "
+    "boundaries. The window is PARTITIONED (per priority class) — the "
+    "scalable shape; a global ntile would serialize the sort on one "
+    "partition at 100 TB. 4.0*rn/n is one IEEE double divide on exact "
+    "integers, bit-identical across engines.",
+    tags=("agg", "stats", "sql", "window"),
+)
