@@ -89,6 +89,51 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
     assert back.count() == load(spark, sf_dir, "events").where("event_type = 'click'").count()
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
+    """DPP: a selective DIM filter must prune FACT partitions at
+    runtime through the join (the dim's qualifying keys flow into the
+    fact scan's PartitionFilters as a dynamicpruning subquery, reusing
+    the broadcast). At 100 TB this is what turns 'scan 5 years of
+    partitions' into 'scan the two nations the query asked for' when
+    the partition predicate only exists on the dim side."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    out = tempfile.mkdtemp(prefix="besk_dpp_") + "/fact"
+    (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", "l_extendedprice", "s_nationkey")
+        .write.mode("overwrite")
+        .partitionBy("s_nationkey")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    j = fact.join(dim, fact["s_nationkey"] == dim["n_nationkey"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    # and the pruned result equals the unpruned join
+    expect = (
+        fact.join(
+            dim.hint("merge"), fact["s_nationkey"] == dim["n_nationkey"]
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .first()["n"]
+    )
+    assert j.first()["n"] == expect
+
+
 def test_no_python_udf_in_batch_relational(spark, sf_dir):
     # batch relational/scalar plans must stay JVM-side (no BatchEvalPython
     # / ArrowEvalPython nodes); Python is reserved for stateful ops,
