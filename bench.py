@@ -74,10 +74,13 @@ HEADLINE_LLM = [
     "sql_q5_region_volume",
     "upsert_latest",
     "curate_corpus_e2e",
-    # round-2 additions: decontamination, batched ANN, Q18-class SQL.
+    # round-2 additions: decontamination, batched ANN, Q18-class SQL,
+    # iterative graph analytics, corpus LM scoring.
     "dedup_decontaminate",
     "sim_topk_batch",
     "sql_q18_large_orders",
+    "graph_pagerank",
+    "text_lm_unigram_score",
 ]
 
 

@@ -282,3 +282,46 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_tok") <= 2, 1).otherwise(0)).cast("double") / n
         ).alias("rare_ratio"),
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT pair, COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_pairs DESC, pair
+    LIMIT 50
+    """,
+    doc="BPE-style adjacent-pair counting — the inner loop of byte-pair/"
+    "wordpiece vocabulary induction (find the most frequent adjacent "
+    "symbol pair to merge). One explode of per-doc adjacent pairs, one "
+    "map-side-combinable count, TakeOrderedAndProject for the top-50 "
+    "with a pair tie-break. A full BPE trainer iterates this with a "
+    "merge table; the heavy distributed step (the global pair count "
+    "over the corpus) is exactly this plan each round.",
+    tags=("text", "llm", "vocab"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.dedup import tokenize
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "pair")
+        .limit(50)
+    )

@@ -366,3 +366,61 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted_24h"),
     )
+
+
+def _register_outlier_mad() -> None:
+    from binance_etl_spark.plans.registry import register_sql
+
+    register_sql(
+        "ts_outlier_mad",
+        """
+        WITH ranked AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ), med AS (
+          SELECT user_id,
+                 MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                          THEN value END) AS med
+          FROM ranked GROUP BY user_id
+        ), dev AS (
+          SELECT e.user_id, e.event_id, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (user_id)
+        ), ranked2 AS (
+          SELECT user_id, event_id, value, med, adev,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY adev, event_id) AS rn2,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n2
+          FROM dev
+        ), mad AS (
+          SELECT user_id,
+                 MAX(CASE WHEN rn2 = CAST(ceil(0.5 * n2) AS BIGINT)
+                          THEN adev END) AS mad
+          FROM ranked2 GROUP BY user_id
+        )
+        SELECT d.user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN m.mad > 0 AND d.adev > 5 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(MAX(d.med) AS DOUBLE) AS med,
+               CAST(MAX(m.mad) AS DOUBLE) AS mad
+        FROM dev d JOIN mad m USING (user_id)
+        GROUP BY d.user_id
+        """,
+        doc="Robust per-key outlier detection via median/MAD — the "
+        "data-cleaning gate that, unlike mean/stddev z-scores, is not "
+        "itself dragged by the outliers it hunts. Medians are EXACT "
+        "discrete percentiles (value at ceil(n/2) under a unique "
+        "ordering — the agg_percentile_disc technique), so both "
+        "engines agree bit-for-bit where interpolated quantiles would "
+        "drift. Two partitioned window passes + two broadcast-joined "
+        "per-key aggregates; all windows are per-user (never global), "
+        "the shape that scales.",
+        tags=("timeseries", "stats", "sql", "window"),
+    )
+
+
+_register_outlier_mad()
