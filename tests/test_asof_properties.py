@@ -1,0 +1,86 @@
+"""Randomized cross-checks for operators/asof.py against a brute-force
+reference: for each left row, scan ALL right rows with the same key and
+pick the latest-at-or-before (backward) / earliest-at-or-after
+(forward) match, with the optional staleness bound applied after.
+
+The oracle-parity suite checks the operator against DuckDB's native
+ASOF JOIN on the fixed events table; this file drives the operator over
+seeded random shapes it does not see there — empty right sides, keys
+only on one side, all-rows-tied boundaries, tolerance exactly at the
+gap. Seeded `random` (not hypothesis): each example pays a Spark
+round-trip, so a handful of deterministic seeds beats hundreds of
+millisecond-budgeted draws.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_etl_spark.operators.asof import asof_join
+
+TOL_US = 10 * 1_000_000  # '10 seconds'
+
+
+def _gen(seed: int):
+    rng = random.Random(seed)
+    keys = list(range(rng.randint(1, 4)))
+    # unique (key, ts) on the right side: ties among right rows make
+    # "the" match ill-defined in any engine
+    right = []
+    for k in keys:
+        for ts in rng.sample(range(0, 100), rng.randint(0, 12)):
+            right.append((k, ts * 1_000_000, len(right) + 1000))
+    left = []
+    for i in range(rng.randint(1, 30)):
+        k = rng.choice(keys + [99])  # 99: key with no right rows
+        left.append((i, k, rng.randrange(0, 100) * 1_000_000))
+    return left, right
+
+
+def _brute(left, right, direction: str, tol_us: int | None):
+    out = {}
+    for lid, k, lts in left:
+        cands = [r for r in right if r[0] == k]
+        if direction == "backward":
+            cands = [r for r in cands if r[1] <= lts]
+            best = max(cands, key=lambda r: r[1], default=None)
+        else:
+            cands = [r for r in cands if r[1] >= lts]
+            best = min(cands, key=lambda r: r[1], default=None)
+        if best is not None and tol_us is not None and abs(best[1] - lts) > tol_us:
+            best = None
+        out[lid] = best[2] if best is not None else None
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "direction,tolerance",
+    [("backward", None), ("forward", None), ("backward", "10 seconds")],
+)
+def test_asof_matches_brute_force(spark, seed, direction, tolerance):
+    left, right = _gen(seed)
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in left], "lid INT, k INT, ts_us BIGINT"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    rdf = spark.createDataFrame(
+        [(k, ts, rid) for k, ts, rid in right] or [(None, None, None)],
+        "k INT, ts_us BIGINT, rid INT",
+    ).where(F.col("rid").isNotNull()).withColumn("ts", F.timestamp_micros("ts_us"))
+
+    joined = asof_join(
+        ldf,
+        rdf.select("k", "ts", "rid"),
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rid"],
+        tolerance=tolerance,
+        direction=direction,
+    )
+    got = {r["lid"]: r["asof_rid"] for r in joined.collect()}
+    want = _brute(left, right, direction, TOL_US if tolerance else None)
+    assert got == want, f"seed={seed} {direction} tol={tolerance}"
