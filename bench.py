@@ -81,6 +81,10 @@ HEADLINE_LLM = [
     "sql_q18_large_orders",
     "graph_pagerank",
     "text_lm_unigram_score",
+    # TPC-H heavyweights: 5-join LIKE-gated profit, double-EXISTS
+    # decorrelation.
+    "sql_q9_product_profit",
+    "sql_q21_waiting_supplier",
 ]
 
 

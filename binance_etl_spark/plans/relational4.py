@@ -485,3 +485,42 @@ register_sql(
     "integers, bit-identical across engines.",
     tags=("agg", "stats", "sql", "window"),
 )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXACT distinct counting via bitmap aggregates "
+    "(bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg): per (group, bucket) bitmaps OR-merge "
+    "map-side, then per-group popcounts sum — the mergeable exact "
+    "alternative to COUNT(DISTINCT)'s expand-shuffle when the key "
+    "space is dense integers (user/customer ids). Bitmaps are "
+    "fixed-size per bucket, so shuffle bytes scale with id-space/32k "
+    "buckets, not with row count; HLL (agg_approx_distinct) remains "
+    "the sparse/huge-key-space path. Oracle is the plain COUNT "
+    "DISTINCT — value identity IS the claim.",
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_custs
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+          FROM orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
