@@ -118,3 +118,27 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
         F.count("*"), F.sum(F.col("value").cast("decimal(20,6)"))
     ).first()
     assert tuple(a) == tuple(b)
+
+
+def test_incremental_agg_view_survives_empty_first_batch(spark):
+    """Round-1 advisory regression: an empty micro-batch 0 writes a
+    schema-only state table whose max(__batch_id) is NULL; batch 1 must
+    treat that as 'nothing applied yet' and merge normally, not raise
+    TypeError and kill the stream."""
+    state = tempfile.mkdtemp(prefix="besk_aggm_empty_") + "/per_symbol"
+    sink = foreach_batch_agg_merge(
+        state, ["symbol", "side"], count_col="n", sum_col="qty", sum_src="quantity"
+    )
+    schema = "symbol STRING, side STRING, quantity DOUBLE"
+    empty = spark.createDataFrame([], schema)
+    sink(empty, 0)  # schema-only state (or none) — must not poison batch 1
+    rows = spark.createDataFrame(
+        [("BNBUSDT", "buy", 1.5), ("BNBUSDT", "buy", 2.5), ("BNBUSDT", "sell", 1.0)],
+        schema,
+    )
+    sink(rows, 1)
+    got = {
+        (r.symbol, r.side): (r.n, float(r.qty))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {("BNBUSDT", "buy"): (2, 4.0), ("BNBUSDT", "sell"): (1, 1.0)}
