@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         llm_ops3,
         llm_ops4,
         llm_ops5,
+        llm_ops6,
         relational,
         relational2,
         relational3,
