@@ -163,3 +163,26 @@ def test_q20_nested_in_stacks_semi_joins(spark):
     assert "LeftSemi" in plan
     # prefix LIKE pushes as a range/startswith scan filter
     assert "StringStartsWith(p_name,red)" in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark):
+    # chunking is a narrow transform (sequence+explode+substr): the
+    # only allowed Exchange is fanout()'s deliberate RoundRobin spread
+    # of the byte-small local input (a no-op on naturally-partitioned
+    # big inputs) — a HASH exchange would mean an accidental shuffle
+    plan = _plan(spark, "text_chunk_overlap")
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning") == 1
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    plan = _plan(spark, "emb_quantize_int8")
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning") == 1
+
+
+def test_ngram_novelty_joins_on_gram_hash(spark):
+    # candidate structure mirrors minhash-LSH: equi-join on the gram
+    # hash, never an all-pairs product; both aggs partial-combine
+    plan = _plan(spark, "text_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
