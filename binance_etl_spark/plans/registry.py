@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         relational4,
+        risk,
         scalar,
         scalar2,
         streaming_analog,

@@ -1,0 +1,195 @@
+"""Risk / monitoring analytics over per-key value series (the consumer
+side of the reference's trades output — drawdown, realized variance,
+drift detection are the standard post-ETL risk queries).
+
+The events table is the series fixture: (user_id, ts, value) plays
+(symbol, ts, price). All plans are one hash shuffle on the series key
+plus a sorted window pass — O(|series|) per key, embarrassingly
+parallel across keys, no global ordering anywhere (a single global
+window would serialize at 100 TB; every window here is keyed).
+
+Cross-engine determinism: raw parquet doubles are identical bytes in
+both engines; IEEE divide/subtract/floor are correctly rounded in
+both; all derived outputs are floor-e6/e12 fixed-point bigints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+           peak,
+           CASE WHEN peak > 0
+                THEN CAST(floor((peak - value) / peak * 1000000) AS BIGINT)
+           END AS dd_ppm,
+           CAST(max(CASE WHEN peak > 0
+                    THEN CAST(floor((peak - value) / peak * 1000000) AS BIGINT)
+                END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS max_dd_ppm
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events
+    )
+    """,
+    doc="Running-peak DRAWDOWN per series: peak = running max(value), "
+    "drawdown = (peak-value)/peak in ppm, plus the running MAX "
+    "drawdown — the standard underwater-curve risk query. Two stacked "
+    "window passes over ONE keyed sort (same partition+order), exact "
+    "fixed-point output. One shuffle on the series key; per-key "
+    "windows parallelize across any number of executors.",
+    tags=("market", "window", "risk"),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.max("value").over(w).alias("peak"),
+        F.col("ts"),
+    )
+    # peak can be 0 (a series that opens at 0): drawdown is undefined
+    # there — NULL, which max() skips in both engines.
+    dd = F.when(
+        F.col("peak") > 0,
+        F.floor((F.col("peak") - F.col("value")) / F.col("peak") * 1_000_000).cast(
+            "bigint"
+        ),
+    )
+    return peaked.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        "peak",
+        dd.alias("dd_ppm"),
+        F.max(dd).over(w).cast("bigint").alias("max_dd_ppm"),
+    ).drop("ts")
+
+
+@register(
+    "win_realized_var",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN lag(value) OVER w > 0 THEN
+               CAST(floor(greatest(least(
+                   value / lag(value) OVER w - 1, 10), -10) * 1000000) AS BIGINT)
+             END AS r_e6
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(r_e6) AS n_rets,
+           CAST(SUM(r_e6 * r_e6) AS BIGINT) AS sum_r2_e12,
+           CAST(MAX(abs(r_e6)) AS BIGINT) AS max_abs_r_e6
+    FROM r WHERE r_e6 IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Per-series REALIZED VARIANCE: simple returns from consecutive "
+    "observations (lag window), winsorized to +/-1000% (bounds the e6 "
+    "fixed point so squares stay in bigint), summed squares per key. "
+    "One keyed shuffle + window lag + map-side-combinable agg; the "
+    "volatility backbone of any market risk report.",
+    tags=("market", "window", "risk"),
+)
+def win_realized_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # A return is undefined off a non-positive base (series opening, or
+    # a zero print): NULL, filtered below — also keeps ANSI division
+    # from faulting on lag(value) = 0.
+    prev = F.lag("value").over(w)
+    ret = F.greatest(
+        F.least(F.col("value") / prev - 1, F.lit(10.0)), F.lit(-10.0)
+    )
+    r = e.select(
+        "user_id",
+        F.when(prev > 0, F.floor(ret * 1_000_000).cast("bigint")).alias("r_e6"),
+    ).where(F.col("r_e6").isNotNull())
+    return r.groupBy("user_id").agg(
+        F.count("r_e6").alias("n_rets"),
+        F.sum(F.col("r_e6") * F.col("r_e6")).cast("bigint").alias("sum_r2_e12"),
+        F.max(F.abs("r_e6")).cast("bigint").alias("max_abs_r_e6"),
+    )
+
+
+_CUSUM_BREACH_E6 = 20_000_000  # |cusum| > 20 value-units
+
+
+@register(
+    "win_cusum_drift",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS u6
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(SUM(u6) AS BIGINT) // COUNT(*) AS mean_u6
+      FROM u GROUP BY user_id
+    )
+    SELECT u.user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(sum(u6 - mean_u6) OVER (PARTITION BY u.user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cusum_e6,
+           abs(CAST(sum(u6 - mean_u6) OVER (PARTITION BY u.user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+             > {_CUSUM_BREACH_E6} AS breach
+    FROM u JOIN m ON u.user_id = m.user_id
+    """,
+    doc="CUSUM DRIFT detection per series: running sum of (value - "
+    "series mean) in exact e6 fixed point, breach-flagged beyond a "
+    "band — the change-point monitor for data-quality / regime drift. "
+    "Per-key mean is a map-side-combinable agg joined back on the "
+    "SAME key the window shuffles on, so the join and the window "
+    "share one partitioning; integer running sums are exact and "
+    "engine-identical.",
+    tags=("market", "window", "monitoring"),
+)
+def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+    )
+    m = u.groupBy("user_id").agg(
+        F.expr("CAST(sum(u6) AS BIGINT) div count(*)").alias("mean_u6")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.sum(F.col("u6") - F.col("mean_u6")).over(w).cast("bigint")
+    return (
+        u.join(m, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            cusum.alias("cusum_e6"),
+            (F.abs(cusum) > _CUSUM_BREACH_E6).alias("breach"),
+        )
+    )
