@@ -193,3 +193,127 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(cusum) > _CUSUM_BREACH_E6).alias("breach"),
         )
     )
+
+
+_Z_FRAME = 4  # current row + 4 preceding = 5-observation window
+
+
+@register(
+    "win_rolling_zscore",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS u6
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts, u6,
+             CAST(sum(u6) OVER w AS BIGINT) AS s1,
+             CAST(sum(u6 * u6) OVER w AS BIGINT) AS s2,
+             CAST(count(*) OVER w AS BIGINT) AS n
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_FRAME} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, n,
+           CASE WHEN n > 1 AND s2 * n > s1 * s1 THEN
+             CAST(floor(
+               (CAST(u6 AS DOUBLE) * n - CAST(s1 AS DOUBLE))
+               / sqrt(CAST(s2 * n - s1 * s1 AS DOUBLE)) / sqrt(CAST(n - 1 AS DOUBLE))
+               * 1000) AS BIGINT)
+           END AS z_e3
+    FROM s
+    """,
+    doc="Rolling Z-SCORE per series over a 5-observation frame: exact "
+    "bigint moment sums (s1, s2) inside the frame, then z = "
+    "(x - mean)/std derived from integer moments in a fixed double "
+    "expression (sqrt/divide are IEEE-correctly-rounded, identical "
+    "across engines), floor-e3 output. NULL when the frame variance "
+    "is zero or n < 2. One keyed shuffle + one window pass — the "
+    "streaming-feature normalization every anomaly gate runs.",
+    tags=("market", "window", "feature"),
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_FRAME, Window.currentRow)
+    )
+    s = u.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "u6",
+        F.sum("u6").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("u6") * F.col("u6")).over(w).cast("bigint").alias("s2"),
+        F.count("*").over(w).cast("bigint").alias("n"),
+    )
+    num = F.col("u6").cast("double") * F.col("n") - F.col("s1").cast("double")
+    var_units = (F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")).cast("double")
+    z = F.floor(
+        num / F.sqrt(var_units) / F.sqrt((F.col("n") - 1).cast("double")) * 1_000
+    ).cast("bigint")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n",
+        F.when(
+            (F.col("n") > 1) & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1")),
+            z,
+        ).alias("z_e3"),
+    )
+
+
+@register(
+    "win_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n, tot.row_total,
+           (c.n * 1000000) // tot.row_total AS p_ppm
+    FROM c JOIN tot ON c.prev_type = tot.prev_type
+    """,
+    doc="Event-type TRANSITION MATRIX: lag(event_type) per series, "
+    "global (prev, next) counts, and row-normalized transition "
+    "probabilities in exact ppm — the Markov-chain summary of user "
+    "journeys. Keyed lag window, two map-side-combinable aggs; the "
+    "row-total join is on a tiny type-pair table (broadcasts at any "
+    "corpus size).",
+    tags=("window", "agg", "analytics"),
+)
+def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_total"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        F.expr("(n * 1000000) div row_total").alias("p_ppm"),
+    )
