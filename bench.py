@@ -202,6 +202,19 @@ def main() -> None:
     spark.createDataFrame([(1,), (2,)], "x INT").mapInPandas(
         lambda it: it, "x INT"
     ).count()
+    # Python-DataSource reader warmup: first use of the V2 Python
+    # DataSource infrastructure (planner round-trip + reader worker
+    # spawn) costs ~3s once per engine; a 2-line synthetic replay file
+    # pays it here so the book-sync headliner measures pipeline
+    # throughput, not infra spawn. (Same policy as the mapInPandas
+    # warmup above: shared machinery on synthetic data only.)
+    from binance_etl_spark.sources.replay import read_replay as _rr
+
+    _wf = os.path.join(wdir, "warm_replay.jsonl")
+    with open(_wf, "w") as _f:
+        _f.write('{"frame": "{}", "arrival_ms": 1, "seq": 0}\n')
+        _f.write('{"frame": "{}", "arrival_ms": 2, "seq": 1}\n')
+    _rr(spark, _wf).count()
 
     names = [n for n in HEADLINE + HEADLINE_LLM if n in REGISTRY]
     timings: dict[str, float] = {}
