@@ -424,3 +424,67 @@ def _register_outlier_mad() -> None:
 
 
 _register_outlier_mad()
+
+
+_RES_US = (60_000_000, 600_000_000, 3_600_000_000)  # 1m / 10m / 1h
+
+
+@register(
+    "agg_multires_rollup",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // {_RES_US[0]} * {_RES_US[0]} AS m_us,
+             epoch_us(ts) // {_RES_US[1]} * {_RES_US[1]} AS t_us,
+             epoch_us(ts) // {_RES_US[2]} * {_RES_US[2]} AS h_us,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    )
+    SELECT CASE WHEN m_us IS NOT NULL THEN '1m'
+                WHEN t_us IS NOT NULL THEN '10m' ELSE '1h' END AS resolution,
+           coalesce(m_us, t_us, h_us) AS bucket_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(v6) AS BIGINT) AS sum_v_e6
+    FROM b
+    GROUP BY GROUPING SETS ((m_us, event_type), (t_us, event_type), (h_us, event_type))
+    """,
+    doc="Hypertable-style MULTI-RESOLUTION rollup: 1m/10m/1h continuous "
+    "aggregates for every event type computed in ONE scan via GROUPING "
+    "SETS (the timescale-continuous-aggregate shape). Buckets are pure "
+    "integer epoch-micros floors (engine-identical); values aggregate "
+    "as exact e6 fixed point. Spark expands the sets map-side, so the "
+    "single shuffle carries partial aggregates for all three "
+    "resolutions — vs 3x the scan cost for a union-of-aggs plan.",
+    tags=("agg", "timeseries", "rollup"),
+)
+def agg_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    b = e.select(
+        "event_type",
+        *[
+            (us - us % r).alias(a)
+            for a, r in zip(("m_us", "t_us", "h_us"), _RES_US)
+        ],
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v6"),
+    )
+    g = b.groupingSets(
+        [["m_us", "event_type"], ["t_us", "event_type"], ["h_us", "event_type"]],
+        "m_us",
+        "t_us",
+        "h_us",
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("v6").cast("bigint").alias("sum_v_e6"))
+    res = (
+        F.when(F.col("m_us").isNotNull(), "1m")
+        .when(F.col("t_us").isNotNull(), "10m")
+        .otherwise("1h")
+    )
+    return g.select(
+        res.alias("resolution"),
+        F.coalesce("m_us", "t_us", "h_us").alias("bucket_us"),
+        "event_type",
+        "n",
+        "sum_v_e6",
+    )
