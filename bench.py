@@ -85,6 +85,11 @@ HEADLINE_LLM = [
     # decorrelation.
     "sql_q9_product_profit",
     "sql_q21_waiting_supplier",
+    # round-2 late additions: grouping-sets continuous aggregate,
+    # keyed-window risk analytics, gram-join novelty scoring.
+    "agg_multires_rollup",
+    "win_drawdown",
+    "text_ngram_novelty",
 ]
 
 
