@@ -144,26 +144,27 @@ _CUSUM_BREACH_E6 = 20_000_000  # |cusum| > 20 value-units
              CAST(floor(value * 1000000) AS BIGINT) AS u6
       FROM events
     ), m AS (
-      SELECT user_id,
-             CAST(SUM(u6) AS BIGINT) // COUNT(*) AS mean_u6
-      FROM u GROUP BY user_id
+      SELECT user_id, event_id, ts, u6,
+             CAST(sum(u6) OVER (PARTITION BY user_id) AS BIGINT)
+               // CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS mean_u6
+      FROM u
     )
-    SELECT u.user_id, event_id, epoch_us(ts) AS ts_us,
-           CAST(sum(u6 - mean_u6) OVER (PARTITION BY u.user_id ORDER BY ts, event_id
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(sum(u6 - mean_u6) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cusum_e6,
-           abs(CAST(sum(u6 - mean_u6) OVER (PARTITION BY u.user_id ORDER BY ts, event_id
+           abs(CAST(sum(u6 - mean_u6) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
              > {_CUSUM_BREACH_E6} AS breach
-    FROM u JOIN m ON u.user_id = m.user_id
+    FROM m
     """,
     doc="CUSUM DRIFT detection per series: running sum of (value - "
     "series mean) in exact e6 fixed point, breach-flagged beyond a "
     "band — the change-point monitor for data-quality / regime drift. "
-    "Per-key mean is a map-side-combinable agg joined back on the "
-    "SAME key the window shuffles on, so the join and the window "
-    "share one partitioning; integer running sums are exact and "
-    "engine-identical.",
+    "The per-key mean is an UNORDERED window over the same key the "
+    "running sum partitions on, so the whole query is ONE shuffle and "
+    "one sort (no groupBy+join round trip — plan-pinned); integer "
+    "running sums are exact and engine-identical.",
     tags=("market", "window", "monitoring"),
 )
 def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +175,15 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
     )
-    m = u.groupBy("user_id").agg(
-        F.expr("CAST(sum(u6) AS BIGINT) div count(*)").alias("mean_u6")
+    m = u.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "u6",
+        F.expr(
+            "CAST(sum(u6) OVER (PARTITION BY user_id) AS BIGINT) div "
+            "count(*) OVER (PARTITION BY user_id)"
+        ).alias("mean_u6"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -183,15 +191,12 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cusum = F.sum(F.col("u6") - F.col("mean_u6")).over(w).cast("bigint")
-    return (
-        u.join(m, "user_id")
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            cusum.alias("cusum_e6"),
-            (F.abs(cusum) > _CUSUM_BREACH_E6).alias("breach"),
-        )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cusum.alias("cusum_e6"),
+        (F.abs(cusum) > _CUSUM_BREACH_E6).alias("breach"),
     )
 
 

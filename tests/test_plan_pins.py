@@ -186,3 +186,11 @@ def test_ngram_novelty_joins_on_gram_hash(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_cusum_is_single_shuffle(spark):
+    # per-key mean is an unordered window over the SAME partitioning
+    # the running sum uses — the whole query must ride one Exchange
+    # (a groupBy+join formulation would shuffle the events twice)
+    plan = _plan(spark, "win_cusum_drift")
+    assert plan.count("Exchange") == 1
