@@ -288,19 +288,20 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
       FROM t WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
-    ), tot AS (
-      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY prev_type
     )
-    SELECT c.prev_type, c.next_type, c.n, tot.row_total,
-           (c.n * 1000000) // tot.row_total AS p_ppm
-    FROM c JOIN tot ON c.prev_type = tot.prev_type
+    SELECT prev_type, next_type, n,
+           CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+           (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS p_ppm
+    FROM c
     """,
     doc="Event-type TRANSITION MATRIX: lag(event_type) per series, "
     "global (prev, next) counts, and row-normalized transition "
     "probabilities in exact ppm — the Markov-chain summary of user "
-    "journeys. Keyed lag window, two map-side-combinable aggs; the "
-    "row-total join is on a tiny type-pair table (broadcasts at any "
-    "corpus size).",
+    "journeys. Keyed lag window + one map-side-combinable agg; row "
+    "totals come from an unordered window over the already-aggregated "
+    "type-pair table (vs agg+join, which would duplicate the whole "
+    "upstream subtree into both consumers — plan-pinned).",
     tags=("window", "agg", "analytics"),
 )
 def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,11 +315,13 @@ def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
-    tot = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_total"))
-    return c.join(F.broadcast(tot), "prev_type").select(
+    row_total = F.sum("n").over(Window.partitionBy("prev_type")).cast("bigint")
+    return c.select(
         "prev_type",
         "next_type",
         "n",
-        "row_total",
-        F.expr("(n * 1000000) div row_total").alias("p_ppm"),
+        row_total.alias("row_total"),
+        F.expr(
+            "(n * 1000000) div CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)"
+        ).alias("p_ppm"),
     )

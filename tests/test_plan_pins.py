@@ -194,3 +194,12 @@ def test_cusum_is_single_shuffle(spark):
     # (a groupBy+join formulation would shuffle the events twice)
     plan = _plan(spark, "win_cusum_drift")
     assert plan.count("Exchange") == 1
+
+
+def test_transition_matrix_no_duplicate_subtree(spark):
+    # row totals are a window over the aggregated type-pair table;
+    # an agg+join formulation re-executes the lag window + count agg
+    # for the totals side (6 exchanges observed) — pin the 3-exchange
+    # shape: window shuffle, pair-count agg, tiny row-total window
+    plan = _plan(spark, "win_transition_matrix")
+    assert plan.count("Exchange") <= 3
