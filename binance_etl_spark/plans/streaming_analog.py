@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binance_etl_spark.sources import fixtures as FX
@@ -185,3 +185,93 @@ def book_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synced.withColumn(
         "price", F.col("price").cast("decimal(27,8)").cast("double")
     ).withColumn("quantity", F.col("quantity").cast("decimal(27,8)").cast("double"))
+
+
+_MARKET_E2E_ORACLE = f"""
+    WITH frames(frame, arrival_ms) AS {_sql_frame_values(FX.trade_frames())},
+    ok AS (
+      SELECT CASE WHEN json_valid(frame) THEN frame END AS f FROM frames
+    ), trades AS (
+      SELECT json_extract_string(f, '$.s') AS symbol,
+             CASE WHEN CAST(json_extract(f, '$.m') AS BOOLEAN)
+                  THEN 'sell' ELSE 'buy' END AS side,
+             CAST(json_extract(f, '$.E') AS BIGINT) AS ts_ms,
+             CAST(json_extract(f, '$.t') AS BIGINT) AS id,
+             CAST(json_extract_string(f, '$.p') AS DECIMAL(19,8)) AS price,
+             CAST(json_extract_string(f, '$.q') AS DECIMAL(19,8)) AS quantity
+      FROM ok WHERE json_extract_string(f, '$.e') = 'trade'
+    ), ranked AS (
+      SELECT symbol, side, ts_ms // 60000 * 60000 AS bar_ms, price, quantity,
+             row_number() OVER (PARTITION BY symbol, side, ts_ms // 60000
+                                ORDER BY ts_ms, id) AS rn_open,
+             row_number() OVER (PARTITION BY symbol, side, ts_ms // 60000
+                                ORDER BY ts_ms DESC, id DESC) AS rn_close
+      FROM trades
+    )
+    SELECT symbol, side, bar_ms,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN price END) AS DOUBLE) AS open,
+           CAST(MAX(price) AS DOUBLE) AS high,
+           CAST(MIN(price) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN price END) AS DOUBLE) AS close,
+           CAST(SUM(quantity) AS DOUBLE) AS volume,
+           CAST(SUM(CAST(price * quantity AS DECIMAL(38,16))) AS DOUBLE)
+             / CAST(SUM(quantity) AS DOUBLE) AS vwap,
+           COUNT(*) AS n_trades
+    FROM ranked GROUP BY symbol, side, bar_ms
+"""
+
+
+@register(
+    "market_e2e",
+    oracle=_MARKET_E2E_ORACLE,
+    doc="The market-data path END TO END as one Catalyst plan: replay "
+    "DataSource -> frame validation -> trade parse (reference "
+    "spot_trades_etl.py:38-58) -> per-(symbol, side, minute) OHLCV "
+    "bars with exact-decimal VWAP — the composition the ETL's output "
+    "tables exist to serve, the market twin of curate_corpus_e2e. "
+    "One keyed window sort + one agg shuffle downstream of the "
+    "source; decimal accumulation keeps VWAP order-independent.",
+    tags=("streaming-analog", "market", "agg", "e2e"),
+)
+def market_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture_dir()
+    t = parse_trades(read_replay(spark, paths["trades"]))
+    p8 = F.col("price").cast("decimal(19,8)")
+    q8 = F.col("quantity").cast("decimal(19,8)")
+    bars = t.select(
+        "symbol",
+        "side",
+        (F.col("timestamp") - F.col("timestamp") % 60000).alias("bar_ms"),
+        p8.alias("price"),
+        q8.alias("quantity"),
+        F.col("timestamp").alias("ts_ms"),
+        "id",
+    )
+    w_open = Window.partitionBy("symbol", "side", "bar_ms").orderBy("ts_ms", "id")
+    w_close = Window.partitionBy("symbol", "side", "bar_ms").orderBy(
+        F.col("ts_ms").desc(), F.col("id").desc()
+    )
+    ranked = bars.select(
+        "symbol",
+        "side",
+        "bar_ms",
+        "price",
+        "quantity",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    turnover = F.sum((F.col("price") * F.col("quantity")).cast("decimal(38,16)"))
+    volume = F.sum("quantity")
+    return ranked.groupBy("symbol", "side", "bar_ms").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("price")))
+        .cast("double")
+        .alias("open"),
+        F.max("price").cast("double").alias("high"),
+        F.min("price").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("price")))
+        .cast("double")
+        .alias("close"),
+        volume.cast("double").alias("volume"),
+        (turnover.cast("double") / volume.cast("double")).alias("vwap"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
