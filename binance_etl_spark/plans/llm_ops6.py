@@ -243,3 +243,60 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+@register(
+    "sample_temperature_apply",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wu
+      FROM src
+    ), t AS (
+      SELECT CAST(SUM(wu) AS BIGINT) AS total FROM w
+    ), quota AS (
+      SELECT source, (wu * {_TEMP_BUDGET}) // total AS quota_docs FROM w, t
+    ), ranked AS (
+      SELECT d.doc_id, d.source, q.quota_docs,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d JOIN quota q ON d.source = q.source
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= quota_docs
+    """,
+    doc="MIXTURE MATERIALIZATION: applies sample_temperature's "
+    "per-source quotas by ranking docs within each source on "
+    "md5(doc_id) (a deterministic, resumable permutation — identical "
+    "sample on re-run at any cluster size) and keeping rank <= quota. "
+    "Quota table is sources-sized (broadcast); one keyed window sort. "
+    "Together with sample_temperature this is the domain-rebalancing "
+    "pipeline end to end.",
+    tags=("llm", "sampling"),
+)
+def sample_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    w = d.groupBy("source").agg(F.count("*").alias("n_docs")).select(
+        "source",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("wu"),
+    )
+    total = w.agg(F.sum("wu").alias("total"))
+    quota = w.crossJoin(F.broadcast(total)).select(
+        "source", F.expr(f"(wu * {_TEMP_BUDGET}) div total").alias("quota_docs")
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.join(F.broadcast(quota), "source").select(
+        "doc_id",
+        "source",
+        "quota_docs",
+        F.row_number().over(rank_w).alias("rn"),
+    )
+    return ranked.where(F.col("rn") <= F.col("quota_docs")).select(
+        "doc_id", "source", "rn"
+    )
