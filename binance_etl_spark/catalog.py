@@ -30,24 +30,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as long nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to micros —
-# identical to DuckDB's ns->us truncation, so oracle parity holds.
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Columns the driver has generated as parquet TIMESTAMP over the rounds —
+# as TIMESTAMP(NANOS) (reads as long under nanosAsLong) or as naive
+# micros (reads as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ
+# default). The engine's internal convention is LTZ with a UTC session
+# (naive parquet micros == UTC instant, matching DuckDB's naive reads),
+# so both shapes are normalized to TimestampType here, at the only
+# choke point every scan goes through.
+_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Column pruning + filter pushdown apply."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    if name in _NANOS_TS_COLS:
-        # The harness may hand us a session without this conf; it is
-        # runtime-settable and required to scan TIMESTAMP(NANOS) parquet.
+    if name in _TS_COLS:
+        # The harness may hand us a session without these confs; both are
+        # runtime-settable. nanosAsLong is required to scan
+        # TIMESTAMP(NANOS) parquet; UTC makes the NTZ->LTZ cast below an
+        # identity on the underlying epoch micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    dtypes = dict(df.dtypes)
+    for col in _TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":  # TIMESTAMP(NANOS) as long nanos
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes.get(col) == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.operators.dedup import shingles

@@ -35,6 +35,11 @@ ENGINE_CONF: dict[str, str] = {
     # Test data carries parquet TIMESTAMP(NANOS); read as long then convert
     # (catalog.load) — Spark's TimestampType is micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (isAdjustedToUTC=false) are engine-internal
+    # UTC instants, not wall-clock NTZ: read them as TimestampType so
+    # unix_micros/window/watermark semantics apply uniformly. With the UTC
+    # session timezone this is value-identical to DuckDB's naive reads.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
