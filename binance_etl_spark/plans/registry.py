@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         llm_ops4,
         llm_ops5,
         llm_ops6,
+        llm_ops7,
         relational,
         relational2,
         relational3,
