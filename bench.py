@@ -90,6 +90,15 @@ HEADLINE_LLM = [
     "agg_multires_rollup",
     "win_drawdown",
     "text_ngram_novelty",
+    # round-2 retrieval/profiling additions: posting-list build, BM25
+    # ranking, one-scan profile, RAG read path.
+    "text_inverted_index",
+    "text_bm25_topk",
+    "profile_columns",
+    "rag_retrieve_e2e",
+    # spectral + containment additions.
+    "emb_pca_power",
+    "dedup_containment",
 ]
 
 

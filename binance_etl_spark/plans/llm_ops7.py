@@ -222,7 +222,10 @@ def _prof_oracle() -> str:
     tags=("llm", "quality", "profiling"),
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # fanout: the Expand multiplies rows 6x BEFORE the partial agg, so
+    # an under-partitioned local scan must be spread first (no-op on a
+    # naturally many-partitioned big input).
+    li = fanout(load(spark, sf_dir, "lineitem"))
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in _PROF_NUM:
         aggs += _prof_num_aggs(c)

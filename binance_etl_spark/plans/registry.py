@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         llm_ops5,
         llm_ops6,
         llm_ops7,
+        llm_ops8,
         relational,
         relational2,
         relational3,

@@ -203,3 +203,57 @@ def test_transition_matrix_no_duplicate_subtree(spark):
     # shape: window shuffle, pair-count agg, tiny row-total window
     plan = _plan(spark, "win_transition_matrix")
     assert plan.count("Exchange") <= 3
+
+
+def test_bm25_is_takeordered_with_broadcast_stats(spark):
+    # ranking is a k-merge (no global sort); df and corpus stats reach
+    # the postings via broadcast only; the only nested-loop join is the
+    # deliberate 1-row corpus-stats attach
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_is_two_phase_partial_agg(spark):
+    plan = _plan(spark, "text_inverted_index")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rag_retrieve_broadcasts_topk_not_corpus(spark):
+    # the k winners are the build side; the document corpus must never
+    # be broadcast or shuffled for the join
+    plan = _plan(spark, "rag_retrieve_e2e")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_is_single_scan_expand(spark):
+    # one lineitem scan: exact multi-column DISTINCT rides Catalyst's
+    # Expand, not one scan per column
+    plan = _plan(spark, "profile_columns")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_pca_power_is_matrix_free(spark):
+    # the d-row iterates are eagerly localCheckpoint'ed (CC-style
+    # lineage flattening), so the final plan consumes tiny
+    # ExistingRDD scans — the corpus-wide aggregation ran exactly
+    # once per iteration at build time, and nothing all-pairs or
+    # sort-merge survives into the assembled result
+    plan = _plan(spark, "emb_pca_power")
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_containment_joins_on_shingle_hash(spark):
+    # candidate generation is an equi-join of A's min-shingle against
+    # B's exploded shingle stream — no all-pairs product, no hinted
+    # broadcast (Catalyst may pick one locally; at scale stats demote
+    # it to a shuffle join), and no array-keyed dedup shuffle
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
