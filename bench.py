@@ -99,6 +99,8 @@ HEADLINE_LLM = [
     # spectral + containment additions.
     "emb_pca_power",
     "dedup_containment",
+    "join_asof_nearest",
+    "text_encode_ids",
 ]
 
 

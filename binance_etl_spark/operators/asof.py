@@ -94,3 +94,68 @@ def asof_join(
                 f"asof_{c}", F.when(too_far, F.lit(None)).otherwise(F.col(f"asof_{c}"))
             )
     return filled.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Each left row matched to the CLOSER of its backward and forward
+    as-of matches (ties -> backward) — the 'nearest observation'
+    variant used for sensor/quote alignment. Same union trick; both
+    directions ride windows over the SAME key partitioning, so the
+    whole operator is still ONE shuffle (two in-partition sorts).
+    Adds `asof_dir` ('backward'|'forward'|null) beside the prefixed
+    right columns.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs_proj = [F.col(c) for c in on] + [F.col(right_ts).alias("__ts"), F.lit(0).alias(_SIDE)]
+    rhs_proj += [F.col(c).alias(f"asof_{c}") for c in right_cols]
+    rhs = right.select(*rhs_proj)
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    for c in rhs.columns:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    unioned = lhs.unionByName(rhs)
+
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    emitter_ts = F.when(F.col(_SIDE) == 0, F.col("__ts"))
+    b_ts = F.last(emitter_ts, ignorenulls=True).over(wb)
+    f_ts = F.first(emitter_ts, ignorenulls=True).over(wf)
+    us = F.unix_micros(F.col("__ts"))
+    use_b = f_ts.isNull() | (
+        b_ts.isNotNull() & ((us - F.unix_micros(b_ts)) <= (F.unix_micros(f_ts) - us))
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            f"asof_{c}",
+            F.when(use_b, F.last(f"asof_{c}", ignorenulls=True).over(wb)).otherwise(
+                F.first(f"asof_{c}", ignorenulls=True).over(wf)
+            ),
+        )
+    out = out.withColumn(
+        "asof_dir",
+        F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("backward"))
+        .otherwise(F.lit("forward")),
+    )
+    return out.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")

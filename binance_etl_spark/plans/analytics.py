@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import load
 from binance_etl_spark.functions.parity import dsum, sql_dsum
-from binance_etl_spark.operators.asof import asof_join
+from binance_etl_spark.operators.asof import asof_join, asof_join_nearest
 from binance_etl_spark.operators.book import rebuild_book, rebuild_book_pandas
 from binance_etl_spark.plans.registry import register
 
@@ -450,3 +450,59 @@ def udf_grouped_book(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = _depth_analog(spark, sf_dir)
     book = rebuild_book_pandas(updates, key_cols=["side", "level"], order_cols=["ts", "event_id"])
     return book.select("side", "level", F.col("quantity").alias("last_qty"))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             s.ts AS b_ts, s.event_id AS b_eid, s.value AS b_val
+      FROM p ASOF LEFT JOIN v s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ), f AS (
+      SELECT p.event_id,
+             s.ts AS f_ts, s.event_id AS f_eid, s.value AS f_val
+      FROM p ASOF LEFT JOIN v s ON p.user_id = s.user_id AND p.ts <= s.ts
+    ), m AS (
+      SELECT b.event_id, b.user_id,
+             (f_ts IS NULL OR (b_ts IS NOT NULL AND
+              epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)))
+               AS use_b,
+             b_ts, b_eid, b_val, f_ts, f_eid, f_val
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN use_b THEN b_eid ELSE f_eid END AS asof_event_id,
+           CASE WHEN use_b THEN b_val ELSE f_val END AS asof_value,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                WHEN use_b THEN 'backward' ELSE 'forward' END AS asof_dir
+    FROM m
+    """,
+    doc="NEAREST as-of join: each purchase matched to whichever view "
+    "is closer in time (ties -> backward) — sensor/quote alignment "
+    "semantics. Both directions ride windows over the SAME user_id "
+    "partitioning, so the operator is still ONE shuffle of "
+    "O(|L|+|R|) rows (two in-partition sorts); the oracle composes "
+    "DuckDB's native backward + forward ASOF joins and picks the "
+    "closer match by the identical rule. operators/asof.py:asof_join_nearest.",
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_nearest(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "asof_event_id", "asof_value", "asof_dir"
+    )

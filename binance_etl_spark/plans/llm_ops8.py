@@ -256,3 +256,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment_e6") >= _CONT_THRESH_E6)
     )
+
+
+# --- text_encode_ids -------------------------------------------------
+
+_VOCAB_V = 32  # top-V terms become ids 1..V; everything else is UNK=0
+
+
+@register(
+    "text_encode_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, t[pos] AS term
+      FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), vocab AS (
+      SELECT term,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS id
+      FROM tok GROUP BY term
+      QUALIFY id <= {_VOCAB_V}
+    ), enc AS (
+      SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+      FROM tok LEFT JOIN vocab v USING (term)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS enc_csv
+    FROM enc GROUP BY doc_id
+    """,
+    doc="Tokenizer APPLY step: frequency-ranked top-"
+    f"{_VOCAB_V} vocabulary (ties broken by term — deterministic), "
+    "every doc re-emitted as its id sequence (OOV -> UNK=0) plus "
+    "token/unk counts. The vocabulary is corpus-derived then "
+    "BROADCAST back onto the exploded token stream (ids are "
+    "vocabulary-sized, never corpus-sized); sequence re-assembly is "
+    "a per-doc sort-free collect ordered by recorded position. The "
+    "encode step every pretraining corpus runs after vocab "
+    "induction (text_bpe_pair_counts is the induction half).",
+    tags=("llm", "text", "tokenization"),
+)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    from pyspark.sql.window import Window as W
+
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .withColumn(
+            "id",
+            F.row_number().over(W.orderBy(F.col("cf").desc(), F.col("term"))),
+        )
+        .where(F.col("id") <= _VOCAB_V)
+        .select("term", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("id") == 0).cast("bigint")).cast("bigint").alias("n_unk"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"].cast("string"),
+            ),
+        ).alias("enc_csv"),
+    )

@@ -173,3 +173,55 @@ def write_range_sorted(df: DataFrame, path: str, col: str, n_files: int) -> None
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def foreach_batch_scd2(
+    state_path: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """Streaming SCD TYPE-2 sink: maintain full per-key version history
+    with validity intervals via writeStream.foreachBatch — the CDC
+    history table the latest-row upsert throws away (batch twin:
+    plans/timeseries.py ts_scd2_history).
+
+    State rows are (keys..., attrs..., ts_col [= valid_from],
+    tiebreaks..., valid_to, is_current): valid_to = next version's
+    valid_from (lead over the key window), open interval for the
+    current row. The merge is IDEMPOTENT: the state is a pure function
+    of the distinct change set seen — each batch re-derives intervals
+    from (prior versions' change rows) UNION (batch rows), deduped on
+    (keys, ts, tiebreaks) — so replaying any batch after a
+    checkpoint-less restart reproduces the identical table.
+
+    Scale shape: compact-on-write like foreach_batch_upsert — correct
+    while per-key history is bounded; at 100 TB the same body targets
+    a MERGE-capable table format and only closes the previous-current
+    rows of keys present in the batch (O(batch), not O(state)).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    ties = list(tiebreak_cols)
+    change_cols = keys + attrs + [ts_col] + ties
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        changes = batch_df.select(*change_cols)
+        if os.path.isdir(state_path):
+            old = spark.read.parquet(state_path)
+            changes = old.select(*change_cols).unionByName(changes)
+        changes = changes.dropDuplicates(keys + [ts_col] + ties)
+        w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+        versioned = changes.select(
+            "*",
+            F.lead(ts_col).over(w).alias("valid_to"),
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        tmp = state_path.rstrip("/") + ".__staging"
+        versioned.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    return apply

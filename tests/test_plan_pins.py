@@ -257,3 +257,20 @@ def test_containment_joins_on_shingle_hash(spark):
     plan = _plan(spark, "dedup_containment")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_is_single_shuffle(spark):
+    # both match directions ride windows over the same user_id
+    # partitioning: exactly one hash Exchange (plus fanout is absent
+    # here), never a range self-join
+    plan = _plan(spark, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_encode_ids_broadcasts_vocab(spark):
+    # the vocabulary joins the token stream as a broadcast; sequence
+    # reassembly is a grouped collect, not a global sort
+    plan = _plan(spark, "text_encode_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
