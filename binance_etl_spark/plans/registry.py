@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         risk,
         scalar,
         scalar2,
+        scalar3,
         streaming_analog,
         subqueries,
         timeseries,
