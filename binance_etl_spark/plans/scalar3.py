@@ -162,3 +162,81 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id bigint, n_chars_py bigint, n_bytes bigint, n_spaces bigint",
     )
+
+
+@register(
+    "fn_hof_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(list_transform(t, x -> length(x)), x -> x > 4))
+                AS BIGINT) AS n_long_tokens,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+           len(list_filter(t, x -> x = 'spark')) > 0 AS has_spark,
+           len(list_filter(list_transform(t, x -> length(x)), x -> x <= 0)) = 0
+             AS all_positive,
+           t[1] || ':' || CAST(length(t[1]) AS VARCHAR) AS first_pair
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+    doc="Higher-order array function suite: transform / filter / "
+    "exists / forall / aggregate / zip_with over the token array — "
+    "the lambda surface the dedup and vector operators are built "
+    "from, here pinned directly. Narrow per-row expressions, no "
+    "shuffle; DuckDB mirrors each lambda with list_* equivalents.",
+    tags=("scalar", "hof"),
+)
+def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(lens, lambda x: x > 4)).cast("bigint").alias("n_long_tokens"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("sum_len"),
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(lens, lambda x: x > 0).alias("all_positive"),
+        F.element_at(
+            F.zip_with(
+                toks, lens, lambda t, l: F.concat(t, F.lit(":"), l.cast("string"))
+            ),
+            1,
+        ).alias("first_pair"),
+    )
+
+
+@register(
+    "fn_collation_suite",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS m
+      FROM events
+    )
+    SELECT CAST(COUNT(DISTINCT lower(m)) AS BIGINT) AS n_distinct_ci,
+           CAST(COUNT(DISTINCT m) AS BIGINT) AS n_distinct_cs,
+           CAST(SUM(CASE WHEN lower(m) = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_ci
+    FROM mixed
+    """,
+    doc="Spark 4 collation surface: UTF8_LCASE-collated distinct "
+    "count and equality filter over a deliberately case-mixed column, "
+    "against the case-sensitive baseline. Collation pushes the "
+    "case-insensitivity into the comparator (hash/equality semantics) "
+    "instead of a lower() projection — same plan shape, "
+    "locale-correct semantics; oracle mirrors with lower().",
+    tags=("scalar", "collation"),
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    mixed = F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(
+        F.col("event_type")
+    )
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return e.select(mixed.alias("m"), ci.alias("mc")).agg(
+        F.countDistinct("mc").cast("bigint").alias("n_distinct_ci"),
+        F.countDistinct("m").cast("bigint").alias("n_distinct_cs"),
+        F.sum((F.col("mc") == F.lit("click")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_click_ci"),
+    )
