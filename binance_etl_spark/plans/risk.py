@@ -325,3 +325,87 @@ def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * 1000000) div CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)"
         ).alias("p_ppm"),
     )
+
+
+# --- win_ewma --------------------------------------------------------
+
+# Truncated EWMA, alpha = 1/4, lookback K = 8: weights w_j = a(1-a)^j
+# as EXACT e9 integers (3^j * 1e9 // 4^(j+1)) — pure integer literals,
+# identical in both engines; the >K tail (<4% of mass) is truncated,
+# and the normalizer re-weights by the terms actually present so the
+# head of each series is unbiased.
+_EWMA_K = 8
+_EWMA_W = [(3**j * 10**9) // (4 ** (j + 1)) for j in range(_EWMA_K)]
+
+
+def _ewma_terms(lag_fmt: str) -> tuple[str, str]:
+    tot = " + ".join(
+        f"COALESCE({lag_fmt.format(j=j)}, 0) * {w}" for j, w in enumerate(_EWMA_W)
+    )
+    norm = " + ".join(
+        f"CASE WHEN {lag_fmt.format(j=j)} IS NOT NULL THEN {w} ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return tot, norm
+
+
+_SQL_TOT, _SQL_NORM = _ewma_terms("lag(u6, {j}) OVER w")
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS u6
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts, u6,
+             CAST({_SQL_TOT} AS BIGINT) AS tot,
+             CAST({_SQL_NORM} AS BIGINT) AS norm
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           tot // norm AS ewma_u6
+    FROM s
+    """,
+    doc=f"Truncated EWMA (alpha=0.25, {_EWMA_K}-observation lookback) "
+    "per series: weights are exact integer literals (3^j*1e9 div "
+    "4^(j+1)), the value enters as floor-e6 units, and the output is "
+    "the weighted mean renormalized over the terms present — so "
+    "series heads are unbiased and everything is bigint-exact across "
+    "engines. The recursion is unrolled into K lag() taps over ONE "
+    "keyed sorted window (one shuffle; the classic scalable rewrite "
+    "of a sequential filter), which is how an EMA feature actually "
+    "ships at 100 TB — state-free, re-runnable from any offset.",
+    tags=("market", "window", "risk"),
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tot = None
+    norm = None
+    for j, wt in enumerate(_EWMA_W):
+        lagged = F.lag("u6", j).over(w)
+        t = F.coalesce(lagged, F.lit(0)) * F.lit(wt)
+        n = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        tot = t if tot is None else tot + t
+        norm = n if norm is None else norm + n
+    # true integer division (double / would lose precision past 2^53)
+    return (
+        u.withColumn("tot", tot.cast("bigint"))
+        .withColumn("norm", norm.cast("bigint"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.expr("tot div norm").alias("ewma_u6"),
+        )
+    )

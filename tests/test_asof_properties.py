@@ -84,3 +84,44 @@ def test_asof_matches_brute_force(spark, seed, direction, tolerance):
     got = {r["lid"]: r["asof_rid"] for r in joined.collect()}
     want = _brute(left, right, direction, TOL_US if tolerance else None)
     assert got == want, f"seed={seed} {direction} tol={tolerance}"
+
+
+def _brute_nearest(left, right):
+    out = {}
+    for lid, k, lts in left:
+        cands = [r for r in right if r[0] == k]
+        back = max((r for r in cands if r[1] <= lts), key=lambda r: r[1], default=None)
+        fwd = min((r for r in cands if r[1] >= lts), key=lambda r: r[1], default=None)
+        if back is None and fwd is None:
+            out[lid] = (None, None)
+        elif fwd is None or (back is not None and lts - back[1] <= fwd[1] - lts):
+            out[lid] = (back[2], "backward")
+        else:
+            out[lid] = (fwd[2], "forward")
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7])
+def test_asof_nearest_matches_brute_force(spark, seed):
+    from binance_etl_spark.operators.asof import asof_join_nearest
+
+    left, right = _gen(seed)
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in left], "lid INT, k INT, ts_us BIGINT"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    rdf = spark.createDataFrame(
+        [(k, ts, rid) for k, ts, rid in right] or [(None, None, None)],
+        "k INT, ts_us BIGINT, rid INT",
+    ).where(F.col("rid").isNotNull()).withColumn("ts", F.timestamp_micros("ts_us"))
+
+    joined = asof_join_nearest(
+        ldf,
+        rdf.select("k", "ts", "rid"),
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rid"],
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_dir"]) for r in joined.collect()}
+    want = _brute_nearest(left, right)
+    assert got == want, f"seed={seed}"

@@ -274,3 +274,9 @@ def test_encode_ids_broadcasts_vocab(spark):
     plan = _plan(spark, "text_encode_ids")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_is_single_shuffle(spark):
+    # all K lag taps + the normalizer ride ONE keyed sorted window
+    plan = _plan(spark, "win_ewma")
+    assert plan.count("Exchange") == 1
