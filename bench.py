@@ -101,6 +101,8 @@ HEADLINE_LLM = [
     "dedup_containment",
     "join_asof_nearest",
     "text_encode_ids",
+    "win_ewma",
+    "mm_phash_dedup",
 ]
 
 

@@ -169,3 +169,48 @@ def decode_frames(assets: DataFrame, payload_col: str = "payload", n_frames: int
             ])
 
     return assets.select("asset_id", payload_col).mapInPandas(_fake_frames, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "img_id BIGINT, blocks ARRAY<BIGINT>"
+
+
+def ahash_blocks_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL perceptual-hash front half: parse 16x16 24-bit BMP payloads
+    (54-byte header, bottom-up rows, no padding at width 16) and emit
+    the 64 average-hash block values — 2x2 pixel blocks, gray =
+    (B+G+R) div 3, block value = (sum of 4 grays) div 4, array index =
+    block_y*8 + block_x. Integer-exact, so a SQL oracle can recompute
+    the identical values from a generative pixel formula. mapInPandas,
+    Arrow-batched, executor-side — the same plumbing a production
+    pHash (DCT) decoder plugs into.
+    """
+    import pandas as pd
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = bytes(r[payload_col])
+                w = h = 16
+                row_size = w * 3  # 48 bytes, already 4-aligned
+                gray = [[0] * w for _ in range(h)]
+                for ry in range(h):  # stored bottom-up
+                    y = h - 1 - ry
+                    base = 54 + ry * row_size
+                    for x in range(w):
+                        b, g, rr = buf[base + 3 * x : base + 3 * x + 3]
+                        gray[y][x] = (b + g + rr) // 3
+                blocks = []
+                for by in range(8):
+                    for bx in range(8):
+                        s = (
+                            gray[2 * by][2 * bx]
+                            + gray[2 * by][2 * bx + 1]
+                            + gray[2 * by + 1][2 * bx]
+                            + gray[2 * by + 1][2 * bx + 1]
+                        )
+                        blocks.append(s // 4)
+                rows.append({"img_id": int(r["img_id"]), "blocks": blocks})
+            yield pd.DataFrame(rows, columns=["img_id", "blocks"])
+
+    return assets.mapInPandas(_decode, AHASH_SCHEMA)

@@ -1,0 +1,170 @@
+"""Tenth LLM-pipeline batch: multimodal perceptual-hash dedup.
+
+mm_phash_dedup composes the three multimodal stories into one
+pipeline: REAL binary decode (genuine BMP bytes parsed in
+mapInPandas), a perceptual average-hash sketch (64 block-vs-mean
+bits), and banded LSH pairing (four 16-bit bands, equi-join, hamming
+verify) — the image near-dup path of a multimodal training corpus,
+with the exact same banding scale shape as MinHash-LSH for text.
+
+The 40-image fixture is generative (pixel (x, y) of image i has
+B/G/R = linear formulas mod 256), with every img_id % 8 == 5 a
+near-duplicate of its predecessor (two pixels perturbed by +3 per
+channel) — known positives at hamming <= a few bits. The DuckDB
+oracle re-derives every stage from the formula: any byte-layout error
+in BMP synthesis or decode, any off-by-one in the block/bit/band
+math, breaks parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.operators.multimodal import ahash_blocks_bmp
+from binance_etl_spark.plans.registry import register
+
+_N_IMG = 40
+_HAM_MAX = 6
+
+# B/G/R generative formulas (shared with mm_image_decode's style):
+# channel c of pixel (x, y) in effective image e.
+_CH = ((31, 7, 13), (17, 5, 11), (23, 3, 19))
+
+
+def _pix(e: int, x: int, y: int, perturb: bool) -> tuple[int, int, int]:
+    vals = [(e * a + x * b + y * c) % 256 for a, b, c in _CH]
+    if perturb:
+        vals = [(v + 3) % 256 for v in vals]
+    return tuple(vals)
+
+
+def _make_bmp(img: int) -> bytearray:
+    w = h = 16
+    e = img - 1 if img % 8 == 5 else img
+    pixels = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows; width 16 -> no padding
+        for x in range(w):
+            perturb = img % 8 == 5 and ((x, y) in ((0, 0), (7, 7)))
+            pixels += bytes(_pix(e, x, y, perturb))
+    data_size = w * 3 * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    return bytearray(header + info + pixels)
+
+
+_SQL_GRAY = " + ".join(
+    f"(e * {a} + x * {b} + y * {c}) % 256" for a, b, c in _CH
+)
+_SQL_GRAY_P = " + ".join(
+    f"((e * {a} + x * {b} + y * {c}) % 256 + 3) % 256" for a, b, c in _CH
+)
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH imgs AS (SELECT UNNEST(generate_series(0, {_N_IMG - 1})) AS img_id),
+    eff AS (
+      SELECT img_id,
+             CASE WHEN img_id % 8 = 5 THEN img_id - 1 ELSE img_id END AS e
+      FROM imgs
+    ), px AS (
+      SELECT img_id, e, x.x AS x, y.y AS y
+      FROM eff, UNNEST(generate_series(0, 15)) AS x(x),
+                UNNEST(generate_series(0, 15)) AS y(y)
+    ), g AS (
+      SELECT img_id, x, y,
+             (CASE WHEN img_id % 8 = 5 AND ((x = 0 AND y = 0) OR (x = 7 AND y = 7))
+                   THEN {_SQL_GRAY_P}
+                   ELSE {_SQL_GRAY} END) // 3 AS gray
+      FROM px
+    ), blk AS (
+      SELECT img_id, x // 2 AS bx, y // 2 AS by, SUM(gray) // 4 AS bv
+      FROM g GROUP BY img_id, x // 2, y // 2
+    ), mean AS (
+      SELECT img_id, SUM(bv) // 64 AS m FROM blk GROUP BY img_id
+    ), bits AS (
+      SELECT img_id, (by * 8 + bx) AS idx,
+             CASE WHEN bv > m THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN mean USING (img_id)
+    ), bands AS (
+      SELECT img_id, idx // 16 AS band_no,
+             CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS band_v
+      FROM bits GROUP BY img_id, idx // 16
+    ), shared AS (
+      SELECT a.img_id AS a_id, b.img_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_v = b.band_v AND a.img_id < b.img_id
+      GROUP BY a.img_id, b.img_id
+    )
+    SELECT s.a_id, s.b_id, s.n_shared_bands,
+           (SELECT CAST(SUM(bit_count(xor(ba.band_v, bb.band_v))) AS BIGINT)
+            FROM bands ba JOIN bands bb ON ba.band_no = bb.band_no
+            WHERE ba.img_id = s.a_id AND bb.img_id = s.b_id) AS hamming
+    FROM shared s
+    WHERE (SELECT SUM(bit_count(xor(ba.band_v, bb.band_v)))
+           FROM bands ba JOIN bands bb ON ba.band_no = bb.band_no
+           WHERE ba.img_id = s.a_id AND bb.img_id = s.b_id) <= {_HAM_MAX}
+    """,
+    doc="Multimodal NEAR-DUP dedup via perceptual average-hash: "
+    "genuine BMP bytes decoded in mapInPandas (real header + "
+    "bottom-up pixel parsing), 64 block-vs-mean hash bits computed "
+    "JVM-side from the decoded blocks, split into four 16-bit bands, "
+    "candidate pairs from a band equi-join (identical scale shape to "
+    f"MinHash-LSH — never all-pairs), hamming <= {_HAM_MAX} verify on "
+    "candidates only. Fixture injects perturbed-copy images "
+    "(img_id %% 8 == 5) as known positives; the oracle re-derives "
+    "decode + hash + banding from the generative pixel formula.",
+    tags=("multimodal", "dedup", "udf"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = spark.createDataFrame(
+        [(i, _make_bmp(i)) for i in range(_N_IMG)], "img_id BIGINT, payload BINARY"
+    )
+    blocks = ahash_blocks_bmp(imgs)
+    # hash bits -> four 16-bit band values, all JVM-side array math
+    bands4 = F.expr(
+        "transform(sequence(0, 3), b -> aggregate(sequence(0, 15), CAST(0 AS BIGINT), "
+        "(acc, j) -> acc + IF(element_at(blocks, b * 16 + j + 1) > "
+        "aggregate(blocks, CAST(0 AS BIGINT), (a, v) -> a + v) div 64, "
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"
+    )
+    e = blocks.select("img_id", bands4.alias("bands"))
+    ex = e.select(
+        "img_id", "bands", F.posexplode("bands").alias("band_no", "band_v")
+    )
+    a = ex.select(
+        F.col("img_id").alias("a_id"),
+        F.col("bands").alias("a_bands"),
+        "band_no",
+        "band_v",
+    )
+    b = ex.select(
+        F.col("img_id").alias("b_id"),
+        F.col("bands").alias("b_bands"),
+        "band_no",
+        "band_v",
+    )
+    pairs = (
+        a.join(b, ["band_no", "band_v"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_bands"),
+            F.first("a_bands").alias("a_bands"),
+            F.first("b_bands").alias("b_bands"),
+        )
+    )
+    hamming = F.expr(
+        "aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "bit_count(element_at(a_bands, i + 1) ^ element_at(b_bands, i + 1)))"
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= _HAM_MAX)
+        .select("a_id", "b_id", "n_shared_bands", "hamming")
+    )

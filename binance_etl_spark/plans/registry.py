@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         llm_ops6,
         llm_ops7,
         llm_ops8,
+        llm_ops9,
         relational,
         relational2,
         relational3,

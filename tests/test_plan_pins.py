@@ -280,3 +280,11 @@ def test_ewma_is_single_shuffle(spark):
     # all K lag taps + the normalizer ride ONE keyed sorted window
     plan = _plan(spark, "win_ewma")
     assert plan.count("Exchange") == 1
+
+
+def test_phash_dedup_pairs_via_band_equijoin(spark):
+    # candidate pairing is an equi-join on (band_no, band_v) — the
+    # MinHash-LSH shape — never an all-pairs product over images
+    plan = _plan(spark, "mm_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
