@@ -168,3 +168,134 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _HAM_MAX)
         .select("a_id", "b_id", "n_shared_bands", "hamming")
     )
+
+
+# --- text_lm_bigram_score --------------------------------------------
+
+
+@register(
+    "text_lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), bgc AS (
+      SELECT bigram, COUNT(*) AS n_bg FROM bg GROUP BY bigram
+    ), pfx AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, SUM(n_bg) AS n_pfx
+      FROM bgc GROUP BY string_split(bigram, ' ')[1]
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.n_bg * 1000000 // p.n_pfx) AS BIGINT) // COUNT(*)
+             AS mean_cond_p_e6,
+           CAST(SUM(CASE WHEN c.n_bg <= 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_bigram_ppm
+    FROM bg b JOIN bgc c USING (bigram)
+    JOIN pfx p ON p.w1 = string_split(b.bigram, ' ')[1]
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram language-model document scoring: conditional "
+    "probability p(w2 | w1) = count(w1 w2) / count(w1 ·) in exact e6 "
+    "fixed point (integer div — no log(), whose libm rounding differs "
+    "across engines; probability order equals log-prob order for "
+    "filtering), averaged per doc, plus the hapax-bigram rate (the "
+    "fluency/novelty split unigram frequency cannot see). Three "
+    "map-side-combinable count shuffles + equi-joins back onto the "
+    "bigram stream; the bigram table is Zipf-small next to the "
+    "corpus, so AQE broadcasts the join-backs at scale.",
+    tags=("text", "llm", "quality"),
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.catalog import fanout, load
+    from binance_etl_spark.operators.dedup import tokenize
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = d.where(F.size(toks) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bg"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    pfx = bgc.groupBy(w1.alias("w1")).agg(F.sum("n_bg").alias("n_pfx"))
+    joined = (
+        bg.join(bgc, "bigram")
+        .withColumn("w1", w1)
+        .join(pfx, "w1")
+        .withColumn("p_e6", F.expr("n_bg * 1000000 div n_pfx"))
+    )
+    n = F.count(F.lit(1))
+    return joined.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_bigrams"),
+        F.expr("CAST(SUM(p_e6) AS BIGINT) div COUNT(1)").alias("mean_cond_p_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_bg <= 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("hapax_bigram_ppm"),
+    )
+
+
+# --- ft_hash_features ------------------------------------------------
+
+_FH_DIM = 64
+
+
+@register(
+    "ft_hash_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+               % {_FH_DIM} AS idx
+      FROM tok WHERE tok <> ''
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(COUNT(*) AS BIGINT) AS v,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nnz
+    FROM hashed GROUP BY doc_id, idx
+    """,
+    doc=f"HASHING-TRICK featurization (the classical-ML quality-"
+    "classifier front end): every token maps to one of "
+    f"{_FH_DIM} feature indices via its first md5 byte — no vocabulary "
+    "table, no fit step, stateless and identical on any shard, which "
+    "is WHY the hashing trick scales (a vocab join needs a corpus "
+    "pass first; the hash needs nothing). Output is the sparse "
+    "(doc, idx, count) triple form plus the per-doc nnz; one explode "
+    "+ one map-side-combinable count shuffle.",
+    tags=("llm", "features"),
+)
+def ft_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.catalog import fanout, load
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    first_byte = (
+        (F.expr("instr('0123456789abcdef', substr(md5(tok), 1, 1))") - 1) * 16
+        + F.expr("instr('0123456789abcdef', substr(md5(tok), 2, 1))")
+        - 1
+    )
+    hashed = tok.select("doc_id", (first_byte % _FH_DIM).cast("bigint").alias("idx"))
+    counts = hashed.groupBy("doc_id", "idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    from pyspark.sql.window import Window as W
+
+    return counts.select(
+        "doc_id",
+        "idx",
+        "v",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).cast("bigint").alias("nnz"),
+    )
