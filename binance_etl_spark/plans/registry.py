@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         return
     from binance_etl_spark.plans import (  # noqa: F401
         analytics,
+        analytics2,
         formats,
         graph,
         llm_ops,

@@ -288,3 +288,18 @@ def test_phash_dedup_pairs_via_band_equijoin(spark):
     plan = _plan(spark, "mm_phash_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_intervals_is_single_shuffle(spark):
+    # running-max + island-sum + grouped rollup all share the user_id
+    # partitioning: one Exchange end-to-end
+    plan = _plan(spark, "win_merge_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_seasonal_baseline_broadcasts_slots(spark):
+    # the (type, hour) baseline table is slot-sized — it must come back
+    # as a broadcast, never a fact-side shuffle join
+    plan = _plan(spark, "ts_seasonal_baseline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
