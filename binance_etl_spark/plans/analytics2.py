@@ -196,3 +196,104 @@ def stats_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div max_n").alias("share_of_max_ppm"),
         )
     )
+
+
+# --- ts_downsample_lttb ----------------------------------------------
+
+_LTTB_US = 600 * 1_000_000  # 10-minute buckets
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH pt AS (
+      SELECT user_id, event_id, epoch_us(ts) AS xus,
+             epoch_us(ts) // 1000000 AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS y,
+             epoch_us(ts) // {_LTTB_US} AS bkt
+      FROM events
+    ), bm AS (
+      SELECT user_id, bkt,
+             SUM(x) // COUNT(*) AS mx, SUM(y) // COUNT(*) AS my
+      FROM pt GROUP BY user_id, bkt
+    ), nb AS (
+      SELECT user_id, bkt,
+             lag(mx)  OVER w AS ax, lag(my)  OVER w AS ay,
+             lead(mx) OVER w AS cx, lead(my) OVER w AS cy
+      FROM bm
+      WINDOW w AS (PARTITION BY user_id ORDER BY bkt)
+    ), scored AS (
+      SELECT p.user_id, p.bkt, p.event_id, p.xus, p.x, p.y,
+             abs( (COALESCE(n.ax, p.x) - COALESCE(n.cx, p.x)) * (p.y - COALESCE(n.ay, p.y))
+                - (COALESCE(n.ax, p.x) - p.x) * (COALESCE(n.cy, p.y) - COALESCE(n.ay, p.y)) )
+               AS area2,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.bkt
+               ORDER BY abs( (COALESCE(n.ax, p.x) - COALESCE(n.cx, p.x)) * (p.y - COALESCE(n.ay, p.y))
+                           - (COALESCE(n.ax, p.x) - p.x) * (COALESCE(n.cy, p.y) - COALESCE(n.ay, p.y)) ) DESC,
+                        p.x, p.event_id) AS rn
+      FROM pt p JOIN nb n ON p.user_id = n.user_id AND p.bkt = n.bkt
+    )
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt, event_id,
+           CAST(xus AS BIGINT) AS ts_us, CAST(y AS BIGINT) AS value_e6,
+           CAST(area2 AS BIGINT) AS area2
+    FROM scored WHERE rn = 1
+    """,
+    doc="LTTB-style visual DOWNSAMPLING (bucket-parallel variant): one "
+    "representative point per (series, 10-min bucket) — the point "
+    "maximizing the triangle area against the NEIGHBOR BUCKET MEANS "
+    "(classic LTTB anchors the previously-selected point, which is "
+    "sequential; the mean-anchored variant is embarrassingly parallel "
+    "per bucket and is what TSDB render paths ship at scale). "
+    "Integer cross-product areas in (seconds, e6) units — seconds, "
+    "not micros, keep the cross products inside bigint at any series "
+    "span; boundary buckets "
+    "degrade to earliest-point (area 0 ties). Two keyed shuffles: "
+    "bucket means, then the per-bucket rank.",
+    tags=("timeseries", "window"),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pt = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("xus"),
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+        F.expr(f"unix_micros(ts) div {_LTTB_US}").alias("bkt"),
+    )
+    bm = pt.groupBy("user_id", "bkt").agg(
+        F.expr("SUM(x) div COUNT(*)").alias("mx"),
+        F.expr("SUM(y) div COUNT(*)").alias("my"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bkt")
+    nb = bm.select(
+        "user_id",
+        "bkt",
+        F.lag("mx").over(wb).alias("ax"),
+        F.lag("my").over(wb).alias("ay"),
+        F.lead("mx").over(wb).alias("cx"),
+        F.lead("my").over(wb).alias("cy"),
+    )
+    scored = pt.join(nb, ["user_id", "bkt"]).withColumn(
+        "area2",
+        F.expr(
+            "abs( (COALESCE(ax, x) - COALESCE(cx, x)) * (y - COALESCE(ay, y))"
+            "   - (COALESCE(ax, x) - x) * (COALESCE(cy, y) - COALESCE(ay, y)) )"
+        ),
+    )
+    wr = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("area2").desc(), "x", "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("bkt").cast("bigint").alias("bkt"),
+            "event_id",
+            F.col("xus").cast("bigint").alias("ts_us"),
+            F.col("y").cast("bigint").alias("value_e6"),
+            F.col("area2").cast("bigint").alias("area2"),
+        )
+    )
