@@ -72,16 +72,21 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_suite2",
     oracle="""
     SELECT vec_id,
-           list_sort(embedding[1:5]) AS sorted_head,
-           list_reverse_sort(embedding[1:3]) AS rev_head,
-           embedding[1:3] || embedding[62:64] AS head_tail,
+           CAST(list_sort(embedding[1:5])[1] AS DOUBLE) AS sorted_head_min,
+           CAST(list_reverse_sort(embedding[1:3])[1] AS DOUBLE) AS rev_head_max,
+           CAST(list_sum(list_transform(embedding[1:3] || embedding[62:64],
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS head_tail_sum_e6,
            list_contains(list_transform(embedding, x -> x > 0.2), TRUE) AS any_big,
            len(list_filter(generate_series(1, len(embedding)),
                i -> embedding[i] > 0.0 AND i % 2 = 0)) AS n_pos_even
     FROM embeddings WHERE vec_id < 100
     """,
     doc="Extended array ops: sort_array asc/desc, concat/slice, "
-    "exists-predicate, index-aware filter.",
+    "exists-predicate, index-aware filter. Array results leave the "
+    "query as scalar witnesses (sorted extrema + an e6 checksum of "
+    "the concat/slice) so the output schema stays in the "
+    "double/bigint/string set the driver hasher is proven on.",
     tags=("scalar", "array"),
 )
 def fn_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,9 +94,20 @@ def fn_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.sort_array(F.slice(emb, 1, 5)).alias("sorted_head"),
-        F.sort_array(F.slice(emb, 1, 3), asc=False).alias("rev_head"),
-        F.concat(F.slice(emb, 1, 3), F.slice(emb, 62, 3)).alias("head_tail"),
+        F.element_at(F.sort_array(F.slice(emb, 1, 5)), 1)
+        .cast("double")
+        .alias("sorted_head_min"),
+        F.element_at(F.sort_array(F.slice(emb, 1, 3), asc=False), 1)
+        .cast("double")
+        .alias("rev_head_max"),
+        F.aggregate(
+            F.transform(
+                F.concat(F.slice(emb, 1, 3), F.slice(emb, 62, 3)),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("head_tail_sum_e6"),
         F.exists(emb, lambda x: x > 0.2).alias("any_big"),
         F.size(
             F.filter(
