@@ -103,6 +103,9 @@ HEADLINE_LLM = [
     "text_encode_ids",
     "win_ewma",
     "mm_phash_dedup",
+    "mm_audio_fingerprint_dedup",
+    "win_merge_intervals",
+    "ts_downsample_lttb",
 ]
 
 
