@@ -184,3 +184,40 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_v1_rows"),
         F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias("total_chars_v2"),
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6,
+           MIN(event_id) AS min_id
+    FROM events WHERE user_id < 40 GROUP BY event_type
+    """,
+    doc="XML sink + source round-trip (Spark 4 ships XML built-in): "
+    "write an events slice as XML rows, read back with an explicit "
+    "schema (no inference pass), aggregate with e6 fixed-point value "
+    "sums. Oracle runs on the original parquet table, so the hash "
+    "proves lossless value fidelity through the markup format — the "
+    "interchange shape half of enterprise feeds still arrive in.",
+    tags=("scan", "sink", "format"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 40).select(
+        "event_id", "event_type", F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v6")
+    )
+    path = tempfile.mkdtemp(prefix="besk_xml_rt_") + "/events_xml"
+    e.write.mode("overwrite").format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).save(path)
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, v6 BIGINT")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v6").cast("bigint").alias("sum_value_e6"),
+        F.min("event_id").alias("min_id"),
+    )
