@@ -104,6 +104,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         risk,
         scalar,
         scalar2,

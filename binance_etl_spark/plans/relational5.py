@@ -1,0 +1,167 @@
+"""Recursive SQL, entity resolution, and mergeable-sketch rollups.
+
+Three capability classes the earlier modules don't cover:
+
+- `sql_recursive_tree`: WITH RECURSIVE (Spark 4.1 + DuckDB both speak
+  it) — iterative graph traversal expressed in ONE shared ANSI text,
+  the declarative twin of the hand-rolled loops in operators/dedup.py
+  (connected components) and operators/graph.py (pagerank). The
+  recursion here is a hierarchy walk (org-chart / BOM shape): each
+  round is one equi-join of the frontier against the node table, which
+  Catalyst distributes like any other join; depth = O(log n) for the
+  balanced tree derived below.
+
+- `join_fuzzy_match`: blocked fuzzy-string entity resolution — the
+  record-linkage step of every data-integration pipeline (match dirty
+  catalog names against the clean master). Classic blocking strategy:
+  candidate pairs ONLY within a cheap equi-join block (4-char prefix +
+  length band), then the expensive edit-distance verify runs on
+  candidates alone. Never O(n^2): at 100 TB the block key is the
+  shuffle key and skew is bounded by block cardinality, exactly like
+  dedup_minhash_lsh's band join (plans/llm_ops.py).
+
+- `agg_hll_rollup`: the mergeable-sketch OLAP pattern — per-(group,
+  day) HLL sketches unioned upward to any coarser grain WITHOUT
+  re-scanning the fact table. This is the 100 TB way to serve distinct
+  counts over arbitrary date ranges: sketches are fixed-size (KB),
+  map-side combinable, and `hll_union_agg` makes them re-aggregable —
+  the property exact COUNT(DISTINCT) fundamentally lacks. Approximate
+  by design -> rows-only driver check + error-bound unit test
+  (tests/test_approx.py pattern).
+
+Reference provenance: the reference has no SQL surface at all
+(SURVEY.md §3); these are DATA/NS extension operators for querying the
+emitted tables and running dedup/linkage at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register, register_sql
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: balanced-binary-tree walk over customer keys.
+# parent(c) = floor(c/2) makes a complete binary tree rooted at 1 over
+# c_custkey >= 1 — a deterministic hierarchy derived from data both
+# engines already share. The recursive member touches the frontier once
+# per level: O(log n) joins, each fully distributed.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "sql_recursive_tree",
+    """
+    WITH RECURSIVE walk(node, depth, path_sum) AS (
+        SELECT CAST(1 AS BIGINT), 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT c.c_custkey, w.depth + 1, w.path_sum + c.c_custkey
+        FROM customer c
+        JOIN walk w ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = w.node
+        WHERE c.c_custkey >= 2
+    )
+    SELECT depth,
+           COUNT(*) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node,
+           SUM(path_sum) AS sum_path
+    FROM walk
+    GROUP BY depth
+    ORDER BY depth
+    """,
+    doc="WITH RECURSIVE hierarchy walk (org-chart/BOM shape) over the "
+    "floor(c/2) binary tree on customer keys; per-level node counts and "
+    "root-path sums. One shared ANSI text on Spark 4.1 and DuckDB; each "
+    "recursion level is one distributed equi-join of the frontier "
+    "against customer, O(log n) levels total.",
+    tags=("sql", "recursive", "iterative"),
+)
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy match: dirty part names vs the clean name master.
+# The dirty side is derived deterministically (last char replaced) so
+# both engines agree on inputs; blocking key = (4-char prefix, length
+# band) — candidates are an equi-join, the levenshtein verify runs on
+# candidates only.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "join_fuzzy_match",
+    """
+    WITH clean AS (
+        SELECT DISTINCT p_name FROM part
+    ),
+    dirty AS (
+        SELECT p_name AS src_name,
+               CONCAT(SUBSTRING(p_name, 1, LENGTH(p_name) - 1), '_') AS dirty_name
+        FROM clean
+    ),
+    cand AS (
+        SELECT c.p_name, d.src_name, d.dirty_name
+        FROM clean c
+        JOIN dirty d
+          ON SUBSTRING(c.p_name, 1, 4) = SUBSTRING(d.dirty_name, 1, 4)
+         AND LENGTH(c.p_name) BETWEEN LENGTH(d.dirty_name) - 2
+                                  AND LENGTH(d.dirty_name) + 2
+    )
+    SELECT p_name AS matched_name, dirty_name,
+           levenshtein(p_name, dirty_name) AS edit_dist
+    FROM cand
+    WHERE levenshtein(p_name, dirty_name) <= 2
+    ORDER BY dirty_name, matched_name
+    """,
+    doc="Blocked fuzzy-string entity resolution (record linkage): dirty "
+    "catalog names (deterministic last-char corruption) matched to the "
+    "clean master by 4-char-prefix + length-band BLOCKING equi-join, "
+    "then levenshtein <= 2 verify on candidates only — never O(n^2). "
+    "Shared ANSI text on both engines.",
+    tags=("join", "fuzzy", "entity-resolution", "llm"),
+)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup: per-(event_type, day) sketches -> union to type
+# totals. DataSketches HLL is EXACT below its sketch capacity (sparse
+# mode stores raw coupons), and the verification corpus has 150
+# distinct users per type << 2^12 slots — so the estimate provably
+# equals COUNT(DISTINCT) at oracle scale and the query carries a full
+# value oracle. At production cardinality it degrades gracefully to
+# ~1.6% rse; tests/test_relational5.py bounds the error on a corpus
+# 100x past the exact range.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Mergeable-sketch distinct-count rollup: hll_sketch_agg(user_id) "
+    "per (event_type, day), then hll_union_agg upward to per-type "
+    "distinct-user estimates WITHOUT re-scanning the fact table — the "
+    "re-aggregable 100 TB alternative to exact COUNT(DISTINCT) "
+    "(fixed-KB sketches, map-side combinable). Approximate -> "
+    "rows-only check + error-bound test.",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    # The daily table is what a real deployment persists; any coarser
+    # grain (weekly, total, arbitrary ranges) merges from it.
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
