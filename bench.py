@@ -106,6 +106,10 @@ HEADLINE_LLM = [
     "mm_audio_fingerprint_dedup",
     "win_merge_intervals",
     "ts_downsample_lttb",
+    # recursive SQL, entity resolution, sketch rollup.
+    "sql_recursive_tree",
+    "join_fuzzy_match",
+    "agg_hll_rollup",
 ]
 
 

@@ -146,8 +146,9 @@ register_sql(
     "per (event_type, day), then hll_union_agg upward to per-type "
     "distinct-user estimates WITHOUT re-scanning the fact table — the "
     "re-aggregable 100 TB alternative to exact COUNT(DISTINCT) "
-    "(fixed-KB sketches, map-side combinable). Approximate -> "
-    "rows-only check + error-bound test.",
+    "(fixed-KB sketches, map-side combinable). Sparse-mode sketches "
+    "are exact below capacity, so the estimate carries a full value "
+    "oracle at verification scale; error-bound test covers 100x past.",
     tags=("agg", "approx", "sketch"),
 )
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,3 +166,62 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion suite: market sessions live in exchange-local
+# wall time (NYSE opens 09:30 America/New_York; Binance stamps UTC
+# epoch millis, SURVEY.md §1.2) — converting the instant stream to
+# exchange-local calendars is the first step of any session analysis.
+# All conversions are narrow per-row expressions (no shuffle), and the
+# outputs leave as epoch micros / small ints per the parity rules.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_tz_suite",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS utc_us,
+           hour(timezone('America/New_York', timezone('UTC', ts))) AS ny_hour,
+           hour(timezone('Asia/Tokyo', timezone('UTC', ts))) AS tokyo_hour,
+           CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS ny_date,
+           isodow(ts) AS iso_dow,
+           epoch_us(timezone('America/New_York', timezone('UTC', ts))) AS ny_wall_us,
+           CASE WHEN hour(timezone('America/New_York', timezone('UTC', ts))) * 60
+                     + minute(timezone('America/New_York', timezone('UTC', ts)))
+                     BETWEEN 570 AND 960
+                 AND isodow(ts) <= 5
+                THEN 1 ELSE 0 END AS in_nyse_session
+    FROM events
+    WHERE event_id % 17 = 0
+    ORDER BY event_id
+    """,
+    doc="Timezone-aware calendar surface: UTC instants -> exchange-local "
+    "wall clocks (from_utc_timestamp twin of DuckDB's timezone()), "
+    "NYSE trading-session flag (09:30-16:00 NY, Mon-Fri), ISO weekday. "
+    "Narrow per-row expressions, codegen'd, shuffle-free — scale cost "
+    "is exactly one scan at any data size.",
+    tags=("scalar", "datetime", "timezone"),
+)
+def fn_tz_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    ny_min = F.hour(ny) * 60 + F.minute(ny)
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("utc_us"),
+        F.hour(ny).cast("bigint").alias("ny_hour"),
+        F.hour(tokyo).cast("bigint").alias("tokyo_hour"),
+        ny.cast("date").alias("ny_date"),
+        (F.weekday("ts") + 1).cast("bigint").alias("iso_dow"),
+        F.unix_micros(ny).alias("ny_wall_us"),
+        F.when(
+            ny_min.between(570, 960) & (F.weekday("ts") + 1 <= 5), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("in_nyse_session"),
+    ).orderBy("event_id")
