@@ -103,13 +103,13 @@ def win_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), base AS (
       SELECT event_type, hr,
-             SUM(u6) // COUNT(*) AS baseline_e6,
+             CAST(SUM(u6) // COUNT(*) AS BIGINT) AS baseline_e6,
              CAST(COUNT(*) AS BIGINT) AS n_obs
       FROM u GROUP BY event_type, hr
     )
     SELECT u.event_id, u.event_type, u.hr, b.baseline_e6, b.n_obs,
-           (u.u6 - b.baseline_e6) * 1000000 // greatest(b.baseline_e6, 1)
-             AS dev_ppm
+           CAST((u.u6 - b.baseline_e6) * 1000000 // greatest(b.baseline_e6, 1)
+             AS BIGINT) AS dev_ppm
     FROM u JOIN base b ON u.event_type = b.event_type AND u.hr = b.hr
     """,
     doc="SEASONALITY-AWARE monitoring baseline: per (event_type, "

@@ -147,7 +147,7 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_xor(l_orderkey) AS key_xor,
            bool_and(l_quantity < 50) AS all_small,
            bool_or(l_discount > 0.09) AS any_big_disc,
-           count_if(l_tax = 0) AS n_tax_free
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Bitwise and boolean aggregates: bit_and/or/xor, bool_and/or, "
@@ -276,7 +276,8 @@ def win_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            COUNT(*) OVER w AS n_prev_1h,
-           SUM(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS vsum_units_1h
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+             AS vsum_units_1h
     FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

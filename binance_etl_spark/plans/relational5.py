@@ -65,7 +65,7 @@ register_sql(
            COUNT(*) AS n_nodes,
            MIN(node) AS min_node,
            MAX(node) AS max_node,
-           SUM(path_sum) AS sum_path
+           CAST(SUM(path_sum) AS BIGINT) AS sum_path
     FROM walk
     GROUP BY depth
     ORDER BY depth
@@ -188,11 +188,11 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS ny_date,
            isodow(ts) AS iso_dow,
            epoch_us(timezone('America/New_York', timezone('UTC', ts))) AS ny_wall_us,
-           CASE WHEN hour(timezone('America/New_York', timezone('UTC', ts))) * 60
-                     + minute(timezone('America/New_York', timezone('UTC', ts)))
-                     BETWEEN 570 AND 960
-                 AND isodow(ts) <= 5
-                THEN 1 ELSE 0 END AS in_nyse_session
+           CAST(CASE WHEN hour(timezone('America/New_York', timezone('UTC', ts))) * 60
+                          + minute(timezone('America/New_York', timezone('UTC', ts)))
+                          BETWEEN 570 AND 960
+                      AND isodow(ts) <= 5
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_nyse_session
     FROM events
     WHERE event_id % 17 = 0
     ORDER BY event_id

@@ -188,8 +188,8 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_extracted,
            json_extract_string(props, '$.k') AS k_str,
-           to_json(struct_pack(event_id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
-             AS packed
+           CAST(to_json(struct_pack(event_id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
+             AS VARCHAR) AS packed
     FROM events WHERE event_id < 1000
     """,
     doc="JSON suite: from_json/get_json_object/to_json (the reference's "
