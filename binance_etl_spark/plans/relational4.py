@@ -191,7 +191,7 @@ register_sql(
       FROM events
       GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
     )
-    SELECT user_id, d, n_events,
+    SELECT user_id, CAST(d AS STRING) AS d, n_events,
            CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
            CAST(SUM(v_units) OVER (PARTITION BY user_id ORDER BY d

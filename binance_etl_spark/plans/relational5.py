@@ -185,7 +185,7 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(ts) AS utc_us,
            hour(timezone('America/New_York', timezone('UTC', ts))) AS ny_hour,
            hour(timezone('Asia/Tokyo', timezone('UTC', ts))) AS tokyo_hour,
-           CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS ny_date,
+           CAST(CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS VARCHAR) AS ny_date,
            isodow(ts) AS iso_dow,
            epoch_us(timezone('America/New_York', timezone('UTC', ts))) AS ny_wall_us,
            CAST(CASE WHEN hour(timezone('America/New_York', timezone('UTC', ts))) * 60
@@ -215,7 +215,7 @@ def fn_tz_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("utc_us"),
         F.hour(ny).cast("bigint").alias("ny_hour"),
         F.hour(tokyo).cast("bigint").alias("tokyo_hour"),
-        ny.cast("date").alias("ny_date"),
+        ny.cast("date").cast("string").alias("ny_date"),
         (F.weekday("ts") + 1).cast("bigint").alias("iso_dow"),
         F.unix_micros(ny).alias("ny_wall_us"),
         F.when(

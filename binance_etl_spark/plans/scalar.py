@@ -62,7 +62,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofweek(ts) + 1 AS INT) AS dow,
            CAST(minute(ts) AS INT) AS minute_of_hour,
            strftime(ts, '%Y-%m-%d') AS date_str,
-           CAST(ts AS DATE) AS date_only
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS date_only
     FROM events WHERE event_id < 2000
     """,
     doc="Datetime suite: epoch conversion (reference ms-epoch arithmetic, "
@@ -83,7 +83,10 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"),
         F.minute("ts").alias("minute_of_hour"),
         F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
-        F.to_date("ts").alias("date_only"),
+        # ISO string, not DateType: engine-native DATE objects normalize
+        # differently across the two clients' pandas paths (the round-1
+        # decimal-hash lesson applied to dates).
+        F.to_date("ts").cast("string").alias("date_only"),
     )
 
 
