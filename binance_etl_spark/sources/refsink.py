@@ -1,0 +1,89 @@
+"""Reference-layout CSV sink: PySpark 4 Python Data Source WRITER.
+
+The write-side twin of sources/replay.py — together they complete the
+Python DataSource matrix (batch read / stream read / batch write).
+Reproduces the reference's CSV sink contract (storage.py:57-75):
+header-once, append-only chunks, one logical table per
+`{symbol}.{market}.{table}` name — but with a real distributed commit
+protocol instead of the reference's lossy in-process buffer (rows
+under batch_size are dropped on stop, base.py:39-45; this sink loses
+nothing).
+
+Commit protocol (the part a single-process sink never needs): each
+task writes its partition to a private `part-<id>-<uuid>.csv` temp
+file and returns the path as its WriterCommitMessage; the driver's
+`commit()` renames all temp files into the final layout only after
+every task succeeded, and `abort()` removes strays — so a failed or
+speculatively-duplicated task never leaves partial rows behind
+(exactly the job-commit semantics FileOutputCommitter gives JVM
+sinks). At scale each task streams its own file: no driver collect,
+no shared-file contention, O(1) driver memory.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _Part(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class RefCsvWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ref_csv sink requires a 'path' option")
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _Part:
+        tmp = os.path.join(self.path, f".tmp-part-{uuid.uuid4().hex}.csv")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        # Header-once-per-file (storage.py:67,74): every part is a
+        # self-contained reference-format CSV, so both the reference's
+        # pandas consumers and spark.read.csv(header=True) — which
+        # skips one header line PER FILE — parse the layout directly.
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.columns)
+            for row in iterator:
+                w.writerow([row[c] for c in self.columns])
+                n += 1
+        return _Part(tmp_path=tmp, rows=n)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages) -> None:
+        # Publish via O(1) renames only after every task succeeded.
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.csv")
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class RefCsvDataSource(DataSource):
+    """`df.write.format("ref_csv").option("path", dir).save()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ref_csv"
+
+    def writer(self, schema, overwrite: bool) -> RefCsvWriter:
+        return RefCsvWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RefCsvDataSource)

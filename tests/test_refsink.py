@@ -1,0 +1,58 @@
+"""Python DataSource writer: commit protocol + reference CSV layout."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from binance_etl_spark.sources import refsink
+
+
+def _read_all(path: str) -> list[list[str]]:
+    rows = []
+    for p in sorted(glob.glob(os.path.join(path, "*.csv"))):
+        with open(p, newline="") as f:
+            rows.extend(list(csv.reader(f)))
+    return rows
+
+
+def test_ref_csv_sink_writes_all_rows_header_once(spark, tmp_path):
+    refsink.register(spark)
+    out = str(tmp_path / "btcusdt.spot.trades")
+    df = spark.range(1000).select(
+        F.col("id").alias("trade_id"),
+        (F.col("id") * 2).alias("qty"),
+    ).repartition(7)
+    df.write.format("ref_csv").mode("append").option("path", out).save()
+
+    rows = _read_all(out)
+    header = ["trade_id", "qty"]
+    assert rows[0] == header
+    data = [r for r in rows if r != header]
+    assert len(data) == 1000
+    assert {int(r[0]) for r in data} == set(range(1000))
+    assert all(int(r[1]) == 2 * int(r[0]) for r in data)
+    # one part per partition, no temp files left behind
+    assert len(glob.glob(os.path.join(out, "part-*.csv"))) == 7
+    assert glob.glob(os.path.join(out, ".tmp-*")) == []
+
+
+def test_ref_csv_sink_roundtrips_through_spark_reader(spark, tmp_path):
+    refsink.register(spark)
+    out = str(tmp_path / "roundtrip")
+    src = spark.createDataFrame(
+        [(1, "buy", 101.5), (2, "sell", 99.25), (3, "buy", 100.0)],
+        "id BIGINT, side STRING, price DOUBLE",
+    )
+    src.write.format("ref_csv").mode("append").option("path", out).save()
+    back = (
+        spark.read.option("header", True)
+        .schema("id BIGINT, side STRING, price DOUBLE")
+        .csv(out)
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
