@@ -225,3 +225,48 @@ def fn_tz_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("in_nyse_session"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring: chi-square statistic between the first
+# and second half of the event stream. The feed-health / training-data
+# gate: "did the category mix shift?" Every input to the float math is
+# an exact integer count, and each double expression is a single
+# identical text on both engines -> bit-identical IEEE results without
+# any cross-row float accumulation.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "stats_chi2_drift",
+    """
+    WITH halves AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS obs1,
+               CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS obs2
+        FROM events
+        GROUP BY event_type
+    ),
+    tot AS (
+        SELECT event_type, obs1, obs2,
+               CAST(SUM(obs1) OVER () AS BIGINT) AS t1,
+               CAST(SUM(obs2) OVER () AS BIGINT) AS t2
+        FROM halves
+    )
+    SELECT event_type, obs1, obs2,
+           CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS exp2,
+           (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+             * (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+             / (CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE)) AS chi2_contrib
+    FROM tot
+    ORDER BY event_type
+    """,
+    doc="Chi-square category-drift monitor: event_type mix of the first "
+    "half-month vs the second, expected counts under the null, and each "
+    "category's chi-square contribution. The standard train/serve and "
+    "feed-health drift gate. One map-side-combinable aggregate over the "
+    "stream + a category-cardinality window — shuffle volume is "
+    "O(categories) at any fact scale. Float math: single-expression "
+    "doubles from exact integer counts (no cross-row float sums), "
+    "bit-identical on both engines.",
+    tags=("agg", "stats", "monitoring"),
+)
