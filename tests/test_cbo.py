@@ -10,16 +10,14 @@ more intermediate rows.
 
 Also exercises the managed-table lifecycle the temp-view-based queries
 don't: saveAsTable -> ANALYZE TABLE COMPUTE STATISTICS -> catalog
-stats -> DROP TABLE.
+stats -> DROP TABLE. Uses the shared session (CBO confs are runtime
+SQL confs) — creating a second session via getOrCreate would alias the
+shared one and stopping it would kill the whole suite's JVM.
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pytest
-from pyspark.sql import SparkSession
 
 SF = "/root/testdata/sf0.01"
 
@@ -34,18 +32,13 @@ GROUP BY n.n_name
 
 
 @pytest.fixture(scope="module")
-def cbo_spark():
-    tmp = tempfile.mkdtemp(prefix="cbo_wh_")
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.warehouse.dir", os.path.join(tmp, "wh"))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def cbo_spark(spark):
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     for t in ["lineitem", "orders", "nation"]:
         spark.read.parquet(f"{SF}/{t}.parquet").write.mode("overwrite").saveAsTable(
             f"{t}_t"
@@ -54,15 +47,11 @@ def cbo_spark():
     yield spark
     for t in ["lineitem", "orders", "nation"]:
         spark.sql(f"DROP TABLE IF EXISTS {t}_t")
-    spark.stop()
-
-
-def _first_join_children(plan: str) -> str:
-    """Return the optimized-plan text up to the second Join node —
-    i.e. the subtree describing which relations meet first."""
-    i = plan.find("Join Inner")
-    j = plan.find("Join Inner", i + 1)
-    return plan[i:j]
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_analyze_publishes_row_counts(cbo_spark):
@@ -72,16 +61,9 @@ def test_analyze_publishes_row_counts(cbo_spark):
 
 
 def test_cbo_reorders_dim_join_before_fact_fact(cbo_spark):
-    plan = (
-        cbo_spark.sql(QUERY)._jdf.queryExecution().optimizedPlan().toString()
-    )
-    # The INNERMOST join must be orders x nation (dim pulled forward),
-    # leaving the lineitem fact join for last — the opposite of the
-    # textual order.
-    first = _first_join_children(plan)
-    assert "nation" not in first.split("Relation")[0]  # top join is the fact join
-    assert "orders" in plan and "nation" in plan
-    # top-most join combines lineitem with the (orders x nation) result:
+    plan = cbo_spark.sql(QUERY)._jdf.queryExecution().optimizedPlan().toString()
+    # Top-most join must combine lineitem with the (orders x nation)
+    # result — the dim join pulled innermost, opposite of the text.
     top_cond = plan.split("Join Inner,")[1].split("\n")[0]
     assert "l_orderkey" in top_cond, f"expected fact join last, got {top_cond}"
     inner_cond = plan.split("Join Inner,")[2].split("\n")[0]
