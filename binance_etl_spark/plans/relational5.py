@@ -270,3 +270,66 @@ register_sql(
     "bit-identical on both engines.",
     tags=("agg", "stats", "monitoring"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions: the map half of the lambda surface
+# (fn_hof_suite covers arrays). Maps are built deterministically from
+# the parsed props payload, so every HOF result reduces to a scalar
+# witness with a pure-arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_map_hof_suite",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CAST(6 * k AS BIGINT) AS tv_b,
+           CAST((CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                + 1
+                + (CASE WHEN (k % 7) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even_vals,
+           CAST(k + 20 * k + 100 * (k % 7) AS BIGINT) AS zip_total,
+           CAST(4 AS BIGINT) AS n_concat_keys
+    FROM t
+    ORDER BY event_id
+    """,
+    doc="Map higher-order functions — transform_values, map_filter, "
+    "map_zip_with, map_concat — over maps derived from the parsed "
+    "props payload; each HOF collapses to a scalar witness whose "
+    "oracle is plain arithmetic on k. Narrow codegen'd expressions, "
+    "zero shuffles (the map lambda surface the array HOF suite "
+    "doesn't touch).",
+    tags=("scalar", "map", "hof"),
+)
+def fn_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    k = F.from_json("props", "map<string,long>")["k"]
+    e = e.select("event_id", k.alias("k"))
+    m1 = F.create_map(
+        F.lit("a"), F.col("k"),
+        F.lit("b"), F.col("k") * 2,
+        F.lit("c"), F.col("k") % 7,
+    )
+    m2 = F.create_map(
+        F.lit("a"), F.lit(1).cast("long"),
+        F.lit("b"), F.lit(10).cast("long"),
+        F.lit("c"), F.lit(100).cast("long"),
+    )
+    tv = F.transform_values(m1, lambda _, v: v * 3)
+    mf = F.map_filter(m1, lambda _, v: v % 2 == 0)
+    mz = F.map_zip_with(m1, m2, lambda _, v1, v2: v1 * v2)
+    mc = F.map_concat(m1, F.create_map(F.lit("d"), F.lit(5).cast("long")))
+    return e.select(
+        "event_id",
+        F.element_at(tv, "b").alias("tv_b"),
+        F.size(F.map_keys(mf)).cast("bigint").alias("n_even_vals"),
+        F.aggregate(
+            F.map_values(mz), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("zip_total"),
+        F.size(F.map_keys(mc)).cast("bigint").alias("n_concat_keys"),
+    ).orderBy("event_id")
