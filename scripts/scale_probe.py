@@ -1,0 +1,141 @@
+"""Scale probe: replicate the sf0.1 tables 10x (~sf1) into a scratch
+dir with shifted keys, then time the heaviest headline queries at both
+scales on identical session conf.
+
+The point is the SLOPE, not the absolute numbers: a plan that survives
+100 TB shows ~linear wall-clock in input size (scan-bound, map-side
+combinable aggregation, broadcast or banded joins), while an
+accidentally quadratic or shuffle-fat plan blows past 10x. Results are
+recorded in PERFORMANCE.md.
+
+Usage: python scripts/scale_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+from binance_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_probe_sf1"
+COPIES = 10
+
+# Key columns to shift per replica so joins/dedup keep realistic
+# cardinality instead of 10 exact copies of every key.
+KEY_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": [],  # doc_id is a string key; replicas get a suffix
+    "embeddings": ["vec_id"],
+    # dims stay as-is: 10x replicated dims would break FK semantics
+}
+
+QUERIES = [
+    "agg_pricing_summary",
+    "join_inner_broadcast",
+    "sql_q3_topk",
+    "win_running_sum",
+    "dedup_exact",  # full corpus, no cap
+    "text_inverted_index",  # full corpus
+    "stats_chi2_drift",
+]
+
+
+def minhash_full(spark, sf_dir: str):
+    """UNCAPPED minhash-LSH self-dedup via the operator layer (the
+    registry query caps doc_id for oracle tractability; the operators
+    are the scale path)."""
+    from binance_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    )
+    sig = D.minhash_signature(docs.select("doc_id", "sh"), "doc_id", "sh")
+    bands = D.lsh_bands(sig, "doc_id")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band_no", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), "band_no", "band_val"
+    )
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def build(spark) -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation", "supplier", "part"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t, keys in KEY_SHIFT.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        n = base.count()
+        shift = 10 ** len(str(n))  # decimal headroom above the key range
+        parts = []
+        for i in range(COPIES):
+            d = base
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * shift))
+            if t == "documents":
+                # doc_id is a numeric string compared as int downstream;
+                # shift numerically and re-stringify.
+                d = d.withColumn(
+                    "doc_id",
+                    (F.col("doc_id").cast("bigint") + F.lit(i * shift)).cast(
+                        "string"
+                    ),
+                )
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"built {t}: {n} -> {n * COPIES} rows")
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    times = {}
+    fns = {name: REGISTRY[name].fn for name in QUERIES}
+    fns["minhash_lsh_fullcorpus"] = minhash_full
+    for name, fn in fns.items():
+        fn(spark, sf_dir).count()  # warm (plan + page cache)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
+            F.count(F.lit(1))
+        ).collect()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_loaded()
+    if "--rebuild" in sys.argv or not os.path.isdir(DST):
+        build(spark)
+    small = run(spark, SRC)
+    big = run(spark, DST)
+    print(f"\n{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'slope':>6s}")
+    for name in small:
+        slope = big[name] / max(small[name], 0.01)
+        print(f"{name:32s} {small[name]:8.2f} {big[name]:8.2f} {slope:5.1f}x")
+
+
+if __name__ == "__main__":
+    main()
