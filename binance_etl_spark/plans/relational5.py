@@ -254,9 +254,11 @@ register_sql(
     )
     SELECT event_type, obs1, obs2,
            CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS exp2,
-           (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
-             * (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
-             / (CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE)) AS chi2_contrib
+           CASE WHEN obs1 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                   * (CAST(obs2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                   / (CAST(t2 AS DOUBLE) * CAST(obs1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+           END AS chi2_contrib
     FROM tot
     ORDER BY event_type
     """,
@@ -267,7 +269,11 @@ register_sql(
     "stream + a category-cardinality window — shuffle volume is "
     "O(categories) at any fact scale. Float math: single-expression "
     "doubles from exact integer counts (no cross-row float sums), "
-    "bit-identical on both engines.",
+    "bit-identical on both engines. A category absent from the "
+    "baseline half (obs1=0) is the strongest drift signal of all; its "
+    "contribution is undefined (exp2=0), so the row stays visible "
+    "with a NULL contribution on both engines instead of an "
+    "engine-divergent Inf/NaN.",
     tags=("agg", "stats", "monitoring"),
 )
 

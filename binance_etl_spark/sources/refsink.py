@@ -10,19 +10,28 @@ under batch_size are dropped on stop, base.py:39-45; this sink loses
 nothing).
 
 Commit protocol (the part a single-process sink never needs): each
-task writes its partition to a private `part-<id>-<uuid>.csv` temp
-file and returns the path as its WriterCommitMessage; the driver's
-`commit()` renames all temp files into the final layout only after
-every task succeeded, and `abort()` removes strays — so a failed or
-speculatively-duplicated task never leaves partial rows behind
-(exactly the job-commit semantics FileOutputCommitter gives JVM
-sinks). At scale each task streams its own file: no driver collect,
-no shared-file contention, O(1) driver memory.
+task writes its partition to a private dot-prefixed temp file and
+returns the path as its WriterCommitMessage; the driver's `commit()`
+renames the reported temp files into uniquely-named final parts only
+after every task succeeded, then sweeps any stray temps (failed or
+speculatively-duplicated attempts that never reported); `abort()`
+removes the reported ones. Appends never collide: part names carry a
+per-job token, so re-appending adds files instead of clobbering the
+previous batch; overwrite mode clears prior parts first. At scale
+each task streams its own file: no driver collect, no shared-file
+contention, O(1) driver memory.
+
+Filesystem note: rename-based commit assumes driver and executors
+share one filesystem (local mode, NFS, or any posix-rename object
+store mount). A multi-node HDFS/S3 deployment would swap the
+os.replace calls for the corresponding FileSystem.rename — the
+protocol shape (task-temp -> driver-publish) is unchanged.
 """
 
 from __future__ import annotations
 
 import csv
+import glob
 import os
 import uuid
 from dataclasses import dataclass
@@ -64,9 +73,20 @@ class RefCsvWriter(DataSourceWriter):
     # -- driver side ------------------------------------------------------
     def commit(self, messages) -> None:
         # Publish via O(1) renames only after every task succeeded.
+        # Final names carry a fresh job token so a second append-mode
+        # write can never clobber an earlier batch's parts.
+        job = uuid.uuid4().hex[:12]
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.csv")):
+                os.remove(old)
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.csv")
+            final = os.path.join(self.path, f"part-{job}-{i:05d}.csv")
             os.replace(m.tmp_path, final)
+        # Sweep temps from attempts that never reported a commit
+        # message (task failures, lost speculative duplicates) — after
+        # a successful commit they are garbage by definition.
+        for stray in glob.glob(os.path.join(self.path, ".tmp-part-*.csv")):
+            os.remove(stray)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -82,10 +82,15 @@ def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # ONE shift for every key column: FK pairs (o_custkey = c_custkey,
+    # l_orderkey = o_orderkey) must move together or replica i's facts
+    # dangle against replica i's dims and the join output collapses to
+    # 1x — which would fake sub-linear slopes. 10^8 clears every key
+    # range at sf0.1 (max key ~600k).
+    shift = 100_000_000
     for t, keys in KEY_SHIFT.items():
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         n = base.count()
-        shift = 10 ** len(str(n))  # decimal headroom above the key range
         parts = []
         for i in range(COPIES):
             d = base
@@ -108,19 +113,25 @@ def build(spark) -> None:
         print(f"built {t}: {n} -> {n * COPIES} rows")
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
-    times = {}
+def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """(best-of-3 wall clock, output rows) per query — the row count
+    proves the replicated FK joins actually produce 10x output rather
+    than dangling."""
+    out = {}
     fns = {name: REGISTRY[name].fn for name in QUERIES}
     fns["minhash_lsh_fullcorpus"] = minhash_full
     for name, fn in fns.items():
-        fn(spark, sf_dir).count()  # warm (plan + page cache)
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
-            F.count(F.lit(1))
-        ).collect()
-        times[name] = round(time.time() - t0, 2)
-    return times
+        rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
+                F.count(F.lit(1))
+            ).collect()
+            best = min(best, time.time() - t0)
+        out[name] = (round(best, 2), rows)
+    return out
 
 
 def main() -> None:
@@ -131,10 +142,12 @@ def main() -> None:
         build(spark)
     small = run(spark, SRC)
     big = run(spark, DST)
-    print(f"\n{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'slope':>6s}")
+    hdr = f"\n{'query':30s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s} {'rows0.1':>10s} {'rows~1':>11s}"
+    print(hdr)
     for name in small:
-        slope = big[name] / max(small[name], 0.01)
-        print(f"{name:32s} {small[name]:8.2f} {big[name]:8.2f} {slope:5.1f}x")
+        (t0, r0), (t1, r1) = small[name], big[name]
+        slope = t1 / max(t0, 0.01)
+        print(f"{name:30s} {t0:7.2f} {t1:7.2f} {slope:5.1f}x {r0:10d} {r1:11d}")
 
 
 if __name__ == "__main__":

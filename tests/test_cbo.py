@@ -37,21 +37,26 @@ def cbo_spark(spark):
         k: spark.conf.get(k, None)
         for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     }
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    for t in ["lineitem", "orders", "nation"]:
-        spark.read.parquet(f"{SF}/{t}.parquet").write.mode("overwrite").saveAsTable(
-            f"{t}_t"
-        )
-        spark.sql(f"ANALYZE TABLE {t}_t COMPUTE STATISTICS")
-    yield spark
-    for t in ["lineitem", "orders", "nation"]:
-        spark.sql(f"DROP TABLE IF EXISTS {t}_t")
-    for k, v in prev.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    # try/finally so a mid-setup failure still restores confs and drops
+    # tables — leaking CBO=true or lineitem_t into the shared session
+    # would change plans in unrelated suite modules.
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in ["lineitem", "orders", "nation"]:
+            spark.read.parquet(f"{SF}/{t}.parquet").write.mode(
+                "overwrite"
+            ).saveAsTable(f"{t}_t")
+            spark.sql(f"ANALYZE TABLE {t}_t COMPUTE STATISTICS")
+        yield spark
+    finally:
+        for t in ["lineitem", "orders", "nation"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}_t")
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_analyze_publishes_row_counts(cbo_spark):

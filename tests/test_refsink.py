@@ -40,6 +40,20 @@ def test_ref_csv_sink_writes_all_rows_header_once(spark, tmp_path):
     assert glob.glob(os.path.join(out, ".tmp-*")) == []
 
 
+def test_ref_csv_sink_second_append_keeps_first_batch(spark, tmp_path):
+    """Part names carry a per-job token: appending twice accumulates
+    both batches instead of clobbering batch 1's part files."""
+    refsink.register(spark)
+    out = str(tmp_path / "appends")
+    a = spark.range(0, 50).select(F.col("id").alias("v")).repartition(3)
+    b = spark.range(50, 80).select(F.col("id").alias("v")).repartition(3)
+    a.write.format("ref_csv").mode("append").option("path", out).save()
+    b.write.format("ref_csv").mode("append").option("path", out).save()
+    rows = [r for r in _read_all(out) if r != ["v"]]
+    assert sorted(int(r[0]) for r in rows) == list(range(80))
+    assert len(glob.glob(os.path.join(out, "part-*.csv"))) == 6
+
+
 def test_ref_csv_sink_roundtrips_through_spark_reader(spark, tmp_path):
     refsink.register(spark)
     out = str(tmp_path / "roundtrip")

@@ -39,17 +39,23 @@ def test_recursive_tree_covers_every_customer(spark):
 def test_fuzzy_match_recalls_every_dirty_name(spark):
     """Every corrupted name must link back to its source (edit distance
     1 guarantees a prefix/length-band block collision), and the verify
-    step must never pass a pair the blocking admitted wrongly."""
+    step must never pass a pair the blocking admitted wrongly. The
+    expected dirty-name set is DERIVED by applying the query's own
+    corruption in Python, so name collisions or short names in a
+    future corpus change the expectation instead of breaking it."""
     df = _q("join_fuzzy_match")(spark, SF)
     rows = df.collect()
-    dirty_names = {r.dirty_name for r in rows}
-    # each dirty name's own source is a distance-1 match => recall = 100%
     import duckdb
 
-    n_clean = duckdb.sql(
-        f"select count(distinct p_name) from '{SF}/part.parquet'"
-    ).fetchone()[0]
-    assert len(dirty_names) == n_clean
+    clean = {
+        r[0]
+        for r in duckdb.sql(
+            f"select distinct p_name from '{SF}/part.parquet'"
+        ).fetchall()
+    }
+    expected_dirty = {name[:-1] + "_" for name in clean}
+    # recall: every derived dirty name appears among the matches
+    assert {r.dirty_name for r in rows} == expected_dirty
     for r in rows:
         assert r.edit_dist <= 2
         assert r.matched_name[:4] == r.dirty_name[:4]
