@@ -142,3 +142,37 @@ def test_incremental_agg_view_survives_empty_first_batch(spark):
         for r in spark.read.parquet(state).collect()
     }
     assert got == {("BNBUSDT", "buy"): (2, 4.0), ("BNBUSDT", "sell"): (1, 1.0)}
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite write replaces ONLY
+    the partitions present in the incoming data — the daily-reprocess
+    primitive (re-run day N without clobbering the rest of the table).
+    Static mode (the default) would truncate every partition first."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "events_by_day")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("day", F.dayofmonth("ts"))
+        .select("event_id", "day", "value")
+    )
+    ev.write.partitionBy("day").parquet(out)
+    total = ev.count()
+    one_day = ev.where(F.col("day") == 3)
+    fixed = one_day.withColumn("value", F.lit(0.0))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fixed.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    assert back.count() == total  # no other partition lost
+    assert back.where("day = 3").agg(F.sum("value")).first()[0] == 0.0
+    assert back.where("day <> 3").where("value = 0.0").count() == 0
