@@ -70,3 +70,42 @@ def test_ref_csv_sink_roundtrips_through_spark_reader(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in src.collect()
     )
+
+
+def test_ref_csv_sink_overwrite_replaces_previous_parts(spark, tmp_path):
+    refsink.register(spark)
+    out = str(tmp_path / "ow")
+    a = spark.range(0, 40).select(F.col("id").alias("v")).repartition(4)
+    b = spark.range(100, 110).select(F.col("id").alias("v")).repartition(2)
+    a.write.format("ref_csv").mode("append").option("path", out).save()
+    b.write.format("ref_csv").mode("overwrite").option("path", out).save()
+    rows = [int(r[0]) for r in _read_all(out) if r != ["v"]]
+    assert sorted(rows) == list(range(100, 110))  # batch 1 fully replaced
+    assert len(glob.glob(os.path.join(out, "part-*.csv"))) == 2
+
+
+def test_ref_csv_sink_property_no_loss_across_random_appends(spark, tmp_path):
+    """Losslessness property: across several appends of random sizes and
+    partition counts (including empty frames), the union of all parts
+    equals the union of all inputs exactly."""
+    import random
+
+    rng = random.Random(7)
+    refsink.register(spark)
+    out = str(tmp_path / "prop")
+    expected: list[int] = []
+    lo = 0
+    for _ in range(5):
+        n = rng.choice([0, 1, 17, 256])
+        parts = rng.randint(1, 9)
+        df = (
+            spark.range(lo, lo + n)
+            .select(F.col("id").alias("v"))
+            .repartition(parts)
+        )
+        df.write.format("ref_csv").mode("append").option("path", out).save()
+        expected.extend(range(lo, lo + n))
+        lo += n
+    rows = [int(r[0]) for r in _read_all(out) if r != ["v"]]
+    assert sorted(rows) == expected
+    assert glob.glob(os.path.join(out, ".tmp-*")) == []
