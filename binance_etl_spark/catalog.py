@@ -49,19 +49,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name in _TS_COLS:
-        # The harness may hand us a session without these confs; both are
-        # runtime-settable. nanosAsLong is required to scan
-        # TIMESTAMP(NANOS) parquet; UTC makes the NTZ->LTZ cast below an
-        # identity on the underlying epoch micros.
+        # A harness-provided session may lack this read flag, and without
+        # it a TIMESTAMP(NANOS) parquet scan fails outright — so it is
+        # set defensively here. It is a format-decoding flag with no
+        # effect on other queries' semantics. (The session TIMEZONE is
+        # deliberately NOT touched here: both conversions below are
+        # timezone-independent, and engine sessions already run UTC via
+        # session.ENGINE_CONF — a table read must not mutate a timezone
+        # the caller set.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     for col in _TS_COLS.get(name, ()):
         if dtypes.get(col) == "bigint":  # TIMESTAMP(NANOS) as long nanos
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         elif dtypes.get(col) == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # Naive micros are engine-internal UTC instants. A plain
+            # cast("timestamp") would interpret the wall clock in the
+            # SESSION timezone; instead take epoch micros via an
+            # NTZ-vs-NTZ timestampdiff (never consults session tz) and
+            # rebuild the instant — identical under any caller timezone.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(
+                        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+                    )
+                ),
+            )
     return df
 
 

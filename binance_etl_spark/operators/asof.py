@@ -60,6 +60,20 @@ def asof_join(
             lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
     unioned = lhs.unionByName(rhs)
 
+    # Fill from ONE struct of (emitter ts, all right columns), non-null
+    # exactly on emitter rows: last/first(ignorenulls) then picks a
+    # whole matched ROW atomically, so every asof_<col> (and the
+    # tolerance check's matched ts) comes from the SAME right row even
+    # when that row carries NULL in some right column. Per-column
+    # ignorenulls fills would silently substitute a farther row's value
+    # for NULL columns — DuckDB ASOF JOIN keeps the matched row's NULL.
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col("__ts").alias("__asof_ts"),
+            *[F.col(f"asof_{c}") for c in right_cols],
+        ),
+    )
     if direction == "backward":
         # Right rows sort before left rows at equal ts -> inclusive
         # (>=) match; take the LAST emitter at or before each receiver.
@@ -68,7 +82,7 @@ def asof_join(
             .orderBy(F.col("__ts"), F.col(_SIDE))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        pay = F.last(payload, ignorenulls=True).over(w)
     else:
         # Left rows sort before right rows at equal ts -> inclusive
         # (<=) match; take the FIRST emitter at or after each receiver.
@@ -77,23 +91,22 @@ def asof_join(
             .orderBy(F.col("__ts"), F.col(_SIDE).desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        pay = F.first(payload, ignorenulls=True).over(w)
 
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(f"asof_{c}", pick(f"asof_{c}"))
+    filled = unioned.withColumn("__pay", pay)
     if tolerance is not None:
-        asof_ts = pick(F.when(F.col(_SIDE) == 0, F.col("__ts")))
+        asof_ts = F.col("__pay.__asof_ts")
         delta = F.expr(f"INTERVAL {tolerance}")
         if direction == "backward":
             too_far = asof_ts < F.col("__ts") - delta
         else:
             too_far = asof_ts > F.col("__ts") + delta
-        for c in right_cols:
-            filled = filled.withColumn(
-                f"asof_{c}", F.when(too_far, F.lit(None)).otherwise(F.col(f"asof_{c}"))
-            )
-    return filled.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+        filled = filled.withColumn(
+            "__pay", F.when(too_far, F.lit(None)).otherwise(F.col("__pay"))
+        )
+    for c in right_cols:
+        filled = filled.withColumn(f"asof_{c}", F.col(f"__pay.asof_{c}"))
+    return filled.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts", "__pay")
 
 
 def asof_join_nearest(
@@ -137,25 +150,32 @@ def asof_join_nearest(
         .orderBy(F.col("__ts"), F.col(_SIDE).desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    emitter_ts = F.when(F.col(_SIDE) == 0, F.col("__ts"))
-    b_ts = F.last(emitter_ts, ignorenulls=True).over(wb)
-    f_ts = F.first(emitter_ts, ignorenulls=True).over(wf)
+    # As in asof_join: one struct payload per direction, so the chosen
+    # direction's values, timestamp, and asof_dir all come from the
+    # SAME matched right row — per-column ignorenulls fills could
+    # disagree with asof_dir when the nearest row has NULL columns.
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col("__ts").alias("__asof_ts"),
+            *[F.col(f"asof_{c}") for c in right_cols],
+        ),
+    )
+    b_pay = F.last(payload, ignorenulls=True).over(wb)
+    f_pay = F.first(payload, ignorenulls=True).over(wf)
+    b_ts = b_pay.getField("__asof_ts")
+    f_ts = f_pay.getField("__asof_ts")
     us = F.unix_micros(F.col("__ts"))
     use_b = f_ts.isNull() | (
         b_ts.isNotNull() & ((us - F.unix_micros(b_ts)) <= (F.unix_micros(f_ts) - us))
     )
-    out = unioned
+    out = unioned.withColumn("__pay", F.when(use_b, b_pay).otherwise(f_pay))
     for c in right_cols:
-        out = out.withColumn(
-            f"asof_{c}",
-            F.when(use_b, F.last(f"asof_{c}", ignorenulls=True).over(wb)).otherwise(
-                F.first(f"asof_{c}", ignorenulls=True).over(wf)
-            ),
-        )
+        out = out.withColumn(f"asof_{c}", F.col(f"__pay.asof_{c}"))
     out = out.withColumn(
         "asof_dir",
         F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string"))
         .when(use_b, F.lit("backward"))
         .otherwise(F.lit("forward")),
     )
-    return out.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+    return out.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts", "__pay")

@@ -52,10 +52,15 @@ class RefCsvWriter(DataSourceWriter):
             raise ValueError("ref_csv sink requires a 'path' option")
         self.columns = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # Job token minted once on the driver and shipped to every task
+        # via writer pickling: temp AND final part names carry it, so
+        # two concurrent append jobs against the same table never touch
+        # each other's files (commit sweeps only its own token's temps).
+        self.job = uuid.uuid4().hex[:12]
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> _Part:
-        tmp = os.path.join(self.path, f".tmp-part-{uuid.uuid4().hex}.csv")
+        tmp = os.path.join(self.path, f".tmp-{self.job}-part-{uuid.uuid4().hex}.csv")
         os.makedirs(self.path, exist_ok=True)
         n = 0
         # Header-once-per-file (storage.py:67,74): every part is a
@@ -73,19 +78,20 @@ class RefCsvWriter(DataSourceWriter):
     # -- driver side ------------------------------------------------------
     def commit(self, messages) -> None:
         # Publish via O(1) renames only after every task succeeded.
-        # Final names carry a fresh job token so a second append-mode
+        # Final names carry the job token so a second append-mode
         # write can never clobber an earlier batch's parts.
-        job = uuid.uuid4().hex[:12]
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.csv")):
                 os.remove(old)
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{job}-{i:05d}.csv")
+            final = os.path.join(self.path, f"part-{self.job}-{i:05d}.csv")
             os.replace(m.tmp_path, final)
-        # Sweep temps from attempts that never reported a commit
-        # message (task failures, lost speculative duplicates) — after
-        # a successful commit they are garbage by definition.
-        for stray in glob.glob(os.path.join(self.path, ".tmp-part-*.csv")):
+        # Sweep temps from THIS job's attempts that never reported a
+        # commit message (task failures, lost speculative duplicates) —
+        # after a successful commit they are garbage by definition.
+        # Token-scoped on purpose: a concurrent append job's in-flight
+        # temps carry a different token and must survive our commit.
+        for stray in glob.glob(os.path.join(self.path, f".tmp-{self.job}-part-*.csv")):
             os.remove(stray)
 
     def abort(self, messages) -> None:

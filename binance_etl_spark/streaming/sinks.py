@@ -14,10 +14,29 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _swap_state(df: DataFrame, state_path: str) -> None:
+    """Crash-safe state-table swap (rename-aside, as in
+    streaming/dedup_stream.py): write to a staging dir, move the live
+    table ASIDE (rename, not delete), move staging into place, only
+    then delete the old copy. Every crash point leaves either the old
+    or the new complete table on disk — never neither — which matters
+    because earlier micro-batches are already committed in the
+    checkpoint and cannot be replayed to rebuild lost state."""
+    staging = state_path.rstrip("/") + f".__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    old = state_path.rstrip("/") + f".__old_{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(state_path):
+        os.rename(state_path, old)
+    os.rename(staging, state_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def write_reference_csv(df: DataFrame, out_dir: str, symbol: str, market: str, table: str) -> str:
@@ -76,11 +95,7 @@ def foreach_batch_upsert(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = state_path.rstrip("/") + ".__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        _swap_state(merged, state_path)
 
     return apply
 
@@ -145,11 +160,7 @@ def foreach_batch_agg_merge(
         else:
             merged = partial
         out = merged.withColumn("__batch_id", F.lit(batch_id))
-        tmp = state_path.rstrip("/") + ".__staging"
-        out.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        _swap_state(out, state_path)
 
     return apply
 
@@ -218,10 +229,6 @@ def foreach_batch_scd2(
             "*",
             F.lead(ts_col).over(w).alias("valid_to"),
         ).withColumn("is_current", F.col("valid_to").isNull())
-        tmp = state_path.rstrip("/") + ".__staging"
-        versioned.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        _swap_state(versioned, state_path)
 
     return apply

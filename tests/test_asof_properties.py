@@ -125,3 +125,46 @@ def test_asof_nearest_matches_brute_force(spark, seed):
     got = {r["lid"]: (r["asof_rid"], r["asof_dir"]) for r in joined.collect()}
     want = _brute_nearest(left, right)
     assert got == want, f"seed={seed}"
+
+
+def test_asof_null_right_col_comes_from_matched_row(spark):
+    """Matched-row semantics under NULL right columns (ADVICE r2): if
+    the as-of matched right row carries NULL in a right column, the
+    output keeps that NULL — a per-column ignorenulls fill would
+    silently substitute a FARTHER row's value. DuckDB ASOF JOIN keeps
+    the matched row's NULL."""
+    rdf = spark.createDataFrame(
+        [(1, 0, 5), (1, 10, None)], "k INT, ts_us BIGINT, val INT"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    ldf = spark.createDataFrame([(1, 1, 11)], "lid INT, k INT, ts_us BIGINT").withColumn(
+        "ts", F.timestamp_micros("ts_us")
+    )
+    out = asof_join(
+        ldf, rdf.select("k", "ts", "val"), on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["val"],
+    ).collect()
+    assert len(out) == 1
+    # matched row is ts=10 whose val is NULL -> stays NULL (not 5)
+    assert out[0]["asof_val"] is None
+
+
+def test_asof_nearest_null_right_col_agrees_with_direction(spark):
+    """asof_join_nearest: values, matched ts, and asof_dir must all
+    come from the SAME matched row even when that row has NULL columns
+    (ADVICE r2 finding on per-column ignorenulls fills)."""
+    from binance_etl_spark.operators.asof import asof_join_nearest
+
+    # right: ts=0 val=100, ts=10 val=NULL, ts=20 val=777
+    rdf = spark.createDataFrame(
+        [(1, 0, 100), (1, 10, None), (1, 20, 777)], "k INT, ts_us BIGINT, val INT"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    # left ts=9: nearest is ts=10 (forward, dist 1) whose val is NULL
+    ldf = spark.createDataFrame([(1, 1, 9)], "lid INT, k INT, ts_us BIGINT").withColumn(
+        "ts", F.timestamp_micros("ts_us")
+    )
+    row = asof_join_nearest(
+        ldf, rdf.select("k", "ts", "val"), on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["val"],
+    ).collect()[0]
+    assert row["asof_dir"] == "forward"
+    assert row["asof_val"] is None  # from ts=10, NOT 777 from ts=20

@@ -142,3 +142,35 @@ def test_no_python_udf_in_batch_relational(spark, sf_dir):
                  "book_rebuild", "dedup_near_jaccard", "sim_topk_cosine"):
         p = _plan(spark, sf_dir, name)
         assert "EvalPython" not in p, name
+
+
+def test_catalog_load_does_not_mutate_session_timezone(spark, sf_dir):
+    """ADVICE r2: a table read must not override a caller-set session
+    timezone, and the ts normalization must yield the same INSTANTS
+    under any session timezone (conversions are tz-independent)."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        vals_ny = (
+            load(spark, sf_dir, "events")
+            .select(F.unix_micros("ts").alias("u"))
+            .orderBy("u")
+            .limit(5)
+            .collect()
+        )
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        vals_utc = (
+            load(spark, sf_dir, "events")
+            .select(F.unix_micros("ts").alias("u"))
+            .orderBy("u")
+            .limit(5)
+            .collect()
+        )
+        assert vals_ny == vals_utc
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

@@ -109,3 +109,24 @@ def test_ref_csv_sink_property_no_loss_across_random_appends(spark, tmp_path):
     rows = [int(r[0]) for r in _read_all(out) if r != ["v"]]
     assert sorted(rows) == expected
     assert glob.glob(os.path.join(out, ".tmp-*")) == []
+
+
+def test_ref_csv_sink_commit_spares_other_jobs_temps(spark, tmp_path):
+    """Token-scoped stray sweep (ADVICE r2): a CONCURRENT append job's
+    in-flight temp files carry a different job token and must survive
+    this job's commit — sweeping them would make the other job's
+    os.replace publish fail. Our own job's temps are still swept."""
+    refsink.register(spark)
+    out = str(tmp_path / "concurrent")
+    os.makedirs(out)
+    foreign = os.path.join(out, ".tmp-deadbeef0123-part-abc.csv")
+    with open(foreign, "w") as f:
+        f.write("v\n1\n")
+    spark.range(10).select(F.col("id").alias("v")).write.format("ref_csv").mode(
+        "append"
+    ).option("path", out).save()
+    assert os.path.exists(foreign)
+    assert glob.glob(os.path.join(out, ".tmp-*")) == [foreign]
+    # the real batch committed normally around the stranger
+    rows = [r for r in _read_all(out) if r != ["v"]]
+    assert sorted(int(r[0]) for r in rows) == list(range(10))
