@@ -20,6 +20,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(df: DataFrame, keys: Sequence[str], n_salts: int, salt_src: str | None) -> Column:
+    """Deterministic per-row salt in [0, n_salts).
+
+    Never derived from spark_partition_id(): a hot key concentrated in
+    few input partitions (one symbol = one sorted file — the common
+    physical layout) would collapse to one or two salt values and the
+    skew relief would silently vanish. Instead hash row CONTENT
+    (`salt_src` if given, else every non-key column), falling back to a
+    row-id hash when the key columns are the whole row.
+    """
+    if salt_src:
+        return F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    non_key = [c for c in df.columns if c not in keys]
+    if non_key:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(n_salts)).cast("int")
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -31,10 +49,10 @@ def salted_agg(
 
     `aggs` maps output column -> (merge_fn_name, partial_agg_column);
     merge_fn_name in {'sum', 'min', 'max'} merges the per-salt partials.
-    Salt derives from a deterministic hash of `salt_src` (default: a
-    high-cardinality column expression) so re-runs shard identically.
+    Salt derives from a deterministic content hash (see _salt_expr) so
+    re-runs shard identically and file-local hot keys still fan out.
     """
-    salt = (F.xxhash64(F.col(salt_src)) % n_salts if salt_src else F.spark_partition_id() % n_salts)
+    salt = _salt_expr(df, keys, n_salts, salt_src)
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[col.alias(f"__p_{out}") for out, (_, col) in aggs.items()]
     )

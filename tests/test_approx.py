@@ -63,3 +63,49 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     ).collect()
     norm = lambda rows: sorted((r.l_returnflag, str(r.sum_qty), r.n, r.max_price) for r in rows)  # noqa: E731
     assert norm(plain) == norm(salted)
+
+
+def test_salted_agg_default_salt_fans_out_single_partition_hot_key(spark):
+    """VERDICT r2 #4: a hot key packed into ONE input partition (one
+    symbol = one sorted file) must still shard into ~n_salts partials —
+    a spark_partition_id()-derived salt would collapse to one shard.
+    Asserts the default (content-hash) salt yields >= n_salts distinct
+    salt values on a single-partition input, and that the merged result
+    still equals the plain aggregation."""
+    from binance_etl_spark.operators.skew import _salt_expr
+
+    n_salts = 8
+    # one partition, one hot key, distinct payloads
+    df = (
+        spark.range(10_000)
+        .coalesce(1)
+        .select(F.lit("HOTSYM").alias("sym"), F.col("id").alias("v"))
+    )
+    assert df.rdd.getNumPartitions() == 1
+    shards = (
+        df.withColumn("__salt", _salt_expr(df, ["sym"], n_salts, None))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert shards == n_salts
+    got = salted_agg(
+        df, keys=["sym"], aggs={"s": ("sum", F.sum("v")), "n": ("sum", F.count(F.lit(1)))},
+        n_salts=n_salts,
+    ).collect()
+    assert len(got) == 1 and got[0]["s"] == sum(range(10_000)) and got[0]["n"] == 10_000
+
+
+def test_salted_agg_key_only_rows_fall_back_to_rowid_salt(spark):
+    """When the grouping keys are the WHOLE row there is no content to
+    hash; the row-id fallback must still fan out and count correctly."""
+    from binance_etl_spark.operators.skew import _salt_expr
+
+    df = spark.range(5_000).coalesce(1).select(F.lit("K").alias("k"))
+    shards = (
+        df.withColumn("__salt", _salt_expr(df, ["k"], 8, None))
+        .select("__salt").distinct().count()
+    )
+    assert shards >= 4  # hash of a dense id range: all 8 in practice
+    got = salted_agg(df, keys=["k"], aggs={"n": ("sum", F.count(F.lit(1)))}, n_salts=8).collect()
+    assert got == [("K", 5_000)] or (got[0]["k"] == "K" and got[0]["n"] == 5_000)
