@@ -184,6 +184,18 @@ def _prof_str_aggs(c: str) -> list:
     ]
 
 
+def _prof_num_aggs_hll(c: str) -> list:
+    out = _prof_num_aggs(c)
+    out[1] = F.approx_count_distinct(c, rsd=0.02).cast("bigint").alias(f"{c}__nd")
+    return out
+
+
+def _prof_str_aggs_hll(c: str) -> list:
+    out = _prof_str_aggs(c)
+    out[1] = F.approx_count_distinct(c, rsd=0.02).cast("bigint").alias(f"{c}__nd")
+    return out
+
+
 def _prof_oracle() -> str:
     parts = []
     for c in _PROF_NUM:
@@ -225,12 +237,16 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanout: the Expand multiplies rows 6x BEFORE the partial agg, so
     # an under-partitioned local scan must be spread first (no-op on a
     # naturally many-partitioned big input).
+    return _profile_plan(spark, sf_dir, exact=True)
+
+
+def _profile_plan(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     li = fanout(load(spark, sf_dir, "lineitem"))
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in _PROF_NUM:
-        aggs += _prof_num_aggs(c)
+        aggs += _prof_num_aggs(c) if exact else _prof_num_aggs_hll(c)
     for c in _PROF_STR:
-        aggs += _prof_str_aggs(c)
+        aggs += _prof_str_aggs(c) if exact else _prof_str_aggs_hll(c)
     one = li.agg(*aggs)
     stack_args = []
     for c in _PROF_NUM:
@@ -254,6 +270,26 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name", "n_rows", "n_nonnull", "n_distinct",
         "min_units", "max_units", "min_str", "max_str",
     )
+
+
+@register(
+    "profile_columns_hll",
+    oracle=None,  # HLL estimates are engine-specific -> rows-only driver check;
+    # exactness-adjacent guarantees live in tests/test_approx.py
+    # (<=5% error vs exact) and tests/test_plan_pins.py (NO Expand).
+    doc="The 100 TB twin of profile_columns: identical output shape, "
+    "but every DISTINCT is approx_count_distinct (HyperLogLog++, rsd "
+    "2%). The exact profile's Expand duplicates the scan output once "
+    "per distinct aggregate (6x here, 50x on a 50-column table) before "
+    "the partial agg; the HLL plan is a single ordinary partial+final "
+    "hash aggregate — one scan, no row multiplication, sketches merge "
+    "map-side. This is the variant to run on a wide production table; "
+    "the exact twin stays for small/medium tables and as its oracle "
+    "anchor.",
+    tags=("llm", "quality", "profiling", "approx"),
+)
+def profile_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile_plan(spark, sf_dir, exact=False)
 
 
 # --- rag_retrieve_e2e ------------------------------------------------

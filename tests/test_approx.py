@@ -109,3 +109,20 @@ def test_salted_agg_key_only_rows_fall_back_to_rowid_salt(spark):
     assert shards >= 4  # hash of a dense id range: all 8 in practice
     got = salted_agg(df, keys=["k"], aggs={"n": ("sum", F.count(F.lit(1)))}, n_salts=8).collect()
     assert got == [("K", 5_000)] or (got[0]["k"] == "K" and got[0]["n"] == 5_000)
+
+
+def test_profile_hll_within_error_bound_of_exact(spark, sf_dir):
+    """profile_columns_hll: same output shape as the exact profile;
+    every per-column HLL distinct estimate lands within 5% of the
+    exact count (rsd=0.02 sketch), all other stats bit-identical."""
+    from binance_etl_spark.plans.registry import REGISTRY
+
+    exact = {r["col_name"]: r for r in REGISTRY["profile_columns"].fn(spark, sf_dir).collect()}
+    hll = {r["col_name"]: r for r in REGISTRY["profile_columns_hll"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(hll)
+    for c, e in exact.items():
+        h = hll[c]
+        assert h["n_rows"] == e["n_rows"] and h["n_nonnull"] == e["n_nonnull"]
+        assert h["min_units"] == e["min_units"] and h["max_units"] == e["max_units"]
+        assert h["min_str"] == e["min_str"] and h["max_str"] == e["max_str"]
+        assert abs(h["n_distinct"] - e["n_distinct"]) <= max(1, 0.05 * e["n_distinct"]), c

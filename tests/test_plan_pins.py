@@ -303,3 +303,12 @@ def test_seasonal_baseline_broadcasts_slots(spark):
     plan = _plan(spark, "ts_seasonal_baseline")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_profile_hll_has_no_expand(spark):
+    # the 100 TB profile twin: HLL sketches replace exact DISTINCT, so
+    # the plan is a plain partial+final aggregate over ONE scan with NO
+    # Expand row multiplication (the exact twin pays 6x row fan-out)
+    plan = _plan(spark, "profile_columns_hll")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" not in plan
