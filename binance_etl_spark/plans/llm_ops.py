@@ -24,7 +24,7 @@ from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.operators import dedup as D
 from binance_etl_spark.operators import similarity as S
 from binance_etl_spark.operators import text as T
-from binance_etl_spark.operators.multimodal import decode_frames, with_media_meta
+from binance_etl_spark.operators.multimodal import decode_avi_frames, with_media_meta
 from binance_etl_spark.plans.registry import register
 
 CAP_JACCARD = 1000
@@ -662,41 +662,95 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "mime", "byte_len", "content_hash")
 
 
+_AVI_W, _AVI_H, _AVI_VIDS, _AVI_STRIDE = 16, 8, 12, 2
+_AVI_FLEN = _AVI_W * _AVI_H  # 8-bit packed greyscale, no row padding
+# File layout (fixed by construction, asserted by the decoder's walk):
+# RIFF hdr 12 + LIST hdrl 200 (avih 64 + strl 124 + 12) = 212 -> movi
+# LIST at 212, first '00db' data at 224 + 8; frame f data offset:
+_AVI_OFF0, _AVI_FSTEP = 232, 8 + _AVI_FLEN
+
+
+def _make_avi(v: int) -> bytearray:
+    """Synthesize a GENUINE minimal AVI: RIFF/'AVI ' -> LIST hdrl
+    (avih main header + LIST strl with strh 'vids' + strf
+    BITMAPINFOHEADER) -> LIST movi with one '00db' chunk per frame ->
+    idx1 index. Frame f pixel j of video v = (v*31+f*7+j*13)%256, so
+    the DuckDB oracle recomputes every stat from the formula — any
+    byte-layout error in synthesis or the container walk breaks the
+    hash."""
+    import struct
+
+    w, h, nf = _AVI_W, _AVI_H, 6 + (v % 5)
+
+    def chunk(cc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+
+    frames = b""
+    for f in range(nf):
+        frames += chunk(
+            b"00db", bytes((v * 31 + f * 7 + j * 13) % 256 for j in range(_AVI_FLEN))
+        )
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    avih = struct.pack("<14I", 33333, 0, 0, 0, nf, 0, 1, _AVI_FLEN, w, h, 0, 0, 0, 0)
+    strh = (
+        b"vidsRAW8"
+        + struct.pack("<IHH", 0, 0, 0)
+        + struct.pack("<8I", 0, 1, 30, 0, nf, _AVI_FLEN, 0, _AVI_FLEN)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, _AVI_FLEN, 0, 0, 0, 0)
+    strl_kids = chunk(b"strh", strh) + chunk(b"strf", strf)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strl_kids)) + b"strl" + strl_kids
+    hdrl_kids = chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_kids)) + b"hdrl" + hdrl_kids
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 16, 12 + f * _AVI_FSTEP, _AVI_FLEN)
+        for f in range(nf)
+    )
+    body = hdrl + movi + chunk(b"idx1", idx)
+    return bytearray(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body)
+
+
 @register(
     "mm_frame_sample",
-    # The stub decode is pure byte math over ASCII payloads (chunk =
-    # payload[f*step : (f+1)*step], step = max(1, len//4)), so DuckDB
-    # replicates it exactly with substr + sha256 — a full value oracle
-    # despite the decode being a stub.
-    oracle="""
-    WITH assets(asset_id, payload_str) AS (
-      VALUES (1, 'fake-jpeg-bytes-aaaaaaaaaaaaaaaa'),
-             (2, 'fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb'),
-             (3, 'fake-wav-bytes-cccccccccccc'),
-             (4, 'fake-mp4-bytes-dddddddddddddddddddddddddddddddd')
-    ),
-    steps AS (
-      SELECT asset_id, payload_str,
-             greatest(1, CAST(floor(length(payload_str) / 4) AS INT)) AS step
-      FROM assets
-    ),
+    # Full value oracle from the generative pixel formula + the closed
+    # form of the fixed container layout (byte_offset = 232 + 136*f).
+    oracle=f"""
+    WITH vids AS (SELECT UNNEST(generate_series(0, {_AVI_VIDS - 1})) AS video_id),
     frames AS (
-      SELECT s.asset_id,
-             CAST(f.frame_no AS INT) AS frame_no,
-             CAST(f.frame_no * s.step AS BIGINT) AS byte_offset,
-             substr(s.payload_str, f.frame_no * s.step + 1, s.step) AS chunk
-      FROM steps s, generate_series(0, 3) f(frame_no)
+      SELECT video_id, 6 + (video_id % 5) AS n_frames, f.f AS frame_no
+      FROM vids, UNNEST(generate_series(0, 10)) f(f)
+      WHERE f.f < 6 + (video_id % 5) AND f.f % {_AVI_STRIDE} = 0
+    ),
+    px AS (
+      SELECT video_id, n_frames, frame_no,
+             (video_id*31 + frame_no*7 + j.j*13) % 256 AS b
+      FROM frames, UNNEST(generate_series(0, {_AVI_FLEN - 1})) j(j)
     )
-    SELECT CAST(asset_id AS BIGINT) AS asset_id, frame_no, byte_offset,
-           sha256(chunk) AS frame_hash,
-           CAST(length(chunk) AS INT) AS frame_len
-    FROM frames
+    SELECT CAST(video_id AS BIGINT) AS video_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST({_AVI_W} AS INT) AS width, CAST({_AVI_H} AS INT) AS height,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST({_AVI_OFF0} + {_AVI_FSTEP} * frame_no AS BIGINT) AS byte_offset,
+           CAST({_AVI_FLEN} AS INT) AS frame_len,
+           CAST(SUM(b) AS BIGINT) AS sum_px
+    FROM px GROUP BY video_id, n_frames, frame_no
     """,
-    doc="Frame sampling via mapInPandas over binary payloads — decode "
-    "STUBBED deterministically (no media libs in container); Arrow "
-    "batch shape, schema, and plumbing are production-real. The stub "
-    "is deterministic byte math, so it still gets a full value oracle.",
+    doc="REAL video container decode over a binary column: 12 genuine "
+    "minimal AVI files (RIFF signature, hdrl/avih main header, strl "
+    "stream headers, movi '00db' frame chunks, idx1 index — synthesized "
+    "with stdlib struct) are parsed BACK by walking the RIFF chunk tree "
+    "(operators/multimodal.py::decode_avi_frames): header-declared "
+    "frame count validated against the movi chunk count, every "
+    f"{_AVI_STRIDE}nd frame sampled, pixel bytes reduced to stats. "
+    "Completes the real-decode triad with mm_image_decode (BMP) and "
+    "mm_audio_decode (WAV). The oracle recomputes everything from the "
+    "generative pixel formula and the container's closed-form layout.",
     tags=("multimodal", "udf"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_frames(_mm_assets(spark), n_frames=4)
+    vids = spark.createDataFrame(
+        [(v, _make_avi(v)) for v in range(_AVI_VIDS)], "video_id BIGINT, payload BINARY"
+    )
+    return decode_avi_frames(vids, stride=_AVI_STRIDE)

@@ -360,8 +360,8 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct inside Arrow-batched mapInPandas "
     "(operators/multimodal.py::decode_wav). The oracle recomputes the "
     "stats from the generative formula, so a single corrupted byte in "
-    "synthesis, transport, or decode breaks the hash. The video path "
-    "(mm_frame_sample) stays stubbed: no media libs in this container.",
+    "synthesis, transport, or decode breaks the hash. The video member "
+    "of the triad is mm_frame_sample (real RIFF/AVI container walk).",
     tags=("multimodal", "udf"),
 )
 def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
