@@ -275,3 +275,63 @@ def market_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (turnover.cast("double") / volume.cast("double")).alias("vwap"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+_SS_JOIN_ORACLE = f"""
+    WITH tf(frame, arrival_ms) AS {_sql_frame_values(FX.trade_frames())},
+    t AS (
+      SELECT json_extract_string(frame, '$.s') AS symbol,
+             CAST(json_extract(frame, '$.E') AS BIGINT) AS t_ms,
+             CAST(json_extract(frame, '$.t') AS BIGINT) AS trade_id
+      FROM tf
+      WHERE json_valid(frame) AND json_extract_string(frame, '$.e') = 'trade'
+    ),
+    df(frame, arrival_ms) AS {_sql_frame_values(FX.depth_frames())},
+    d AS (
+      SELECT json_extract_string(frame, '$.s') AS symbol,
+             CAST(json_extract(frame, '$.E') AS BIGINT) AS d_ms,
+             CAST(json_extract(frame, '$.u') AS BIGINT) AS last_update_id
+      FROM df
+      WHERE json_valid(frame) AND json_extract_string(frame, '$.e') = 'depthUpdate'
+    )
+    SELECT t.symbol, t.trade_id, t.t_ms, d.last_update_id, d.d_ms
+    FROM t JOIN d
+      ON d.symbol = t.symbol
+     AND d.d_ms BETWEEN t.t_ms - 1000 AND t.t_ms + 1000
+"""
+
+
+@register(
+    "join_stream_stream",
+    oracle=_SS_JOIN_ORACLE,
+    doc="Batch twin of the stream-stream interval join (SURVEY §2.5): "
+    "trades x depth updates of the same symbol within ±1s of event "
+    "time, over the SAME replay fixtures and the SAME join predicate "
+    "as the Structured Streaming version "
+    "(tests/test_streaming.py::test_stream_stream_interval_join, "
+    "which also asserts stream == this batch result). In streaming, "
+    "watermarks on both sides bound the state retention; they do not "
+    "change which in-window pairs an inner join emits — so the batch "
+    "plan IS the semantic oracle for the stream. At scale both sides "
+    "shuffle once on symbol; the time predicate prunes within "
+    "co-partitioned ranges.",
+    tags=("join", "streaming-analog"),
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture_dir()
+    trades = parse_trades(read_replay(spark, paths["trades"])).select(
+        "symbol", F.col("timestamp").alias("t_ms"), F.col("id").alias("trade_id")
+    )
+    depth = parse_depth_updates(read_replay(spark, paths["depth"])).select(
+        F.col("symbol").alias("d_symbol"),
+        F.col("timestamp").alias("d_ms"),
+        "last_update_id",
+    )
+    joined = trades.join(
+        depth,
+        (trades.symbol == depth.d_symbol)
+        & (depth.d_ms >= trades.t_ms - 1000)
+        & (depth.d_ms <= trades.t_ms + 1000),
+        "inner",
+    )
+    return joined.select("symbol", "trade_id", "t_ms", "last_update_id", "d_ms")

@@ -193,7 +193,14 @@ def test_stream_stream_interval_join(spark, fx_paths):
         & (depth.d_ts <= trades.t_ts + F.expr("INTERVAL 1 SECOND")),
         "inner",
     )
-    q = joined.writeStream.format("memory").queryName("mem_ss").outputMode("append").start()
+    out = joined.select(
+        "symbol",
+        F.col("trade_id"),
+        F.unix_millis("t_ts").alias("t_ms"),
+        "last_update_id",
+        F.unix_millis("d_ts").alias("d_ms"),
+    )
+    q = out.writeStream.format("memory").queryName("mem_ss").outputMode("append").start()
     q.processAllAvailable()
     # sink progress metrics: the engine twin of the reference's
     # total_messages counters (base.py:76-81)
@@ -205,6 +212,13 @@ def test_stream_stream_interval_join(spark, fx_paths):
     # drops it later, parse does not) at T0+{50,150,250,350,450,550}
     assert len(rows) == 10 * 6
     assert progress is not None and "sources" in progress
+    # stream == batch twin (the oracle-checked registry query
+    # join_stream_stream): watermarks bound state, not which in-window
+    # pairs an inner join emits
+    from binance_etl_spark.plans import registry
+
+    batch = registry.queries()["join_stream_stream"](spark, "")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch.collect()))
 
 
 # ---------------------------------------------------------------------------
