@@ -52,6 +52,44 @@ def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(normed)
 
 
+# Python-client types a registered query may emit. The round-1 driver
+# failures were ALL dtype-normalization drift (Decimal scale, DATE /
+# TIMESTAMP client formatting, HUGEINT) — the registry rule is that
+# results leave as double/bigint/string/bool only, so any engine's
+# client hasher stringifies them identically. Enforced on BOTH engines'
+# raw client values for every oracle, so a future driver sample is
+# green by construction.
+_HASH_SAFE_TYPES = (int, float, str, bool, type(None))
+
+
+def _assert_hash_safe(name: str, cols, rows, engine: str) -> None:
+    for j, c in enumerate(cols):
+        for r in rows:
+            v = r[j]
+            if isinstance(v, list):
+                bad = [x for x in v if not isinstance(x, _HASH_SAFE_TYPES)]
+                assert not bad, (
+                    f"{name}: {engine} column {c!r} emits list of "
+                    f"{type(bad[0]).__name__} — registry outputs must be "
+                    "double/bigint/string/bool (driver-hash-safe)"
+                )
+            else:
+                assert isinstance(v, _HASH_SAFE_TYPES), (
+                    f"{name}: {engine} column {c!r} emits "
+                    f"{type(v).__name__} ({v!r}) — registry outputs must be "
+                    "double/bigint/string/bool (driver-hash-safe)"
+                )
+
+
+def _col_type_tags(cols, rows) -> dict[str, set]:
+    tags: dict[str, set] = {c: set() for c in cols}
+    for r in rows:
+        for j, c in enumerate(cols):
+            if r[j] is not None:
+                tags[c].add(_norm(r[j])[0])
+    return tags
+
+
 def compare(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
     sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
@@ -68,6 +106,15 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
+    # Driver-hash preconditions: only hash-stable client types leave a
+    # query, and both engines agree on every column's type kind.
+    _assert_hash_safe(name, s_cols, s_rows, "spark")
+    _assert_hash_safe(name, d_cols, d_rows, "duckdb")
+    s_tags, d_tags = _col_type_tags(s_cols, s_rows), _col_type_tags(d_cols, d_rows)
+    for c in s_cols:
+        assert s_tags[c] == d_tags[c], (
+            f"{name}: column {c!r} type-kind drift spark={s_tags[c]} duckdb={d_tags[c]}"
+        )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
     )
