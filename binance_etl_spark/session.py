@@ -30,7 +30,15 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.decimalOperations.allowPrecisionLoss": "true",
     # File sources: 128 MiB split targets parquet row-group alignment.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep Spark's stock 10 MiB: the estimate feeding this threshold is
+    # COMPRESSED parquet bytes (column-pruned), which understates the
+    # in-memory hashed-relation size ~5-10x. A generous threshold let
+    # Catalyst broadcast a column-pruned FACT side (measured: TPC-H Q3
+    # at ~sf1 broadcast the filtered 6M-row lineitem under 64 MiB —
+    # 3.8s vs 1.1s, and a driver OOM at real scale). True dims are KBs
+    # to a few MBs and still auto-broadcast; plans that must broadcast
+    # use explicit broadcast() hints, which bypass the threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # Test data carries parquet TIMESTAMP(NANOS); read as long then convert
     # (catalog.load) — Spark's TimestampType is micros.
