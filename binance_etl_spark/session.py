@@ -14,8 +14,41 @@ Scale posture (100 TB target, tested on local[N]):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+_VENDOR_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+
+
+def ensure_protobuf() -> str:
+    """Make `google.protobuf` importable, preferring a real install.
+
+    Spark 4's transformWithStateInPandas Python worker needs protobuf
+    (StateMessage_pb2) to talk to the JVM state server; this container
+    has none, so the engine vendors a minimal from-scratch runtime
+    (vendor/README.md). Must run BEFORE the JVM starts: local-mode
+    Python workers inherit PYTHONPATH from the JVM process environment,
+    which inherits it from this process at JVM fork.
+
+    Returns which implementation is active: 'real' or 'shim'.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        return "real"
+    except ImportError:
+        pass
+    if _VENDOR_DIR not in sys.path:
+        sys.path.insert(0, _VENDOR_DIR)
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _VENDOR_DIR not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [_VENDOR_DIR] + [p for p in parts if p]
+        )
+    import google.protobuf  # noqa: F401  (fail loudly if the shim is broken)
+
+    return "shim"
 
 # Defaults chosen for the local[32] harness; every one of these is
 # either scale-neutral or *more* important on a 1000-executor cluster.
@@ -59,6 +92,7 @@ def get_spark(app_name: str = "binance-etl-spark", extra_conf: dict[str, str] | 
     Local master is only used when no master is configured (tests/bench);
     under a real cluster submit, the configured master wins.
     """
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:

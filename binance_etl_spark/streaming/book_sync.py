@@ -161,10 +161,12 @@ def book_sync_batch(updates, snapshot_for: dict[str, dict]):
 #
 # Two implementations of the same state machine:
 # - applyInPandasWithState (used by book_sync_stream): GroupState holds
-#   (synced, prev_u, buffer_json) — works everywhere.
+#   (synced, prev_u, buffer_json) — works on any state-store backend.
 # - transformWithStateInPandas (BookSyncProcessor): the Spark 4
-#   successor with typed value/list state — requires protobuf, which
-#   this container lacks, so it is provided but not the default path.
+#   successor with typed value/list state. Requires protobuf (the
+#   engine vendors a minimal runtime, session.ensure_protobuf) and a
+#   multi-column-family state store (RocksDB). Equivalence to the
+#   default path is pinned in tests/test_tws_book_sync.py.
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.streaming.state import GroupStateTimeout
@@ -202,12 +204,15 @@ def book_sync_stream(updates, snapshot_for: dict[str, dict], available_after_ms:
     )
 
 
-try:  # pragma: no cover - transformWithStateInPandas needs protobuf
+try:
+    from binance_etl_spark.session import ensure_protobuf
+
+    ensure_protobuf()
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-except ImportError:  # pragma: no cover
+except ImportError:  # pragma: no cover - only if even the shim fails
     StatefulProcessor = object  # type: ignore[assignment,misc]
     StatefulProcessorHandle = object  # type: ignore[assignment,misc]
 

@@ -8,7 +8,12 @@ combinable aggregation, broadcast or banded joins), while an
 accidentally quadratic or shuffle-fat plan blows past 10x. Results are
 recorded in PERFORMANCE.md.
 
-Usage: python scripts/scale_probe.py [--rebuild]
+Usage: python scripts/scale_probe.py [--rebuild] [--x100]
+
+--x100 adds a third decade: a 100x replica (~sf10, lineitem 60M rows)
+built from the 10x replica by a second-level key shift, probed with
+the TOP-5 heaviest plans only (the local[32]/128 GiB box holds it; the
+full query list would just repeat the sf1 evidence at 10x the wait).
 """
 
 from __future__ import annotations
@@ -27,7 +32,19 @@ from binance_etl_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/scale_probe_sf1"
+DST100 = "/tmp/scale_probe_sf10"
 COPIES = 10
+
+# --x100 probes this subset (the five heaviest/most shuffle-exposed
+# batch plans: scan-agg, broadcast dim chain, 3-table SQL join-agg,
+# keyed window, full-corpus hash dedup).
+TOP5 = [
+    "agg_pricing_summary",
+    "join_inner_broadcast",
+    "sql_q3_topk",
+    "win_running_sum",
+    "dedup_exact",
+]
 
 # Key columns to shift per replica so joins/dedup keep realistic
 # cardinality instead of 10 exact copies of every key.
@@ -113,13 +130,39 @@ def build(spark) -> None:
         print(f"built {t}: {n} -> {n * COPIES} rows")
 
 
-def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+def build_x100(spark) -> None:
+    """100x replica from the 10x one: second-level key shift (stride
+    10^10 clears the 10x key range of ~9x10^8 + 600k), same FK-pair
+    discipline — replica (i, j) facts join replica (i, j) dims only."""
+    shutil.rmtree(DST100, ignore_errors=True)
+    os.makedirs(DST100, exist_ok=True)
+    for t in ["region", "nation", "supplier", "part"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST100}/{t}.parquet")
+    shift2 = 10_000_000_000
+    for t, keys in KEY_SHIFT.items():
+        base = spark.read.parquet(f"{DST}/{t}.parquet")
+        for j in range(COPIES):
+            d = base
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(j * shift2))
+            if t == "documents":
+                d = d.withColumn(
+                    "doc_id",
+                    (F.col("doc_id").cast("bigint") + F.lit(j * shift2)).cast("string"),
+                )
+            d.write.mode("append").parquet(f"{DST100}/{t}.parquet")
+        n = spark.read.parquet(f"{DST100}/{t}.parquet").count()
+        print(f"built x100 {t}: {n} rows")
+
+
+def run(spark, sf_dir: str, names=None) -> dict[str, tuple[float, int]]:
     """(best-of-3 wall clock, output rows) per query — the row count
     proves the replicated FK joins actually produce 10x output rather
     than dangling."""
     out = {}
-    fns = {name: REGISTRY[name].fn for name in QUERIES}
-    fns["minhash_lsh_fullcorpus"] = minhash_full
+    fns = {name: REGISTRY[name].fn for name in (names or QUERIES)}
+    if names is None:
+        fns["minhash_lsh_fullcorpus"] = minhash_full
     for name, fn in fns.items():
         rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
         best = float("inf")
@@ -140,6 +183,18 @@ def main() -> None:
     _ensure_loaded()
     if "--rebuild" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    if "--x100" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(DST100):
+            build_x100(spark)
+        mid = run(spark, DST, TOP5)
+        big = run(spark, DST100, TOP5)
+        hdr = f"\n{'query':30s} {'sf~1':>7s} {'sf~10':>7s} {'slope':>6s} {'rows~1':>10s} {'rows~10':>11s}"
+        print(hdr)
+        for name in mid:
+            (t0, r0), (t1, r1) = mid[name], big[name]
+            slope = t1 / max(t0, 0.01)
+            print(f"{name:30s} {t0:7.2f} {t1:7.2f} {slope:5.1f}x {r0:10d} {r1:11d}")
+        return
     small = run(spark, SRC)
     big = run(spark, DST)
     hdr = f"\n{'query':30s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s} {'rows0.1':>10s} {'rows~1':>11s}"

@@ -1,0 +1,99 @@
+"""Vendored protobuf shim: wire-format unit tests (no Spark needed).
+
+The tWS integration test (test_tws_book_sync.py) proves the shim
+against the JVM's real protobuf parser; these tests pin the encoder/
+decoder edge cases directly — negative/large varints, unicode, empty
+vs unset, oneof switching, nested repeated messages, unknown-field
+skip (forward compatibility)."""
+
+from __future__ import annotations
+
+import pytest
+
+from binance_etl_spark.session import ensure_protobuf
+
+ensure_protobuf()
+
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
+
+
+def _rt(msg, cls):
+    out = cls()
+    out.ParseFromString(msg.SerializeToString())
+    return out
+
+
+def test_varint_signed_values_roundtrip():
+    for v in (0, 1, -1, 127, 128, -128, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)):
+        m = _rt(sm.RegisterTimer(expiryTimestampMs=v), sm.RegisterTimer)
+        assert m.expiryTimestampMs == v, v
+
+
+def test_string_unicode_and_empty():
+    m = _rt(sm.StateCallCommand(stateName="ключ-βß—🙂", schema=""), sm.StateCallCommand)
+    assert m.stateName == "ключ-βß—🙂"
+    # proto3: explicitly-set empty string is indistinguishable from
+    # unset on the wire for plain fields — default comes back
+    assert m.schema == ""
+
+
+def test_bytes_with_all_byte_values():
+    payload = bytes(range(256))
+    m = _rt(sm.SetImplicitKey(key=payload), sm.SetImplicitKey)
+    assert m.key == payload
+
+
+def test_oneof_set_clears_siblings():
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(setHandleState=sm.SetHandleState(state=sm.CREATED))
+    )
+    req.implicitGroupingKeyRequest = sm.ImplicitGroupingKeyRequest(
+        removeImplicitKey=sm.RemoveImplicitKey()
+    )
+    back = _rt(req, sm.StateRequest)
+    assert back.HasField("implicitGroupingKeyRequest")
+    assert not back.HasField("statefulProcessorCall")
+    assert back.WhichOneof("method") == "implicitGroupingKeyRequest"
+
+
+def test_repeated_nested_messages():
+    pairs = [sm.KeyAndValuePair(key=bytes([i]), value=bytes([i, i])) for i in range(20)]
+    m = _rt(
+        sm.StateResponseWithMapIterator(statusCode=7, kvPair=pairs, requireNextFetch=True),
+        sm.StateResponseWithMapIterator,
+    )
+    assert m.statusCode == 7 and m.requireNextFetch is True
+    assert [(p.key, p.value) for p in m.kvPair] == [(p.key, p.value) for p in pairs]
+
+
+def test_repeated_bytes_order_preserved():
+    vals = [b"a", b"", b"ccc", b"dd"]
+    m = _rt(sm.ListStatePut(value=vals, fetchWithArrow=False), sm.ListStatePut)
+    assert list(m.value) == vals
+
+
+def test_unknown_fields_skipped():
+    # encode a message, then append an unknown field (tag 99, varint)
+    base = sm.StateResponse(statusCode=1, value=b"x").SerializeToString()
+    unknown = b"\x98\x06\x2a"  # tag varint for (field 99, wire 0), value 42
+    m = sm.StateResponse()
+    m.ParseFromString(base + unknown)
+    assert m.statusCode == 1 and m.value == b"x"
+
+
+def test_enum_wrapper_and_constants():
+    assert sm.HandleState.Value("CLOSED") == sm.CLOSED == 5
+    assert sm.HandleState.Name(0) == "PRE_INIT"
+    m = _rt(sm.SetHandleState(state=sm.TIMER_PROCESSED), sm.SetHandleState)
+    assert m.state == sm.TIMER_PROCESSED
+
+
+def test_kwarg_none_means_unset():
+    m = sm.StateCallCommand(stateName="s", ttl=None)
+    assert not m.HasField("ttl")
+    assert m.ttl.durationMs == 0  # default instance read
+
+
+def test_unknown_field_name_raises():
+    with pytest.raises(AttributeError):
+        sm.StateCallCommand(nope=1)
