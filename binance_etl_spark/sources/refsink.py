@@ -1,7 +1,9 @@
-"""Reference-layout CSV sink: PySpark 4 Python Data Source WRITER.
+"""Reference-layout CSV sink: PySpark 4 Python Data Source WRITER,
+batch (RefCsvWriter) and streaming (RefCsvStreamWriter).
 
 The write-side twin of sources/replay.py — together they complete the
-Python DataSource matrix (batch read / stream read / batch write).
+full Python DataSource matrix (batch read / stream read / batch write
+/ stream write).
 Reproduces the reference's CSV sink contract (storage.py:57-75):
 header-once, append-only chunks, one logical table per
 `{symbol}.{market}.{table}` name — but with a real distributed commit
@@ -36,7 +38,12 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -100,8 +107,57 @@ class RefCsvWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class RefCsvStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: `df.writeStream.format("ref_csv")...` — the
+    exactly-once streaming version of the reference's lossy CSV sink
+    (reference base.py:39-45 drops sub-batch rows on stop; this sink
+    publishes every micro-batch atomically and loses nothing).
+
+    Exactly-once story: final part names are DETERMINISTIC in
+    (batchId, task index). A batch replayed after a crash re-runs its
+    tasks and commit() re-publishes over the SAME final names
+    (os.replace is atomic), so replay is idempotent at file
+    granularity — the streaming analog of the batch writer's job-token
+    isolation, keyed by batch id instead.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ref_csv stream sink requires a 'path' option")
+        self.columns = [f.name for f in schema.fields]
+        self.job = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _Part:
+        tmp = os.path.join(self.path, f".tmp-{self.job}-part-{uuid.uuid4().hex}.csv")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.columns)
+            for row in iterator:
+                w.writerow([row[c] for c in self.columns])
+                n += 1
+        return _Part(tmp_path=tmp, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-b{batchId:010d}-{i:05d}.csv")
+            os.replace(m.tmp_path, final)
+        for stray in glob.glob(os.path.join(self.path, f".tmp-{self.job}-part-*.csv")):
+            os.remove(stray)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class RefCsvDataSource(DataSource):
-    """`df.write.format("ref_csv").option("path", dir).save()`."""
+    """`df.write.format("ref_csv").option("path", dir).save()` (batch)
+    and `df.writeStream.format("ref_csv")...` (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -109,6 +165,9 @@ class RefCsvDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> RefCsvWriter:
         return RefCsvWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> RefCsvStreamWriter:
+        return RefCsvStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:
