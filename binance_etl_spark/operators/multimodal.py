@@ -137,6 +137,54 @@ AVI_FRAME_SCHEMA = (
 )
 
 
+def parse_avi_container(data: bytes, vid: int) -> tuple[int, int, int, list[tuple[int, int, int]]]:
+    """Walk a RIFF/AVI byte stream; returns (declared_frames, width,
+    height, [(frame_no, data_offset, length)]). Validates the
+    signature, the presence of the avih main header, and that the
+    header-declared frame count matches the movi chunk count —
+    malformed media raises instead of emitting garbage."""
+    import struct
+
+    if data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError(f"video {vid}: not a RIFF/AVI payload")
+    declared = width = height = None
+    frames: list[tuple[int, int, int]] = []
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if fourcc == b"LIST":
+            ltype = data[pos + 8 : pos + 12]
+            if ltype == b"hdrl":
+                p2, end = pos + 12, pos + 8 + size
+                while p2 + 8 <= end:
+                    cc2 = data[p2 : p2 + 4]
+                    (sz2,) = struct.unpack_from("<I", data, p2 + 4)
+                    if cc2 == b"avih":
+                        # dwTotalFrames @16, dwWidth @32, dwHeight @36
+                        (declared,) = struct.unpack_from("<I", data, p2 + 8 + 16)
+                        width, height = struct.unpack_from("<II", data, p2 + 8 + 32)
+                    p2 += 8 + sz2 + (sz2 & 1)
+            elif ltype == b"movi":
+                p2, end = pos + 12, pos + 8 + size
+                fno = 0
+                while p2 + 8 <= end:
+                    cc2 = data[p2 : p2 + 4]
+                    (sz2,) = struct.unpack_from("<I", data, p2 + 4)
+                    if cc2[2:4] in (b"db", b"dc"):
+                        frames.append((fno, p2 + 8, sz2))
+                        fno += 1
+                    p2 += 8 + sz2 + (sz2 & 1)
+        pos += 8 + size + (size & 1)
+    if declared is None:
+        raise ValueError(f"video {vid}: no avih header found")
+    if declared != len(frames):
+        raise ValueError(
+            f"video {vid}: avih declares {declared} frames, movi holds {len(frames)}"
+        )
+    return declared, int(width), int(height), frames
+
+
 def decode_avi_frames(
     assets: DataFrame, payload_col: str = "payload", stride: int = 2
 ) -> DataFrame:
@@ -156,8 +204,6 @@ def decode_avi_frames(
     batch holds whole payloads, work is embarrassingly parallel, and
     only the sampled frames' stats (not pixels) cross back to the JVM.
     """
-    import struct
-
     import pandas as pd
 
     def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,44 +212,7 @@ def decode_avi_frames(
             for _, r in pdf.iterrows():
                 vid = int(r["video_id"])
                 data = bytes(r[payload_col])
-                if data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
-                    raise ValueError(f"video {vid}: not a RIFF/AVI payload")
-                declared = width = height = None
-                frames: list[tuple[int, int, int]] = []  # (no, data_off, len)
-                pos = 12
-                while pos + 8 <= len(data):
-                    fourcc = data[pos : pos + 4]
-                    (size,) = struct.unpack_from("<I", data, pos + 4)
-                    if fourcc == b"LIST":
-                        ltype = data[pos + 8 : pos + 12]
-                        if ltype == b"hdrl":
-                            p2, end = pos + 12, pos + 8 + size
-                            while p2 + 8 <= end:
-                                cc2 = data[p2 : p2 + 4]
-                                (sz2,) = struct.unpack_from("<I", data, p2 + 4)
-                                if cc2 == b"avih":
-                                    # dwTotalFrames @16, dwWidth @32, dwHeight @36
-                                    (declared,) = struct.unpack_from("<I", data, p2 + 8 + 16)
-                                    width, height = struct.unpack_from("<II", data, p2 + 8 + 32)
-                                p2 += 8 + sz2 + (sz2 & 1)
-                        elif ltype == b"movi":
-                            p2, end = pos + 12, pos + 8 + size
-                            fno = 0
-                            while p2 + 8 <= end:
-                                cc2 = data[p2 : p2 + 4]
-                                (sz2,) = struct.unpack_from("<I", data, p2 + 4)
-                                if cc2[2:4] in (b"db", b"dc"):
-                                    frames.append((fno, p2 + 8, sz2))
-                                    fno += 1
-                                p2 += 8 + sz2 + (sz2 & 1)
-                    pos += 8 + size + (size & 1)
-                if declared is None:
-                    raise ValueError(f"video {vid}: no avih header found")
-                if declared != len(frames):
-                    raise ValueError(
-                        f"video {vid}: avih declares {declared} frames, "
-                        f"movi holds {len(frames)}"
-                    )
+                declared, width, height, frames = parse_avi_container(data, vid)
                 for fno, off, ln in frames:
                     if fno % stride:
                         continue
@@ -229,6 +238,47 @@ def decode_avi_frames(
             )
 
     return assets.select("video_id", payload_col).mapInPandas(_walk, AVI_FRAME_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = (
+    "video_id BIGINT, frame_no INT, diff_sum BIGINT, is_cut BOOLEAN"
+)
+
+
+def avi_scene_cuts(assets: DataFrame, threshold: int, payload_col: str = "payload") -> DataFrame:
+    """Scene-change detection over decoded AVI frames: for every
+    consecutive frame pair, the sum of absolute per-pixel differences;
+    `is_cut` when it exceeds `threshold`. This is the keyframe-selection
+    step of a video training-data pipeline — sample ONE frame per scene
+    instead of every Nth, so near-identical frames don't flood the
+    corpus.
+
+    Same scale shape as decode_avi_frames: whole payloads per Arrow
+    batch, only (video, frame, diff) stats return to the JVM."""
+    import pandas as pd
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vid = int(r["video_id"])
+                data = bytes(r[payload_col])
+                _declared, _w, _h, frames = parse_avi_container(data, vid)
+                prev = None
+                for fno, off, ln in frames:
+                    cur = data[off : off + ln]
+                    if prev is not None:
+                        d = sum(abs(a - b) for a, b in zip(prev, cur))
+                        rows.append(
+                            {"video_id": vid, "frame_no": fno,
+                             "diff_sum": d, "is_cut": d > threshold}
+                        )
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_no", "diff_sum", "is_cut"]
+            )
+
+    return assets.select("video_id", payload_col).mapInPandas(_cuts, SCENE_CUT_SCHEMA)
 
 
 AHASH_SCHEMA = "img_id BIGINT, blocks ARRAY<BIGINT>"

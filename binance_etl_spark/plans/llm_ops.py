@@ -670,16 +670,19 @@ _AVI_FLEN = _AVI_W * _AVI_H  # 8-bit packed greyscale, no row padding
 _AVI_OFF0, _AVI_FSTEP = 232, 8 + _AVI_FLEN
 
 
-def _make_avi(v: int) -> bytearray:
+def _make_avi(v: int, pixel=None) -> bytearray:
     """Synthesize a GENUINE minimal AVI: RIFF/'AVI ' -> LIST hdrl
     (avih main header + LIST strl with strh 'vids' + strf
     BITMAPINFOHEADER) -> LIST movi with one '00db' chunk per frame ->
-    idx1 index. Frame f pixel j of video v = (v*31+f*7+j*13)%256, so
-    the DuckDB oracle recomputes every stat from the formula — any
-    byte-layout error in synthesis or the container walk breaks the
-    hash."""
+    idx1 index. Default pixel formula: frame f pixel j of video v =
+    (v*31+f*7+j*13)%256 — so the DuckDB oracle recomputes every stat
+    from the formula; any byte-layout error in synthesis or the
+    container walk breaks the hash. `pixel(f, j)` overrides the
+    formula (mm_scene_cut uses a scene-structured one)."""
     import struct
 
+    if pixel is None:
+        pixel = lambda f, j: (v * 31 + f * 7 + j * 13) % 256  # noqa: E731
     w, h, nf = _AVI_W, _AVI_H, 6 + (v % 5)
 
     def chunk(cc: bytes, payload: bytes) -> bytes:
@@ -688,9 +691,7 @@ def _make_avi(v: int) -> bytearray:
 
     frames = b""
     for f in range(nf):
-        frames += chunk(
-            b"00db", bytes((v * 31 + f * 7 + j * 13) % 256 for j in range(_AVI_FLEN))
-        )
+        frames += chunk(b"00db", bytes(pixel(f, j) for j in range(_AVI_FLEN)))
     movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
     avih = struct.pack("<14I", 33333, 0, 0, 0, nf, 0, 1, _AVI_FLEN, w, h, 0, 0, 0, 0)
     strh = (
@@ -754,3 +755,60 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v, _make_avi(v)) for v in range(_AVI_VIDS)], "video_id BIGINT, payload BINARY"
     )
     return decode_avi_frames(vids, stride=_AVI_STRIDE)
+
+
+_SCENE_LEN, _SCENE_THRESHOLD = 3, 1000
+
+
+def _make_avi_scenes(v: int) -> bytearray:
+    """AVI variant with SCENE structure: pixel formula depends on
+    f // _SCENE_LEN, so frames within a scene are identical (diff 0)
+    and scene boundaries jump — the known-answer input for cut
+    detection."""
+    return _make_avi(
+        v, pixel=lambda f, j: (v * 31 + (f // _SCENE_LEN) * 97 + j * 13) % 256
+    )
+
+
+@register(
+    "mm_scene_cut",
+    # diff of consecutive frames from the generative formula; integer
+    # exact, so full value oracle. DuckDB's % on negatives matches
+    # Python here because every operand is non-negative.
+    oracle=f"""
+    WITH vids AS (SELECT UNNEST(generate_series(0, {_AVI_VIDS - 1})) AS video_id),
+    frames AS (
+      SELECT video_id, f.f AS frame_no
+      FROM vids, UNNEST(generate_series(1, 10)) f(f)
+      WHERE f.f < 6 + (video_id % 5)
+    ),
+    px AS (
+      SELECT video_id, frame_no,
+             abs( ((video_id*31 + (frame_no // {_SCENE_LEN})*97 + j.j*13) % 256)
+                - ((video_id*31 + ((frame_no-1) // {_SCENE_LEN})*97 + j.j*13) % 256) ) AS d
+      FROM frames, UNNEST(generate_series(0, {_AVI_FLEN - 1})) j(j)
+    )
+    SELECT CAST(video_id AS BIGINT) AS video_id, CAST(frame_no AS INT) AS frame_no,
+           CAST(SUM(d) AS BIGINT) AS diff_sum,
+           SUM(d) > {_SCENE_THRESHOLD} AS is_cut
+    FROM px GROUP BY video_id, frame_no
+    """,
+    doc="Keyframe selection / scene-change detection over REAL AVI "
+    "decode (operators/multimodal.py::avi_scene_cuts): consecutive "
+    "decoded frames are compared by summed absolute pixel difference; "
+    f"a jump past {_SCENE_THRESHOLD} marks a cut. Inputs are genuine "
+    f"AVI containers whose pixel formula changes every {_SCENE_LEN} "
+    "frames, so within-scene diffs are exactly 0 and the oracle "
+    "recomputes every diff from the formula. This is the step that "
+    "keeps near-identical frames from flooding a multimodal training "
+    "corpus — sample one keyframe per scene, not every Nth frame.",
+    tags=("multimodal", "udf"),
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.multimodal import avi_scene_cuts
+
+    vids = spark.createDataFrame(
+        [(v, _make_avi_scenes(v)) for v in range(_AVI_VIDS)],
+        "video_id BIGINT, payload BINARY",
+    )
+    return avi_scene_cuts(vids, threshold=_SCENE_THRESHOLD)
