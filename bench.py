@@ -110,6 +110,11 @@ HEADLINE_LLM = [
     "sql_recursive_tree",
     "join_fuzzy_match",
     "agg_hll_rollup",
+    # round-3 additions: substring-level dedup (detection + scrub) and
+    # cluster-blocked semantic dedup.
+    "text_substring_dedup",
+    "text_substring_scrub",
+    "dedup_semdedup",
 ]
 
 

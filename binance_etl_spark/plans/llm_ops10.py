@@ -1,0 +1,403 @@
+"""Tenth LLM-pipeline batch: substring-level dedup, semantic dedup,
+perplexity-bucketed mixing, and model-based quality scoring.
+
+- text_substring_dedup / text_substring_scrub: the Lee-et-al-style
+  "Deduplicating Training Data" exact-substring pass — find k-token
+  spans repeated ACROSS documents, then actually remove the covered
+  tokens and reconstruct the cleaned corpus. This is the op document-
+  level MinHash misses: boilerplate/licence blocks repeated inside
+  otherwise-unique pages.
+- dedup_semdedup: SemDeDup-style semantic dedup — restrict exact
+  cosine scoring to WITHIN-CLUSTER pairs so the pair count is
+  sum(cluster_size^2), never corpus^2; the cluster id plays the role
+  of the k-means assignment (the assignment step itself is
+  demonstrated by sim_kmeans_lloyd / emb_centroid_label).
+- sample_perplexity_buckets: corpus-frequency ("unigram perplexity")
+  decile bucketing with a deterministic per-bucket keep rule — the
+  quality-aware mixture step between scoring and training.
+- text_quality_classifier: fastText-shaped linear quality model over
+  hashed token features — the model-based filter (e.g. a CCNet/
+  fastText quality head) run as pure codegen'd expressions.
+
+Parity: all scores are integer fixed-point (e6) with truncating
+integer division, identical in Spark (`div`) and DuckDB (`//`) for
+the non-negative operands used here; md5 hex is engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.operators import similarity as S
+from binance_etl_spark.plans.registry import register
+
+# --- text_substring_dedup -------------------------------------------
+
+_K = 5  # tokens per gram (the dedup span unit)
+
+# (doc_id, gram-md5) stream: one row per k-gram start position.  Docs
+# in the fixture always have >= 10 tokens, but the guard keeps the
+# expression total (sequence(1, n) with n < 1 would COUNT DOWN in
+# Spark, unlike DuckDB's empty generate_series).
+def _gram_stream(d: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= _K, F.sequence(F.lit(1), F.size(toks) - (_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _K)))
+    )
+    return d.select("doc_id", F.posexplode(grams).alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+
+
+_SQL_GRAMS = f"""
+    g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{_K - 1}], ' ')) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - {_K - 1})) AS u(i)
+    ), pg AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+    )"""
+
+
+@register(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH {_SQL_GRAMS}
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*) AS dup_ratio_e6
+    FROM g JOIN pg USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="Exact-substring duplication detection (the Lee et al. "
+    "'Deduplicating Training Data' pass, k-gram approximation of the "
+    "suffix-array scan): every k=5-token span is hashed; a span is "
+    "duplicated when it occurs in >= 2 DISTINCT documents; per doc we "
+    "report the duplicated-span ratio. Two shuffles, both O(total "
+    "tokens) and map-side combinable: gram -> distinct-doc count, then "
+    "the gram-stream join-back + per-doc aggregate. Gram keys are md5 "
+    "so the shuffle is hash-uniform except for genuinely repeated "
+    "spans, which is exactly the skew AQE's skew-join split handles. "
+    "At 100 TB this is the canonical MapReduce shape of substring "
+    "dedup; nothing is ever all-pairs.",
+    tags=("text", "llm", "dedup"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    g = _gram_stream(d)
+    pg = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        g.join(pg, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), dup.alias("n_dup_grams"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("n_dup_grams * 1000000 div n_grams").alias("dup_ratio_e6"),
+        )
+    )
+
+
+@register(
+    "text_substring_scrub",
+    oracle=f"""
+    WITH {_SQL_GRAMS},
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o AS cpos
+      FROM g JOIN pg USING (gram), UNNEST(generate_series(0, {_K - 1})) AS s(o)
+      WHERE pg.nd >= 2
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(array_to_string(
+             list(tok ORDER BY pos) FILTER (WHERE cov.cpos IS NULL),
+             ' '), '')) AS clean_md5
+    FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+    GROUP BY tok.doc_id
+    """,
+    doc="Exact-substring REMOVAL (the second half of the Lee et al. "
+    "pass): every token covered by any cross-document duplicated "
+    "k-gram occurrence is dropped, and the cleaned document is "
+    "reconstructed in token order (returned as an md5 so the full "
+    "cleaned corpus is value-checked without shipping text through "
+    "the hash gate). Covered positions come from exploding k offsets "
+    "per duplicated gram start (O(dup spans x k) rows, dedup'd), then "
+    "a positional left anti-mark join against the token stream and an "
+    "ordered array_sort(collect_list(struct(pos, tok))) rebuild per "
+    "doc — the collect is per-document (bounded by doc length), never "
+    "corpus-wide. Shuffles: gram count, coverage distinct, positional "
+    "join, per-doc rebuild — all keyed on doc_id or gram, all linear "
+    "in corpus tokens.",
+    tags=("text", "llm", "dedup"),
+)
+def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    g = _gram_stream(d)
+    pg = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    cov = (
+        g.join(pg.where(F.col("nd") >= 2), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_K - 1))).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+    )
+    # cov derives from the same scan as tok — rename its join keys so
+    # the positional left join is never self-join-ambiguous.
+    cov = cov.select(F.col("doc_id").alias("cdoc"), "cpos")
+    toks = F.split(F.col("text"), " ")
+    tok = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    marked = tok.join(
+        cov,
+        (F.col("doc_id") == F.col("cdoc")) & (F.col("pos") == F.col("cpos")),
+        "left",
+    ).select("doc_id", "pos", "tok", F.col("cpos").isNotNull().alias("is_cov"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.struct("pos", "tok", "is_cov"))
+    )
+    clean = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(kept_sorted, lambda s: ~s["is_cov"]),
+                lambda s: s["tok"],
+            ),
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("is_cov").cast("int")).cast("bigint").alias("n_removed"),
+        clean.alias("clean_md5"),
+    )
+
+
+# --- dedup_semdedup --------------------------------------------------
+
+_SEM_CAP = 400
+_SEM_TAU = 0.25
+
+_SQL_SEM_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "* 1000000000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_SQL_SEM_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings WHERE vec_id < {_SEM_CAP}
+    ), p AS (
+      SELECT a.label AS cluster, a.vec_id AS kept_cand, b.vec_id AS pruned_id,
+             CAST({_SQL_SEM_DOT.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT cluster, pruned_id, MIN(kept_cand) AS kept_id,
+           COUNT(*) AS n_pruners, MAX(cosine) AS max_cosine
+    FROM p WHERE cosine >= {_SEM_TAU}
+    GROUP BY cluster, pruned_id
+    """,
+    doc="SemDeDup-style semantic deduplication: exact e-12 fixed-point "
+    "cosine is computed ONLY within a cluster (here the stored label, "
+    "standing in for the k-means assignment that sim_kmeans_lloyd / "
+    "emb_centroid_label demonstrate); a vector is pruned when any "
+    "lower-id cluster-mate scores >= tau, keeping the lowest such id "
+    "as its survivor. Pair count is sum(cluster_size^2) — the knob at "
+    "100 TB is k (more clusters => smaller blocks), never corpus^2; "
+    "the join is a plain equi-join on the cluster key with an id range "
+    "predicate, so it shuffles once on cluster and AQE splits any "
+    "oversized cluster. Synthetic embeddings have no true near-dups, "
+    "so tau sits at the upper tail of the observed cosine "
+    "distribution (p99 ~= 0.29) to exercise the prune path.",
+    tags=("dedup", "embedding", "llm"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") < _SEM_CAP)
+    ).select(
+        "vec_id", "label", "embedding", S.sq_norm_e12("embedding").alias("n2")
+    )
+    a = e.select(
+        F.col("label").alias("cluster"),
+        F.col("vec_id").alias("kept_cand"),
+        F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = e.select(
+        F.col("label").alias("cluster"),
+        F.col("vec_id").alias("pruned_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("kept_cand") < F.col("pruned_id"))
+    scored = pairs.select(
+        "cluster",
+        "kept_cand",
+        "pruned_id",
+        S.cosine_from_e12(
+            S.dot_e12("a_emb", "b_emb"), F.col("a_n2"), F.col("b_n2")
+        ).alias("cosine"),
+    )
+    return (
+        scored.where(F.col("cosine") >= _SEM_TAU)
+        .groupBy("cluster", "pruned_id")
+        .agg(
+            F.min("kept_cand").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_pruners"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+# --- sample_perplexity_buckets ---------------------------------------
+
+
+@register(
+    "sample_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS n_tok FROM tok GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(v.n_tok) AS BIGINT) * 1000000 // COUNT(*) AS score_e6
+      FROM tok t JOIN vocab v USING (tok) GROUP BY t.doc_id
+    ), bucketed AS (
+      SELECT doc_id, score_e6,
+             NTILE(10) OVER (ORDER BY score_e6, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 10 < bucket THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MIN(score_e6) AS min_score_e6, MAX(score_e6) AS max_score_e6
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Perplexity-bucketed corpus mixing: docs are scored by mean "
+    "corpus token frequency (the monotone stand-in for unigram "
+    "perplexity — see text_lm_unigram_score for why no log()), cut "
+    "into exact deciles, and a deterministic per-bucket keep rule "
+    "(doc_id % 10 < bucket => common-language buckets keep more) "
+    "models the quality-vs-diversity mixture knob. The NTILE here is "
+    "a single-reducer global sort — exact and oracle-able at test "
+    "scale; the documented 100 TB swap is range-bucketing against "
+    "broadcast approxQuantile(score, 10) boundaries, which turns the "
+    "decile cut into a narrow map (same trade profile_columns -> "
+    "profile_columns_hll makes for distinct counts).",
+    tags=("llm", "sampling", "quality"),
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    scored = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(n_tok) * 1000000 div count(1)").alias("score_e6")
+        )
+    )
+    bucketed = scored.select(
+        "doc_id",
+        "score_e6",
+        F.ntile(10).over(W.orderBy("score_e6", "doc_id")).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % 10 < F.col("bucket"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.min("score_e6").alias("min_score_e6"),
+        F.max("score_e6").alias("max_score_e6"),
+    )
+
+
+# --- text_quality_classifier -----------------------------------------
+
+_QC_DIM = 64  # hashed feature buckets
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+               % {_QC_DIM} AS idx
+      FROM tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM((idx + 1) * 2654435761 % 4001 - 2000) AS BIGINT) AS score,
+           CAST(SUM((idx + 1) * 2654435761 % 4001 - 2000) AS BIGINT) * 1000000
+             // COUNT(*) AS margin_e6,
+           CASE WHEN CAST(SUM((idx + 1) * 2654435761 % 4001 - 2000) AS BIGINT) > 0
+                THEN 1 ELSE 0 END AS keep
+    FROM feat GROUP BY doc_id
+    """,
+    doc="fastText-shaped linear quality classifier: tokens hash to "
+    f"{_QC_DIM} feature buckets (first md5 byte — the hashing trick), "
+    "each bucket carries a fixed pseudo-random integer weight "
+    "(Knuth-multiplicative (idx+1)*2654435761 % 4001 - 2000, standing "
+    "in for trained fastText weights, which would ship as a broadcast "
+    "weight array); the doc score is the plain sum of its token "
+    "weights and keep = sign. The entire model is codegen'd integer "
+    "expressions — one explode and ONE map-side-combinable per-doc "
+    "aggregate, zero joins, zero Python. margin_e6 uses truncating "
+    "integer division toward zero, engine-identical for the signed "
+    "numerator (Spark `div` and DuckDB `//` both truncate). At 100 TB "
+    "a real trained weight vector replaces the expression via a "
+    "broadcast map lookup; the plan shape is unchanged.",
+    tags=("text", "llm", "quality"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    first_byte = (
+        (F.expr("instr('0123456789abcdef', substr(md5(tok), 1, 1))") - 1) * 16
+        + F.expr("instr('0123456789abcdef', substr(md5(tok), 2, 1))")
+        - 1
+    )
+    w = ((first_byte % _QC_DIM + 1) * 2654435761) % 4001 - 2000
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(w).cast("bigint").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.expr("score * 1000000 div n_tokens").alias("margin_e6"),
+            F.when(F.col("score") > 0, 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         llm_ops7,
         llm_ops8,
         llm_ops9,
+        llm_ops10,
         relational,
         relational2,
         relational3,

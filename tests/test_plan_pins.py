@@ -312,3 +312,29 @@ def test_profile_hll_has_no_expand(spark):
     plan = _plan(spark, "profile_columns_hll")
     assert plan.count("FileScan parquet") == 1
     assert "Expand" not in plan
+
+
+def test_substring_dedup_no_all_pairs(spark):
+    # the Lee-et-al substring pass pairs docs ONLY through the shared
+    # gram key (an equi-join + aggregate) — an all-pairs product over
+    # documents here would be O(corpus^2) at scale
+    for name in ("text_substring_dedup", "text_substring_scrub"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semdedup_pairs_only_within_cluster(spark):
+    # SemDeDup's whole point: cosine pairs come from an equi-join on
+    # the cluster key, so pair count is sum(cluster^2), never corpus^2
+    plan = _plan(spark, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_is_joinless_single_agg(spark):
+    # the hashed linear model is pure expression work: one explode,
+    # one map-side-combinable aggregate, no join anywhere
+    plan = _plan(spark, "text_quality_classifier")
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
