@@ -43,13 +43,18 @@ _K = 5  # tokens per gram (the dedup span unit)
 # expression total (sequence(1, n) with n < 1 would COUNT DOWN in
 # Spark, unlike DuckDB's empty generate_series).
 def _gram_stream(d: DataFrame) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
-    starts = F.when(
-        F.size(toks) >= _K, F.sequence(F.lit(1), F.size(toks) - (_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _K)))
-    )
+    # Bind the token array once per row (outer 1-element transform) so
+    # the per-position lambda never re-evaluates split(text) — see
+    # operators/dedup.py::shingles for the measured 4x rationale.
+    def over(toks):
+        starts = F.when(
+            F.size(toks) >= _K, F.sequence(F.lit(1), F.size(toks) - (_K - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _K)))
+        )
+
+    grams = F.element_at(F.transform(F.array(F.split(F.col("text"), " ")), over), 1)
     return d.select("doc_id", F.posexplode(grams).alias("pos0", "gram")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
     )
@@ -401,3 +406,207 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("score") > 0, 1).otherwise(0).alias("keep"),
         )
     )
+
+
+# --- text_bpe_train --------------------------------------------------
+
+_BPE_ROUND_SQL = """
+, p{r} AS (
+  SELECT doc_id, pos, sym,
+         lead(sym) OVER w AS nxt,
+         CASE WHEN sym = lag(sym) OVER w THEN 0 ELSE 1 END AS runflag
+  FROM t{p}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), r{r} AS (
+  SELECT *, SUM(runflag) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM p{r}
+), o{r} AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, run_id ORDER BY pos) - 1 AS off
+  FROM r{r}
+), top{r} AS (
+  SELECT sym || ' ' || nxt AS pair FROM o{r} WHERE nxt IS NOT NULL
+  GROUP BY 1 ORDER BY COUNT(*) DESC, pair LIMIT 1
+), m{r} AS (
+  SELECT o{r}.*, top{r}.pair AS top_pair,
+         (nxt IS NOT NULL AND sym || ' ' || nxt = top{r}.pair
+          AND (sym <> nxt OR off % 2 = 0)) AS ms
+  FROM o{r}, top{r}
+), s{r} AS (
+  SELECT doc_id, pos,
+         CASE WHEN ms THEN sym || '+' || nxt ELSE sym END AS sym
+  FROM (SELECT *, COALESCE(lag(ms) OVER (PARTITION BY doc_id ORDER BY pos),
+                           false) AS cons
+        FROM m{r})
+  WHERE NOT cons
+), t{r} AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, sym
+  FROM s{r}
+)"""
+
+
+def _bpe_round(x: DataFrame, rnd: int):
+    """One BPE merge round over (doc_id, pos, sym): find the globally
+    most frequent adjacent pair, merge its non-overlapping occurrences
+    greedily left-to-right, re-number positions.  Returns (new symbol
+    table, 1-row stats DF)."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    y = (
+        x.withColumn("nxt", F.lead("sym").over(w))
+        .withColumn(
+            "runflag",
+            F.when(F.col("sym") == F.lag("sym").over(w), 0).otherwise(1),
+        )
+        .withColumn("run_id", F.sum("runflag").over(w))
+    )
+    y = y.withColumn(
+        "off",
+        F.row_number().over(W.partitionBy("doc_id", "run_id").orderBy("pos")) - 1,
+    )
+    top = (
+        y.where(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "sym", "nxt").alias("top_pair"))
+        .groupBy("top_pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "top_pair")
+        .limit(1)
+        .select("top_pair")
+    )
+    y = y.crossJoin(F.broadcast(top)).withColumn(
+        "ms",
+        F.col("nxt").isNotNull()
+        & (F.concat_ws(" ", "sym", "nxt") == F.col("top_pair"))
+        & ((F.col("sym") != F.col("nxt")) | (F.col("off") % 2 == 0)),
+    )
+    y = y.withColumn("cons", F.coalesce(F.lag("ms").over(w), F.lit(False)))
+    new = (
+        y.where(~F.col("cons"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("ms"), F.concat_ws("+", "sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .select("doc_id", F.row_number().over(w).alias("pos"), "sym")
+    )
+    stats = (
+        y.groupBy("top_pair")
+        .agg(F.sum(F.col("ms").cast("int")).cast("bigint").alias("n_merges"))
+        .crossJoin(new.agg(F.count(F.lit(1)).alias("n_symbols_after")))
+        .select(
+            F.lit(rnd).alias("round"),
+            F.col("top_pair").alias("merged_pair"),
+            "n_merges",
+            "n_symbols_after",
+        )
+    )
+    return new, stats
+
+
+@register(
+    "text_bpe_train",
+    oracle="""
+    WITH t0 AS (
+      SELECT doc_id, i AS pos, t[i] AS sym
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    )"""
+    + _BPE_ROUND_SQL.format(r=1, p=0)
+    + _BPE_ROUND_SQL.format(r=2, p=1)
+    + """
+    SELECT 1 AS round, (SELECT pair FROM top1) AS merged_pair,
+           (SELECT CAST(SUM(CASE WHEN ms THEN 1 ELSE 0 END) AS BIGINT) FROM m1)
+             AS n_merges,
+           (SELECT COUNT(*) FROM t1) AS n_symbols_after
+    UNION ALL
+    SELECT 2, (SELECT pair FROM top2),
+           (SELECT CAST(SUM(CASE WHEN ms THEN 1 ELSE 0 END) AS BIGINT) FROM m2),
+           (SELECT COUNT(*) FROM t2)
+    """,
+    doc="BPE/wordpiece TRAINING loop, two unrolled merge rounds (the "
+    "induction half; text_bpe_pair_counts is one round's counting "
+    "step, text_encode_ids the apply half): per round, the globally "
+    "most frequent adjacent symbol pair (count desc, pair asc "
+    "tie-break) is merged greedily left-to-right — overlap can only "
+    "occur for same-symbol pairs, resolved exactly by run-position "
+    "parity (a run of L identical symbols merges floor(L/2) pairs at "
+    "even run offsets), so the sequential greedy scan becomes "
+    "per-doc window expressions. Every window is keyed by doc_id "
+    "(bounded partitions), the winning pair travels as a broadcast "
+    "1-row join, and the pair count is a map-side-combinable "
+    "aggregate: each round costs one corpus-keyed shuffle + one "
+    "pair-count shuffle — the distributed-BPE shape at 100 TB, where "
+    "real trainers run exactly this loop for 30-50k rounds with the "
+    "merge table broadcast. Merged symbols join with '+' (absent "
+    "from the token alphabet), keeping round-2 pair strings "
+    "unambiguous.",
+    tags=("text", "llm", "vocab", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    t0 = d.select(
+        "doc_id", F.posexplode(toks).alias("p0", "sym")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sym")
+    t1, s1 = _bpe_round(t0, 1)
+    # Truncate lineage between rounds: round 2's windows re-plan round
+    # 1's whole pipeline otherwise (same policy as the CC/PageRank
+    # iterations).
+    t1 = t1.localCheckpoint(eager=True)
+    _, s2 = _bpe_round(t1, 2)
+    return s1.unionByName(s2)
+
+
+# --- scan_file_provenance --------------------------------------------
+
+
+@register(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'region' AS tbl, 'region.parquet' AS file_name, COUNT(*) AS n_rows,
+           CAST(MIN(r_regionkey) AS BIGINT) AS min_key,
+           CAST(MAX(r_regionkey) AS BIGINT) AS max_key
+    FROM region
+    UNION ALL
+    SELECT 'nation', 'nation.parquet', COUNT(*),
+           CAST(MIN(n_nationkey) AS BIGINT), CAST(MAX(n_nationkey) AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'customer', 'customer.parquet', COUNT(*),
+           CAST(MIN(c_custkey) AS BIGINT), CAST(MAX(c_custkey) AS BIGINT)
+    FROM customer
+    """,
+    doc="File-level provenance audit via the parquet _metadata column "
+    "(Spark's hidden per-file metadata: file_name, file_path, size) — "
+    "the primitive behind incremental ingestion ledgers, per-file "
+    "quarantine, and audit trails at lake scale: group by source file, "
+    "count rows, min/max key per file, all computed in the same scan "
+    "as the data (no extra listing job). The oracle pins the expected "
+    "single-file-per-table layout as literals while row counts and "
+    "key ranges are value-checked, so the metadata read itself is "
+    "proven against the real layout. At 100 TB the same plan yields "
+    "the per-file manifest used for skipping and backfill diffing.",
+    tags=("scan", "provenance"),
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, key in (
+        ("region", "r_regionkey"),
+        ("nation", "n_nationkey"),
+        ("customer", "c_custkey"),
+    ):
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        part = (
+            df.select(
+                F.lit(tbl).alias("tbl"),
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col(key).cast("bigint").alias("k"),
+            )
+            .groupBy("tbl", "file_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -84,12 +84,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = d.where(is_eval).select("doc_id", "text")
 
     def gram5(text_col):
-        toks = tokenize(text_col)
-        idx = F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1))
-        g = lambda i: F.md5(  # noqa: E731
-            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(_NGRAM)])
-        )
-        return F.array_distinct(F.transform(idx, g))
+        # bind-once token array (operators/dedup.py::shingles) + md5
+        from binance_etl_spark.operators.dedup import shingles
+
+        return F.transform(shingles(text_col, k=_NGRAM), lambda s: F.md5(s))
 
     tsh = train.select("doc_id", F.explode(gram5(F.col("text"))).alias("g"))
     esh = eval_set.select(F.explode(gram5(F.col("text"))).alias("g")).distinct()
