@@ -610,3 +610,100 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --- udf_arrow_grouped -----------------------------------------------
+
+
+@register(
+    "udf_arrow_grouped",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_value_e6
+    FROM events GROUP BY event_type
+    """,
+    doc="groupBy().applyInArrow surface (Spark 4): grouped Arrow "
+    "Tables in, Arrow Table out, aggregated with vectorized "
+    "pyarrow.compute kernels — no pandas materialization anywhere. "
+    "Completes the Arrow half of the UDF matrix (mapInArrow covers "
+    "the ungrouped path). Fixed-point floor-e6 units keep the Python "
+    "sum bit-identical to the SQL oracle. Grouped-UDF scale caveat "
+    "applies as with applyInPandas: one group must fit an executor's "
+    "Arrow batch — fine for keyed aggregates, and the reason "
+    "map-side-combinable built-ins remain the default for plain "
+    "grouped sums.",
+    tags=("udf", "arrow", "agg"),
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = fanout(load(spark, sf_dir, "events"))
+
+    # NOTE: deliberately un-annotated — pyspark's group-arrow eval-type
+    # inference raises on unresolvable string hints and (bug) leaves
+    # eval_type unbound instead of falling through to the default.
+    def agg(key, table):
+        units = pc.floor(
+            pc.multiply(pc.cast(table.column("value"), pa.float64()), 1_000_000.0)
+        )
+        s = pc.sum(pc.cast(units, pa.int64())).as_py()
+        return pa.table(
+            {
+                "event_type": [key[0]],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_value_e6": pa.array([int(s or 0)], pa.int64()),
+            }
+        )
+
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(agg, "event_type string, n bigint, sum_value_e6 bigint")
+    )
+
+
+# --- udtf_dynamic_cols -----------------------------------------------
+
+_UDTF_K = 3
+
+
+@register(
+    "udtf_dynamic_cols",
+    oracle=f"""
+    SELECT doc_id,
+           t[1] AS tok1, t[2] AS tok2, t[3] AS tok3
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze()): the output "
+    f"schema (tok1..tok{_UDTF_K}) is computed at PLAN TIME from the "
+    "constant k argument by the UDTF's static analyze() method — the "
+    "dynamic-schema table-function surface (udtf_explode_frames "
+    "covers the static-schema one). Catalyst sees real per-column "
+    "schema, so downstream pruning/filters work on UDTF output like "
+    "any table. Runs as a lateral join against the documents scan.",
+    tags=("udf", "udtf"),
+)
+def udtf_dynamic_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class SplitCols:
+        @staticmethod
+        def analyze(text, k) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    return d.lateralJoin(
+        SplitCols(F.col("text").outer(), F.lit(_UDTF_K))
+    ).select("doc_id", *[f"tok{i + 1}" for i in range(_UDTF_K)])

@@ -66,6 +66,11 @@ QUERIES = [
     "dedup_exact",  # full corpus, no cap
     "text_inverted_index",  # full corpus
     "stats_chi2_drift",
+    # round-3 additions: substring-level dedup and the n-gram
+    # decontamination check, both uncapped full-corpus token streams.
+    "text_substring_dedup",
+    "dedup_decontaminate",
+    "text_quality_classifier",
 ]
 
 
