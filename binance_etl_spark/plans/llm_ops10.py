@@ -707,3 +707,61 @@ def udtf_dynamic_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(
         SplitCols(F.col("text").outer(), F.lit(_UDTF_K))
     ).select("doc_id", *[f"tok{i + 1}" for i in range(_UDTF_K)])
+
+
+# --- sink_snapshot_timetravel ----------------------------------------
+
+
+@register(
+    "sink_snapshot_timetravel",
+    oracle="""
+    SELECT 1 AS version, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_value_e6
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT 2, COUNT(*), MIN(event_id), MAX(event_id),
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT)
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Snapshot versioning + TIME TRAVEL (operators/snapshots.py, a "
+    "minimal Delta-style manifest commit log over plain parquet): "
+    "events <1000 commits as v1, events 1000..1999 APPENDS as v2; the "
+    "query then reads snapshot v1 BY VERSION (after v2 exists — the "
+    "time-travel read) and v2 as latest, proving snapshot isolation: "
+    "a pinned training run re-reads exactly the files its manifest "
+    "names while ingestion keeps appending. Writes are data-first "
+    "with a single atomic manifest replace as the commit point; "
+    "readers hand the manifest's file list to one parquet scan, so "
+    "pushdown/pruning apply unchanged. Crash-invisibility and "
+    "overwrite history are pinned in tests/test_snapshots.py.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    table = tempfile.mkdtemp(prefix="besk_snap_") + "/events_versioned"
+    SNAP.write_version(e.where(F.col("event_id") < 1000), table, mode="append")
+    SNAP.write_version(
+        e.where((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)),
+        table,
+        mode="append",
+    )
+    units = lambda c: F.floor(F.col(c).cast("double") * 1_000_000).cast("bigint")  # noqa: E731
+
+    def stats(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(units("value")).alias("sum_value_e6"),
+        ).select(F.lit(v).alias("version"), "n", "min_id", "max_id", "sum_value_e6")
+
+    v1 = stats(SNAP.read_version(spark, table, version=1), 1)
+    v2 = stats(SNAP.read_version(spark, table), 2)  # latest
+    return v1.unionByName(v2)

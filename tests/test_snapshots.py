@@ -1,0 +1,62 @@
+"""Snapshot-versioned parquet tables (operators/snapshots.py):
+append/overwrite lineage, time travel, and the crash-before-commit
+invisibility property of the manifest protocol."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from binance_etl_spark.operators import snapshots as SNAP
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_and_time_travel(spark, table):
+    assert SNAP.versions(table) == []
+    assert SNAP.write_version(_df(spark, 0, 10), table) == 1
+    assert SNAP.write_version(_df(spark, 10, 25), table) == 2
+    assert SNAP.versions(table) == [1, 2]
+    # latest sees both commits
+    assert SNAP.read_version(spark, table).count() == 25
+    # time travel: v1 still reads EXACTLY its original rows after v2
+    v1 = SNAP.read_version(spark, table, version=1)
+    assert sorted(r.id for r in v1.collect()) == list(range(10))
+
+
+def test_overwrite_starts_fresh_but_history_survives(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.write_version(_df(spark, 100, 105), table, mode="overwrite")
+    assert SNAP.read_version(spark, table).count() == 5
+    assert SNAP.read_version(spark, table, version=1).count() == 10
+
+
+def test_crash_before_manifest_commit_is_invisible(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    # simulate a writer that crashed after writing data files but
+    # before the manifest replace: orphan data must not be visible
+    orphan = os.path.join(table, "data", "v2")
+    _df(spark, 50, 60).write.parquet(orphan)
+    assert SNAP.versions(table) == [1]
+    assert SNAP.read_version(spark, table).count() == 10
+
+
+def test_reader_errors_are_explicit(spark, table):
+    with pytest.raises(FileNotFoundError):
+        SNAP.read_version(spark, table)
+    SNAP.write_version(_df(spark, 0, 3), table)
+    with pytest.raises(FileNotFoundError):
+        SNAP.read_version(spark, table, version=9)
+
+
+def test_bad_mode_rejected(spark, table):
+    with pytest.raises(ValueError):
+        SNAP.write_version(_df(spark, 0, 3), table, mode="merge")
