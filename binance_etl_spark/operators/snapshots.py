@@ -63,18 +63,60 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def write_version(df: DataFrame, table_dir: str, mode: str = "append") -> int:
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet FOOTER row-group stats —
+    no data read. JSON-safe types only (numeric/string); columns with
+    missing or exotic stats are simply omitted (pruning stays safe:
+    a file without stats is never skipped)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            out[col] = [lo, hi]
+    return out
+
+
+def write_version(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
+) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
     mode='append': the new snapshot sees prior files + the new ones.
     mode='overwrite': the new snapshot sees only the new files (prior
     snapshots remain readable).
+    stats_cols: record per-file min/max (from parquet footers) in the
+    manifest for manifest-level file skipping (`select_files`).
+    batch_id: idempotency token for streaming foreachBatch commits — a
+    batch id already present in a committed manifest is a no-op replay
+    and returns that existing version.
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
     prior = versions(table_dir)
+    if batch_id is not None:
+        for pv in prior:
+            if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
+                return pv  # replayed micro-batch: already committed
     v = (prior[-1] + 1) if prior else 1
     rel_dir = os.path.join("data", f"v{v}")
     staging = os.path.join(table_dir, rel_dir)
@@ -84,12 +126,24 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         for name in os.listdir(staging)
         if name.endswith(".parquet")
     )
-    carried = (
-        _load_manifest(table_dir, prior[-1])["files"]
-        if prior and mode == "append"
-        else []
-    )
-    manifest = {"version": v, "mode": mode, "files": carried + new_files}
+    stats = {}
+    if stats_cols:
+        for rel in new_files:
+            stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
+    if prior and mode == "append":
+        prev = _load_manifest(table_dir, prior[-1])
+        carried = prev["files"]
+        stats = {**prev.get("stats", {}), **stats}
+    else:
+        carried = []
+    manifest = {
+        "version": v,
+        "mode": mode,
+        "files": carried + new_files,
+        "stats": stats,
+    }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-v{v}.json")
@@ -97,6 +151,58 @@ def write_version(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
     return v
+
+
+def select_files(
+    table_dir: str,
+    version: int | None,
+    col: str,
+    lo,
+    hi,
+) -> tuple[list[str], list[str]]:
+    """Manifest-level FILE SKIPPING: split a snapshot's files into
+    (kept, skipped) for the predicate ``lo <= col <= hi`` using the
+    per-file min/max recorded at write time — the Iceberg/Delta data-
+    skipping move, decided driver-side from the manifest with ZERO
+    file opens. Files without stats for ``col`` are always kept
+    (skipping is an I/O optimization, never a correctness filter —
+    callers still apply the real predicate to the scanned rows)."""
+    vs = versions(table_dir)
+    if version is None:
+        version = vs[-1]
+    manifest = _load_manifest(table_dir, version)
+    stats = manifest.get("stats", {})
+    kept, skipped = [], []
+    for rel in manifest["files"]:
+        mm = stats.get(rel, {}).get(col)
+        if mm is not None and (mm[1] < lo or mm[0] > hi):
+            skipped.append(rel)
+        else:
+            kept.append(rel)
+    return kept, skipped
+
+
+def foreach_batch_snapshot(
+    table_dir: str, stats_cols: list[str] | None = None
+):
+    """writeStream.foreachBatch body committing one snapshot VERSION
+    per micro-batch — exactly-once via the batch-id token: a replayed
+    batch (checkpoint recovery re-delivers the last batch) finds its
+    id in a committed manifest and no-ops instead of double-appending.
+    Readers always see a consistent snapshot (the atomic manifest
+    replace), never a half-written micro-batch — the versioned-corpus
+    ingestion front end for reproducible training snapshots."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        write_version(
+            batch_df,
+            table_dir,
+            mode="append",
+            stats_cols=stats_cols,
+            batch_id=batch_id,
+        )
+
+    return apply
 
 
 def read_version(

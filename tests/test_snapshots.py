@@ -60,3 +60,53 @@ def test_reader_errors_are_explicit(spark, table):
 def test_bad_mode_rejected(spark, table):
     with pytest.raises(ValueError):
         SNAP.write_version(_df(spark, 0, 3), table, mode="merge")
+
+
+def test_stats_pruning_skips_disjoint_files(spark, table):
+    # two versions with disjoint id ranges -> one file set per range
+    SNAP.write_version(
+        _df(spark, 0, 100).coalesce(1), table, stats_cols=["id"]
+    )
+    SNAP.write_version(
+        _df(spark, 1000, 1100).coalesce(1), table, stats_cols=["id"]
+    )
+    kept, skipped = SNAP.select_files(table, None, "id", 1000, 1050)
+    assert skipped, "v1's files (max id 99) must be skipped for [1000, 1050]"
+    assert kept, "v2's files must be kept"
+    # pruning is an I/O optimization, never a correctness filter: the
+    # predicate applied to the pruned scan equals the full-scan answer
+    import os
+
+    pruned = spark.read.parquet(*[os.path.join(table, f) for f in kept])
+    full = SNAP.read_version(spark, table)
+    want = full.where("id BETWEEN 1000 AND 1050").count()
+    assert pruned.where("id BETWEEN 1000 AND 1050").count() == want == 51
+
+
+def test_foreach_batch_snapshot_is_replay_idempotent(spark, table):
+    apply = SNAP.foreach_batch_snapshot(table, stats_cols=["id"])
+    apply(_df(spark, 0, 10), 0)
+    apply(_df(spark, 10, 20), 1)
+    assert SNAP.read_version(spark, table).count() == 20
+    # checkpoint recovery re-delivers the last batch: same batch id
+    # must be a no-op, not a third version
+    apply(_df(spark, 10, 20), 1)
+    assert SNAP.versions(table) == [1, 2]
+    assert SNAP.read_version(spark, table).count() == 20
+
+
+def test_foreach_batch_snapshot_real_stream(spark, table, tmp_path):
+    # drive through a REAL writeStream over a file source
+    src = str(tmp_path / "src")
+    _df(spark, 0, 50).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(SNAP.foreach_batch_snapshot(table, stats_cols=["id"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert SNAP.read_version(spark, table).count() == 50
+    assert SNAP.versions(table)
