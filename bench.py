@@ -115,6 +115,7 @@ HEADLINE_LLM = [
     "text_substring_dedup",
     "text_substring_scrub",
     "dedup_semdedup",
+    "sink_snapshot_timetravel",
 ]
 
 

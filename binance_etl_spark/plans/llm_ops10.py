@@ -477,6 +477,10 @@ def _bpe_round(x: DataFrame, rnd: int):
         & ((F.col("sym") != F.col("nxt")) | (F.col("off") % 2 == 0)),
     )
     y = y.withColumn("cons", F.coalesce(F.lag("ms").over(w), F.lit(False)))
+    # Materialize the marked frame ONCE: three consumers (merge stats,
+    # post-merge symbol count, next round's input) would otherwise each
+    # re-run the 4-window chain + the top-pair subplan.
+    y = y.localCheckpoint(eager=True)
     new = (
         y.where(~F.col("cons"))
         .select(
