@@ -769,3 +769,56 @@ def sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = stats(SNAP.read_version(spark, table, version=1), 1)
     v2 = stats(SNAP.read_version(spark, table), 2)  # latest
     return v1.unionByName(v2)
+
+
+# --- scan_warc_corpus ------------------------------------------------
+
+_WARC_CAP = 200
+
+
+@register(
+    "scan_warc_corpus",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < {_WARC_CAP}
+    """,
+    doc="WARC crawl-archive ingestion (sources/warc.py): documents are "
+    "serialized as genuine WARC/1.0 response records (CRLF header "
+    "block, Content-Length, double-CRLF terminator), then read back "
+    "through the Python Data Source — BYTE-OFFSET partitioned, so "
+    "each executor seeks directly to its record slice instead of "
+    "skipping lines (records are length-prefixed; real crawls ship "
+    "the same index as cdx). The query extracts the doc id from the "
+    "WARC-Target-URI and value-checks length + md5 of every payload "
+    "against the source table — proving the writer/reader round-trip "
+    "byte-exactly, the front door a Common-Crawl-shaped 100 TB corpus "
+    "walks through.",
+    tags=("scan", "source", "multimodal"),
+)
+def scan_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.sources.warc import read_warc, write_warc
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _WARC_CAP)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = tempfile.mkdtemp(prefix="besk_warc_") + "/corpus.warc"
+    write_warc(
+        (
+            (f"urn:doc:{r['doc_id']}", f"http://corpus.local/doc/{r['doc_id']}", r["text"].encode("utf-8"))
+            for r in docs
+        ),
+        path,
+    )
+    w = read_warc(spark, path, records_per_partition=32)
+    return w.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("content_length"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -1,0 +1,61 @@
+"""WARC source (sources/warc.py): writer/reader round trip, byte-offset
+partitioning, and malformed-input errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from binance_etl_spark.sources import warc as W
+
+
+def _write(tmp_path, n=10, prefix="r"):
+    path = str(tmp_path / "t.warc")
+    recs = [
+        (f"urn:{prefix}:{i}", f"http://x/{i}", f"payload {i} " .encode() * (i + 1))
+        for i in range(n)
+    ]
+    assert W.write_warc(recs, path) == n
+    return path, recs
+
+
+def test_round_trip_bytes_exact(spark, tmp_path):
+    path, recs = _write(tmp_path)
+    got = {r["record_id"]: r for r in W.read_warc(spark, path).collect()}
+    assert len(got) == len(recs)
+    for rid, uri, payload in recs:
+        r = got[rid]
+        assert r["target_uri"] == uri
+        assert r["warc_type"] == "response"
+        assert r["content_length"] == len(payload)
+        assert bytes(r["payload"]) == payload
+
+
+def test_byte_offset_partitions_cover_disjointly(spark, tmp_path):
+    path, recs = _write(tmp_path, n=50)
+    df = W.read_warc(spark, path, records_per_partition=7)
+    assert df.rdd.getNumPartitions() == 8  # ceil(50 / 7)
+    # no loss, no duplication across partition boundaries
+    ids = [r["record_id"] for r in df.collect()]
+    assert sorted(ids) == sorted(rid for rid, _, _ in recs)
+
+
+def test_empty_archive_is_empty_scan(spark, tmp_path):
+    path = str(tmp_path / "empty.warc")
+    W.write_warc([], path)
+    assert W.read_warc(spark, path).count() == 0
+
+
+def test_non_warc_input_raises(tmp_path):
+    path = str(tmp_path / "bad.warc")
+    with open(path, "wb") as f:
+        f.write(b"HTTP/1.1 200 OK\r\n\r\nnot a warc")
+    with pytest.raises(ValueError, match="not a WARC record"):
+        W._index_offsets(path)
+
+
+def test_binary_payloads_survive(spark, tmp_path):
+    path = str(tmp_path / "bin.warc")
+    payload = bytes(range(256)) * 3  # includes CRLF bytes inside payload
+    W.write_warc([("urn:b:1", "http://x/b", payload)], path)
+    [r] = W.read_warc(spark, path).collect()
+    assert bytes(r["payload"]) == payload
