@@ -822,3 +822,133 @@ def scan_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content_length"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# --- curate_scrub_pipeline -------------------------------------------
+
+
+@register(
+    "curate_scrub_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             CAST(SUM(((((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                        % {_QC_DIM} + 1) * 2654435761 % 4001 - 2000))
+                  AS BIGINT) AS score
+      FROM (SELECT doc_id, source, text, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, source, text
+    ), kept AS (
+      SELECT doc_id, source, text FROM scored WHERE score > 0
+    ), g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{_K - 1}], ' ')) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+           UNNEST(generate_series(1, len(t) - {_K - 1})) AS u(i)
+    ), pg AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o AS cpos
+      FROM g JOIN pg USING (gram), UNNEST(generate_series(0, {_K - 1})) AS s(o)
+      WHERE pg.nd >= 2
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ), per_doc AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+      GROUP BY tok.doc_id
+    )
+    SELECT s.source,
+           COUNT(*) AS n_docs_in,
+           CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(COALESCE(SUM(p.n_tokens), 0) AS BIGINT) AS n_tokens_kept_docs,
+           CAST(COALESCE(SUM(p.n_removed), 0) AS BIGINT) AS n_tokens_scrubbed
+    FROM documents s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+    GROUP BY s.source
+    """,
+    doc="Round-3 curation FLAGSHIP — the model-gated substring-scrub "
+    "pipeline as ONE Catalyst plan: (1) every doc scored by the "
+    "hashed-feature linear quality model (text_quality_classifier's "
+    "exact math), (2) docs with positive margin survive, (3) the "
+    "Lee-et-al k-gram pass runs OVER THE SURVIVORS ONLY (dup spans "
+    "re-derived post-filter — scrubbing before filtering wastes the "
+    "work on docs the gate drops), (4) per-source audit: docs in/kept, "
+    "surviving tokens, scrubbed tokens. Every stage is the already-"
+    "verified operator's plan shape; composition adds zero new "
+    "shuffle classes (token explode -> per-doc agg -> gram equi-join "
+    "-> positional join -> per-source rollup, all linear in corpus "
+    "tokens, broadcast-free, cartesian-free).",
+    tags=("llm", "pipeline", "dedup", "quality"),
+)
+def curate_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fanout(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "source", "text", F.explode(F.split("text", " ")).alias("tok")
+    )
+    first_byte = (
+        (F.expr("instr('0123456789abcdef', substr(md5(tok), 1, 1))") - 1) * 16
+        + F.expr("instr('0123456789abcdef', substr(md5(tok), 2, 1))")
+        - 1
+    )
+    w = ((first_byte % _QC_DIM + 1) * 2654435761) % 4001 - 2000
+    kept = (
+        tok.groupBy("doc_id", "source", "text")
+        .agg(F.sum(w).cast("bigint").alias("score"))
+        .where(F.col("score") > 0)
+        .select("doc_id", "source", "text")
+    )
+    g = _gram_stream(kept)
+    pg = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    cov = (
+        g.join(pg.where(F.col("nd") >= 2), "gram")
+        .select(
+            F.col("doc_id").alias("cdoc"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_K - 1))).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+    )
+    ktok = kept.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    per_doc = (
+        ktok.join(
+            cov,
+            (F.col("doc_id") == F.col("cdoc")) & (F.col("pos") == F.col("cpos")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("cpos").isNotNull().cast("int")).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )
+    pd2 = per_doc.select(
+        F.col("doc_id").alias("p_doc_id"), "n_tokens", "n_removed"
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(pd2, F.col("doc_id") == F.col("p_doc_id"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum(F.col("p_doc_id").isNotNull().cast("int")).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept_docs"
+            ),
+            F.coalesce(F.sum("n_removed"), F.lit(0)).cast("bigint").alias(
+                "n_tokens_scrubbed"
+            ),
+        )
+    )
