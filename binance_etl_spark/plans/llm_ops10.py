@@ -18,10 +18,22 @@ perplexity-bucketed mixing, and model-based quality scoring.
 - text_quality_classifier: fastText-shaped linear quality model over
   hashed token features — the model-based filter (e.g. a CCNet/
   fastText quality head) run as pure codegen'd expressions.
+- text_bpe_train: the BPE merge LOOP (two unrolled rounds, exact
+  greedy overlap resolution via run-parity windows).
+- scan_file_provenance: parquet _metadata per-file audit.
+- udf_arrow_grouped / udtf_dynamic_cols: the grouped-Arrow UDF and
+  polymorphic (analyze()) UDTF corners of the extension surface.
+- sink_snapshot_timetravel: manifest commit log with time travel
+  (operators/snapshots.py).
+- scan_warc_corpus: WARC crawl-archive round trip (sources/warc.py).
+- curate_scrub_pipeline: the round-3 flagship composite — quality
+  gate -> substring scrub over survivors -> per-source audit, ONE
+  Catalyst plan.
 
 Parity: all scores are integer fixed-point (e6) with truncating
-integer division, identical in Spark (`div`) and DuckDB (`//`) for
-the non-negative operands used here; md5 hex is engine-identical.
+integer division, identical in Spark (`div`) and DuckDB (`//`) —
+verified to truncate toward zero for signed values in both engines;
+md5 hex is engine-identical.
 """
 
 from __future__ import annotations
