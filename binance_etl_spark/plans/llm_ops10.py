@@ -964,3 +964,37 @@ def curate_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- sample_bottom_k -------------------------------------------------
+
+_BK = 50
+
+
+@register(
+    "sample_bottom_k",
+    oracle=f"""
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+    ORDER BY hk, doc_id
+    LIMIT {_BK}
+    """,
+    doc="Bottom-k-by-hash sampling: the k records with the smallest "
+    "md5(id) form a UNIFORM sample that is deterministic, mergeable "
+    "(bottom-k of a union = bottom-k of the per-partition bottom-ks — "
+    "the property reservoir sampling lacks), and stable under "
+    "reprocessing (the same ids are always chosen, so samples from "
+    "different pipeline stages are joinable). Executes as "
+    "TakeOrderedAndProject: per-partition top-k + driver k-way merge, "
+    "O(k) memory per partition, no global sort — the distributed "
+    "uniform-sampling shape at any corpus size (k-minimum-values is "
+    "also the classic distinct-count sketch).",
+    tags=("sampling", "llm"),
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(_BK)
+    )
