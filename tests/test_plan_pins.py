@@ -338,3 +338,18 @@ def test_quality_classifier_is_joinless_single_agg(spark):
     plan = _plan(spark, "text_quality_classifier")
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_curate_scrub_pipeline_no_all_pairs(spark):
+    # the composed gate+scrub plan must keep every stage's equi-join
+    # shape — composition must not smuggle in a product join
+    plan = _plan(spark, "curate_scrub_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bottom_k_sample_is_take_ordered(spark):
+    # bottom-k-by-hash must run as per-partition top-k + k-way merge,
+    # never a global sort
+    plan = _plan(spark, "sample_bottom_k")
+    assert "TakeOrderedAndProject" in plan
