@@ -109,6 +109,15 @@ def write_version(
     and returns that existing version.
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
+
+    Concurrency contract: the O_EXCL version claim guarantees two
+    concurrent writers can never overwrite each other's manifest (no
+    silently lost commits). APPEND file-list linearization across
+    concurrent writers is deliberately out of scope — an appender
+    carries the latest manifest COMMITTED when it claimed, so
+    concurrent appenders should serialize (the streaming sink is a
+    single foreachBatch writer by construction; Delta solves the same
+    problem with optimistic-conflict retry).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
@@ -117,7 +126,26 @@ def write_version(
         for pv in prior:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
+    # CLAIM the version number before writing: two concurrent writers
+    # that both computed max+1 would otherwise both os.replace the same
+    # manifest and silently drop one commit. O_EXCL claim-file creation
+    # is the atomic arbiter (the filesystem twin of Delta's
+    # putIfAbsent); the loser advances to the next number. A crash
+    # between claim and commit strands the claim — that version number
+    # is simply skipped (readers only see committed manifests), the
+    # same hole a failed Delta commit leaves.
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
     v = (prior[-1] + 1) if prior else 1
+    while True:
+        if os.path.exists(os.path.join(mdir, f"v{v}.json")):
+            v += 1
+            continue
+        try:
+            with open(os.path.join(mdir, f".claim-v{v}"), "x"):
+                break
+        except FileExistsError:
+            v += 1
     rel_dir = os.path.join("data", f"v{v}")
     staging = os.path.join(table_dir, rel_dir)
     df.write.mode("overwrite").parquet(staging)
@@ -144,12 +172,11 @@ def write_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
-    mdir = _manifest_dir(table_dir)
-    os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-v{v}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
+    os.remove(os.path.join(mdir, f".claim-v{v}"))
     return v
 
 

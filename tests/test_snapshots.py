@@ -110,3 +110,16 @@ def test_foreach_batch_snapshot_real_stream(spark, table, tmp_path):
     q.awaitTermination(120)
     assert SNAP.read_version(spark, table).count() == 50
     assert SNAP.versions(table)
+
+
+def test_claimed_version_is_skipped_not_overwritten(spark, table):
+    import os
+
+    SNAP.write_version(_df(spark, 0, 5), table)
+    # another writer holds the claim for v2 (crashed or in flight):
+    # our commit must take v3, never clobber the claimed number
+    open(os.path.join(table, "_manifests", ".claim-v2"), "x").close()
+    v = SNAP.write_version(_df(spark, 5, 10), table)
+    assert v == 3
+    assert SNAP.versions(table) == [1, 3]
+    assert SNAP.read_version(spark, table).count() == 10
