@@ -998,3 +998,67 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hk", "doc_id")
         .limit(_BK)
     )
+
+
+# --- sink_incremental_manifest_agg -----------------------------------
+
+
+@register(
+    "sink_incremental_manifest_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_value_e6
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    doc="INCREMENTAL aggregation from manifest diffs — the 100 TB "
+    "incremental-ETL pattern: after snapshot v2 appends to v1, the "
+    "delta is exactly set(files(v2)) - set(files(v1)) read straight "
+    "from the two manifests (zero listing, zero data reads to plan); "
+    "the maintained aggregate is old_agg MERGE agg(delta files only). "
+    "The query materializes v1's aggregate, appends v2, scans ONLY "
+    "the delta files, merges — and the oracle is the FULL recompute "
+    "over both snapshots, proving merge == recompute. Works because "
+    "count/sum are mergeable; the same shape maintains HLL/minhash "
+    "sketch aggregates (agg_hll_rollup) without ever rescanning "
+    "history.",
+    tags=("sink", "versioning", "incremental"),
+)
+def sink_incremental_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    table = tempfile.mkdtemp(prefix="besk_ivm_") + "/events_versioned"
+    units = F.floor(F.col("value").cast("double") * 1_000_000).cast("bigint")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(units).alias("sum_value_e6")
+        )
+
+    v1 = SNAP.write_version(e.where(F.col("event_id") < 1000), table)
+    # the maintained aggregate state (tiny; stored rows, not a rescan)
+    state = agg(SNAP.read_version(spark, table, v1)).localCheckpoint(eager=True)
+    v2 = SNAP.write_version(
+        e.where((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)), table
+    )
+    old_files = set(SNAP._load_manifest(table, v1)["files"])
+    delta = [
+        os.path.join(table, f)
+        for f in SNAP._load_manifest(table, v2)["files"]
+        if f not in old_files
+    ]
+    assert delta, "append must add files"
+    delta_agg = agg(spark.read.parquet(*delta))
+    return (
+        state.unionByName(delta_agg)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_value_e6").cast("bigint").alias("sum_value_e6"),
+        )
+    )
