@@ -1062,3 +1062,71 @@ def sink_incremental_manifest_agg(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("sum_value_e6").cast("bigint").alias("sum_value_e6"),
         )
     )
+
+
+# --- stats_ks_drift --------------------------------------------------
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events
+    ), sized AS (
+      SELECT event_type,
+             CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(1 - a) AS BIGINT) AS n2
+      FROM tagged GROUP BY event_type
+    ), walked AS (
+      SELECT t.event_type, s.n1, s.n2,
+             CAST(SUM(a) OVER w AS BIGINT) AS c1,
+             CAST(SUM(1 - a) OVER w AS BIGINT) AS c2
+      FROM tagged t JOIN sized s USING (event_type)
+      WINDOW w AS (PARTITION BY t.event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, n1, n2,
+           MAX(abs(c1 * n2 - c2 * n1)) * 1000000 // (n1 * n2) AS d_e6
+    FROM walked
+    GROUP BY event_type, n1, n2
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov drift per event type — "
+    "the continuous-distribution companion to stats_chi2_drift's "
+    "categorical gate (is the `value` distribution of even-id events "
+    "drifting from odd-id events?). The ECDF walk needs no sort-merge "
+    "trickery: a ties-INCLUSIVE running count per sample comes from "
+    "the default RANGE UNBOUNDED PRECEDING frame (identical ties "
+    "semantics in Spark and DuckDB — at duplicate values both engines "
+    "count the whole value group, which is exactly the correct ECDF "
+    "evaluation point), and D = max |c1*n2 - c2*n1| / (n1*n2) in "
+    "integer cross-multiplied e6 units. One keyed shuffle; each "
+    "partition sorts only its own type's rows — the per-series drift "
+    "monitor shape at any number of series.",
+    tags=("stats", "drift", "window"),
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(load(spark, sf_dir, "events"))
+    tagged = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("a"),
+    )
+    sized = tagged.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("n2"),
+    )
+    w = W.partitionBy("event_type").orderBy("value")  # default RANGE frame
+    walked = tagged.join(sized, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("a").over(w).cast("bigint").alias("c1"),
+        F.sum(1 - F.col("a")).over(w).cast("bigint").alias("c2"),
+    )
+    return walked.groupBy("event_type", "n1", "n2").agg(
+        F.expr(
+            "max(abs(c1 * n2 - c2 * n1)) * 1000000 div (n1 * n2)"
+        ).alias("d_e6")
+    )
