@@ -1130,3 +1130,55 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max(abs(c1 * n2 - c2 * n1)) * 1000000 div (n1 * n2)"
         ).alias("d_e6")
     )
+
+
+# --- win_retention_cohorts -------------------------------------------
+
+
+@register(
+    "win_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week_idx
+      FROM events
+    ), cohorted AS (
+      SELECT user_id, week_idx,
+             MIN(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk
+    )
+    SELECT cohort_week, week_idx - cohort_week AS offset_weeks,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM cohorted
+    GROUP BY cohort_week, week_idx - cohort_week
+    """,
+    doc="Cohort RETENTION matrix (the product-analytics staple): users "
+    "bucketed by first-active week, counted at each week offset they "
+    "return. Self-join-free — the naive first-event⋈later-events "
+    "join is replaced by distinct (user, week) pairs + a per-user MIN "
+    "window + one grouped distinct count, all keyed on user_id then "
+    "(cohort, offset): two shuffles total, each linear in active "
+    "(user, week) pairs, at any history length. Weeks are integer "
+    "epoch-day divisions (engine-identical), no calendar functions "
+    "with locale/week-start drift.",
+    tags=("window", "analytics", "agg"),
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(load(spark, sf_dir, "events"))
+    wk = e.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+        ).alias("week_idx"),
+    ).distinct()
+    cohorted = wk.select(
+        "user_id",
+        "week_idx",
+        F.min("week_idx").over(W.partitionBy("user_id")).alias("cohort_week"),
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("offset_weeks")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
