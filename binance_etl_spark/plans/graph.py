@@ -74,3 +74,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, n_iters=3)
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH und AS (  -- canonical undirected edges over the same link graph
+      SELECT DISTINCT least(user_id, {_DST}) AS u, greatest(user_id, {_DST}) AS v
+      FROM events WHERE user_id <> {_DST}
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ), o AS (  -- orient low-(degree, id) -> high: bounds wedge fan-out
+      SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS src,
+             CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS dst,
+             CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS dd
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ), tri AS (  -- wedge at the low-degree apex + closing-edge lookup
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM o o1 JOIN o o2
+        ON o2.src = o1.src
+       AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+      JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
+    GROUP BY node ORDER BY node
+    """,
+    doc="Per-node triangle counts via degree-oriented node-iterator "
+    "(the compact-forward algorithm): orient every edge from its "
+    "lower-(degree, id) endpoint, enumerate wedges only at the LOW-"
+    "degree apex, and close each wedge with one equi-join. The "
+    "orientation bounds per-node wedge fan-out by O(sqrt(|E|)) "
+    "(arboricity), so a celebrity node with 10^6 neighbours generates "
+    "no 10^12-wedge explosion — the difference between a plan that "
+    "survives a power-law 100 TB graph and one that dies on its first "
+    "hot vertex. Three shuffles total (degree agg, wedge self-join, "
+    "closing join), all equi-keyed.",
+    tags=("graph",),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    und = (
+        e.select(
+            F.least(F.col("user_id"), dst).alias("u"),
+            F.greatest(F.col("user_id"), dst).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = j.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db"))
+    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc")) | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )

@@ -101,6 +101,7 @@ def _ensure_loaded() -> None:
         llm_ops8,
         llm_ops9,
         llm_ops10,
+        llm_ops11,
         relational,
         relational2,
         relational3,
