@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import fanout, load
-from binance_etl_spark.plans.registry import register
+from binance_etl_spark.plans.registry import register, register_sql
 
 # --- sim_ann_pq -------------------------------------------------------
 
@@ -253,4 +253,205 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est") * 100 >= F.col("n"))
         .select("tok", "est")
         .orderBy(F.desc("est"), "tok")
+    )
+
+
+# --- er_resolve_e2e ----------------------------------------------------
+# Entity resolution end-to-end, shared-text SQL (the strongest parity
+# statement): derive two deterministic dirty variants per master part
+# name, block candidates on (4-char prefix, +-3 length band), verify
+# with levenshtein <= 3, pick each record's best master by
+# (distance, ent_id), and survive into golden records with merge
+# counts. Match-to-master shape; general transitive clustering is
+# dedup_cluster_cc (plans/llm_ops3.py).
+
+register_sql(
+    "er_resolve_e2e",
+    """
+    WITH master AS (
+        -- canonicalize first: the fixture (like most real catalogs) has
+        -- massively duplicated names, so the match side is the DISTINCT
+        -- name table, not raw rows — this is what keeps block sizes
+        -- O(distinct names), not O(rows).
+        SELECT p_name, MIN(p_partkey) AS ent_id, COUNT(*) AS n_master_rows
+        FROM part GROUP BY p_name
+    ),
+    dirty AS (
+        SELECT p_partkey * 10 + 1 AS rec_id,
+               CONCAT(SUBSTRING(p_name, 1, LENGTH(p_name) - 1), '_') AS rec_name
+        FROM part
+        UNION ALL
+        SELECT p_partkey * 10 + 2, CONCAT(p_name, ' xx') FROM part
+    ),
+    cand AS (
+        SELECT m.ent_id, d.rec_id, LEVENSHTEIN(m.p_name, d.rec_name) AS dist
+        FROM master m JOIN dirty d
+          ON SUBSTRING(m.p_name, 1, 4) = SUBSTRING(d.rec_name, 1, 4)
+         AND LENGTH(m.p_name) BETWEEN LENGTH(d.rec_name) - 3
+                                  AND LENGTH(d.rec_name) + 3
+        WHERE LEVENSHTEIN(m.p_name, d.rec_name) <= 3
+    ),
+    best AS (
+        SELECT ent_id, rec_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY rec_id ORDER BY dist, ent_id) AS rn
+        FROM cand
+    )
+    SELECT ent_id,
+           COUNT(*) AS n_merged,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           MIN(rec_id) AS min_rec,
+           MAX(rec_id) AS max_rec
+    FROM best WHERE rn = 1
+    GROUP BY ent_id
+    ORDER BY ent_id
+    """,
+    doc="Entity-resolution composite: canonical master extraction "
+    "(GROUP BY name) -> dirty-record generation -> blocked candidate "
+    "join (equi on prefix + length band, never O(n^2) and never "
+    "rows x rows: the match side is the distinct-name table) -> "
+    "edit-distance verify on candidates only -> best-match "
+    "survivorship (ROW_NUMBER per record) -> golden-record merge "
+    "audit. One Catalyst plan, shared-text on both engines; the "
+    "blocking key is the shuffle key, so scale behavior is that of "
+    "dedup_minhash_lsh's band join, and the small canonical side is "
+    "broadcast by AQE.",
+    tags=("er", "llm", "e2e"),
+)
+
+
+# --- sim_ann_recall ----------------------------------------------------
+
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1000000000000) AS BIGINT)))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               CAST({_SQL_DOT.format(a="embedding", b="q_emb")} AS DOUBLE)
+                 / sqrt(CAST({_SQL_DOT.format(a="embedding", b="embedding")} AS DOUBLE)
+                        * CAST({_SQL_DOT.format(a="q_emb", b="q_emb")} AS DOUBLE)) AS sim
+        FROM embeddings, q
+      ) ORDER BY sim DESC, vec_id LIMIT 10
+    ),
+    qv AS (
+      SELECT UNNEST(generate_series(1, len(q_emb))) AS pos, q_emb FROM q
+    ), qvals AS (SELECT pos, q_emb[pos] AS qval FROM qv),
+    centroids AS (
+      SELECT label, pos, SUM(v_e12) AS c_e12, COUNT(*) AS n FROM (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v_e12
+        FROM (SELECT label, embedding,
+                     UNNEST(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+      ) GROUP BY label, pos
+    ), scores AS (
+      SELECT label,
+             CAST(SUM(CAST(floor(CAST(qval AS DOUBLE) * CAST(c_e12 AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE) / MAX(n) AS list_score
+      FROM centroids JOIN qvals USING (pos) GROUP BY label
+    ), top_lists AS (
+      SELECT label FROM scores ORDER BY list_score DESC, label LIMIT 2
+    ), approx AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               CAST({_SQL_DOT.format(a="e.embedding", b="q_emb")} AS DOUBLE)
+                 / sqrt(CAST({_SQL_DOT.format(a="e.embedding", b="e.embedding")} AS DOUBLE)
+                        * CAST({_SQL_DOT.format(a="q_emb", b="q_emb")} AS DOUBLE)) AS sim
+        FROM embeddings e JOIN top_lists USING (label), q
+      ) ORDER BY sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           COUNT(*) AS n_hit,
+           CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+    FROM exact JOIN approx USING (vec_id)
+    """,
+    doc="ANN quality evaluation as a query: recall@10 of the IVF probe "
+    "(nprobe=2) against the exact brute-force ranking — approximate "
+    "retrieval ships with a recall gate, and this runs that gate as one "
+    "plan (both rankings + the intersection). At scale the exact arm "
+    "runs on a sampled query set, the approx arm on the full index; "
+    "both sides here reuse the registered operators unchanged.",
+    tags=("similarity", "ann", "eval"),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import similarity as S
+
+    e = fanout(load(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    exact = S.cosine_topk(e, q, k=10).select("vec_id")
+    approx = S.ivf_probe(
+        e, S.ivf_centroids_e12(e, "label"), q, list_col="label", nprobe=2, k=10
+    ).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            "n_hit",
+            (F.col("n_hit") * 10).cast("bigint").alias("recall_pct"),
+        )
+    )
+
+
+# --- sample_quality_calibrated -----------------------------------------
+
+
+@register(
+    "sample_quality_calibrated",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+      FROM s
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           MIN(score) AS threshold_score,
+           MIN(doc_id) AS min_kept_id,
+           MAX(doc_id) AS max_kept_id
+    FROM r WHERE pr >= 0.5
+    GROUP BY source ORDER BY source
+    """,
+    doc="Per-domain quality-score calibration: rank-normalize the score "
+    "WITHIN each source (percent_rank over a deterministic total order) "
+    "and keep each domain's top half — absolute-threshold filtering "
+    "lets high-resource domains drown out the rest; rank calibration "
+    "gives every domain the same survival rate and surfaces the induced "
+    "per-domain absolute threshold (threshold_score differs per "
+    "source). One window pass partitioned by source (the shuffle key), "
+    "then a grouped audit.",
+    tags=("sampling", "llm"),
+)
+def sample_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    sel = d.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("score"),
+    )
+    pr = F.percent_rank().over(W.partitionBy("source").orderBy("score", "doc_id"))
+    kept = sel.withColumn("pr", pr).where(F.col("pr") >= 0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("score").alias("threshold_score"),
+            F.min("doc_id").alias("min_kept_id"),
+            F.max("doc_id").alias("max_kept_id"),
+        )
+        .orderBy("source")
     )

@@ -71,6 +71,49 @@ def test_cms_no_true_heavy_hitter_missed(spark):
         assert r["tok"] in est_toks, f"true heavy hitter {r['tok']!r} missed"
 
 
+def test_ann_recall_bounds(spark):
+    from binance_etl_spark.plans.llm_ops11 import sim_ann_recall
+
+    r = sim_ann_recall(spark, SF).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["k"] == 10
+    assert 1 <= row["n_hit"] <= 10, "query's own vector is in a probed list"
+    assert row["recall_pct"] == row["n_hit"] * 10
+
+
+def test_er_every_record_resolves(spark):
+    """Each dirty record is within levenshtein 3 of its own master name
+    and shares its 4-char prefix, so the golden records must absorb all
+    2x|part| dirty records — no orphans."""
+    from binance_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["er_resolve_e2e"].fn(spark, SF).collect()
+    n_part = load(spark, SF, "part").count()
+    assert sum(r["n_merged"] for r in rows) == 2 * n_part
+    assert all(r["sum_dist"] <= 3 * r["n_merged"] for r in rows)
+
+
+def test_calibrated_sample_rates_balanced(spark):
+    """Rank calibration keeps ~half of EVERY domain (vs an absolute
+    threshold, which skews towards verbose domains)."""
+    from binance_etl_spark.plans.llm_ops11 import sample_quality_calibrated
+
+    kept = {r["source"]: r["n_kept"] for r in sample_quality_calibrated(spark, SF).collect()}
+    totals = {
+        r["source"]: r["n"]
+        for r in load(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in totals.items():
+        if n < 4:
+            continue
+        frac = kept.get(src, 0) / n
+        assert 0.4 <= frac <= 0.6, f"{src}: kept {frac:.2f}, expected ~0.5"
+
+
 def test_triangles_match_naive(spark):
     """Degree-oriented enumeration returns exactly the naive a<b<c
     three-way-join triangle set."""
