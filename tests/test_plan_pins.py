@@ -353,3 +353,43 @@ def test_bottom_k_sample_is_take_ordered(spark):
     # never a global sort
     plan = _plan(spark, "sample_bottom_k")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_scan_is_shuffle_free_topk(spark):
+    # PQ encode + ADC lookup are pure projections over inlined literal
+    # codebooks: the only distribution step allowed is the final
+    # TakeOrderedAndProject k-merge — no Exchange, no Join against any
+    # codebook table.
+    plan = _plan(spark, "sim_ann_pq")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    # one fanout repartition is permitted (small-file parallelism);
+    # nothing else may shuffle
+    assert plan.count("Exchange") <= 1
+
+
+def test_cms_sketch_agg_is_partial_combined(spark):
+    # the 4x256 sketch must collapse map-side (bounded partial-agg
+    # state), and the sketch side of the estimate join must broadcast
+    plan = _plan(spark, "text_heavy_hitters_cms")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangles_all_equi_joins(spark):
+    # degree-oriented triangle counting must stay equi-keyed: the
+    # inequality (key ordering) rides as a post-join filter, never a
+    # nested-loop join
+    plan = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_resolve_blocked_join(spark):
+    # ER candidates come from the prefix-block equi-join; the verify
+    # (levenshtein) must be a filter on candidates, not a join
+    # condition forcing nested loops
+    plan = _plan(spark, "er_resolve_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
