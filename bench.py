@@ -116,6 +116,12 @@ HEADLINE_LLM = [
     "text_substring_scrub",
     "dedup_semdedup",
     "sink_snapshot_timetravel",
+    # round-3 second wave: compressed-domain ANN, sketch frequency,
+    # degree-oriented graph, blocked ER composite.
+    "sim_ann_pq",
+    "text_heavy_hitters_cms",
+    "graph_triangles",
+    "er_resolve_e2e",
 ]
 
 

@@ -90,3 +90,66 @@ def fingerprint(docs: DataFrame, shingle_col: Column) -> DataFrame:
         F.array_max(hashes).alias("fp_max"),
         F.size(shingle_col).cast("long").alias("n_shingles"),
     )
+
+
+# --- count-min sketch -------------------------------------------------
+# Engine-portable CMS (plans/llm_ops11.py registers the batch query;
+# streaming/cms_stream.py merges sketches across micro-batches). The
+# bucket hash is an md5 hex byte — identical in Spark, DuckDB, and any
+# other engine that needs to read the sketch.
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row (one md5 byte, no modulo bias)
+
+
+def cms_bucket(d: int, tok_col: str = "tok") -> Column:
+    """Row-d bucket of a token: int(md5('<d>#<tok>')[0:2], 16)."""
+    h = F.md5(F.concat(F.lit(f"{d}#"), F.col(tok_col)).cast("binary"))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def _cells_expr(tok_col: str) -> Column:
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), cms_bucket(d, tok_col).alias("bucket"))
+                for d in range(CMS_D)
+            ]
+        )
+    )
+
+
+def cms_cells(toks: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Build the sketch: (d, bucket, c) counters over a token stream.
+    At most CMS_D * CMS_W live groups — partial aggregation collapses
+    everything map-side, the shuffle moves <= 1024 rows regardless of
+    corpus size, and two sketches merge by summing c cellwise."""
+    return (
+        toks.select(_cells_expr(tok_col).alias("cell"))
+        .select("cell.d", "cell.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cellwise sum — the mergeability that makes CMS a streaming /
+    map-reduce sketch (cells absent from one side count 0)."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(cand: DataFrame, cells: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Point estimates for candidate tokens: min over the D counters
+    each token hits. `cells` is tiny (<= 1024 rows) and broadcast."""
+    probes = cand.select(tok_col, _cells_expr(tok_col).alias("cell")).select(
+        tok_col, "cell.d", "cell.bucket"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy(tok_col)
+        .agg(F.min("c").alias("est"))
+    )

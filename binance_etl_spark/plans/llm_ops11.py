@@ -51,13 +51,12 @@ def _sq_dist_e12_py(a: list[float], b: list[float]) -> int:
     return sum(int(math.floor((x - y) * (x - y) * _E12)) for x, y in zip(a, b))
 
 
-def _pq_sq_dist_e12(sub: Column, code: list[float]) -> Column:
+def _pq_sq_dist_e12(sub: Column, code: Column) -> Column:
     """Engine expression for the same e-12 squared distance between a
-    bound subvector column and one literal code vector."""
-    lits = F.array(*[F.lit(float(c)) for c in code])
+    bound subvector column and one code vector (array<double>)."""
     term = lambda x, y: F.floor((x - y) * (x - y) * F.lit(_E12))  # noqa: E731
     return F.aggregate(
-        F.zip_with(sub, lits, term), F.lit(0).cast("long"), lambda acc, v: acc + v
+        F.zip_with(sub, code, term), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
 
 
@@ -137,11 +136,23 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx: Column = F.lit(0).cast("long")
     for m in range(_M):
         sub = F.slice(emb_d, m * _DSUB + 1, _DSUB)
+        # One distance LAMBDA evaluated over the literal codebook array
+        # (array<array<double>>) — a single expression subtree instead
+        # of K inlined copies, which keeps analysis/codegen cost flat in
+        # K (measured: 16 inlined copies cost ~5s of planning).
+        cb_m = F.array(
+            *[F.array(*[F.lit(float(c)) for c in code]) for code in codebook[m]]
+        )
+        dists = F.transform(cb_m, lambda code: _pq_sq_dist_e12(sub, code))
         # argmin over K codes, ties to the lower code index: min over
         # (dist * K + k) then % K — dist is non-negative so the packed
         # key preserves ordering.
-        enc = F.least(
-            *[_pq_sq_dist_e12(sub, codebook[m][k]) * _K + F.lit(k) for k in range(_K)]
+        enc = F.array_min(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0).cast("long"), F.lit(_K - 1).cast("long")),
+                lambda dv, k: dv * _K + k,
+            )
         )
         code = enc % _K
         adc_m = F.element_at(
@@ -157,8 +168,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text_heavy_hitters_cms -------------------------------------------
 
-_CMS_D = 4  # hash rows
-_CMS_W = 256  # buckets per row (one md5 hex byte, no modulo bias)
+from binance_etl_spark.operators.text import CMS_D as _CMS_D  # noqa: E402
+from binance_etl_spark.operators.text import cms_cells, cms_estimate  # noqa: E402
 
 # Engine-portable md5-byte bucket: first two hex chars of
 # md5('<row>#<tok>') as an integer 0..255.
@@ -166,11 +177,6 @@ _SQL_BUCKET = (
     "((instr('0123456789abcdef', substr(md5(CAST({d} AS VARCHAR) || '#' || tok), 1, 1)) - 1) * 16"
     " + instr('0123456789abcdef', substr(md5(CAST({d} AS VARCHAR) || '#' || tok), 2, 1)) - 1)"
 )
-
-
-def _bucket(d: int) -> Column:
-    h = F.md5(F.concat(F.lit(f"{d}#"), F.col("tok")).cast("binary"))
-    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
 
 
 @register(
@@ -214,40 +220,9 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch build: explode each token into its D (row, bucket) cells —
     # the groupBy has at most D*W live groups, so partial aggregation
     # collapses everything map-side; the shuffle moves <= 1024 rows.
-    cells = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(dd).alias("d"), _bucket(dd).alias("bucket"))
-                        for dd in range(_CMS_D)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .select("cell.d", "cell.bucket")
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = cms_cells(toks)
     total = toks.agg(F.count(F.lit(1)).alias("n"))
-
-    cand = toks.distinct()
-    probes = cand.select(
-        "tok",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(dd).alias("d"), _bucket(dd).alias("bucket"))
-                    for dd in range(_CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "cell.d", "cell.bucket")
-    est = (
-        probes.join(F.broadcast(cells), ["d", "bucket"])
-        .groupBy("tok")
-        .agg(F.min("c").alias("est"))
-    )
+    est = cms_estimate(toks.distinct(), cells)
     return (
         est.crossJoin(F.broadcast(total))  # 1-row total, stats-broadcast pattern
         .where(F.col("est") * 100 >= F.col("n"))
