@@ -121,6 +121,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): [float(v) for v in r["embedding"]]
         for r in e.where(F.col("vec_id") <= _K).collect()
     }
+    if set(range(_K + 1)) - set(small):
+        # no query vector / incomplete codebook (empty or pruned-away
+        # partition): empty schema-stable result, not a KeyError
+        return e.select(
+            "vec_id", "label", F.lit(None).cast("long").alias("adc_dist")
+        ).limit(0)
     qvec = small[0]
     codebook = [
         [small[k][m * _DSUB : (m + 1) * _DSUB] for k in range(1, _K + 1)]

@@ -35,6 +35,16 @@ EMPTY_SAFE = [
     "udf_arrow_grouped",
     "udtf_dynamic_cols",
     "sql_q3_topk",
+    # round-3 second wave: sketch, compressed ANN (guarded k-row
+    # collect), recall gate, degree-oriented graph, ER composite,
+    # rank calibration
+    # (sim_ann_recall is excluded: a GLOBAL aggregate legitimately
+    # returns one n_hit=0 row on empty input, not zero rows)
+    "text_heavy_hitters_cms",
+    "sim_ann_pq",
+    "graph_triangles",
+    "er_resolve_e2e",
+    "sample_quality_calibrated",
 ]
 
 
