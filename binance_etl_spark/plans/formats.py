@@ -221,3 +221,58 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v6").cast("bigint").alias("sum_value_e6"),
         F.min("event_id").alias("min_id"),
     )
+
+
+@register(
+    "scan_binaryfile_assets",
+    oracle="""
+    WITH assets(file_name, payload_str) AS (
+      VALUES ('img/asset_1.bin', 'fake-jpeg-bytes-aaaaaaaaaaaaaaaa'),
+             ('img/asset_2.bin', 'fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb'),
+             ('aud/asset_3.bin', 'fake-wav-bytes-cccccccccccc'),
+             ('vid/asset_4.bin', 'fake-mp4-bytes-dddddddddddddddddddddddddddddddd')
+    )
+    SELECT file_name,
+           octet_length(encode(payload_str)) AS byte_len,
+           sha256(payload_str) AS content_hash
+    FROM assets ORDER BY file_name
+    """,
+    doc="binaryFile-format ingest — the multimodal front door: raw "
+    "asset files (images/audio/video) land as (path, length, content "
+    "binary) rows straight off the DataSource, one task per file "
+    "group, recursiveFileLookup walking nested modality directories. "
+    "Metadata (length, sha256) is computed JVM-side; the bytes never "
+    "cross into Python here — decode stages (mm_image_decode etc.) "
+    "consume the same binary column downstream. At 100 TB this is the "
+    "scan shape for blob corpora: no row-group format overhead, "
+    "file-granular parallelism, partition pruning by directory.",
+    tags=("scan", "format", "multimodal"),
+)
+def scan_binaryfile_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    payloads = {
+        "img/asset_1.bin": "fake-jpeg-bytes-aaaaaaaaaaaaaaaa",
+        "img/asset_2.bin": "fake-png-bytes-bbbbbbbbbbbbbbbbbbbbbbbb",
+        "aud/asset_3.bin": "fake-wav-bytes-cccccccccccc",
+        "vid/asset_4.bin": "fake-mp4-bytes-dddddddddddddddddddddddddddddddd",
+    }
+    root = tempfile.mkdtemp(prefix="besk_binf_")
+    for rel, s in payloads.items():
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(s.encode())
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    # modality dir + file name, independent of the temp root
+    name = F.regexp_extract("path", r"([^/]+/[^/]+)$", 1)
+    return raw.select(
+        name.alias("file_name"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.sha2("content", 256).alias("content_hash"),
+    ).orderBy("file_name")
