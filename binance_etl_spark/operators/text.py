@@ -144,12 +144,18 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def cms_estimate(cand: DataFrame, cells: DataFrame, tok_col: str = "tok") -> DataFrame:
     """Point estimates for candidate tokens: min over the D counters
-    each token hits. `cells` is tiny (<= 1024 rows) and broadcast."""
+    each token hits. `cells` is tiny (<= 1024 rows) and broadcast.
+
+    LEFT join, not inner: a sketch cell with no entry holds count 0, so
+    a probe token hashing to an unpopulated cell must see 0 (and a token
+    absent from the sketched corpus reports est = 0, not a dropped row).
+    An inner join would silently drop absent tokens and take min over
+    only the populated subset of its D counters — an overestimate."""
     probes = cand.select(tok_col, _cells_expr(tok_col).alias("cell")).select(
         tok_col, "cell.d", "cell.bucket"
     )
     return (
-        probes.join(F.broadcast(cells), ["d", "bucket"])
+        probes.join(F.broadcast(cells), ["d", "bucket"], "left")
         .groupBy(tok_col)
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0)).cast("long")).alias("est"))
     )

@@ -507,7 +507,7 @@ def _bpe_round(x: DataFrame, rnd: int):
     stats = (
         y.groupBy("top_pair")
         .agg(F.sum(F.col("ms").cast("int")).cast("bigint").alias("n_merges"))
-        .crossJoin(new.agg(F.count(F.lit(1)).alias("n_symbols_after")))
+        .crossJoin(F.broadcast(new.agg(F.count(F.lit(1)).alias("n_symbols_after"))))
         .select(
             F.lit(rnd).alias("round"),
             F.col("top_pair").alias("merged_pair"),

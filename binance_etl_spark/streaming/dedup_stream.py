@@ -44,9 +44,16 @@ from binance_etl_spark.operators.dedup import (
 
 
 def _swap_write(df: DataFrame, path: str) -> None:
+    """Rename-aside swap with a deterministic `.__old` name so
+    `sinks.recover_state` can heal a crash between the two renames
+    (restore the committed table) or after the second (drop the
+    superseded copy) — see sinks.recover_state for the case analysis."""
+    from binance_etl_spark.streaming.sinks import recover_state
+
+    recover_state(path)
     side = f"{path}.__swap_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(side)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    old = f"{path}.__old"
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(side, path)
@@ -77,6 +84,9 @@ def foreach_batch_minhash_dedup(
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from binance_etl_spark.streaming.sinks import recover_state
+
+        recover_state(state_path)
         spark = batch_df.sparkSession
         docs = batch_df.where(F.col(text_col).isNotNull())
         if not docs.take(1):

@@ -21,17 +21,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def recover_state(state_path: str) -> None:
+    """Heal a crash inside `_swap_state`'s rename window. The old table
+    is renamed to the DETERMINISTIC `<path>.__old` before the new one
+    moves in, so the disk state decides what happened:
+
+    - live missing, `.__old` present  -> crashed between the two
+      renames: the old table is the last committed state; restore it.
+    - live present, `.__old` present  -> crashed after the second
+      rename but before cleanup: `.__old` is superseded; drop it.
+
+    Callers that read the state path before merging (every
+    foreach_batch body below) run this first, so a retried micro-batch
+    after a mid-swap crash merges against the committed state instead
+    of silently starting from empty — the rename-aside pattern keeps
+    the data on disk, this makes the RETRY actually use it."""
+    old = state_path.rstrip("/") + ".__old"
+    if os.path.isdir(old):
+        if os.path.isdir(state_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, state_path)
+
+
 def _swap_state(df: DataFrame, state_path: str) -> None:
-    """Crash-safe state-table swap (rename-aside, as in
-    streaming/dedup_stream.py): write to a staging dir, move the live
-    table ASIDE (rename, not delete), move staging into place, only
-    then delete the old copy. Every crash point leaves either the old
-    or the new complete table on disk — never neither — which matters
-    because earlier micro-batches are already committed in the
-    checkpoint and cannot be replayed to rebuild lost state."""
+    """Crash-safe state-table swap: write to a staging dir, move the
+    live table ASIDE (rename, not delete), move staging into place,
+    only then delete the old copy. Every crash point leaves either the
+    old or the new complete table on disk — never neither — which
+    matters because earlier micro-batches are already committed in the
+    checkpoint and cannot be replayed to rebuild lost state; paired
+    with `recover_state`, a retry after any crash point resumes from
+    a committed table."""
+    recover_state(state_path)
     staging = state_path.rstrip("/") + f".__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
-    old = state_path.rstrip("/") + f".__old_{uuid.uuid4().hex[:8]}"
+    old = state_path.rstrip("/") + ".__old"
     if os.path.isdir(state_path):
         os.rename(state_path, old)
     os.rename(staging, state_path)
@@ -84,6 +109,7 @@ def foreach_batch_upsert(
     ordering = [F.col(c).desc() for c in order_cols]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        recover_state(state_path)
         spark = batch_df.sparkSession
         new = batch_df
         if os.path.isdir(state_path):
@@ -126,6 +152,7 @@ def foreach_batch_agg_merge(
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        recover_state(state_path)
         spark = batch_df.sparkSession
         keys = list(key_cols)
         agg = [F.count(F.lit(1)).cast("bigint").alias(count_col)]
@@ -218,6 +245,7 @@ def foreach_batch_scd2(
     change_cols = keys + attrs + [ts_col] + ties
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        recover_state(state_path)
         spark = batch_df.sparkSession
         changes = batch_df.select(*change_cols)
         if os.path.isdir(state_path):

@@ -74,3 +74,18 @@ def test_state_stays_bounded(spark):
             apply(b, i)
         n = read_sketch(spark, root).count()
     assert n <= 4 * 256, "sketch state must stay <= D*W cells"
+
+
+def test_estimate_reports_absent_tokens_as_zero(spark):
+    # a probe token absent from the sketched corpus must come back with
+    # est = 0 (left join semantics) — not silently dropped, and not an
+    # overestimate from min over a partially-matched counter subset
+    toks = spark.createDataFrame([("alpha",), ("beta",)], "tok STRING")
+    cells = cms_cells(toks)
+    probe = spark.createDataFrame(
+        [("alpha",), ("nosuchtoken_xyzzy_42",)], "tok STRING"
+    )
+    est = {r["tok"]: r["est"] for r in cms_estimate(probe, cells).collect()}
+    assert est["nosuchtoken_xyzzy_42"] == 0
+    assert est["alpha"] >= 1
+    assert len(est) == 2

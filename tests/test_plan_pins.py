@@ -393,3 +393,21 @@ def test_er_resolve_blocked_join(spark):
     plan = _plan(spark, "er_resolve_e2e")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_round_stats_join_is_broadcast_nested_loop(spark):
+    # the 1-row stats crossJoin in _bpe_round must carry a broadcast
+    # hint: BroadcastNestedLoopJoin, never a real CartesianProduct
+    # (an unhinted 1-row cross leans on AQE, which a conf flip disables)
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.plans.llm_ops10 import _bpe_round
+
+    x = spark.createDataFrame(
+        [(1, i + 1, s) for i, s in enumerate("a b a b a".split())],
+        "doc_id BIGINT, pos INT, sym STRING",
+    )
+    _, stats = _bpe_round(x, 1)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
