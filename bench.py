@@ -171,7 +171,10 @@ def bench_book_sync(spark, n_frames: int = 20_000) -> tuple[float, int]:
     from binance_etl_spark.streaming.parse import parse_depth_updates
 
     t0 = time.perf_counter()
-    updates = parse_depth_updates(read_replay(spark, path))
+    # 8 scan partitions: replay order is data (seq), not partition
+    # order, so the Python-source read + JSON parse parallelize; the
+    # stateful sync still sees one ordered group per symbol.
+    updates = parse_depth_updates(read_replay(spark, path, lines_per_partition=2500))
     synced = book_sync_batch(updates, {"BNBUSDT": snapshot})
     n = materialize(synced)
     return time.perf_counter() - t0, n
@@ -231,14 +234,35 @@ def main() -> None:
     )
     g = p.select(F.explode(grams).alias("g"))
     g.join(g.distinct(), "g").agg(F.count("*")).collect()
+    # JSON/variant expression shapes: try_parse_json + try_variant_get +
+    # to_json + from_json load their parser infra (Jackson, variant
+    # builder) and codegen once per engine — without this the first
+    # frame-parsing headliner pays ~0.3-0.5s of classloading.
+    jw = spark.createDataFrame(
+        [('{"a":[["1","2"]],"b":3}', 1)], "frame STRING, k INT"
+    )
+    jw.select(
+        F.to_json(
+            F.try_variant_get(F.try_parse_json("frame"), "$.a", "array<array<string>>")
+        ),
+        F.from_json(
+            "frame",
+            "a ARRAY<ARRAY<STRING>>, b BIGINT",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        ),
+        F.get_json_object("frame", "$.b").cast("bigint"),
+    ).collect()
     # Python-worker warmup (the mapInPandas/DataSource executor pool
-    # spawns lazily and costs seconds once): a 2-row round-trip, so
-    # Python-path headliners measure throughput, not process spawn.
+    # spawns lazily and costs seconds once): a 2-row round-trip for
+    # BOTH Arrow eval paths the engine uses (mapInPandas and grouped-map
+    # applyInPandas), so Python-path headliners measure throughput, not
+    # process spawn.
     import pandas as _pd  # noqa: F401
 
     spark.createDataFrame([(1,), (2,)], "x INT").mapInPandas(
         lambda it: it, "x INT"
     ).count()
+    jw.groupBy("k").applyInPandas(lambda p: p[["k"]], "k INT").count()
     # Python-DataSource reader warmup: first use of the V2 Python
     # DataSource infrastructure (planner round-trip + reader worker
     # spawn) costs ~3s once per engine; a 2-line synthetic replay file

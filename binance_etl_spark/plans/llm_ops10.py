@@ -785,50 +785,43 @@ def sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scan_warc_corpus ------------------------------------------------
 
-_WARC_CAP = 200
-
 
 @register(
     "scan_warc_corpus",
-    oracle=f"""
+    oracle="""
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS content_length,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < {_WARC_CAP}
+    FROM documents
     """,
-    doc="WARC crawl-archive ingestion (sources/warc.py): documents are "
-    "serialized as genuine WARC/1.0 response records (CRLF header "
-    "block, Content-Length, double-CRLF terminator), then read back "
-    "through the Python Data Source — BYTE-OFFSET partitioned, so "
-    "each executor seeks directly to its record slice instead of "
-    "skipping lines (records are length-prefixed; real crawls ship "
-    "the same index as cdx). The query extracts the doc id from the "
-    "WARC-Target-URI and value-checks length + md5 of every payload "
-    "against the source table — proving the writer/reader round-trip "
-    "byte-exactly, the front door a Common-Crawl-shaped 100 TB corpus "
-    "walks through.",
+    doc="WARC crawl-archive round trip (sources/warc.py): the FULL "
+    "documents table is serialized as genuine WARC/1.0 response "
+    "records by the SHARDED DataSource writer — one shard per task, "
+    "task-temp + driver-rename commit (refsink protocol), no driver "
+    "collect anywhere — then read back through the byte-offset-"
+    "partitioned Python Data Source (each executor seeks straight to "
+    "its record slice; real crawls ship the same index as cdx). The "
+    "query extracts the doc id from the WARC-Target-URI and value-"
+    "checks length + md5 of every payload against the source table — "
+    "proving the writer/reader round-trip byte-exact, the front door "
+    "a Common-Crawl-shaped 100 TB corpus walks through in AND out.",
     tags=("scan", "source", "multimodal"),
 )
 def scan_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from binance_etl_spark.sources.warc import read_warc, write_warc
+    from binance_etl_spark.sources.warc import read_warc, write_warc_sharded
 
-    docs = (
-        load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < _WARC_CAP)
-        .select("doc_id", "text")
-        .collect()
-    )
-    path = tempfile.mkdtemp(prefix="besk_warc_") + "/corpus.warc"
-    write_warc(
-        (
-            (f"urn:doc:{r['doc_id']}", f"http://corpus.local/doc/{r['doc_id']}", r["text"].encode("utf-8"))
-            for r in docs
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("record_id"),
+        F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
+            "target_uri"
         ),
-        path,
+        F.encode("text", "UTF-8").alias("payload"),
     )
-    w = read_warc(spark, path, records_per_partition=32)
+    out = tempfile.mkdtemp(prefix="besk_warc_") + "/corpus"
+    write_warc_sharded(docs, out)
+    w = read_warc(spark, out, records_per_partition=256)
     return w.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
         F.col("content_length"),

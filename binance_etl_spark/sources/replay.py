@@ -196,14 +196,25 @@ class ReplayDataSource(DataSource):
         return ReplayStreamReader(self.options)
 
 
+_REGISTERED: set[str] = set()
+
+
 def register(spark) -> None:
-    spark.dataSource.register(ReplayDataSource)
+    # Once per session: re-registration is a driver->Python round trip
+    # (~100ms) that every read_replay call would otherwise pay.
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(ReplayDataSource)
+        _REGISTERED.add(key)
 
 
-def read_replay(spark, path: str):
+def read_replay(spark, path: str, lines_per_partition: int | None = None):
     """Batch-mode scan of a replay log."""
     register(spark)
-    return spark.read.format("replay").option("path", os.fspath(path)).load()
+    r = spark.read.format("replay").option("path", os.fspath(path))
+    if lines_per_partition is not None:
+        r = r.option("linesPerPartition", str(lines_per_partition))
+    return r.load()
 
 
 def stream_replay(spark, path: str, max_frames_per_batch: int = 3):

@@ -20,10 +20,18 @@ Python tuples.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _CRLF = "\r\n"
 WARC_SCHEMA = (
@@ -32,25 +40,32 @@ WARC_SCHEMA = (
 )
 
 
+def _write_records(f, records) -> int:
+    n = 0
+    for record_id, uri, payload in records:
+        header = (
+            f"WARC/1.0{_CRLF}"
+            f"WARC-Type: response{_CRLF}"
+            f"WARC-Record-ID: <{record_id}>{_CRLF}"
+            f"WARC-Target-URI: {uri}{_CRLF}"
+            f"Content-Length: {len(payload)}{_CRLF}"
+            f"{_CRLF}"
+        )
+        f.write(header.encode("utf-8"))
+        f.write(payload)
+        f.write((_CRLF * 2).encode())
+        n += 1
+    return n
+
+
 def write_warc(records, path: str) -> int:
     """Serialize ``(record_id, target_uri, payload: bytes)`` tuples as
-    minimal WARC/1.0 response records. Returns the record count."""
-    n = 0
+    minimal WARC/1.0 response records into ONE file. Single-process
+    helper (fixtures/tests); the scale path is the sharded DataSource
+    writer below (`df.write.format("warc")`), which streams one shard
+    per task with no driver collect."""
     with open(path, "wb") as f:
-        for record_id, uri, payload in records:
-            header = (
-                f"WARC/1.0{_CRLF}"
-                f"WARC-Type: response{_CRLF}"
-                f"WARC-Record-ID: <{record_id}>{_CRLF}"
-                f"WARC-Target-URI: {uri}{_CRLF}"
-                f"Content-Length: {len(payload)}{_CRLF}"
-                f"{_CRLF}"
-            )
-            f.write(header.encode("utf-8"))
-            f.write(payload)
-            f.write((_CRLF * 2).encode())
-            n += 1
-    return n
+        return _write_records(f, records)
 
 
 def _index_offsets(path: str) -> list[int]:
@@ -123,17 +138,25 @@ class WarcBatchReader(DataSourceReader):
         self.path = options["path"]
         self.records_per_partition = int(options.get("recordsperpartition", 1024))
 
+    def _files(self) -> list[str]:
+        # A directory scans every shard in it (the sharded writer's
+        # layout); a plain path is a single archive file.
+        if os.path.isdir(self.path):
+            return sorted(_glob.glob(os.path.join(self.path, "*.warc")))
+        return [self.path]
+
     def partitions(self):
-        offs = _index_offsets(self.path)
-        if not offs:
-            return [_ByteRange(self.path, 0, 0)]
-        size = os.path.getsize(self.path)
         step = max(1, self.records_per_partition)
         parts = []
-        for i in range(0, len(offs), step):
-            end = offs[i + step] if i + step < len(offs) else size
-            parts.append(_ByteRange(self.path, offs[i], end))
-        return parts
+        for path in self._files():
+            offs = _index_offsets(path)
+            if not offs:
+                continue
+            size = os.path.getsize(path)
+            for i in range(0, len(offs), step):
+                end = offs[i + step] if i + step < len(offs) else size
+                parts.append(_ByteRange(path, offs[i], end))
+        return parts or [_ByteRange(self.path if not os.path.isdir(self.path) else os.devnull, 0, 0)]
 
     def read(self, partition: _ByteRange):
         import pyarrow as pa
@@ -160,8 +183,69 @@ class WarcBatchReader(DataSourceReader):
         )
 
 
+@dataclass
+class _Shard(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class WarcShardWriter(DataSourceWriter):
+    """Executor-side sharded WARC writer: each task streams its
+    partition into a private dot-prefixed temp shard; the driver's
+    commit() renames temps into final `part-*.warc` shards only after
+    every task succeeded, then sweeps this job's stray temps (failed /
+    speculative attempts). Same task-temp + driver-rename protocol as
+    refsink.py:69-107 — O(1) driver memory, no collect, no shared-file
+    contention; a 100 TB corpus writes as many shards as it has tasks.
+
+    Input schema: (record_id STRING, target_uri STRING,
+    payload BINARY) — the writer half of the reader's grammar."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a 'path' option")
+        names = [f.name for f in schema.fields]
+        for required in ("record_id", "target_uri", "payload"):
+            if required not in names:
+                raise ValueError(f"warc sink input must carry '{required}' (got {names})")
+        self.overwrite = overwrite
+        self.job = uuid.uuid4().hex[:12]
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _Shard:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{self.job}-part-{uuid.uuid4().hex}.warc")
+        with open(tmp, "wb") as f:
+            n = _write_records(
+                f,
+                (
+                    (row["record_id"], row["target_uri"], bytes(row["payload"]))
+                    for row in iterator
+                ),
+            )
+        return _Shard(tmp_path=tmp, rows=n)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.warc")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{self.job}-{i:05d}.warc")
+            os.replace(m.tmp_path, final)
+        for stray in _glob.glob(os.path.join(self.path, f".tmp-{self.job}-part-*.warc")):
+            os.remove(stray)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class WarcDataSource(DataSource):
-    """spark.read.format("warc").option("path", ...).load()"""
+    """spark.read.format("warc").option("path", ...).load() and
+    df.write.format("warc").option("path", dir).save()"""
 
     @classmethod
     def name(cls) -> str:
@@ -172,6 +256,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcBatchReader:
         return WarcBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WarcShardWriter:
+        return WarcShardWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
@@ -186,3 +273,11 @@ def read_warc(spark, path: str, records_per_partition: int = 1024):
         .option("recordsPerPartition", str(records_per_partition))
         .load()
     )
+
+
+def write_warc_sharded(df, out_dir: str, mode: str = "overwrite") -> None:
+    """Distributed write: df(record_id, target_uri, payload) -> one
+    WARC shard per task under `out_dir` (read back with read_warc on
+    the directory)."""
+    register(df.sparkSession)
+    df.write.format("warc").option("path", os.fspath(out_dir)).mode(mode).save()

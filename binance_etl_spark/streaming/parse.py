@@ -1,10 +1,20 @@
 """Frame parsing: raw JSON frames -> typed trade / depth rows.
 
 The engine twin of the reference's deserializers
-(spot_trades_etl.py:38-58, spot_depth_etl.py:56-76), expressed as
-from_json + select so it runs identically in batch and streaming and
-stays inside JVM codegen.  Corrupt frames are quarantined via the
-corrupt-record column (reference warns+drops, spot_trades_etl.py:56-58).
+(spot_trades_etl.py:38-58, spot_depth_etl.py:56-76), expressed as ONE
+`try_parse_json` per frame + case-sensitive `variant_get` extraction,
+so it runs identically in batch and streaming and stays inside JVM
+codegen. Variant beats the previous from_json + get_json_object mix
+for two reasons: (a) Binance frames carry case-colliding keys ('e'
+event type vs 'E' event ms, 'u'/'U' update ids) that a case-
+insensitive struct schema cannot hold, which forced EXTRA whole-frame
+get_json_object parses per colliding field — variant paths are case
+sensitive, so the frame is parsed exactly once; (b) `try_parse_json`
+returns NULL for malformed frames, giving the corrupt-record drop
+(reference warns+drops, spot_trades_etl.py:56-58) without a PERMISSIVE
+corrupt column. `try_variant_get` nulls (not errors) on a type
+mismatch, matching PERMISSIVE's partial-null behavior for frames that
+parse but carry an unexpected shape.
 """
 
 from __future__ import annotations
@@ -12,34 +22,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from binance_etl_spark.schemas import (
-    DECIMAL,
-    DEPTH_JSON_SCHEMA,
-    TRADE_JSON_SCHEMA,
-)
-
-_OPTS = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+from binance_etl_spark.schemas import DECIMAL
 
 
 def parse_trades(frames: DataFrame) -> DataFrame:
     """frames(frame, arrival_ms, seq) -> trades table rows
     (reference output schema, README.md:70-77)."""
-    j = F.from_json("frame", TRADE_JSON_SCHEMA, _OPTS)
     df = frames.select(
-        j.alias("j"),
-        # 'E' parsed separately: clashes with 'e' case-insensitively.
-        F.get_json_object("frame", "$.E").cast("bigint").alias("ev_ms"),
-        "arrival_ms",
-        "seq",
+        F.try_parse_json("frame").alias("v"), "arrival_ms", "seq"
     )
-    return df.where(F.col("j._corrupt").isNull() & (F.col("j.e") == "trade")).select(
-        F.col("j.s").alias("symbol"),
-        F.col("ev_ms").alias("timestamp"),
+    return df.where(
+        F.col("v").isNotNull()
+        & (F.try_variant_get("v", "$.e", "string") == "trade")
+    ).select(
+        F.try_variant_get("v", "$.s", "string").alias("symbol"),
+        F.try_variant_get("v", "$.E", "bigint").alias("timestamp"),
         F.col("arrival_ms").alias("local_timestamp"),
-        F.col("j.t").alias("id"),
-        F.when(F.col("j.m"), "sell").otherwise("buy").alias("side"),
-        F.col("j.p").cast(DECIMAL).alias("price"),
-        F.col("j.q").cast(DECIMAL).alias("quantity"),
+        F.try_variant_get("v", "$.t", "bigint").alias("id"),
+        F.when(F.try_variant_get("v", "$.m", "boolean"), "sell")
+        .otherwise("buy")
+        .alias("side"),
+        F.try_variant_get("v", "$.p", "string").cast(DECIMAL).alias("price"),
+        F.try_variant_get("v", "$.q", "string").cast(DECIMAL).alias("quantity"),
     )
 
 
@@ -47,22 +51,24 @@ def parse_depth_updates(frames: DataFrame) -> DataFrame:
     """frames -> one row per diff-depth update, levels kept as JSON
     strings (flat schema: required for list-state buffering in the
     stateful sync operator)."""
-    j = F.from_json("frame", DEPTH_JSON_SCHEMA, _OPTS)
     df = frames.select(
-        j.alias("j"),
-        F.get_json_object("frame", "$.E").cast("bigint").alias("ev_ms"),
-        F.get_json_object("frame", "$.U").cast("bigint").alias("first_uid"),
-        "arrival_ms",
-        "seq",
+        F.try_parse_json("frame").alias("v"), "arrival_ms", "seq"
     )
-    return df.where(F.col("j._corrupt").isNull() & (F.col("j.e") == "depthUpdate")).select(
-        F.col("j.s").alias("symbol"),
-        F.col("ev_ms").alias("timestamp"),
+    return df.where(
+        F.col("v").isNotNull()
+        & (F.try_variant_get("v", "$.e", "string") == "depthUpdate")
+    ).select(
+        F.try_variant_get("v", "$.s", "string").alias("symbol"),
+        F.try_variant_get("v", "$.E", "bigint").alias("timestamp"),
         F.col("arrival_ms").alias("local_timestamp"),
-        F.col("first_uid").alias("first_update_id"),
-        F.col("j.u").alias("last_update_id"),
-        F.to_json(F.col("j.b")).alias("bids_json"),
-        F.to_json(F.col("j.a")).alias("asks_json"),
+        F.try_variant_get("v", "$.U", "bigint").alias("first_update_id"),
+        F.try_variant_get("v", "$.u", "bigint").alias("last_update_id"),
+        F.to_json(
+            F.try_variant_get("v", "$.b", "array<array<string>>")
+        ).alias("bids_json"),
+        F.to_json(
+            F.try_variant_get("v", "$.a", "array<array<string>>")
+        ).alias("asks_json"),
         "seq",
     )
 

@@ -59,3 +59,49 @@ def test_binary_payloads_survive(spark, tmp_path):
     W.write_warc([("urn:b:1", "http://x/b", payload)], path)
     [r] = W.read_warc(spark, path).collect()
     assert bytes(r["payload"]) == payload
+
+
+def test_sharded_writer_round_trip_multi_shard(spark, tmp_path):
+    # executor-side sharded write: one shard per task, task-temp +
+    # driver-rename commit, NO driver collect; directory read sees
+    # every shard, byte-exact
+    out = str(tmp_path / "corpus")
+    df = spark.range(100).repartition(5).selectExpr(
+        "concat('urn:doc:', id) AS record_id",
+        "concat('http://x/', id) AS target_uri",
+        "encode(concat('payload ', id), 'UTF-8') AS payload",
+    )
+    W.write_warc_sharded(df, out)
+    import glob
+    import os
+
+    shards = glob.glob(os.path.join(out, "part-*.warc"))
+    assert len(shards) == 5, "one committed shard per task"
+    assert not glob.glob(os.path.join(out, ".tmp-*")), "temps swept"
+    got = {r["record_id"]: r for r in W.read_warc(spark, out).collect()}
+    assert len(got) == 100
+    for i in range(100):
+        r = got[f"urn:doc:{i}"]
+        assert bytes(r["payload"]) == f"payload {i}".encode()
+        assert r["target_uri"] == f"http://x/{i}"
+
+
+def test_sharded_writer_overwrite_replaces_prior_parts(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "concat('urn:doc:', id) AS record_id",
+        "concat('http://x/', id) AS target_uri",
+        "encode(cast(id AS string), 'UTF-8') AS payload",
+    )
+    W.write_warc_sharded(mk(0, 10), out)
+    W.write_warc_sharded(mk(100, 105), out)  # overwrite (default mode)
+    ids = sorted(r["record_id"] for r in W.read_warc(spark, out).collect())
+    assert ids == sorted(f"urn:doc:{i}" for i in range(100, 105))
+
+
+def test_sharded_writer_rejects_wrong_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(3).selectExpr("id", "concat('u', id) AS target_uri")
+    with _pytest.raises(Exception, match="record_id"):
+        W.write_warc_sharded(df, str(tmp_path / "bad"))
