@@ -21,20 +21,39 @@ def test_pq_topk_shape_and_monotone(spark):
     assert dists == sorted(dists), "top-k is ascending in ADC distance"
 
 
-def test_pq_codebook_vectors_selfcode(spark):
-    """A codebook vector's sub-distance to its own code is exactly 0, so
-    its ADC distance must be <= any other assignment — i.e. the PQ
-    distance for vec_id k (k=1..16) equals the query's ADC entry for
-    code k-1 summed over subspaces, never more. We check the weaker,
-    implementation-independent corollary: a DUPLICATED codebook vector
-    appended to the corpus gets the identical adc_dist."""
-    out = sim_ann_pq(spark, SF)
-    # vec_id 0 is the query; its code assignment minimizes each
-    # subspace term, so no vector can score strictly below it on any
-    # subspace it shares codes with. Global sanity: min dist in the
-    # full ranking <= dist of every returned row (trivially true) and
-    # the ranking is deterministic across runs.
-    a = [tuple(r) for r in out.collect()]
+def test_pq_codebook_vectors_selfcode(spark, tmp_path):
+    """THE codebook invariant: a codebook vector's sub-distance to its
+    own code is exactly 0 in every subspace, so the encoder must assign
+    vector k (k=1..16) code k-1 everywhere, and its ADC distance then
+    equals the EXACT e-12 squared distance query->vector (the per-dim
+    floor makes the sum grouping-independent, so subspace-wise ==
+    whole-vector). Verified on a corpus that is exactly the codebook:
+    every returned codebook row's adc_dist must equal the exact
+    distance computed independently on the driver — PQ is lossless on
+    its own codebook."""
+    from binance_etl_spark.plans.llm_ops11 import _sq_dist_e12_py
+
+    src = load(spark, SF, "embeddings").where(F.col("vec_id") <= 16)
+    sf_dir = str(tmp_path)
+    src.write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in src.collect()
+    }
+    got = {r["vec_id"]: r["adc_dist"] for r in sim_ann_pq(spark, sf_dir).collect()}
+    checked = 0
+    for vid, adc in got.items():
+        if vid == 0:
+            continue  # the query itself is not a codebook vector
+        exact = _sq_dist_e12_py(vecs[0], vecs[vid])
+        assert adc == exact, (
+            f"codebook vec {vid}: adc_dist {adc} != exact {exact} — "
+            "self-code assignment broken"
+        )
+        checked += 1
+    assert checked >= 9, "top-10 over a 17-vector corpus must be mostly codebook rows"
+    # and determinism across runs (the old, weaker check) still holds
+    a = [tuple(r) for r in sim_ann_pq(spark, SF).collect()]
     b = [tuple(r) for r in sim_ann_pq(spark, SF).collect()]
     assert a == b, "PQ ranking must be deterministic"
 
