@@ -8,12 +8,24 @@ combinable aggregation, broadcast or banded joins), while an
 accidentally quadratic or shuffle-fat plan blows past 10x. Results are
 recorded in PERFORMANCE.md.
 
-Usage: python scripts/scale_probe.py [--rebuild] [--x100]
+Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10]
 
 --x100 adds a third decade: a 100x replica (~sf10, lineitem 60M rows)
 built from the 10x replica by a second-level key shift, probed with
 the TOP-5 heaviest plans only (the local[32]/128 GiB box holds it; the
 full query list would just repeat the sf1 evidence at 10x the wait).
+
+--stages runs the two second-decade >=3x-slope plans
+(join_inner_broadcast, sql_q3_topk) at sf~1 AND sf~10 with the Spark
+UI REST API on, and prints a PER-STAGE table (executor run time, input
+bytes, shuffle read/write bytes). This is the scan-bound proof: if the
+slope came from a shuffle blow-up, shuffle bytes would grow
+superlinearly; if it is the fact-table scan, input bytes grow ~10x,
+shuffle bytes stay ~linear, and the scan stage dominates run time.
+
+--llm10 probes the LLM tier at second-decade document scale
+(sf~1 -> sf~10 documents: 50k -> 500k docs): uncapped minhash-LSH
+banding, substring-level gram dedup, and the inverted-index build.
 """
 
 from __future__ import annotations
@@ -182,12 +194,135 @@ def run(spark, sf_dir: str, names=None) -> dict[str, tuple[float, int]]:
     return out
 
 
+def _rest_json(spark, path: str):
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def stage_breakdown(spark, name: str, sf_dir: str) -> list[dict]:
+    """Run the named query once (measured, warm) under a job group and
+    return per-stage metrics from the UI REST API."""
+    fn = REGISTRY[name].fn
+    fn(spark, sf_dir).count()  # warm: plan + page cache
+    group = f"probe-{name}-{os.path.basename(sf_dir)}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, name)
+    try:
+        df = fn(spark, sf_dir)
+        df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
+            F.count(F.lit(1))
+        ).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    stage_ids = set()
+    for job in _rest_json(spark, "/jobs?status=succeeded"):
+        if job.get("jobGroup") == group:
+            stage_ids.update(job["stageIds"])
+    rows = []
+    for s in _rest_json(spark, "/stages?status=complete"):
+        if s["stageId"] in stage_ids:
+            rows.append(
+                {
+                    "stage": s["stageId"],
+                    "tasks": s["numCompleteTasks"],
+                    "run_ms": s["executorRunTime"],
+                    "input_mb": round(s["inputBytes"] / 1e6, 1),
+                    "shuf_read_mb": round(s["shuffleReadBytes"] / 1e6, 1),
+                    "shuf_write_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
+                    "name": s["name"].split("\n")[0][:40],
+                }
+            )
+    return sorted(rows, key=lambda r: r["stage"])
+
+
+def stages_main(spark) -> None:
+    for name in ("join_inner_broadcast", "sql_q3_topk"):
+        print(f"\n=== {name} ===")
+        for sf_dir, label in ((DST, "sf~1"), (DST100, "sf~10")):
+            rows = stage_breakdown(spark, name, sf_dir)
+            tot = sum(r["run_ms"] for r in rows)
+            print(f"-- {label} (total executor run {tot} ms)")
+            print(
+                f"{'stage':>5s} {'tasks':>5s} {'run_ms':>8s} {'input_MB':>9s} "
+                f"{'shufR_MB':>9s} {'shufW_MB':>9s}  name"
+            )
+            for r in rows:
+                print(
+                    f"{r['stage']:5d} {r['tasks']:5d} {r['run_ms']:8d} "
+                    f"{r['input_mb']:9.1f} {r['shuf_read_mb']:9.1f} "
+                    f"{r['shuf_write_mb']:9.1f}  {r['name']}"
+                )
+
+
+# --llm10 probes: uncapped operator-layer paths at document scale
+# (the registry twins cap doc_id for oracle tractability).
+def substring_dedup_full(spark, sf_dir: str):
+    """Uncapped gram-hash substring dedup (plans/llm_ops10.py op)."""
+    from binance_etl_spark.plans.llm_ops10 import _gram_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    grams = _gram_stream(docs)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+    )
+    return grams.join(dup, "gram").select("doc_id", "gram").distinct()
+
+
+def inverted_index_full(spark, sf_dir: str):
+    """Full-corpus posting-list build via the registered plan."""
+    return REGISTRY["text_inverted_index"].fn(spark, sf_dir)
+
+
+LLM10 = {
+    "minhash_lsh_fullcorpus": minhash_full,
+    "substring_dedup_full": substring_dedup_full,
+    "inverted_index_full": inverted_index_full,
+}
+
+
+def llm10_main(spark) -> None:
+    out = {}
+    for label, sf_dir in (("sf~1", DST), ("sf~10", DST100)):
+        for name, fn in LLM10.items():
+            rows = fn(spark, sf_dir).count()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
+                    F.count(F.lit(1))
+                ).collect()
+                best = min(best, time.time() - t0)
+            out[(name, label)] = (round(best, 2), rows)
+    print(f"\n{'query':30s} {'sf~1':>8s} {'sf~10':>8s} {'slope':>6s} {'rows~1':>10s} {'rows~10':>11s}")
+    for name in LLM10:
+        (t0, r0) = out[(name, "sf~1")]
+        (t1, r1) = out[(name, "sf~10")]
+        print(f"{name:30s} {t0:8.2f} {t1:8.2f} {t1 / max(t0, 0.01):5.1f}x {r0:10d} {r1:11d}")
+
+
 def main() -> None:
-    spark = get_spark("scale-probe")
+    extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
+    spark = get_spark("scale-probe", extra)
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_loaded()
     if "--rebuild" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    if "--stages" in sys.argv or "--llm10" in sys.argv:
+        if not os.path.isdir(DST100):
+            build_x100(spark)
+        if "--stages" in sys.argv:
+            stages_main(spark)
+        if "--llm10" in sys.argv:
+            llm10_main(spark)
+        return
     if "--x100" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(DST100):
             build_x100(spark)
