@@ -488,3 +488,69 @@ def agg_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_v_e6",
     )
+
+
+# --- join_pit_features ------------------------------------------------
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts, value FROM p WHERE rn = 1
+    ), f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+           v.value AS feat_value,
+           epoch_us(f.ts) - epoch_us(v.ts) AS feat_age_us
+    FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts
+    """,
+    doc="Point-in-time feature join — the training-set assembly join "
+    "that prevents label leakage: each fact (view) is enriched with "
+    "the feature VERSION that was valid at the fact's own timestamp "
+    "(the user's latest prior purchase value), never a later one. "
+    "Versions are deduped to one per (user, ts) first (max event_id "
+    "wins — deterministic in both engines), then attached via the "
+    "as-of operator (operators/asof.py: union + last(ignorenulls) "
+    "window — rows stay O(|facts| + |versions|), one shuffle on "
+    "user_id, NO interval range-join explosion). feat_age_us exposes "
+    "version staleness for feature-freshness monitoring. At 100 TB "
+    "this is the feature-store read path: fact stream x SCD2 "
+    "dimension history (ts_scd2_history is the build side).",
+    tags=("join", "asof", "llm", "timeseries"),
+)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    versions = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    facts = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        facts,
+        versions,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_value").alias("feat_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("feat_age_us"),
+    )

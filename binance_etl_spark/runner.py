@@ -36,7 +36,10 @@ from binance_etl_spark.streaming.pipelines import (
 )
 
 SUPPORTED = {("spot", "trade"), ("spot", "depth")}
-STUBBED_MARKETS = {"usd_m_futures", "coin_m_futures"}  # reference factory.py:26-29
+# The reference's exact market ids (factory.py:26-29: `usdm_futures` /
+# `coinm_futures` are recognized but fall through to the generic
+# raise) — the engine recognizes the same ids and says WHY explicitly.
+STUBBED_MARKETS = {"usdm_futures", "coinm_futures"}
 
 
 @dataclass(frozen=True)

@@ -411,3 +411,13 @@ def test_bpe_round_stats_join_is_broadcast_nested_loop(spark):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_feature_join_is_windowed_not_range_join(spark):
+    # point-in-time join must run as the union+window as-of plan: one
+    # shuffle on user_id, never an interval range join (CartesianProduct
+    # / BroadcastNestedLoopJoin) that explodes facts x versions
+    plan = _plan(spark, "join_pit_features")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

@@ -17,8 +17,12 @@ def test_parse_event_id():
     assert (spec.exchange, spec.market, spec.symbol, spec.event_type) == (
         "binance", "spot", "bnbusdt", "trade",
     )
+    # reference stub parity: factory.py:26-29 recognizes these exact
+    # market ids and falls through to a raise
     with pytest.raises(NotImplementedError):
-        parse_event_id("binance.usd_m_futures.btcusdt.trade")  # reference stub parity
+        parse_event_id("binance.usdm_futures.btcusdt.trade")
+    with pytest.raises(NotImplementedError):
+        parse_event_id("binance.coinm_futures.btcusd_perp.depth")
     with pytest.raises(ValueError):
         parse_event_id("binance.spot.btcusdt.klines")
     with pytest.raises(ValueError):
