@@ -61,6 +61,51 @@ def start_spool(symbol: str, stream: str, spool_path: str):
     return stop
 
 
+def start_spool_raw(host: str, port: int, path: str, spool_path: str):
+    """Subscribe via the engine's own dependency-free RFC 6455 client
+    (sources/ws_client.py) and drain text frames to `spool_path` on a
+    background thread — the same socket->spool glue as `start_spool`
+    without the optional binance-connector package. No TLS: point it
+    at a plaintext endpoint or a local TLS-terminating proxy.
+    Returns a stop() callable that closes the socket and joins the
+    drain thread. Exercised end-to-end against an in-process loopback
+    server in tests/test_ws_live_loopback.py."""
+    import threading
+
+    from binance_etl_spark.sources.ws_client import WebSocketClient
+
+    client = WebSocketClient(host, port, path)
+    spool = open(spool_path, "a", buffering=1)
+    done = threading.Event()
+
+    def drain() -> None:
+        seq = 0
+        try:
+            for frame in client.text_messages():
+                rec = {
+                    "frame": frame,
+                    "arrival_ms": int(time.time() * 1000),
+                    "seq": seq,
+                }
+                spool.write(json.dumps(rec) + "\n")
+                seq += 1
+        except (ConnectionError, OSError, ValueError):
+            pass  # socket torn down by stop() or by the peer
+        finally:
+            spool.close()
+            done.set()
+
+    t = threading.Thread(target=drain, name="ws-spool-drain", daemon=True)
+    t.start()
+
+    def stop() -> None:
+        client.close()
+        done.wait(timeout=10)
+        t.join(timeout=10)
+
+    return stop
+
+
 def stream_live(spark, spool_path: str, max_frames_per_batch: int = 1000):
     """Streaming DataFrame over a live spool (or any growing JSONL):
     identical plan to stream_replay — the spool IS a replay log."""
