@@ -35,13 +35,21 @@ def recover_state(state_path: str) -> None:
     foreach_batch body below) run this first, so a retried micro-batch
     after a mid-swap crash merges against the committed state instead
     of silently starting from empty — the rename-aside pattern keeps
-    the data on disk, this makes the RETRY actually use it."""
-    old = state_path.rstrip("/") + ".__old"
+    the data on disk, this makes the RETRY actually use it.
+
+    Also sweeps orphaned `.__staging_*` dirs (a crash during the
+    staging write leaves one behind per attempt). Safe because these
+    sinks are single-writer per state path (one foreachBatch stream):
+    no concurrent writer's in-flight staging can be here."""
+    base = state_path.rstrip("/")
+    old = base + ".__old"
     if os.path.isdir(old):
         if os.path.isdir(state_path):
             shutil.rmtree(old)
         else:
             os.rename(old, state_path)
+    for stale in glob.glob(base + ".__staging_*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def _swap_state(df: DataFrame, state_path: str) -> None:

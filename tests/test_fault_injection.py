@@ -183,3 +183,22 @@ def test_swap_state_crash_after_swap_drops_stale_old(spark, monkeypatch):
         assert not os.path.isdir(state + ".__old")
         rows = {r["symbol"]: r["px"] for r in spark.read.parquet(state).collect()}
         assert rows == {"BTC": 101.0}
+
+
+def test_recover_state_sweeps_orphaned_staging(spark, monkeypatch):
+    """A crash DURING the staging parquet write leaves a .__staging_*
+    orphan; the next batch's recover_state must sweep it (single-writer
+    contract) while leaving the committed table untouched."""
+    with tempfile.TemporaryDirectory() as root:
+        state = os.path.join(root, "book")
+        apply = foreach_batch_upsert(state, ["symbol"], ["ts"])
+        apply(
+            spark.createDataFrame([("BTC", 1, 100.0)], "symbol STRING, ts INT, px DOUBLE"),
+            0,
+        )
+        orphan = state + ".__staging_deadbeef"
+        os.makedirs(orphan)
+        recover_state(state)
+        assert not os.path.isdir(orphan), "orphaned staging dir swept"
+        rows = {r["symbol"]: r["px"] for r in spark.read.parquet(state).collect()}
+        assert rows == {"BTC": 100.0}
