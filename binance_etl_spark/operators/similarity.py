@@ -132,16 +132,16 @@ def ivf_centroids_e12(vectors: DataFrame, list_col: str = "label") -> DataFrame:
     )
 
 
-def ivf_probe(
-    vectors: DataFrame,
+def ivf_top_lists(
     centroids: DataFrame,
     query: DataFrame,
     list_col: str = "label",
     nprobe: int = 2,
-    k: int = 10,
 ) -> DataFrame:
-    """Score lists against the query, keep nprobe best, exact-search
-    only vectors in those lists."""
+    """The coarse-quantizer half of IVF: score every list's centroid
+    against the query and keep the nprobe best — the list-pruning step
+    shared by exact-rescore IVF (ivf_probe) and compressed-rescore
+    IVFPQ (plans/llm_ops11.sim_ann_ivfpq)."""
     q_exploded = query.select(F.posexplode("q_embedding").alias("pos", "qval"))
     list_scores = (
         centroids.join(F.broadcast(q_exploded), "pos")
@@ -152,7 +152,20 @@ def ivf_probe(
         .groupBy(list_col)
         .agg((F.sum("contrib").cast("double") / F.max("n")).alias("list_score"))
     )
-    top_lists = list_scores.orderBy(F.col("list_score").desc(), F.col(list_col)).limit(nprobe)
+    return list_scores.orderBy(F.col("list_score").desc(), F.col(list_col)).limit(nprobe)
+
+
+def ivf_probe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    list_col: str = "label",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Score lists against the query, keep nprobe best, exact-search
+    only vectors in those lists."""
+    top_lists = ivf_top_lists(centroids, query, list_col, nprobe)
     candidates = vectors.join(F.broadcast(top_lists.select(list_col)), list_col)
     scored = candidates.crossJoin(F.broadcast(query)).select(
         "vec_id",

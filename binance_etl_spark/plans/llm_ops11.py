@@ -60,6 +60,32 @@ def _pq_sq_dist_e12(sub: Column, code: Column) -> Column:
     )
 
 
+def _pq_setup(e: DataFrame):
+    """Driver-side codebook + query ADC table, or None when the corpus
+    lacks the query vector / full codebook (empty or pruned input).
+
+    K+1 bounded rows to the driver (same discipline as the k-row
+    centroid pulls in operators/kmeans.py). In production the codebook
+    is trained once and shipped as a broadcast constant."""
+    small = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in e.where(F.col("vec_id") <= _K).collect()
+    }
+    if set(range(_K + 1)) - set(small):
+        return None
+    qvec = small[0]
+    codebook = [
+        [small[k][m * _DSUB : (m + 1) * _DSUB] for k in range(1, _K + 1)]
+        for m in range(_M)
+    ]
+    # ADC table, driver-side: adc[m][k] = e-12 dist(query_sub_m, code_mk).
+    adc = [
+        [_sq_dist_e12_py(qvec[m * _DSUB : (m + 1) * _DSUB], codebook[m][k]) for k in range(_K)]
+        for m in range(_M)
+    ]
+    return codebook, adc
+
+
 @register(
     "sim_ann_pq",
     oracle=f"""
@@ -113,31 +139,25 @@ def _pq_sq_dist_e12(sub: Column, code: Column) -> Column:
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fanout(load(spark, sf_dir, "embeddings"))
-
-    # Codebook + query: K+1 bounded rows to the driver (same discipline
-    # as the k-row centroid pulls in operators/kmeans.py). In production
-    # the codebook is trained once and shipped as a broadcast constant.
-    small = {
-        int(r["vec_id"]): [float(v) for v in r["embedding"]]
-        for r in e.where(F.col("vec_id") <= _K).collect()
-    }
-    if set(range(_K + 1)) - set(small):
-        # no query vector / incomplete codebook (empty or pruned-away
-        # partition): empty schema-stable result, not a KeyError
+    setup = _pq_setup(e)
+    if setup is None:
+        # schema-stable empty result, not a KeyError
         return e.select(
             "vec_id", "label", F.lit(None).cast("long").alias("adc_dist")
         ).limit(0)
-    qvec = small[0]
-    codebook = [
-        [small[k][m * _DSUB : (m + 1) * _DSUB] for k in range(1, _K + 1)]
-        for m in range(_M)
-    ]
-    # ADC table, driver-side: adc[m][k] = e-12 dist(query_sub_m, code_mk).
-    adc = [
-        [_sq_dist_e12_py(qvec[m * _DSUB : (m + 1) * _DSUB], codebook[m][k]) for k in range(_K)]
-        for m in range(_M)
-    ]
+    codebook, adc = setup
 
+    return (
+        e.select("vec_id", "label", _pq_adc_col(codebook, adc).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_adc_col(codebook, adc) -> Column:
+    """encode-and-lookup as ONE codegen'd column over `embedding`:
+    per subspace, argmin over the literal codebook (ties to the lower
+    code), then the query's precomputed ADC entry for that code."""
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     approx: Column = F.lit(0).cast("long")
     for m in range(_M):
@@ -165,8 +185,99 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(int(v)) for v in adc[m]]), (code + 1).cast("int")
         )
         approx = approx + adc_m
+    return approx
+
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH cb AS (  -- PQ codebook: code k = subvectors of vec_id k (k = 1..{_K})
+      SELECT vec_id AS k, (i - 1) // {_DSUB} AS m, (i - 1) % {_DSUB} AS j,
+             CAST(embedding[i] AS DOUBLE) AS c
+      FROM embeddings, UNNEST(generate_series(1, {_M * _DSUB})) AS u(i)
+      WHERE vec_id BETWEEN 1 AND {_K}
+    ), qf AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    qpos AS (
+      SELECT UNNEST(generate_series(1, len(q_emb))) AS pos, q_emb FROM qf
+    ), qvals AS (SELECT pos, q_emb[pos] AS qval FROM qpos),
+    ivf_centroids AS (  -- coarse quantizer: per-label exact e-12 centroid sums
+      SELECT label, pos, SUM(v_e12) AS c_e12, COUNT(*) AS n FROM (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v_e12
+        FROM (SELECT label, embedding,
+                     UNNEST(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+      ) GROUP BY label, pos
+    ), list_scores AS (
+      SELECT label,
+             CAST(SUM(CAST(floor(CAST(qval AS DOUBLE) * CAST(c_e12 AS DOUBLE)) AS BIGINT))
+                  AS DOUBLE) / MAX(n) AS list_score
+      FROM ivf_centroids JOIN qvals USING (pos) GROUP BY label
+    ), top_lists AS (
+      SELECT label FROM list_scores ORDER BY list_score DESC, label LIMIT 2
+    ), cand AS (  -- IVF prune: only vectors in the probed lists
+      SELECT e.vec_id, e.label, e.embedding
+      FROM embeddings e JOIN top_lists USING (label)
+    ), ex AS (
+      SELECT vec_id, (i - 1) // {_DSUB} AS m, (i - 1) % {_DSUB} AS j,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM cand, UNNEST(generate_series(1, {_M * _DSUB})) AS u(i)
+    ), d AS (  -- PQ encode candidates: e-12 sq dist subvector -> code
+      SELECT ex.vec_id, ex.m, cb.k,
+             SUM(CAST(floor((x - c) * (x - c) * 1000000000000) AS BIGINT)) AS dist
+      FROM ex JOIN cb ON cb.m = ex.m AND cb.j = ex.j
+      GROUP BY ex.vec_id, ex.m, cb.k
+    ), enc AS (
+      SELECT vec_id, m, MIN(dist * {_K} + (k - 1)) % {_K} AS code
+      FROM d GROUP BY vec_id, m
+    ), qsub AS (
+      SELECT (i - 1) // {_DSUB} AS m, (i - 1) % {_DSUB} AS j,
+             CAST(q_emb[i] AS DOUBLE) AS qx
+      FROM qf, UNNEST(generate_series(1, {_M * _DSUB})) AS u(i)
+    ), adc AS (  -- query-side ADC table: M x K distances
+      SELECT cb.m, cb.k - 1 AS code,
+             SUM(CAST(floor((qx - c) * (qx - c) * 1000000000000) AS BIGINT)) AS ad
+      FROM cb JOIN qsub ON qsub.m = cb.m AND qsub.j = cb.j
+      GROUP BY cb.m, cb.k
+    ), scored AS (
+      SELECT e2.vec_id, SUM(ad) AS adc_dist
+      FROM enc e2 JOIN adc ON adc.m = e2.m AND adc.code = e2.code
+      GROUP BY e2.vec_id
+    )
+    SELECT s.vec_id, c.label, s.adc_dist
+    FROM scored s JOIN cand c USING (vec_id)
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    doc="IVFPQ composite ANN — the production shape (FAISS IVFPQ): the "
+    "coarse quantizer (per-label centroids, operators/similarity.py::"
+    "ivf_top_lists) prunes to nprobe=2 lists, and candidates in those "
+    "lists are scored by PQ asymmetric distance over their 8-byte "
+    "codes — never by raw floats. At 100 TB this composes the two "
+    "scale levers: IVF cuts the candidate set by n_lists/nprobe, PQ "
+    "cuts bytes-per-candidate 32x, and the scan stays shuffle-free "
+    "codegen ending in TakeOrderedAndProject (the only exchanges are "
+    "the centroid build's bounded agg and the broadcast of nprobe "
+    "list ids). Same e-12 integer arithmetic as sim_ann_pq, so the "
+    "oracle reproduces it bit-for-bit.",
+    tags=("similarity", "ann"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import similarity as S
+
+    e = fanout(load(spark, sf_dir, "embeddings"))
+    setup = _pq_setup(e)
+    if setup is None:
+        return e.select(
+            "vec_id", "label", F.lit(None).cast("long").alias("adc_dist")
+        ).limit(0)
+    codebook, adc = setup
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    centroids = S.ivf_centroids_e12(e, "label")
+    top_lists = S.ivf_top_lists(centroids, q, "label", nprobe=2)
+    cand = e.join(F.broadcast(top_lists.select("label")), "label")
     return (
-        e.select("vec_id", "label", approx.alias("adc_dist"))
+        cand.select("vec_id", "label", _pq_adc_col(codebook, adc).alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )

@@ -144,11 +144,23 @@ class ReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Pacing happens HERE: the offset Spark commits is whatever we
         # return, so the cap must bound this value, not partitions().
-        # Offsets must be monotonic vs the checkpoint: after a restart
-        # (no initialOffset call) the committed offset is unknown until
-        # commit() fires, so return the true latest instead of pacing —
-        # returning less than the committed offset would re-serve
-        # frames (observed as duplicate sink rows).
+        # Two hard constraints shape the branches:
+        # - MONOTONICITY: every value returned must be >= every value
+        #   previously returned or checkpointed; going backward makes
+        #   the engine plan a backward batch and then re-serve frames
+        #   (measured: 10 output rows from a 6-frame log).
+        # - PRE-INITIAL CALL: the engine asks for the latest offset
+        #   once BEFORE initialOffset reveals whether a checkpoint
+        #   exists, and uses the answer as the FIRST batch's end.
+        #   A restart's committed offset is unknown at that moment, so
+        #   the only safe answer is the true log head.
+        # Net semantics: the first batch of a query catches up to the
+        # current log head in one gulp; the cap then bounds admission
+        # for every subsequent trigger (frames arriving while the
+        # query runs — the live-spool case — are paced). Exact
+        # first-batch admission control would need the engine to pass
+        # the start offset into this call, which the Python stream
+        # reader API does not do.
         total = _count_lines(self.path)
         if self.max_frames <= 0 or not self._fresh:
             self._pos = max(self._pos, total)

@@ -421,3 +421,13 @@ def test_pit_feature_join_is_windowed_not_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_ivfpq_prunes_via_broadcast_and_takeordered(spark):
+    # IVFPQ: the nprobe list ids broadcast to the candidate join (never
+    # a shuffle of the corpus against 2 rows), the compressed-domain
+    # scoring is pure codegen, and top-k ends in TakeOrderedAndProject
+    plan = _plan(spark, "sim_ann_ivfpq")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

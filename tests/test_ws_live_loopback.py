@@ -65,6 +65,8 @@ class LoopbackWsServer:
                 f1[0] &= 0x7F  # clear FIN
                 conn.sendall(bytes(f1))
                 conn.sendall(W.encode_frame(W.OP_CONT, data[half:], mask=False))
+            elif kind == "wait":
+                payload.wait(timeout=20)  # a threading.Event from the test
             elif kind == "ping":
                 conn.sendall(W.encode_frame(W.OP_PING, payload, mask=False))
                 op, _, pong = W.read_frame(rf)
@@ -138,3 +140,65 @@ def test_socket_to_spool_to_parse_end_to_end(spark, tmp_path):
     assert trades[2]["price"] is not None  # the fragmented 16-bit frame parsed
     sides = {r["id"]: r["side"] for r in trades}
     assert sides[100] == "sell" and sides[101] == "buy"
+
+
+def test_live_spool_streams_while_growing(spark, tmp_path):
+    """The full reference loop as a STREAMING query: the websocket
+    client is still draining frames into the spool while Structured
+    Streaming micro-batches consume it. Proves (a) the spool is a real
+    unbounded source — offsets advance as the file grows — and (b) the
+    maxFramesPerBatch admission cap paces every batch after the first
+    (first-batch catch-up is inherent: the engine picks the first end
+    offset before revealing checkpoint state, see replay.latestOffset)."""
+    gate = threading.Event()
+    first = [("text", _trade_frame(i)) for i in range(3)]
+    second = [("text", _trade_frame(i)) for i in range(3, 6)]
+    server = LoopbackWsServer(first + [("wait", gate)] + second)
+
+    from binance_etl_spark.sources.websocket import start_spool_raw, stream_live
+    from binance_etl_spark.streaming.parse import parse_trades
+
+    spool = str(tmp_path / "live_grow.jsonl")
+    stop = start_spool_raw("127.0.0.1", server.port, "/ws", spool)
+    deadline = time.time() + 20
+    while time.time() < deadline:  # first 3 frames spooled
+        try:
+            if sum(1 for _ in open(spool)) >= 3:
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.05)
+
+    trades = parse_trades(stream_live(spark, spool, max_frames_per_batch=2))
+    q = (
+        trades.writeStream.format("memory")
+        .queryName("live_ws_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: catch-up over the first 3
+        n1 = spark.sql("SELECT count(*) AS n FROM live_ws_mem").first()["n"]
+        assert n1 == 3, "first batch catches up to the live log head"
+
+        gate.set()  # the socket delivers 3 more frames WHILE running
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM live_ws_mem").first()["n"]
+            if n >= 6:
+                break
+            time.sleep(0.1)
+        rows = spark.sql("SELECT id, symbol FROM live_ws_mem ORDER BY id").collect()
+        assert [r["id"] for r in rows] == [100 + i for i in range(6)]
+        assert {r["symbol"] for r in rows} == {"BNBUSDT"}
+        # admission control: every batch after the catch-up respects
+        # the 2-frame cap (and nothing is ever double-served)
+        nonempty = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+        assert nonempty[0] == 3
+        assert all(n <= 2 for n in nonempty[1:]), nonempty
+        assert sum(nonempty) == 6, "no frame lost, none double-served"
+    finally:
+        q.stop()
+        stop()
+    server.thread.join(timeout=10)
