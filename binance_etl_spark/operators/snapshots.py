@@ -134,18 +134,7 @@ def write_version(
     # between claim and commit strands the claim — that version number
     # is simply skipped (readers only see committed manifests), the
     # same hole a failed Delta commit leaves.
-    mdir = _manifest_dir(table_dir)
-    os.makedirs(mdir, exist_ok=True)
-    v = (prior[-1] + 1) if prior else 1
-    while True:
-        if os.path.exists(os.path.join(mdir, f"v{v}.json")):
-            v += 1
-            continue
-        try:
-            with open(os.path.join(mdir, f".claim-v{v}"), "x"):
-                break
-        except FileExistsError:
-            v += 1
+    v = _claim_version(table_dir, prior)
     rel_dir = os.path.join("data", f"v{v}")
     staging = os.path.join(table_dir, rel_dir)
     df.write.mode("overwrite").parquet(staging)
@@ -172,11 +161,115 @@ def write_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    _commit_manifest(table_dir, v, manifest)
+    return v
+
+
+def _claim_version(table_dir: str, prior: list[int]) -> int:
+    """O_EXCL-claim the next free version number (see write_version's
+    concurrency contract)."""
+    mdir = _manifest_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    v = (prior[-1] + 1) if prior else 1
+    while True:
+        if os.path.exists(os.path.join(mdir, f"v{v}.json")):
+            v += 1
+            continue
+        try:
+            with open(os.path.join(mdir, f".claim-v{v}"), "x"):
+                break
+        except FileExistsError:
+            v += 1
+    return v
+
+
+def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
+    """Atomic manifest publish + claim release — THE commit point."""
+    mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-v{v}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
     os.remove(os.path.join(mdir, f".claim-v{v}"))
+
+
+def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
+    """Targeted DELETE (the right-to-be-forgotten / retention op):
+    commit a new snapshot in which every row matching ``condition`` is
+    gone, rewriting ONLY the data files that contain matching rows.
+
+    Scale shape (the Delta/Iceberg DELETE plan):
+    1. one distributed scan of the current snapshot finds the AFFECTED
+       files (`input_file_name()` of matching rows) — predicate
+       pushdown prunes the scan, and manifest stats could pre-prune it
+       further for range predicates;
+    2. only affected files are re-read and rewritten without the
+       matching rows (keep-filter = NOT coalesce(cond, FALSE), so
+       NULL-valued conditions KEEP the row — SQL DELETE semantics);
+    3. untouched files are carried into the new manifest BY NAME —
+       zero I/O for them, their bytes are shared with prior snapshots;
+    4. the atomic manifest replace publishes the delete; prior
+       versions still time-travel to the pre-delete data (retention/
+       VACUUM decides when rows are physically unrecoverable).
+
+    Returns the committed version. A condition matching nothing
+    commits a new version carrying the old file list verbatim.
+    """
+    from pyspark.sql import functions as F
+
+    prior = versions(table_dir)
+    if not prior:
+        raise ValueError(f"{table_dir}: no committed snapshot to delete from")
+    prev = _load_manifest(table_dir, prior[-1])
+    snap = read_version(spark, table_dir)
+    cond = F.expr(condition)
+    affected_abs = {
+        r["f"]
+        for r in snap.where(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+
+    def _is_affected(rel: str) -> bool:
+        tail = rel.lstrip("./")
+        return any(a.endswith(tail) for a in affected_abs)
+
+    untouched = [rel for rel in prev["files"] if not _is_affected(rel)]
+    affected = [rel for rel in prev["files"] if _is_affected(rel)]
+
+    v = _claim_version(table_dir, prior)
+    new_files: list[str] = []
+    if affected:
+        keep = (
+            spark.read.parquet(
+                *[os.path.join(table_dir, rel) for rel in affected]
+            ).where(~F.coalesce(cond, F.lit(False)))
+        )
+        rel_dir = os.path.join("data", f"v{v}")
+        staging = os.path.join(table_dir, rel_dir)
+        keep.write.mode("overwrite").parquet(staging)
+        new_files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(staging)
+            if name.endswith(".parquet")
+        )
+    stats = {
+        rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+    }
+    _commit_manifest(
+        table_dir,
+        v,
+        {
+            "version": v,
+            "mode": "delete",
+            "condition": condition,
+            "files": untouched + new_files,
+            "stats": stats,
+            "rewrote": len(affected),
+            "carried": len(untouched),
+        },
+    )
     return v
 
 

@@ -783,6 +783,56 @@ def sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2)
 
 
+
+@register(
+    "sink_delete_propagation",
+    oracle="""
+    SELECT 1 AS version, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 2, lang, COUNT(*),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    """,
+    doc="Right-to-be-forgotten DELETE propagation over the snapshot "
+    "commit log (operators/snapshots.py::delete_where): the corpus "
+    "commits as v1, then every doc with doc_id %% 7 = 3 is deleted — "
+    "the new snapshot rewrites ONLY the data files that contained "
+    "matching rows (one distributed input_file_name() scan finds "
+    "them), carries every untouched file by name with zero I/O, and "
+    "publishes with the same single atomic manifest replace. v1 still "
+    "time-travels to the pre-delete corpus (retention/VACUUM decides "
+    "physical erasure separately) — exactly the Delta/Iceberg DELETE "
+    "plan a 100 TB GDPR pipeline runs, where rewriting the whole "
+    "table per deletion request is a non-starter. The query value-"
+    "checks BOTH versions per language; minimal-rewrite (untouched "
+    "file paths carried verbatim) is pinned in tests/test_snapshots.py.",
+    tags=("sink", "layout", "versioning", "llm"),
+)
+def sink_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_del_") + "/docs_versioned"
+    # range-layout so the delete predicate touches a subset of files
+    SNAP.write_version(d.repartitionByRange(4, "doc_id"), table, mode="append")
+    SNAP.delete_where(spark, table, "doc_id % 7 = 3")
+
+    def stats(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(F.lit(v).alias("version"), "lang", "n_docs", "sum_chars")
+
+    v1 = stats(SNAP.read_version(spark, table, version=1), 1)  # time travel
+    v2 = stats(SNAP.read_version(spark, table), 2)  # post-delete latest
+    return v1.unionByName(v2)
+
+
 # --- scan_warc_corpus ------------------------------------------------
 
 

@@ -123,3 +123,74 @@ def test_claimed_version_is_skipped_not_overwritten(spark, table):
     assert v == 3
     assert SNAP.versions(table) == [1, 3]
     assert SNAP.read_version(spark, table).count() == 10
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    """delete_where must carry untouched files BY NAME (zero I/O,
+    byte-shared with prior snapshots), rewrite only files containing
+    matching rows, and keep the pre-delete version time-travelable."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("grp")
+    )
+    # range layout: ids 0..999 split across 4 files by id range
+    SNAP.write_version(df.repartitionByRange(4, "id"), table, mode="append")
+    v1_files = set(SNAP._load_manifest(table, 1)["files"])
+
+    v2 = SNAP.delete_where(spark, table, "id < 100")
+    m2 = SNAP._load_manifest(table, v2)
+    v2_files = set(m2["files"])
+
+    carried = v1_files & v2_files
+    assert carried, "files without matching rows must be carried by name"
+    assert m2["rewrote"] >= 1 and m2["carried"] == len(carried)
+    # only the low-range file(s) were rewritten: carried + rewritten
+    # partition the old list
+    assert len(v1_files - v2_files) == m2["rewrote"]
+
+    # value semantics: deleted rows gone from latest, present in v1
+    latest = SNAP.read_version(spark, table)
+    assert latest.count() == 900
+    assert latest.where(F.col("id") < 100).count() == 0
+    old = SNAP.read_version(spark, table, version=1)
+    assert old.count() == 1000, "pre-delete snapshot must time-travel intact"
+
+    # physical bytes of carried files are untouched (shared storage)
+    for rel in carried:
+        assert os.path.exists(os.path.join(table, rel))
+
+
+def test_delete_where_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a condition evaluating to NULL keeps the
+    row (only TRUE deletes)."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id INT, v INT"
+    )
+    SNAP.write_version(df, table, mode="append")
+    SNAP.delete_where(spark, table, "v > 15")
+    ids = sorted(r["id"] for r in SNAP.read_version(spark, table).collect())
+    assert ids == [1, 2], "NULL-condition row kept, TRUE row deleted"
+
+
+def test_delete_where_no_match_is_cheap_noop_version(spark, tmp_path):
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")
+    v = SNAP.delete_where(spark, table, "id > 1000")
+    m = SNAP._load_manifest(table, v)
+    assert m["rewrote"] == 0
+    assert set(m["files"]) == set(SNAP._load_manifest(table, 1)["files"])
+    assert SNAP.read_version(spark, table).count() == 10
