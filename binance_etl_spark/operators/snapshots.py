@@ -339,3 +339,75 @@ def read_version(
     manifest = _load_manifest(table_dir, version)
     paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+    """Retention maintenance: physically delete data files referenced
+    ONLY by expired snapshots (all but the newest ``keep_last``
+    versions), plus crashed-commit orphan data dirs no manifest ever
+    referenced. This is the physical-erasure half of the GDPR story:
+    `delete_where` makes rows invisible going forward; vacuum makes the
+    expired bytes unrecoverable once the retention window passes
+    (Delta/Iceberg VACUUM / expire_snapshots).
+
+    Safety properties:
+    - every file referenced by ANY kept manifest survives, so kept
+      versions stay byte-complete and time-travelable;
+    - files are removed only when NO kept manifest references them,
+      and expired manifests are removed LAST — the worst mid-vacuum
+      crash outcome is an expired manifest whose files are partially
+      gone, which was already outside the retention contract; kept
+      versions are never affected by any crash point.
+
+    Returns {"kept_versions", "removed_files", "removed_orphan_dirs"}.
+    """
+    import shutil
+
+    vs = versions(table_dir)
+    if not vs:
+        return {"kept_versions": [], "removed_files": 0, "removed_orphan_dirs": 0}
+    keep = vs[-max(1, keep_last):]
+    expired = [v for v in vs if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(os.path.normpath(p) for p in _load_manifest(table_dir, v)["files"])
+    removed_files = 0
+    for v in expired:
+        for rel in _load_manifest(table_dir, v)["files"]:
+            rel_n = os.path.normpath(rel)
+            if rel_n in referenced:
+                continue
+            path = os.path.join(table_dir, rel_n)
+            if os.path.exists(path):
+                os.remove(path)
+                removed_files += 1
+    # crashed-commit orphans: data/v<N> dirs no manifest (kept OR
+    # expired... expired are going away) references, and empty dirs
+    removed_orphans = 0
+    data_root = os.path.join(table_dir, "data")
+    all_manifest_dirs = set()
+    for v in keep:
+        for rel in _load_manifest(table_dir, v)["files"]:
+            all_manifest_dirs.add(os.path.normpath(os.path.dirname(rel)))
+    if os.path.isdir(data_root):
+        for entry in sorted(os.listdir(data_root)):
+            rel_dir = os.path.normpath(os.path.join("data", entry))
+            full = os.path.join(data_root, entry)
+            if not os.path.isdir(full):
+                continue
+            if rel_dir in all_manifest_dirs:
+                continue
+            has_referenced = any(
+                os.path.normpath(os.path.join(rel_dir, f)) in referenced
+                for f in os.listdir(full)
+            )
+            if not has_referenced:
+                shutil.rmtree(full)
+                removed_orphans += 1
+    for v in expired:  # manifests go LAST (see safety note)
+        os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
+    return {
+        "kept_versions": keep,
+        "removed_files": removed_files,
+        "removed_orphan_dirs": removed_orphans,
+    }

@@ -194,3 +194,76 @@ def test_delete_where_no_match_is_cheap_noop_version(spark, tmp_path):
     assert m["rewrote"] == 0
     assert set(m["files"]) == set(SNAP._load_manifest(table, 1)["files"])
     assert SNAP.read_version(spark, table).count() == 10
+
+
+def test_vacuum_erases_expired_keeps_retained(spark, tmp_path):
+    """Retention + physical erasure: after delete_where + vacuum, the
+    deleted rows' bytes are GONE from disk (the GDPR erasure half),
+    kept versions stay byte-complete, expired versions stop resolving."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    df = spark.range(1000).select("id")
+    SNAP.write_version(df.repartitionByRange(4, "id"), table, mode="append")
+    SNAP.delete_where(spark, table, "id < 100")
+
+    res = SNAP.vacuum(table, keep_last=1)
+    assert res["kept_versions"] == [2]
+    assert res["removed_files"] >= 1, "the pre-delete low-range file erased"
+
+    # latest version still reads completely
+    latest = SNAP.read_version(spark, table)
+    assert latest.count() == 900
+    assert latest.where(F.col("id") < 100).count() == 0
+    # expired version no longer resolves
+    assert SNAP.versions(table) == [2]
+    # every surviving file on disk is referenced by the kept manifest
+    kept_files = {
+        os.path.normpath(p) for p in SNAP._load_manifest(table, 2)["files"]
+    }
+    on_disk = set()
+    for root, _, names in os.walk(os.path.join(table, "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(
+                    os.path.normpath(
+                        os.path.relpath(os.path.join(root, n), table)
+                    )
+                )
+    assert on_disk == kept_files, "no unreferenced bytes survive vacuum"
+
+
+def test_vacuum_keeps_shared_files_across_retained_versions(spark, tmp_path):
+    """A file carried into a kept version by an append chain must
+    survive even though an expired version also references it."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")      # v1
+    SNAP.write_version(spark.range(10, 20), table, mode="append")  # v2 (carries v1 files)
+    SNAP.write_version(spark.range(20, 30), table, mode="append")  # v3
+    res = SNAP.vacuum(table, keep_last=2)  # keep v2, v3; expire v1
+    assert res["kept_versions"] == [2, 3]
+    assert res["removed_files"] == 0, "v1's files are shared with kept v2/v3"
+    assert SNAP.read_version(spark, table, version=2).count() == 20
+    assert SNAP.read_version(spark, table).count() == 30
+
+
+def test_vacuum_sweeps_crashed_commit_orphans(spark, tmp_path):
+    import os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")
+    # simulate a crash between data write and manifest commit
+    orphan = os.path.join(table, "data", "v99")
+    spark.range(5).write.parquet(orphan)
+    res = SNAP.vacuum(table, keep_last=1)
+    assert res["removed_orphan_dirs"] == 1
+    assert not os.path.isdir(orphan)
+    assert SNAP.read_version(spark, table).count() == 10
