@@ -135,9 +135,7 @@ _SQL_CC_JACC = (
 )
 
 
-@register(
-    "dedup_cluster_cc",
-    oracle=f"""
+_SQL_CC_BODY = f"""
     WITH RECURSIVE
     a AS (SELECT doc_id AS id, {_SQL_CC_SHINGLES} AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS toks
@@ -166,6 +164,13 @@ _SQL_CC_JACC = (
       UNION
       SELECT e.dst, comp.lbl FROM comp JOIN edges e ON e.src = comp.node
     )
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=_SQL_CC_BODY
+    + """
     SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node
     """,
     doc="Dedup-cluster assignment: near-dup PAIRS (min-md5-shingle "
@@ -211,3 +216,61 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cm.select("c_id"))
     )
     return connected_components(edges, nodes=nodes)
+
+
+_SQL_NIBBLE = "instr('0123456789abcdef', substr(md5(CAST({x} AS VARCHAR)), 1, 1)) - 1"
+
+
+@register(
+    "split_leakage_safe",
+    oracle=_SQL_CC_BODY
+    + f""",
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node),
+    assigned AS (
+      SELECT node, cluster_id,
+             CASE WHEN {_SQL_NIBBLE.format(x="cluster_id")} < 12
+                  THEN 'train' ELSE 'val' END AS split,
+             CASE WHEN {_SQL_NIBBLE.format(x="node")} < 12
+                  THEN 'train' ELSE 'val' END AS naive_split
+      FROM clusters
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_naive_leaks
+    FROM assigned GROUP BY split
+    """,
+    doc="LEAKAGE-SAFE train/val split: the split key is the NEAR-DUP "
+    "CLUSTER id (from the same shingle-block + Jaccard + connected-"
+    "components pipeline as dedup_cluster_cc), so every member of a "
+    "near-duplicate family lands on the same side — by construction, "
+    "never by luck. Splitting on the document id instead (the naive "
+    "rule, split_train_val's shape) would put n_naive_leaks documents "
+    "on the opposite side from a near-duplicate of themselves — "
+    "train/eval contamination that silently inflates benchmarks. The "
+    "contrast count is part of the output so the pipeline can ALARM "
+    "on how much leakage naive splitting would have caused. Cost on "
+    "top of clustering: one map-side-combinable aggregate; the hash "
+    "assignment is content-stable (reproducible across engines, runs "
+    "and cluster sizes).",
+    tags=("llm", "split", "dedup"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    nib = lambda c: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substr(md5(CAST({c} AS STRING)), 1, 1)) - 1"
+    )
+    assigned = clusters.select(
+        "node",
+        "cluster_id",
+        F.when(nib("cluster_id") < 12, "train").otherwise("val").alias("split"),
+        F.when(nib("node") < 12, "train").otherwise("val").alias("naive_split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum((F.col("naive_split") != F.col("split")).cast("int"))
+        .cast("bigint")
+        .alias("n_naive_leaks"),
+    )

@@ -89,3 +89,37 @@ def test_cc_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The invariant the op exists for: every near-dup cluster lands
+    entirely on one side; and on this fixture (built with cross-doc
+    near-dup chains) the naive doc-hash rule WOULD have leaked."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.plans.llm_ops3 import dedup_cluster_cc
+
+    sf = "/root/testdata/sf0.01"
+    clusters = dedup_cluster_cc(spark, sf)
+    nib = F.expr(
+        "instr('0123456789abcdef', substr(md5(CAST(cluster_id AS STRING)), 1, 1)) - 1"
+    )
+    assigned = clusters.select(
+        "cluster_id", F.when(nib < 12, "train").otherwise("val").alias("split")
+    )
+    split_across = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .where(F.col("n_sides") > 1)
+        .count()
+    )
+    assert split_across == 0, "a near-dup cluster crossed the split boundary"
+
+    from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["split_leakage_safe"].fn(spark, sf).collect()
+    assert sum(r["n_naive_leaks"] for r in rows) > 0, (
+        "fixture has multi-doc near-dup clusters, so naive id-hash "
+        "splitting must show non-zero would-be leakage"
+    )
