@@ -193,6 +193,16 @@ def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
     os.remove(os.path.join(mdir, f".claim-v{v}"))
 
 
+def _release_claim(table_dir: str, v: int) -> None:
+    """Abandon a claimed-but-uncommitted version (optimistic-conflict
+    loser). The number may be reused by a later claimant — no committed
+    manifest ever referenced it, so no reader can confuse the two."""
+    try:
+        os.remove(os.path.join(_manifest_dir(table_dir), f".claim-v{v}"))
+    except FileNotFoundError:
+        pass
+
+
 def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
     """Targeted DELETE (the right-to-be-forgotten / retention op):
     commit a new snapshot in which every row matching ``condition`` is
@@ -214,63 +224,90 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
 
     Returns the committed version. A condition matching nothing
     commits a new version carrying the old file list verbatim.
+
+    Concurrency: the affected-file scan is long, so a concurrent
+    append can commit a newer version mid-scan; building the delete
+    from the manifest that was latest AT ENTRY would silently drop
+    that commit from forward history. After claiming a version this
+    re-checks that the manifest it scanned is still the latest and
+    retries the whole scan otherwise (optimistic conflict, the Delta
+    DELETE retry loop). A commit landing in the narrow window between
+    the re-check and the manifest publish can still be shadowed —
+    full serializability needs a lock service this file-only log
+    deliberately omits.
     """
+    from urllib.parse import unquote, urlparse
+
     from pyspark.sql import functions as F
 
-    prior = versions(table_dir)
-    if not prior:
-        raise ValueError(f"{table_dir}: no committed snapshot to delete from")
-    prev = _load_manifest(table_dir, prior[-1])
-    snap = read_version(spark, table_dir)
-    cond = F.expr(condition)
-    affected_abs = {
-        r["f"]
-        for r in snap.where(cond)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    }
+    root = os.path.abspath(table_dir)
+    for _attempt in range(4):
+        prior = versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to delete from")
+        prev = _load_manifest(table_dir, prior[-1])
+        snap = read_version(spark, table_dir, prior[-1])
+        cond = F.expr(condition)
+        # input_file_name() yields absolute URIs; strip the table root
+        # and compare NORMALIZED RELATIVE paths exactly — suffix
+        # matching would alias same-named files across versions.
+        affected_rel = set()
+        for r in (
+            snap.where(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ):
+            p = unquote(urlparse(r["f"]).path) or r["f"]
+            affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
 
-    def _is_affected(rel: str) -> bool:
-        tail = rel.lstrip("./")
-        return any(a.endswith(tail) for a in affected_abs)
+        untouched = [
+            rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
+        ]
+        affected = [
+            rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
+        ]
 
-    untouched = [rel for rel in prev["files"] if not _is_affected(rel)]
-    affected = [rel for rel in prev["files"] if _is_affected(rel)]
-
-    v = _claim_version(table_dir, prior)
-    new_files: list[str] = []
-    if affected:
-        keep = (
-            spark.read.parquet(
-                *[os.path.join(table_dir, rel) for rel in affected]
-            ).where(~F.coalesce(cond, F.lit(False)))
+        v = _claim_version(table_dir, prior)
+        if versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)  # newer commit landed mid-scan
+            continue
+        new_files: list[str] = []
+        if affected:
+            keep = (
+                spark.read.parquet(
+                    *[os.path.join(table_dir, rel) for rel in affected]
+                ).where(~F.coalesce(cond, F.lit(False)))
+            )
+            rel_dir = os.path.join("data", f"v{v}")
+            staging = os.path.join(table_dir, rel_dir)
+            keep.write.mode("overwrite").parquet(staging)
+            new_files = sorted(
+                os.path.join(rel_dir, name)
+                for name in os.listdir(staging)
+                if name.endswith(".parquet")
+            )
+        stats = {
+            rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        _commit_manifest(
+            table_dir,
+            v,
+            {
+                "version": v,
+                "mode": "delete",
+                "condition": condition,
+                "files": untouched + new_files,
+                "stats": stats,
+                "rewrote": len(affected),
+                "carried": len(untouched),
+            },
         )
-        rel_dir = os.path.join("data", f"v{v}")
-        staging = os.path.join(table_dir, rel_dir)
-        keep.write.mode("overwrite").parquet(staging)
-        new_files = sorted(
-            os.path.join(rel_dir, name)
-            for name in os.listdir(staging)
-            if name.endswith(".parquet")
-        )
-    stats = {
-        rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
-    }
-    _commit_manifest(
-        table_dir,
-        v,
-        {
-            "version": v,
-            "mode": "delete",
-            "condition": condition,
-            "files": untouched + new_files,
-            "stats": stats,
-            "rewrote": len(affected),
-            "carried": len(untouched),
-        },
+        return v
+    raise RuntimeError(
+        f"delete_where: lost the optimistic-conflict race 4 times on {table_dir}; "
+        "a writer is appending faster than the delete can scan"
     )
-    return v
 
 
 def select_files(
@@ -341,7 +378,7 @@ def read_version(
     return spark.read.parquet(*paths)
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+def vacuum(table_dir: str, keep_last: int = 1, claim_ttl_seconds: float = 86400.0) -> dict:
     """Retention maintenance: physically delete data files referenced
     ONLY by expired snapshots (all but the newest ``keep_last``
     versions), plus crashed-commit orphan data dirs no manifest ever
@@ -358,10 +395,25 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
       crash outcome is an expired manifest whose files are partially
       gone, which was already outside the retention contract; kept
       versions are never affected by any crash point.
+    - a ``data/v<N>`` dir under a LIVE version claim
+      (``_manifests/.claim-v<N>``) is an in-flight writer's staging,
+      not a crashed-commit orphan — it is never swept while the claim
+      is younger than ``claim_ttl_seconds`` (Delta-VACUUM-style
+      retention threshold; a claim older than the TTL is treated as a
+      crashed commit and reclaimed along with its staging dir). Run
+      vacuum with the default TTL ≫ any plausible commit duration.
+
+    Retention contract (Iceberg-style): reads WITHIN retention are
+    safe — a reader holding any of the newest ``keep_last`` versions
+    sees every byte it resolved, before, during, and after a
+    concurrent vacuum. Reads OUTSIDE retention are not: a reader
+    pinned to an expired version races the physical erasure and may
+    fail mid-scan. Pin retention to cover your longest reader.
 
     Returns {"kept_versions", "removed_files", "removed_orphan_dirs"}.
     """
     import shutil
+    import time
 
     vs = versions(table_dir)
     if not vs:
@@ -397,6 +449,20 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
                 continue
             if rel_dir in all_manifest_dirs:
                 continue
+            m = re.match(r"^v(\d+)$", entry)
+            claim = (
+                os.path.join(_manifest_dir(table_dir), f".claim-v{m.group(1)}")
+                if m
+                else None
+            )
+            if claim is not None and os.path.exists(claim):
+                # A live claim means a writer is staging here RIGHT NOW
+                # (claim → stage data → commit manifest → drop claim);
+                # sweeping it would erase files a manifest is about to
+                # reference. Only a claim past the TTL is a crashed
+                # commit we may reclaim.
+                if time.time() - os.path.getmtime(claim) < claim_ttl_seconds:
+                    continue
             has_referenced = any(
                 os.path.normpath(os.path.join(rel_dir, f)) in referenced
                 for f in os.listdir(full)
@@ -404,6 +470,8 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
             if not has_referenced:
                 shutil.rmtree(full)
                 removed_orphans += 1
+                if claim is not None and os.path.exists(claim):
+                    os.remove(claim)  # stale claim reclaimed with its dir
     for v in expired:  # manifests go LAST (see safety note)
         os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
     return {

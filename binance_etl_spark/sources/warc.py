@@ -228,12 +228,20 @@ class WarcShardWriter(DataSourceWriter):
 
     # -- driver side ------------------------------------------------------
     def commit(self, messages) -> None:
-        if self.overwrite:
-            for old in _glob.glob(os.path.join(self.path, "part-*.warc")):
-                os.remove(old)
+        # Publish the new shards FIRST, then delete stale part files
+        # from other job ids (finals are job-id-namespaced, so there is
+        # no name collision). Ordering matters in overwrite mode: a
+        # driver crash mid-commit then leaves a mixed-but-readable
+        # directory, never an empty one — the same rename-aside
+        # discipline as refsink/_swap_state, where delete is always the
+        # last step after the replacement is visible.
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{self.job}-{i:05d}.warc")
             os.replace(m.tmp_path, final)
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.warc")):
+                if f"part-{self.job}-" not in os.path.basename(old):
+                    os.remove(old)
         for stray in _glob.glob(os.path.join(self.path, f".tmp-{self.job}-part-*.warc")):
             os.remove(stray)
 

@@ -29,8 +29,6 @@ accepted now self-collide and append nothing new.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,21 +42,15 @@ from binance_etl_spark.operators.dedup import (
 
 
 def _swap_write(df: DataFrame, path: str) -> None:
-    """Rename-aside swap with a deterministic `.__old` name so
-    `sinks.recover_state` can heal a crash between the two renames
-    (restore the committed table) or after the second (drop the
-    superseded copy) — see sinks.recover_state for the case analysis."""
-    from binance_etl_spark.streaming.sinks import recover_state
+    """Rename-aside swap, delegated to `sinks._swap_state` so the
+    staging dir uses the one `.__staging_` prefix that
+    `sinks.recover_state` sweeps — a crash during the side-directory
+    write must not leak an orphan dir per attempt (this module
+    previously staged under a `.__swap_` prefix the recovery sweep
+    never matched)."""
+    from binance_etl_spark.streaming.sinks import _swap_state
 
-    recover_state(path)
-    side = f"{path}.__swap_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(side)
-    old = f"{path}.__old"
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(side, path)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    _swap_state(df, path)
 
 
 def batch_bands(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -267,3 +267,169 @@ def test_vacuum_sweeps_crashed_commit_orphans(spark, tmp_path):
     assert res["removed_orphan_dirs"] == 1
     assert not os.path.isdir(orphan)
     assert SNAP.read_version(spark, table).count() == 10
+
+
+def test_vacuum_skips_in_flight_claimed_staging(spark, tmp_path):
+    """A data/v<N> dir under a LIVE claim is a concurrent writer's
+    staging mid-commit, not a crashed-commit orphan — vacuum must not
+    erase files a manifest is about to reference (ADVICE r5). A claim
+    past the TTL is a crashed commit and is reclaimed with its dir."""
+    import json as _json
+    import os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")
+    # simulate a writer mid-commit: claim held, data staged, no manifest
+    staged = os.path.join(table, "data", "v7")
+    spark.range(50, 55).write.parquet(staged)
+    claim = os.path.join(table, "_manifests", ".claim-v7")
+    with open(claim, "x"):
+        pass
+
+    res = SNAP.vacuum(table, keep_last=1)
+    assert res["removed_orphan_dirs"] == 0
+    assert os.path.isdir(staged), "in-flight staging must survive vacuum"
+
+    # the writer now finishes its commit; the snapshot must be readable
+    files = sorted(
+        os.path.join("data", "v7", n)
+        for n in os.listdir(staged)
+        if n.endswith(".parquet")
+    )
+    prev = SNAP._load_manifest(table, 1)
+    SNAP._commit_manifest(
+        table,
+        7,
+        {"version": 7, "mode": "append", "files": prev["files"] + files, "stats": {}},
+    )
+    assert SNAP.read_version(spark, table, version=7).count() == 15
+
+    # a STALE claim (older than the TTL) is a crashed commit: reclaimed
+    staged2 = os.path.join(table, "data", "v9")
+    spark.range(5).write.parquet(staged2)
+    with open(os.path.join(table, "_manifests", ".claim-v9"), "x"):
+        pass
+    res2 = SNAP.vacuum(table, keep_last=1, claim_ttl_seconds=0.0)
+    assert res2["removed_orphan_dirs"] == 1
+    assert not os.path.isdir(staged2)
+    assert not os.path.exists(os.path.join(table, "_manifests", ".claim-v9"))
+
+
+def test_delete_where_retries_when_concurrent_append_lands_mid_scan(
+    spark, tmp_path
+):
+    """Optimistic-conflict check (ADVICE r5): an append committed while
+    delete_where was scanning must appear in the delete's output
+    version, not be silently dropped from forward history."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(1000), table, mode="append")
+
+    orig = SNAP._claim_version
+    state = {"injected": False, "busy": False, "claims": 0}
+
+    def racing_claim(td, prior):
+        if not state["injected"] and not state["busy"]:
+            # first claim attempt: sneak a concurrent append in AFTER
+            # the delete's scan but BEFORE its claim
+            state["injected"] = True
+            state["busy"] = True
+            try:
+                SNAP.write_version(
+                    spark.range(5000, 5010), td, mode="append"
+                )
+            finally:
+                state["busy"] = False
+        state["claims"] += 1
+        return orig(td, prior)
+
+    SNAP._claim_version = racing_claim
+    try:
+        v = SNAP.delete_where(spark, table, "id < 100")
+    finally:
+        SNAP._claim_version = orig
+
+    # the first attempt must have been aborted and retried
+    assert state["claims"] >= 3  # injected append + aborted + retry
+    latest = SNAP.read_version(spark, table, version=v)
+    assert latest.count() == 900 + 10, "concurrent append's rows survive"
+    assert latest.where("id >= 5000").count() == 10
+
+
+def test_delete_where_exact_path_match_with_colliding_basenames(
+    spark, tmp_path
+):
+    """Affected-file matching must compare normalized RELATIVE paths
+    exactly — same-basename files in different version dirs must never
+    alias each other (the old endswith suffix match was brittle)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data", "v1"))
+    os.makedirs(os.path.join(table, "data", "v2"))
+    os.makedirs(os.path.join(table, "_manifests"))
+    # two files with IDENTICAL basenames in different version dirs
+    pq.write_table(
+        pa.table({"id": [1, 2, 3]}),
+        os.path.join(table, "data", "v1", "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": [100, 200]}),
+        os.path.join(table, "data", "v2", "part-000.parquet"),
+    )
+    for v, files in (
+        (1, ["data/v1/part-000.parquet"]),
+        (2, ["data/v1/part-000.parquet", "data/v2/part-000.parquet"]),
+    ):
+        with open(os.path.join(table, "_manifests", f"v{v}.json"), "w") as f:
+            _json.dump(
+                {"version": v, "mode": "append", "files": files, "stats": {}}, f
+            )
+
+    before = os.path.getmtime(os.path.join(table, "data", "v2", "part-000.parquet"))
+    v3 = SNAP.delete_where(spark, table, "id = 1")
+    m3 = SNAP._load_manifest(table, v3)
+    assert m3["rewrote"] == 1 and m3["carried"] == 1
+    assert "data/v2/part-000.parquet" in m3["files"], (
+        "same-basename sibling must be carried by name, not rewritten"
+    )
+    after = os.path.getmtime(os.path.join(table, "data", "v2", "part-000.parquet"))
+    assert before == after, "carried file's bytes untouched"
+    ids = sorted(r["id"] for r in SNAP.read_version(spark, table).collect())
+    assert ids == [2, 3, 100, 200]
+
+
+def test_vacuum_concurrent_reader_within_retention_is_safe(spark, tmp_path):
+    """Retention contract: a reader holding a KEPT version sees every
+    byte across a concurrent vacuum; a reader pinned to an EXPIRED
+    version races physical erasure and fails loudly (Iceberg-style
+    'reads within retention are safe')."""
+    import pytest as _pytest
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(1000).repartitionByRange(4, "id"), table, mode="append"
+    )
+    SNAP.delete_where(spark, table, "id < 500")  # v2 rewrites low files
+
+    kept_reader = SNAP.read_version(spark, table)          # resolves v2
+    expired_reader = SNAP.read_version(spark, table, version=1)
+
+    res = SNAP.vacuum(table, keep_last=1)
+    assert res["removed_files"] >= 1
+    # within retention: complete before, during, and after vacuum
+    assert kept_reader.count() == 500
+    # outside retention: the erased bytes are gone — loud failure
+    with _pytest.raises(Exception):
+        expired_reader.count()

@@ -105,3 +105,60 @@ def test_sharded_writer_rejects_wrong_schema(spark, tmp_path):
     df = spark.range(3).selectExpr("id", "concat('u', id) AS target_uri")
     with _pytest.raises(Exception, match="record_id"):
         W.write_warc_sharded(df, str(tmp_path / "bad"))
+
+
+def test_overwrite_commit_publishes_before_deleting(tmp_path, monkeypatch):
+    """Crash-ordering property (ADVICE r5): in overwrite mode the
+    driver commit renames the new shards in FIRST and deletes stale
+    prior-job parts LAST — a crash mid-commit leaves a
+    mixed-but-readable directory, never an empty one."""
+    import os
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    out = tmp_path / "corpus"
+    out.mkdir()
+    stale = out / "part-oldjob-00000.warc"
+    with open(stale, "wb") as f:
+        W._write_records(f, [("urn:old:1", "http://x/old", b"old bytes")])
+
+    schema = StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    writer = W.WarcShardWriter({"path": str(out)}, schema, overwrite=True)
+    shard = writer.write(
+        iter([{"record_id": "urn:new:1", "target_uri": "http://x/new", "payload": b"new"}])
+    )
+    assert shard.rows == 1
+
+    real_remove = os.remove
+
+    def crash_on_delete(path):
+        if "part-oldjob-" in os.path.basename(path):
+            raise OSError("injected crash during stale-part delete")
+        real_remove(path)
+
+    monkeypatch.setattr(os, "remove", crash_on_delete)
+    with pytest.raises(OSError, match="injected crash"):
+        writer.commit([shard])
+    monkeypatch.undo()
+
+    names = sorted(os.listdir(out))
+    finals = [n for n in names if n.startswith("part-") and n.endswith(".warc")]
+    # new shard is already published; the stale one survived the crash
+    assert any(f"part-{writer.job}-" in n for n in finals)
+    assert stale.name in finals, "worst case is mixed-but-readable, never empty"
+
+    # a re-run of commit (retry) converges: stale gone, new shard kept
+    writer2 = W.WarcShardWriter({"path": str(out)}, schema, overwrite=True)
+    shard2 = writer2.write(
+        iter([{"record_id": "urn:new:2", "target_uri": "http://x/n2", "payload": b"n2"}])
+    )
+    writer2.commit([shard2])
+    names = sorted(os.listdir(out))
+    assert stale.name not in names
+    assert any(f"part-{writer2.job}-" in n for n in names)
