@@ -229,12 +229,21 @@ def read_replay(spark, path: str, lines_per_partition: int | None = None):
     return r.load()
 
 
-def stream_replay(spark, path: str, max_frames_per_batch: int = 3):
-    """Streaming scan; offsets checkpoint/restart like any source."""
+def stream_replay(
+    spark,
+    path: str,
+    max_frames_per_batch: int = 3,
+    lines_per_partition: int | None = None,
+):
+    """Streaming scan; offsets checkpoint/restart like any source.
+    `lines_per_partition` sizes the line-range split of large catch-up
+    batches (see ReplayStreamReader.partitions)."""
     register(spark)
-    return (
+    r = (
         spark.readStream.format("replay")
         .option("path", os.fspath(path))
         .option("maxFramesPerBatch", str(max_frames_per_batch))
-        .load()
     )
+    if lines_per_partition is not None:
+        r = r.option("linesPerPartition", str(lines_per_partition))
+    return r.load()

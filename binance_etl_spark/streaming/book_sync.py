@@ -265,7 +265,7 @@ class BookSyncProcessor(StatefulProcessor):
         symbol = key[0]
         deltas: list[dict] = []
         for pdf in rows:
-            deltas.extend(pdf.to_dict("records"))
+            deltas.extend(_records(pdf))
         deltas.sort(key=lambda d: d["seq"])
         snapshot = self._snapshot_for.get(symbol)
         if snapshot is not None and self._available_after_ms:
