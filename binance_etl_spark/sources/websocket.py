@@ -61,20 +61,30 @@ def start_spool(symbol: str, stream: str, spool_path: str):
     return stop
 
 
-def start_spool_raw(host: str, port: int, path: str, spool_path: str):
+def start_spool_raw(
+    host: str,
+    port: int,
+    path: str,
+    spool_path: str,
+    tls: bool = False,
+    ssl_context=None,
+):
     """Subscribe via the engine's own dependency-free RFC 6455 client
     (sources/ws_client.py) and drain text frames to `spool_path` on a
     background thread — the same socket->spool glue as `start_spool`
-    without the optional binance-connector package. No TLS: point it
-    at a plaintext endpoint or a local TLS-terminating proxy.
+    without the optional binance-connector package. ``tls=True`` wraps
+    the socket with ``ssl.create_default_context()`` (system trust
+    store + hostname verification), so the real ``wss://`` Binance
+    endpoint is reachable directly; ``ssl_context`` overrides the
+    context (tests verify against a self-signed loopback CA).
     Returns a stop() callable that closes the socket and joins the
     drain thread. Exercised end-to-end against an in-process loopback
-    server in tests/test_ws_live_loopback.py."""
+    server — plaintext AND TLS — in tests/test_ws_live_loopback.py."""
     import threading
 
     from binance_etl_spark.sources.ws_client import WebSocketClient
 
-    client = WebSocketClient(host, port, path)
+    client = WebSocketClient(host, port, path, tls=tls, ssl_context=ssl_context)
     spool = open(spool_path, "a", buffering=1)
     done = threading.Event()
 

@@ -13,9 +13,14 @@ reference exercises against wss://stream.binance.com is exercised
 end-to-end here without touching the network.
 
 Scope: client side only, text messages (Binance frames are JSON
-text), no TLS (production fronts this with any TLS socket wrapper or
-the optional binance-connector path in sources/websocket.py), no
-extensions/compression.
+text), no extensions/compression. TLS is stdlib `ssl`: pass
+``tls=True`` (or a ``wss://`` URL to `WebSocketClient.from_url`) and
+the TCP socket is wrapped with ``ssl.create_default_context()`` —
+full certificate + hostname verification against the system trust
+store, matching the ``wss://stream.binance.com`` endpoint the
+reference reaches through binance-connector (base.py:26). Tests
+verify against a self-signed loopback CA via the ``ssl_context``
+override (tests/test_ws_live_loopback.py TLS leg).
 """
 
 from __future__ import annotations
@@ -98,15 +103,52 @@ def read_frame(rf) -> tuple[int, bool, bytes]:
 class WebSocketClient:
     """Blocking client: connect(), then iterate text_messages()."""
 
-    def __init__(self, host: str, port: int, path: str = "/", timeout: float = 30.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        path: str = "/",
+        timeout: float = 30.0,
+        tls: bool = False,
+        ssl_context=None,
+    ):
         self.host, self.port, self.path = host, port, path
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            import ssl
+
+            ctx = ssl_context or ssl.create_default_context()
+            # server_hostname drives SNI + hostname verification (an IP
+            # literal verifies against IPAddress SANs).
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
         # One buffered reader for the connection's whole life: the 101
         # response and the first frames can arrive in one TCP segment,
         # so reading the handshake with raw recv() would silently
         # swallow the head of the frame stream.
         self._rf = self.sock.makefile("rb")
         self._handshake()
+
+    @classmethod
+    def from_url(cls, url: str, timeout: float = 30.0, ssl_context=None):
+        """Connect from a ``ws://`` or ``wss://`` URL (default ports
+        80/443); ``wss`` turns on TLS."""
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        if u.scheme not in ("ws", "wss"):
+            raise ValueError(f"expected ws:// or wss:// URL, got {url!r}")
+        tls = u.scheme == "wss"
+        path = u.path or "/"
+        if u.query:
+            path = f"{path}?{u.query}"
+        return cls(
+            u.hostname,
+            u.port or (443 if tls else 80),
+            path,
+            timeout=timeout,
+            tls=tls,
+            ssl_context=ssl_context,
+        )
 
     def _handshake(self) -> None:
         key = base64.b64encode(os.urandom(16)).decode()

@@ -24,8 +24,9 @@ class LoopbackWsServer:
 
     Records the client's pong payloads for assertion."""
 
-    def __init__(self, script):
+    def __init__(self, script, ssl_ctx=None):
         self.script = script  # list of ("text"|"frag"|"ping", payload)
+        self.ssl_ctx = ssl_ctx  # server-side TLS context (TLS leg)
         self.pongs: list[bytes] = []
         self.srv = socket.socket()
         self.srv.bind(("127.0.0.1", 0))
@@ -37,6 +38,15 @@ class LoopbackWsServer:
     def _serve(self) -> None:
         conn, _ = self.srv.accept()
         conn.settimeout(20)
+        if self.ssl_ctx is not None:
+            try:
+                conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                # client refused our certificate (the reject-leg of the
+                # TLS tests) — a clean server-side outcome, not a crash
+                conn.close()
+                self.srv.close()
+                return
         req = bytearray()
         while b"\r\n\r\n" not in req:
             req.extend(conn.recv(4096))
@@ -202,3 +212,134 @@ def test_live_spool_streams_while_growing(spark, tmp_path):
         q.stop()
         stop()
     server.thread.join(timeout=10)
+
+
+def _self_signed_cert(tmp_path):
+    """Self-signed localhost/127.0.0.1 cert via the `cryptography`
+    package (present in this container; skip cleanly if absent)."""
+    try:
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        from cryptography.x509.oid import NameOID
+    except ImportError:
+        import pytest
+
+        pytest.skip("cryptography package unavailable for cert generation")
+    import datetime
+    import ipaddress
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=365))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [
+                    x509.DNSName("localhost"),
+                    x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+                ]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    certfile = str(tmp_path / "loopback.crt")
+    keyfile = str(tmp_path / "loopback.key")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return certfile, keyfile
+
+
+def test_tls_socket_to_spool_end_to_end(spark, tmp_path):
+    """The wss:// leg: same socket->spool->parse path through a REAL
+    TLS handshake against a self-signed loopback CA, with full
+    certificate AND hostname verification on (create_default_context
+    with our cert as the trust root — not CERT_NONE), matching how
+    the client would reach wss://stream.binance.com."""
+    import ssl
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+    script = [
+        ("text", _trade_frame(0)),
+        ("ping", b"tls-keepalive"),
+        ("text", _trade_frame(1)),
+        ("text", _trade_frame(2)),
+    ]
+    server = LoopbackWsServer(script, ssl_ctx=sctx)
+
+    from binance_etl_spark.sources.websocket import start_spool_raw
+
+    cctx = ssl.create_default_context(cafile=certfile)
+    assert cctx.check_hostname, "verification must stay ON for the TLS leg"
+    spool = str(tmp_path / "tls_spool.jsonl")
+    stop = start_spool_raw(
+        "127.0.0.1", server.port, "/ws/tls", spool, tls=True, ssl_context=cctx
+    )
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        try:
+            if sum(1 for _ in open(spool)) >= 3:
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.05)
+    stop()
+    server.thread.join(timeout=10)
+
+    assert server.pongs == [b"tls-keepalive"], "ping answered over TLS"
+
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.parse import parse_trades
+
+    trades = parse_trades(read_replay(spark, spool)).orderBy("id").collect()
+    assert [r["id"] for r in trades] == [100, 101, 102]
+
+
+def test_wss_url_client_rejects_untrusted_cert(tmp_path):
+    """from_url('wss://...') with the DEFAULT trust store must REFUSE
+    a self-signed server — proving verification is real, not
+    decorative — while the same URL with the loopback CA connects."""
+    import ssl
+
+    import pytest
+
+    from binance_etl_spark.sources import ws_client as WC
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+
+    # leg 1: default context (system roots) -> certificate rejected
+    server = LoopbackWsServer([("text", _trade_frame(0))], ssl_ctx=sctx)
+    with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+        WC.WebSocketClient.from_url(f"wss://127.0.0.1:{server.port}/ws")
+
+    # leg 2: loopback CA trusted -> full handshake + one frame
+    server2 = LoopbackWsServer([("text", _trade_frame(7))], ssl_ctx=sctx)
+    cctx = ssl.create_default_context(cafile=certfile)
+    client = WC.WebSocketClient.from_url(
+        f"wss://127.0.0.1:{server2.port}/ws?stream=t", ssl_context=cctx
+    )
+    assert client.path == "/ws?stream=t"
+    msgs = list(client.text_messages())
+    assert len(msgs) == 1 and '"t":107' in msgs[0]
+    client.close()
+    server2.thread.join(timeout=10)
