@@ -52,13 +52,16 @@ def decode_wav(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                with wave.open(io.BytesIO(bytes(r[payload_col])), "rb") as w:
+            # column-wise extraction (the book_sync._records pattern):
+            # .tolist() converts numpy scalars once per column instead
+            # of per-cell Series indexing inside the loop
+            for cid, payload in zip(pdf["clip_id"].tolist(), pdf[payload_col].tolist()):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     n, ch, sr = w.getnframes(), w.getnchannels(), w.getframerate()
                     samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
                 rows.append(
                     {
-                        "clip_id": int(r["clip_id"]),
+                        "clip_id": int(cid),
                         "sample_rate": sr,
                         "n_channels": ch,
                         "n_samples": n,
@@ -98,8 +101,8 @@ def decode_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[payload_col])
+            for iid, payload in zip(pdf["img_id"].tolist(), pdf[payload_col].tolist()):
+                data = bytes(payload)
                 assert data[:2] == b"BM", "not a BMP payload"
                 (pix_off,) = struct.unpack_from("<I", data, 10)
                 w, h = struct.unpack_from("<ii", data, 18)
@@ -116,7 +119,7 @@ def decode_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
                         sr += data[o + 2]
                 rows.append(
                     {
-                        "img_id": int(r["img_id"]),
+                        "img_id": int(iid),
                         "width": w,
                         "height": abs(h),
                         "sum_b": sb,
@@ -209,9 +212,9 @@ def decode_avi_frames(
     def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                vid = int(r["video_id"])
-                data = bytes(r[payload_col])
+            for vid, payload in zip(pdf["video_id"].tolist(), pdf[payload_col].tolist()):
+                vid = int(vid)
+                data = bytes(payload)
                 declared, width, height, frames = parse_avi_container(data, vid)
                 for fno, off, ln in frames:
                     if fno % stride:
@@ -260,9 +263,9 @@ def avi_scene_cuts(assets: DataFrame, threshold: int, payload_col: str = "payloa
     def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                vid = int(r["video_id"])
-                data = bytes(r[payload_col])
+            for vid, payload in zip(pdf["video_id"].tolist(), pdf[payload_col].tolist()):
+                vid = int(vid)
+                data = bytes(payload)
                 _declared, _w, _h, frames = parse_avi_container(data, vid)
                 prev = None
                 for fno, off, ln in frames:
@@ -299,8 +302,8 @@ def ahash_blocks_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFra
     def _decode(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                buf = bytes(r[payload_col])
+            for iid, payload in zip(pdf["img_id"].tolist(), pdf[payload_col].tolist()):
+                buf = bytes(payload)
                 w = h = 16
                 row_size = w * 3  # 48 bytes, already 4-aligned
                 gray = [[0] * w for _ in range(h)]
@@ -320,7 +323,7 @@ def ahash_blocks_bmp(assets: DataFrame, payload_col: str = "payload") -> DataFra
                             + gray[2 * by + 1][2 * bx + 1]
                         )
                         blocks.append(s // 4)
-                rows.append({"img_id": int(r["img_id"]), "blocks": blocks})
+                rows.append({"img_id": int(iid), "blocks": blocks})
             yield pd.DataFrame(rows, columns=["img_id", "blocks"])
 
     return assets.mapInPandas(_decode, AHASH_SCHEMA)
@@ -349,15 +352,15 @@ def fingerprint_wav_energies(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                with wave.open(io.BytesIO(bytes(r[payload_col])), "rb") as w:
+            for cid, payload in zip(pdf["clip_id"].tolist(), pdf[payload_col].tolist()):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     n = w.getnframes()
                     samples = struct.unpack(f"<{n}h", w.readframes(n))
                 energies = [
                     sum(abs(s) for s in samples[b * block : (b + 1) * block])
                     for b in range(n_blocks)
                 ]
-                rows.append({"clip_id": int(r["clip_id"]), "energies": energies})
+                rows.append({"clip_id": int(cid), "energies": energies})
             yield pd.DataFrame(rows, columns=["clip_id", "energies"])
 
     return assets.mapInPandas(_decode, AFP_SCHEMA)

@@ -250,7 +250,9 @@ def stream_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="As-of join: each purchase matched to the user's latest view at "
     "or before it — the trade-vs-book-state query (SURVEY.md §2.5). "
     "Implemented via union + last(ignorenulls) window "
-    "(operators/asof.py); verified against DuckDB's native ASOF JOIN.",
+    "(operators/asof.py): ONE shuffle on the key, O(left+right) work, "
+    "no range-join row explosion; verified against DuckDB's native "
+    "ASOF JOIN.",
     tags=("join", "asof"),
 )
 def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,9 +288,9 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Forward as-of join: each purchase matched to the user's "
     "EARLIEST view at or after it — the 'next quote after the order' "
     "direction (impact/markout analysis). Same union + window plan as "
-    "backward as-of (operators/asof.py), with first(ignorenulls) over "
-    "the following frame; verified against DuckDB's native forward "
-    "ASOF JOIN.",
+    "backward as-of (operators/asof.py) — one shuffle, no range "
+    "explosion — with first(ignorenulls) over the following frame; "
+    "verified against DuckDB's native forward ASOF JOIN.",
     tags=("join", "asof"),
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,8 +326,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="As-of join with a staleness bound: matches older than 30 "
     "minutes are nulled (a quote that old is not 'the prevailing "
     "quote'). The tolerance is applied inside the same single window "
-    "pass — no second join; oracle nulls DuckDB's native ASOF match "
-    "by the same rule.",
+    "pass — no second join, no second shuffle; oracle nulls DuckDB's "
+    "native ASOF match by the same rule.",
     tags=("join", "asof"),
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -379,7 +379,9 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_mktsegment
     """,
     doc="LEFT OUTER dim enrichment with misses: customers with zero "
-    "orders keep a row (COUNT of null join side = 0, SUM = NULL).",
+    "orders keep a row (COUNT of null join side = 0, SUM = NULL). "
+    "Scale: fact shuffles once on the join key; the follow-on group-by "
+    "reuses that partitioning (no second exchange).",
     tags=("join",),
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +420,9 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    doc="LEFT ANTI: customers with no orders at all.",
+    doc="LEFT ANTI: customers with no orders at all. Scale: one "
+    "shuffled hash anti-join on the key; the anti side is key-only "
+    "(column-pruned), never duplicated.",
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

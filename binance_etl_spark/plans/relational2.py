@@ -19,7 +19,9 @@ from binance_etl_spark.plans.registry import register
     FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
     WHERE n_regionkey = 0
     """,
-    doc="RIGHT OUTER: every nation of region 0 kept, customers nullable.",
+    doc="RIGHT OUTER: every nation of region 0 kept, customers "
+    "nullable. Scale: the filtered dim side is broadcast-sized; the "
+    "customer fact streams through without a shuffle.",
     tags=("join",),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +128,9 @@ _Q3_SQL = f"""
     oracle=_Q3_SQL,
     doc="TPC-H Q3 shape through the spark.sql SQL front end — the exact "
     "same ANSI text is the DuckDB oracle. Demonstrates the engine's SQL "
-    "API over the registered catalog (catalog.register_all).",
+    "API over the registered catalog (catalog.register_all). Scale: "
+    "probed at 10x in scripts/scale_probe.py --stages — shuffle bytes "
+    "grow exactly linearly with rows (PERFORMANCE.md).",
     tags=("sql", "join", "agg"),
 )
 def sql_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

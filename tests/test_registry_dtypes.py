@@ -41,3 +41,61 @@ def test_every_registered_query_outputs_hashable_primitives(spark):
         f"boolean columns (decimal/timestamp/date/nested types hash "
         f"differently across engines): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry growth guard (VERDICT r5 item 9): past ~230 queries a new
+# operator can silently land without any scale accountability. Every
+# `llm`- or `join`-tagged registration — the two families where a bad
+# plan (all-pairs join, unbucketed candidate generation, driver
+# collect) becomes a 100 TB outage — must either be plan-pinned in
+# tests/test_plan_pins.py or carry an explicit scale/plan note in its
+# registry doc. This is a lint over metadata, not execution: it keeps
+# the DOCUMENTED scale posture growing in lockstep with the surface.
+# ---------------------------------------------------------------------------
+
+_SCALE_NOTE_KEYWORDS = (
+    "scale",
+    "shuffle",
+    "broadcast",
+    "blocked",
+    "banded",
+    "bucket",
+    "push",          # pushed / pushdown
+    "partition",
+    "o(",            # complexity statements
+    "equi-join",
+    "100 tb",
+    "map-side",
+    "prune",
+    "pointer-jumping",
+    "takeordered",
+    "top-k",
+    "all-pairs",
+    "codegen",
+    "driver-side",
+    "collect",
+)
+
+
+def test_llm_and_join_queries_carry_plan_pin_or_scale_note():
+    import os
+
+    _ensure_loaded()
+    pins_path = os.path.join(os.path.dirname(__file__), "test_plan_pins.py")
+    with open(pins_path) as f:
+        pinned_source = f.read()
+    offenders = []
+    for name, ent in sorted(REGISTRY.items()):
+        if not ({"llm", "join"} & set(ent.tags)):
+            continue
+        if name in pinned_source:  # plan-property pinned
+            continue
+        doc = ent.doc.lower()
+        if any(kw in doc for kw in _SCALE_NOTE_KEYWORDS):
+            continue
+        offenders.append(name)
+    assert not offenders, (
+        "every llm/join-tagged query needs a plan pin in "
+        f"test_plan_pins.py or a scale note in its doc; missing: {offenders}"
+    )
