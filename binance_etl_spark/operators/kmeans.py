@@ -47,15 +47,16 @@ def _sq_dist_e12(vec_col: str, centroid: list[float]):
     return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
-def kmeans_fit_assign(
+def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 3,
-) -> DataFrame:
-    """Fit k-means (fixed iterations, deterministic init) and return the
-    assignment: (id_col, cluster, dist) per input row.
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit k-means and return BOTH the fitted centroids (driver-side
+    k x dim doubles — the coarse quantizer a learned-list IVF probes)
+    and the assignment DataFrame (id_col, cluster, dist).
 
     Init: the k rows with the smallest ids (deterministic, no RNG).
     Ties in assignment break toward the lower cluster id via struct
@@ -109,8 +110,20 @@ def kmeans_fit_assign(
         ]
     )
     best = F.array_min(final)
-    return df.select(
+    assign = df.select(
         F.col(id_col),
         best["cid"].alias("cluster"),
         (best["dist"].cast("double") / _UNIT).alias("dist"),
     )
+    return centroids, assign
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fit k-means and return just the assignment (see kmeans_fit)."""
+    return kmeans_fit(df, vec_col, id_col, k, n_iter)[1]

@@ -8,7 +8,11 @@ combinable aggregation, broadcast or banded joins), while an
 accidentally quadratic or shuffle-fat plan blows past 10x. Results are
 recorded in PERFORMANCE.md.
 
-Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10]
+Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10] [--ann]
+
+--ann probes the ANN tier (sim_ann_pq / sim_ann_ivfpq /
+sim_ann_recall) at sf0.1 vs 10x embeddings: the shuffle-free
+encode/ADC scan must stay flat per row and recall@10 must hold.
 
 --x100 adds a third decade: a 100x replica (~sf10, lineitem 60M rows)
 built from the 10x replica by a second-level key shift, probed with
@@ -308,6 +312,47 @@ def llm10_main(spark) -> None:
         print(f"{name:30s} {t0:8.2f} {t1:8.2f} {t1 / max(t0, 0.01):5.1f}x {r0:10d} {r1:11d}")
 
 
+ANN = ["sim_ann_pq", "sim_ann_ivfpq", "sim_ann_recall", "sim_ann_recall_learned"]
+
+
+def ann_main(spark) -> None:
+    """ANN-tier slope probe (VERDICT r5 item 5): PQ ADC scan, IVFPQ
+    composite, and the recall gate at sf0.1 vs 10x embeddings.
+    Healthy = the encode/ADC scan is shuffle-free and per-row flat
+    (wall <= ~10x at 10x vectors; the fixed costs — K-row codebook
+    collect, bounded centroid agg — amortize, so sub-10x slopes are
+    expected), and recall@10 HOLDS at 10x (the approx arm must not
+    degrade as lists deepen)."""
+    out = {}
+    recalls = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
+        for name in ANN:
+            fn = REGISTRY[name].fn
+            rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.select([F.xxhash64(c).alias(c) for c in df.columns]).agg(
+                    F.count(F.lit(1))
+                ).collect()
+                best = min(best, time.time() - t0)
+            out[(name, label)] = (round(best, 2), rows)
+        for gate in ("sim_ann_recall", "sim_ann_recall_learned"):
+            recalls[(gate, label)] = REGISTRY[gate].fn(spark, sf_dir).first()[
+                "recall_pct"
+            ]
+    print(f"\n{'query':24s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
+    for name in ANN:
+        (t0, _), (t1, _) = out[(name, "sf0.1")], out[(name, "sf~1")]
+        print(f"{name:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+    for gate in ("sim_ann_recall", "sim_ann_recall_learned"):
+        print(
+            f"recall@10 [{gate}]: sf0.1 = {recalls[(gate, 'sf0.1')]}%, "
+            f"sf~1(10x) = {recalls[(gate, 'sf~1')]}%"
+        )
+
+
 def main() -> None:
     extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
     spark = get_spark("scale-probe", extra)
@@ -315,6 +360,9 @@ def main() -> None:
     _ensure_loaded()
     if "--rebuild" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    if "--ann" in sys.argv:
+        ann_main(spark)
+        return
     if "--stages" in sys.argv or "--llm10" in sys.argv:
         if not os.path.isdir(DST100):
             build_x100(spark)
