@@ -132,6 +132,8 @@ HEADLINE_LLM = [
     "join_pit_features",
     "sink_delete_propagation",
     "split_leakage_safe",
+    # round-6: learned-list IVF recall gate (k-means fit + probe + rescore).
+    "sim_ann_recall_learned",
 ]
 
 

@@ -117,3 +117,65 @@ def test_tws_late_snapshot_buffers_in_list_state(spark, fx_paths, rocksdb_state)
         )
     )
     assert got_tws == got_aip
+
+
+@pytest.mark.skipif(not _protobuf_available(), reason="no protobuf and shim failed")
+def test_tws_buffer_survives_checkpoint_restart(spark, tmp_path, rocksdb_state):
+    """Kill the tWS query MID-SYNC — deltas buffered in typed LIST
+    STATE, snapshot not yet available, zero rows emitted — then
+    restart from the checkpoint against the grown spool. The buffered
+    deltas must replay from RocksDB-persisted list state and the final
+    output must equal one uninterrupted run: the restart guarantee for
+    the reference's core loop (base.py:47-60), which buffers in a
+    Python list and would lose it on any crash."""
+    import json as _json
+
+    snap = {FX.SYMBOL: FX.snapshot()}
+    t0 = FX.T0
+    cutoff = t0 + 350
+
+    full = FX.write_fixtures(str(tmp_path / "fx"))["depth"]
+    lines = open(full).read().splitlines(keepends=False)
+    early = [ln for ln in lines if _json.loads(ln)["arrival_ms"] < cutoff]
+    late = [ln for ln in lines if _json.loads(ln)["arrival_ms"] >= cutoff]
+    assert early and late, "fixture must split around the cutoff"
+
+    spool = str(tmp_path / "depth_grow.jsonl")
+    with open(spool, "w") as f:
+        f.write("\n".join(early) + "\n")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        updates = parse_depth_updates(stream_replay(spark, spool, 2))
+        q = (
+            book_sync_stream_tws(updates, snap, available_after_ms=cutoff)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # phase 1: everything buffers, nothing emits
+    phase1 = spark.read.parquet(out)
+    assert phase1.count() == 0, "mid-sync: buffered deltas must not emit"
+
+    with open(spool, "a") as f:  # the spool grows while 'down'
+        f.write("\n".join(late) + "\n")
+    run_once()  # phase 2: restart from checkpoint, snapshot available
+
+    golden_updates = parse_depth_updates(stream_replay(spark, full, 2))
+    golden = _norm(
+        _run(
+            spark,
+            book_sync_stream(golden_updates, snap, available_after_ms=cutoff),
+            "mem_golden_restart",
+        )
+    )
+    got = _norm(spark.read.parquet(out).collect())
+    assert got == golden, "restarted run must equal one uninterrupted run"
+    assert any(r[6] for r in got), "snapshot rows present after replay"
