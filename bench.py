@@ -132,8 +132,12 @@ HEADLINE_LLM = [
     "join_pit_features",
     "sink_delete_propagation",
     "split_leakage_safe",
-    # round-6: learned-list IVF recall gate (k-means fit + probe + rescore).
+    # round-6: learned-list IVF recall gate (k-means fit + probe + rescore),
+    # OPTIMIZE-style snapshot compaction, training-set assembly.
     "sim_ann_recall_learned",
+    "sink_snapshot_compact",
+    "corpus_shuffle_shards",
+    "sample_mixture_weights",
 ]
 
 

@@ -310,6 +310,72 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
     )
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 4,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE-style bin-packing compaction: rewrite the CURRENT
+    snapshot's rows into ``target_files`` evenly-sized files and
+    commit the result as a new version. Row-preserving by
+    construction — one distributed read, a round-robin repartition,
+    one write, no filters — so the new snapshot is value-identical to
+    the one it compacts, while the small files a streaming append
+    sink accumulates (one-plus per micro-batch) collapse into
+    scan-efficient ones: fewer tasks, fewer footer reads, bigger
+    sequential I/O (the Delta OPTIMIZE / Iceberg rewrite_data_files
+    maintenance op). Prior versions still time-travel to the
+    pre-compaction files; vacuum reclaims them once retention
+    expires.
+
+    Concurrency: claims a version first (so a concurrent vacuum
+    treats the staging dir as in-flight, never an orphan) and
+    aborts + retries if a newer version committed since the snapshot
+    it read — same optimistic-conflict discipline and same residual
+    check-to-publish window as delete_where.
+    """
+    for _attempt in range(4):
+        prior = versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to compact")
+        v_read = prior[-1]
+        df = read_version(spark, table_dir, v_read)
+        v = _claim_version(table_dir, prior)
+        if versions(table_dir)[-1] != v_read:
+            _release_claim(table_dir, v)  # newer commit landed mid-read
+            continue
+        rel_dir = os.path.join("data", f"v{v}")
+        staging = os.path.join(table_dir, rel_dir)
+        df.repartition(max(1, target_files)).write.mode("overwrite").parquet(staging)
+        new_files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(staging)
+            if name.endswith(".parquet")
+        )
+        stats = {}
+        if stats_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(
+                    os.path.join(table_dir, rel), list(stats_cols)
+                )
+        _commit_manifest(
+            table_dir,
+            v,
+            {
+                "version": v,
+                "mode": "compact",
+                "files": new_files,
+                "stats": stats,
+                "compacted_from": v_read,
+            },
+        )
+        return v
+    raise RuntimeError(
+        f"compact: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
 def select_files(
     table_dir: str,
     version: int | None,

@@ -1225,3 +1225,72 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- sink_snapshot_compact --------------------------------------------
+
+
+@register(
+    "sink_snapshot_compact",
+    oracle="""
+    SELECT 2 AS version, CAST(32 AS BIGINT) AS n_files,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_qty_e6
+    FROM lineitem WHERE l_orderkey < 20000
+    UNION ALL
+    SELECT 3, CAST(4 AS BIGINT), COUNT(*),
+           CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem WHERE l_orderkey < 20000
+    """,
+    doc="OPTIMIZE-style small-file compaction over the snapshot log "
+    "(operators/snapshots.compact): two appends land 24 + 8 files "
+    "(the shape a per-micro-batch streaming sink accumulates), "
+    "compact bin-packs them into 4 as a NEW version — the query "
+    "returns (version, n_files, n, sum) for the pre- and post-"
+    "compaction snapshots, proving the rewrite is row-preserving "
+    "while the manifest shrinks 32 -> 4 files. Scale: one distributed "
+    "read + round-robin repartition + write, no driver collect; prior "
+    "versions still time-travel and vacuum reclaims the expired small "
+    "files (tests/test_snapshots.py). Claims its version first so a "
+    "concurrent vacuum treats the staging as in-flight; aborts and "
+    "retries on a mid-rewrite commit (optimistic conflict).",
+    tags=("sink", "layout", "versioning", "maintenance"),
+)
+def sink_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    table = tempfile.mkdtemp(prefix="besk_compact_") + "/li_versioned"
+    SNAP.write_version(
+        li.where(F.col("l_orderkey") < 10000).repartition(24), table, mode="append"
+    )
+    SNAP.write_version(
+        li.where((F.col("l_orderkey") >= 10000) & (F.col("l_orderkey") < 20000))
+        .repartition(8),
+        table,
+        mode="append",
+    )
+    v3 = SNAP.compact(spark, table, target_files=4)
+    units = F.floor(F.col("l_quantity").cast("double") * 1_000_000).cast("bigint")
+
+    def stats(v: int) -> DataFrame:
+        n_files = len(SNAP._load_manifest(table, v)["files"])
+        return (
+            SNAP.read_version(spark, table, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(units).alias("sum_qty_e6"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(n_files).cast("bigint").alias("n_files"),
+                "n",
+                "sum_qty_e6",
+            )
+        )
+
+    return stats(2).unionByName(stats(v3))

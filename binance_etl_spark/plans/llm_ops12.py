@@ -1,0 +1,187 @@
+"""Twelfth LLM-pipeline batch: training-set ASSEMBLY — the last mile
+between a curated corpus and the files a trainer reads.
+
+- corpus_shuffle_shards: deterministic global shuffle into N training
+  shards. Trainers need the corpus order decorrelated from crawl /
+  ingestion order (adjacent same-domain docs bias gradients), split
+  into evenly-sized shards, and — critically — REPRODUCIBLE: re-running
+  assembly on the same corpus must yield byte-identical shards. A
+  random shuffle has none of these; hash-ordering has all of them.
+- sample_mixture_weights: weighted domain mixture. Training mixes are
+  specified as per-source weights (e.g. up-weight books, down-weight
+  crawl); the op turns weights into per-source quotas and fills each
+  quota with that source's deterministic bottom-by-hash sample.
+
+Both are pure JVM expression work (md5 + conv + window/agg): no UDFs,
+no driver collect. Cross-engine determinism uses the same md5-hex
+ordering discipline as sample_bottom_k (llm_ops10): md5 is identical
+in every engine, so the shard assignment, the within-shard order, and
+the quota fill are bit-reproducible between Spark and the DuckDB
+oracle — and between any two production runs.
+
+Reference parity note: the reference ETL (binance_etl, ~539 LoC) has
+no corpus surface; these are north-star extension operators per
+SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+_N_SHARDS = 8
+_MIX_BUDGET = 200
+
+
+def _hk(col):
+    """Deterministic engine-portable shuffle key: md5 of the salted id.
+    The salt decouples THIS shuffle from every other md5-of-id use
+    (bottom-k sampling, split assignment) so samples drawn by one op
+    are not correlated with shard boundaries drawn by another."""
+    return F.md5(F.concat(F.lit("shard:"), col.cast("string")))
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('shard:' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars, hk,
+             CAST(((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
+                  % {_N_SHARDS} AS INT) AS shard
+      FROM h
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           arg_min(doc_id, hk) AS first_doc,
+           arg_max(doc_id, hk) AS last_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    doc="Deterministic global shuffle into training shards: shard = "
+    "first-4-md5-bytes mod N, within-shard order = full md5 — one "
+    "hash-partitioned shuffle (the single unavoidable global exchange "
+    "of training-set assembly; everything downstream is map-side), "
+    "shards statistically even with no skew key, and the whole "
+    "layout a pure function of doc_id, so re-assembly is byte-"
+    "reproducible. The audit returns per-shard counts, byte mass, and "
+    "the first/last doc in shard order (pinning the deterministic "
+    "within-shard ordering, not just membership). At 100 TB the "
+    "writer pairs this with maxRecordsPerFile to bound shard file "
+    "sizes.",
+    tags=("llm", "sampling", "layout"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hk = _hk(F.col("doc_id"))
+    # first md5 BYTE via the instr-nibble idiom — the exact text the
+    # oracle runs, so assignment is engine-portable by construction
+    byte = (
+        (F.expr("instr('0123456789abcdef', substr(hk, 1, 1))") - 1) * 16
+        + F.expr("instr('0123456789abcdef', substr(hk, 2, 1))")
+        - 1
+    )
+    s = d.select("doc_id", "n_chars", hk.alias("hk")).select(
+        "doc_id", "n_chars", "hk", (byte % _N_SHARDS).cast("int").alias("shard")
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "hk").alias("first_doc"),
+            F.max_by("doc_id", "hk").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
+      FROM (SELECT DISTINCT source FROM documents)
+    ), tot AS (SELECT SUM(weight) AS tw FROM w),
+    quotas AS (
+      SELECT source, weight,
+             CAST(floor({_MIX_BUDGET} * weight / tw) AS BIGINT) AS quota
+      FROM w, tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT q.source, CAST(q.weight AS INT) AS weight, q.quota,
+           COUNT(*) AS n_kept,
+           MIN(r.doc_id) AS min_kept_id,
+           MAX(r.doc_id) AS max_kept_id
+    FROM quotas q JOIN ranked r ON r.source = q.source AND r.rn <= q.quota
+    GROUP BY q.source, q.weight, q.quota
+    ORDER BY q.source
+    """,
+    doc="Weighted domain mixture assembly: per-source weights become "
+    "floor-proportional quotas over a fixed sample budget, each quota "
+    "filled by that source's deterministic bottom-by-hash sample "
+    "(md5 order — uniform within source, reproducible across runs "
+    "and engines). The plan is one tiny per-source weight aggregate "
+    "(broadcast), one window pass partitioned by source (the shuffle "
+    "key), and a broadcast quota join — no skew, no collect; at "
+    "100 TB the ranked window is the only data-sized exchange. "
+    "Floor rounding means up to n_sources-1 budget slots go unfilled "
+    "(documented; largest-remainder top-up is a driver-side k-row "
+    "decision if exactness matters).",
+    tags=("llm", "sampling"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = d.select("source").distinct().select(
+        "source",
+        (1 + F.substring("source", 4, 10).cast("int") % 3).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    quotas = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.floor(F.lit(_MIX_BUDGET) * F.col("weight") / F.col("tw")).alias("quota"),
+    )
+    ranked = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    kept = ranked.join(F.broadcast(quotas), "source").where(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        kept.groupBy("source", "weight", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept_id"),
+            F.max("doc_id").cast("bigint").alias("max_kept_id"),
+        )
+        .select(
+            "source",
+            F.col("weight").cast("int").alias("weight"),
+            "quota",
+            "n_kept",
+            "min_kept_id",
+            "max_kept_id",
+        )
+        .orderBy("source")
+    )

@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
         llm_ops9,
         llm_ops10,
         llm_ops11,
+        llm_ops12,
         relational,
         relational2,
         relational3,

@@ -433,3 +433,96 @@ def test_vacuum_concurrent_reader_within_retention_is_safe(spark, tmp_path):
     # outside retention: the erased bytes are gone — loud failure
     with _pytest.raises(Exception):
         expired_reader.count()
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """OPTIMIZE-style compaction: value-identical snapshot, far fewer
+    files, prior versions still time-travel, vacuum then reclaims the
+    small pre-compaction files."""
+    import os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(1000).repartition(24), table, mode="append")
+    SNAP.write_version(
+        spark.range(1000, 1500).repartition(8), table, mode="append"
+    )
+    assert len(SNAP._load_manifest(table, 2)["files"]) == 32
+
+    v3 = SNAP.compact(spark, table, target_files=4)
+    m3 = SNAP._load_manifest(table, v3)
+    assert m3["mode"] == "compact" and m3["compacted_from"] == 2
+    assert len(m3["files"]) == 4, "32 small files bin-packed into 4"
+
+    before = sorted(r.id for r in SNAP.read_version(spark, table, version=2).collect())
+    after = sorted(r.id for r in SNAP.read_version(spark, table, version=v3).collect())
+    assert after == before == list(range(1500)), "compaction is row-preserving"
+    # pre-compaction version still time-travels
+    assert SNAP.read_version(spark, table, version=1).count() == 1000
+
+    res = SNAP.vacuum(table, keep_last=1)
+    assert res["removed_files"] == 32, "expired small files reclaimed"
+    assert SNAP.read_version(spark, table).count() == 1500
+
+
+def test_compact_retries_on_concurrent_commit(spark, tmp_path):
+    """A version committed while compact was reading must not vanish:
+    the compacted snapshot is rebuilt from the newer latest."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(100).repartition(8), table, mode="append")
+
+    orig = SNAP._claim_version
+    state = {"injected": False, "busy": False}
+
+    def racing_claim(td, prior):
+        if not state["injected"] and not state["busy"]:
+            state["injected"] = True
+            state["busy"] = True
+            try:
+                SNAP.write_version(spark.range(100, 150), td, mode="append")
+            finally:
+                state["busy"] = False
+        return orig(td, prior)
+
+    SNAP._claim_version = racing_claim
+    try:
+        v = SNAP.compact(spark, table, target_files=2)
+    finally:
+        SNAP._claim_version = orig
+    got = SNAP.read_version(spark, table, version=v)
+    assert got.count() == 150, "mid-compaction append survives the rewrite"
+
+
+def test_concurrent_appenders_never_lose_a_commit(spark, tmp_path):
+    """The O_EXCL version-claim contract under REAL thread
+    concurrency: N appenders racing on one table must each commit a
+    distinct version whose snapshot contains that writer's rows.
+    (APPEND file-list linearization across racers is documented
+    out-of-scope — write_version's contract — so the assertion is
+    exactly what the claim protocol promises: no overwritten
+    manifest, no unreadable version, no writer's own rows missing
+    from its own commit.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")
+
+    def appender(i: int) -> int:
+        return SNAP.write_version(
+            spark.range(1000 * i, 1000 * i + 10), table, mode="append"
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        vs = list(ex.map(appender, range(1, 7)))
+
+    assert len(set(vs)) == 6, "every racer claimed a distinct version"
+    assert set(vs) <= set(SNAP.versions(table)), "every claim committed"
+    for i, v in zip(range(1, 7), vs):
+        got = SNAP.read_version(spark, table, version=v)
+        n = got.where(f"id >= {1000 * i} AND id < {1000 * i + 10}").count()
+        assert n == 10, f"writer {i}'s rows missing from its own commit v{v}"
