@@ -406,7 +406,10 @@ def select_files(
 
 
 def foreach_batch_snapshot(
-    table_dir: str, stats_cols: list[str] | None = None
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
 ):
     """writeStream.foreachBatch body committing one snapshot VERSION
     per micro-batch — exactly-once via the batch-id token: a replayed
@@ -414,7 +417,17 @@ def foreach_batch_snapshot(
     id in a committed manifest and no-ops instead of double-appending.
     Readers always see a consistent snapshot (the atomic manifest
     replace), never a half-written micro-batch — the versioned-corpus
-    ingestion front end for reproducible training snapshots."""
+    ingestion front end for reproducible training snapshots.
+
+    ``compact_every=N`` runs auto-OPTIMIZE maintenance inline: once N
+    non-compact versions accumulate since the last compaction, the
+    sink bin-packs the snapshot into ``compact_target_files`` files
+    (see `compact`). A per-micro-batch append sink otherwise grows
+    one file set per batch forever, and at 100 TB the scan cost of a
+    snapshot is driven by its FILE COUNT as much as its bytes.
+    Compaction is row-preserving, so a crash-replay that re-triggers
+    it merely commits another identical-content version — idempotent
+    in value, not in version count."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         write_version(
@@ -424,6 +437,20 @@ def foreach_batch_snapshot(
             stats_cols=stats_cols,
             batch_id=batch_id,
         )
+        if not compact_every:
+            return
+        since = 0
+        for v in reversed(versions(table_dir)):
+            if _load_manifest(table_dir, v).get("mode") == "compact":
+                break
+            since += 1
+        if since >= compact_every:
+            compact(
+                batch_df.sparkSession,
+                table_dir,
+                target_files=compact_target_files,
+                stats_cols=stats_cols,
+            )
 
     return apply
 

@@ -431,3 +431,24 @@ def test_ivfpq_prunes_via_broadcast_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_single_exchange_no_udf(spark):
+    """corpus_shuffle_shards: ONE hash exchange (the group-by on
+    shard — the single unavoidable global shuffle of training-set
+    assembly), everything else map-side; pure codegen, no Python."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    # the agg's exchange plus AQE wrappers; no join, no extra shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_mixture_weights_quota_join_is_broadcast(spark):
+    """sample_mixture_weights: the k-row quota table must broadcast
+    into the ranked stream — a shuffled join here would move the
+    corpus twice at 100 TB."""
+    plan = _plan(spark, "sample_mixture_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

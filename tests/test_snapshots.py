@@ -526,3 +526,33 @@ def test_concurrent_appenders_never_lose_a_commit(spark, tmp_path):
         got = SNAP.read_version(spark, table, version=v)
         n = got.where(f"id >= {1000 * i} AND id < {1000 * i + 10}").count()
         assert n == 10, f"writer {i}'s rows missing from its own commit v{v}"
+
+
+def test_foreach_batch_auto_compaction(spark, tmp_path):
+    """compact_every=2: the streaming snapshot sink interleaves
+    auto-OPTIMIZE versions so file count stays bounded while every
+    append's rows survive and pinned versions still time-travel."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    apply = SNAP.foreach_batch_snapshot(
+        table, compact_every=2, compact_target_files=2
+    )
+    for b in range(4):
+        apply(spark.range(100 * b, 100 * b + 50).repartition(6), b)
+
+    vs = SNAP.versions(table)
+    modes = [SNAP._load_manifest(table, v)["mode"] for v in vs]
+    assert modes.count("compact") == 2, f"one compaction per 2 appends: {modes}"
+    latest = SNAP.read_version(spark, table)
+    assert latest.count() == 200
+    got = sorted(r.id for r in latest.collect())
+    assert got == sorted(
+        i for b in range(4) for i in range(100 * b, 100 * b + 50)
+    ), "every batch's rows survive the interleaved compactions"
+    assert len(SNAP._load_manifest(table, vs[-1])["files"]) <= 2 + 6, (
+        "file count bounded by maintenance, not batch count"
+    )
+    # replayed batch after a compaction: value-idempotent no-op append
+    apply(spark.range(300, 350).repartition(6), 3)
+    assert SNAP.read_version(spark, table).count() == 200
