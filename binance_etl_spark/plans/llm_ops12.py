@@ -112,10 +112,18 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
       FROM (SELECT DISTINCT source FROM documents)
     ), tot AS (SELECT SUM(weight) AS tw FROM w),
+    q0 AS (
+      SELECT source, weight,
+             CAST(floor({_MIX_BUDGET} * weight / tw) AS BIGINT) AS base,
+             ({_MIX_BUDGET} * weight / tw)
+               - floor({_MIX_BUDGET} * weight / tw) AS rem
+      FROM w, tot
+    ), leftover AS (SELECT {_MIX_BUDGET} - SUM(base) AS k FROM q0),
     quotas AS (
       SELECT source, weight,
-             CAST(floor({_MIX_BUDGET} * weight / tw) AS BIGINT) AS quota
-      FROM w, tot
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                              <= k THEN 1 ELSE 0 END AS quota
+      FROM q0, leftover
     ), ranked AS (
       SELECT d.doc_id, d.source,
              ROW_NUMBER() OVER (
@@ -132,17 +140,17 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY q.source, q.weight, q.quota
     ORDER BY q.source
     """,
-    doc="Weighted domain mixture assembly: per-source weights become "
-    "floor-proportional quotas over a fixed sample budget, each quota "
-    "filled by that source's deterministic bottom-by-hash sample "
-    "(md5 order — uniform within source, reproducible across runs "
-    "and engines). The plan is one tiny per-source weight aggregate "
+    doc="Weighted domain mixture assembly with EXACT largest-remainder "
+    "apportionment: per-source weights become floor quotas, then the "
+    "unfilled budget slots go to the sources with the largest "
+    "fractional remainders (ties to source asc), so sum(quota) == "
+    "budget exactly — the Hamilton method training mixes use. Each "
+    "quota is filled by that source's deterministic bottom-by-hash "
+    "sample (md5 order — uniform within source, reproducible across "
+    "runs and engines). The plan is a k-row weight/remainder table "
     "(broadcast), one window pass partitioned by source (the shuffle "
     "key), and a broadcast quota join — no skew, no collect; at "
-    "100 TB the ranked window is the only data-sized exchange. "
-    "Floor rounding means up to n_sources-1 budget slots go unfilled "
-    "(documented; largest-remainder top-up is a driver-side k-row "
-    "decision if exactness matters).",
+    "100 TB the ranked window is the only data-sized exchange.",
     tags=("llm", "sampling"),
 )
 def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,10 +160,29 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.substring("source", 4, 10).cast("int") % 3).alias("weight"),
     )
     tot = w.agg(F.sum("weight").alias("tw"))
-    quotas = w.crossJoin(F.broadcast(tot)).select(
+    exact = F.lit(_MIX_BUDGET) * F.col("weight") / F.col("tw")
+    q0 = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "weight",
-        F.floor(F.lit(_MIX_BUDGET) * F.col("weight") / F.col("tw")).alias("quota"),
+        F.floor(exact).alias("base"),
+        (exact - F.floor(exact)).alias("rem"),
+    )
+    leftover = q0.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("k"))
+    # single-partition window is fine: q0 is a k-row table by definition
+    topup_rank = F.row_number().over(
+        W.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
+    )
+    quotas = (
+        q0.crossJoin(F.broadcast(leftover))
+        .withColumn("tr", topup_rank)
+        .select(
+            "source",
+            "weight",
+            (
+                F.col("base")
+                + F.when(F.col("tr") <= F.col("k"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("quota"),
+        )
     )
     ranked = d.withColumn(
         "rn",
