@@ -471,6 +471,32 @@ def read_version(
     return spark.read.parquet(*paths)
 
 
+def read_version_as_of(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """Time travel BY TIMESTAMP (the Delta ``timestampAsOf`` twin):
+    read the newest snapshot committed at or before unix-seconds
+    ``ts``. Commit time is the manifest file's mtime — stamped
+    atomically by the ``os.replace`` publish, so no manifest format
+    change and no writer-supplied clock; the same source of truth
+    Delta uses (log-file modification time). Among eligible
+    manifests the highest VERSION wins (version numbers are the log
+    order; mtime only gates eligibility), so a slow writer whose
+    lower version published late cannot shadow a newer commit.
+    Raises FileNotFoundError when nothing was committed by ``ts``."""
+    mdir = _manifest_dir(table_dir)
+    eligible = [
+        v
+        for v in versions(table_dir)
+        if os.path.getmtime(os.path.join(mdir, f"v{v}.json")) <= ts
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"{table_dir}: no snapshot committed at or before ts={ts}"
+        )
+    return read_version(spark, table_dir, eligible[-1])
+
+
 def vacuum(table_dir: str, keep_last: int = 1, claim_ttl_seconds: float = 86400.0) -> dict:
     """Retention maintenance: physically delete data files referenced
     ONLY by expired snapshots (all but the newest ``keep_last``

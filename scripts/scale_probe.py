@@ -87,6 +87,9 @@ QUERIES = [
     "text_substring_dedup",
     "dedup_decontaminate",
     "text_quality_classifier",
+    # round-6 assembly ops (documents-based, so the 10x replica applies)
+    "corpus_shuffle_shards",
+    "sample_mixture_weights",
 ]
 
 

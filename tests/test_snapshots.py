@@ -556,3 +556,28 @@ def test_foreach_batch_auto_compaction(spark, tmp_path):
     # replayed batch after a compaction: value-idempotent no-op append
     apply(spark.range(300, 350).repartition(6), 3)
     assert SNAP.read_version(spark, table).count() == 200
+
+
+def test_read_version_as_of_timestamp(spark, tmp_path):
+    """timestampAsOf twin: the manifest mtime (stamped by the atomic
+    publish) selects the newest snapshot committed by the given time;
+    before-first-commit raises; a commit's own timestamp is inclusive."""
+    import os
+    import time
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(10), table, mode="append")
+    t1 = os.path.getmtime(os.path.join(table, "_manifests", "v1.json"))
+    time.sleep(0.05)
+    SNAP.write_version(spark.range(10, 30), table, mode="append")
+    t2 = os.path.getmtime(os.path.join(table, "_manifests", "v2.json"))
+    assert t2 > t1
+
+    assert SNAP.read_version_as_of(spark, table, t1).count() == 10
+    assert SNAP.read_version_as_of(spark, table, (t1 + t2) / 2).count() == 10
+    assert SNAP.read_version_as_of(spark, table, t2).count() == 30
+    assert SNAP.read_version_as_of(spark, table, time.time() + 60).count() == 30
+    with pytest.raises(FileNotFoundError):
+        SNAP.read_version_as_of(spark, table, t1 - 10.0)
