@@ -335,3 +335,69 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.select("symbol", "trade_id", "t_ms", "last_update_id", "d_ms")
+
+
+# Golden futures depth table, hand-derived from the fixture design
+# (fixtures.futures_depth_frames) + the PUBLIC futures protocol the
+# reference stubs (factory.py:26-29): stale u<lastUpdateId dropped,
+# bridge U<=lastUpdateId<=u emits the snapshot first (ts = local-1),
+# pu-discontinuity flagged (214's pu=210 != 207), recovery clean.
+_FUT_GOLDEN_ROWS = [
+    # (timestamp, local, side, price, qty, is_snapshot, update_id, gap)
+    (_T0 + 154, _T0 + 155, "bid", "60100.00000000", "5.00000000", True, 200, False),
+    (_T0 + 154, _T0 + 155, "bid", "60099.00000000", "2.00000000", True, 200, False),
+    (_T0 + 154, _T0 + 155, "ask", "60101.00000000", "4.00000000", True, 200, False),
+    (_T0 + 154, _T0 + 155, "ask", "60102.00000000", "1.00000000", True, 200, False),
+    (_T0 + 150, _T0 + 155, "bid", "60100.50000000", "2.00000000", False, 203, False),
+    (_T0 + 150, _T0 + 155, "bid", "60100.00000000", "0.00000000", False, 203, False),
+    (_T0 + 150, _T0 + 155, "ask", "60101.00000000", "1.50000000", False, 203, False),
+    (_T0 + 250, _T0 + 255, "bid", "60099.50000000", "0.40000000", False, 207, False),
+    (_T0 + 250, _T0 + 255, "ask", "60101.50000000", "2.20000000", False, 207, False),
+    (_T0 + 350, _T0 + 355, "ask", "60102.00000000", "3.00000000", False, 214, True),
+    (_T0 + 450, _T0 + 455, "bid", "60098.00000000", "1.10000000", False, 218, False),
+]
+
+_FUT_GOLDEN_VALUES = ",\n      ".join(
+    f"('{FX.FUT_SYMBOL}', {ts}, {lc}, '{side}', '{p}', '{q}', {str(sn).upper()}, "
+    f"{uid}, {str(gap).upper()})"
+    for ts, lc, side, p, q, sn, uid, gap in _FUT_GOLDEN_ROWS
+)
+
+_FUT_BOOK_SYNC_ORACLE = f"""
+    WITH golden(symbol, "timestamp", local_timestamp, side, price_s, quantity_s,
+                is_snapshot, update_id, gap) AS (VALUES
+      {_FUT_GOLDEN_VALUES})
+    SELECT symbol, "timestamp", local_timestamp, side,
+           CAST(price_s AS DOUBLE) AS price,
+           CAST(quantity_s AS DOUBLE) AS quantity,
+           is_snapshot, update_id, gap
+    FROM golden
+"""
+
+
+@register(
+    "book_sync_futures_replay",
+    oracle=_FUT_BOOK_SYNC_ORACLE,
+    doc="FUTURES order-book synchronization (usdm/coinm — the markets "
+    "the reference recognizes but stubs, factory.py:26-29) over the "
+    "futures depth fixture: pu-continuity replaces spot's U==prev_u+1 "
+    "rule, staleness is u < lastUpdateId, the bridge is "
+    "U <= lastUpdateId <= u (public Binance futures local-order-book "
+    "protocol). Oracle = hand-written golden table. Same stateful "
+    "applyInPandas(WithState) shape as the spot sync — per-symbol "
+    "keyed state, no shuffle beyond the key partitioning; streaming "
+    "twin + runner e2e: tests/test_book_sync_futures.py.",
+    tags=("streaming-analog", "stateful", "market"),
+)
+def book_sync_futures_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.streaming.book_sync_futures import (
+        book_sync_batch_futures,
+        parse_depth_updates_futures,
+    )
+
+    paths = _fixture_dir()
+    updates = parse_depth_updates_futures(read_replay(spark, paths["futures_depth"]))
+    synced = book_sync_batch_futures(updates, {FX.FUT_SYMBOL: FX.futures_snapshot()})
+    return synced.withColumn(
+        "price", F.col("price").cast("decimal(27,8)").cast("double")
+    ).withColumn("quantity", F.col("quantity").cast("decimal(27,8)").cast("double"))

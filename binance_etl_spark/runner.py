@@ -35,11 +35,13 @@ from binance_etl_spark.streaming.pipelines import (
     write_table_stream,
 )
 
-SUPPORTED = {("spot", "trade"), ("spot", "depth")}
-# The reference's exact market ids (factory.py:26-29: `usdm_futures` /
-# `coinm_futures` are recognized but fall through to the generic
-# raise) — the engine recognizes the same ids and says WHY explicitly.
-STUBBED_MARKETS = {"usdm_futures", "coinm_futures"}
+# The reference recognizes `usdm_futures` / `coinm_futures` but stubs
+# them (factory.py:26-29 fall through to the generic raise). The
+# engine implements them: futures trade frames parse with the spot
+# trade parser (same public field set), and futures depth runs the
+# pu-continuity sync protocol (streaming/book_sync_futures.py).
+MARKETS = ("spot", "usdm_futures", "coinm_futures")
+SUPPORTED = {(m, e) for m in MARKETS for e in ("trade", "depth")}
 
 
 @dataclass(frozen=True)
@@ -60,10 +62,6 @@ def parse_event_id(event_id: str) -> JobSpec:
     if len(parts) != 4:
         raise ValueError(f"malformed event id {event_id!r}; expected exchange.market.symbol.event_type")
     exchange, market, symbol, event_type = parts
-    if market in STUBBED_MARKETS:
-        raise NotImplementedError(
-            f"{market} ETLs are not implemented (stubbed in the reference too, factory.py:26-29)"
-        )
     if (market, event_type) not in SUPPORTED:
         raise ValueError(f"unsupported (market, event) {(market, event_type)!r}")
     return JobSpec(exchange, market, symbol, event_type)
@@ -88,7 +86,11 @@ def start_jobs(spark: SparkSession, config: dict) -> list[StreamingQuery]:
             df = trades_stream(spark, src, max_frames=int(config.get("max_frames", 1000)))
         else:
             df = depth_stream(
-                spark, src, snapshots, max_frames=int(config.get("max_frames", 1000))
+                spark,
+                src,
+                snapshots,
+                max_frames=int(config.get("max_frames", 1000)),
+                market=spec.market,
             )
         table = "trades" if spec.event_type == "trade" else "depth"
         # Sink path is per (market, symbol, table), matching the

@@ -84,6 +84,54 @@ def snapshot() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Futures depth: same scenario beats under the futures protocol —
+# pu-continuity, u < lastUpdateId staleness, U <= lastUpdateId <= u
+# bridge (the markets the reference stubs, factory.py:26-29)
+# ---------------------------------------------------------------------------
+
+FUT_SYMBOL = "BTCUSDT"
+
+
+def futures_depth_frames() -> list[tuple[str, int]]:
+    def ev(E, U, u, pu, b, a):
+        return json.dumps(
+            {
+                "e": "depthUpdate", "E": E, "s": FUT_SYMBOL,
+                "U": U, "u": u, "pu": pu, "b": b, "a": a,
+            },
+            separators=(",", ":"),
+        )
+
+    return [
+        # stale: u=199 < lastUpdateId=200 -> dropped (futures rule is
+        # strict <; u == lastUpdateId would be the bridge's right edge)
+        (ev(T0 + 50, 195, 199, 190, [_lvl(60100.0, 1.0)], []), T0 + 55),
+        # bridge: U=198 <= 200 <= u=203
+        (
+            ev(T0 + 150, 198, 203, 199,
+               [_lvl(60100.5, 2.0), _lvl(60100.0, 0.0)], [_lvl(60101.0, 1.5)]),
+            T0 + 155,
+        ),
+        # steady: pu=203 == prev u -> continuous
+        (ev(T0 + 250, 204, 207, 203, [_lvl(60099.5, 0.4)], [_lvl(60101.5, 2.2)]), T0 + 255),
+        ('{"e":"depthUpd', T0 + 300),  # malformed -> quarantined
+        # gap: pu=210 != prev u=207 -> flagged (the exchange's own
+        # restart signal; the engine flags + DLQs instead of crashing)
+        (ev(T0 + 350, 211, 214, 210, [], [_lvl(60102.0, 3.0)]), T0 + 355),
+        # recovery: pu=214 == prev u -> continuous again
+        (ev(T0 + 450, 215, 218, 214, [_lvl(60098.0, 1.1)], []), T0 + 455),
+    ]
+
+
+def futures_snapshot() -> dict:
+    return {
+        "lastUpdateId": 200,
+        "bids": [_lvl(60100.0, 5.0), _lvl(60099.0, 2.0)],
+        "asks": [_lvl(60101.0, 4.0), _lvl(60102.0, 1.0)],
+    }
+
+
 def write_fixtures(dirpath: str) -> dict[str, str]:
     """Write all fixture files; returns {kind: path}."""
     os.makedirs(dirpath, exist_ok=True)
@@ -104,4 +152,7 @@ def write_fixtures(dirpath: str) -> dict[str, str]:
     with open(snap_path, "w") as f:
         json.dump(snapshot(), f)
     paths["snapshot"] = snap_path
+    paths["futures_depth"] = _write_jsonl(
+        f"futures_depth_{FUT_SYMBOL}.jsonl", futures_depth_frames()
+    )
     return paths

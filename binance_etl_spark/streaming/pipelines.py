@@ -28,9 +28,25 @@ def depth_stream(
     replay_path: str,
     snapshot_for: dict[str, dict],
     max_frames: int = 3,
+    market: str = "spot",
 ) -> DataFrame:
-    updates = parse_depth_updates(stream_replay(spark, replay_path, max_frames))
-    synced = book_sync_stream(updates, snapshot_for)
+    """Depth pipeline for any supported market. ``market`` picks the
+    sync protocol: 'spot' = U==prev_u+1 continuity (book_utils.py:
+    17-51); 'usdm_futures' / 'coinm_futures' = pu-continuity + the
+    futures bridge rule (streaming/book_sync_futures.py — the markets
+    the reference stubs, factory.py:26-29)."""
+    raw = stream_replay(spark, replay_path, max_frames)
+    if market == "spot":
+        synced = book_sync_stream(parse_depth_updates(raw), snapshot_for)
+    else:
+        from binance_etl_spark.streaming.book_sync_futures import (
+            book_sync_stream_futures,
+            parse_depth_updates_futures,
+        )
+
+        synced = book_sync_stream_futures(
+            parse_depth_updates_futures(raw), snapshot_for
+        )
     return synced.withColumn("price", F.col("price").cast(DECIMAL)).withColumn(
         "quantity", F.col("quantity").cast(DECIMAL)
     )

@@ -17,12 +17,15 @@ def test_parse_event_id():
     assert (spec.exchange, spec.market, spec.symbol, spec.event_type) == (
         "binance", "spot", "bnbusdt", "trade",
     )
-    # reference stub parity: factory.py:26-29 recognizes these exact
-    # market ids and falls through to a raise
-    with pytest.raises(NotImplementedError):
-        parse_event_id("binance.usdm_futures.btcusdt.trade")
-    with pytest.raises(NotImplementedError):
-        parse_event_id("binance.coinm_futures.btcusd_perp.depth")
+    # the reference STUBS these exact market ids (factory.py:26-29
+    # falls through to a raise); the engine implements them — the
+    # futures depth path runs the pu-continuity sync protocol
+    # (streaming/book_sync_futures.py, tests/test_book_sync_futures.py)
+    fut = parse_event_id("binance.usdm_futures.btcusdt.trade")
+    assert fut.market == "usdm_futures"
+    assert parse_event_id("binance.coinm_futures.btcusd_perp.depth").market == (
+        "coinm_futures"
+    )
     with pytest.raises(ValueError):
         parse_event_id("binance.spot.btcusdt.klines")
     with pytest.raises(ValueError):
