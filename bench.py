@@ -203,6 +203,63 @@ def bench_book_sync(spark, n_frames: int = 20_000) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
+    """Futures-market twin of bench_book_sync: same replay -> parse ->
+    stateful sync -> materialize pipeline through the pu-continuity
+    protocol (streaming/book_sync_futures.py), so the newly-implemented
+    market path carries its own round-over-round throughput number."""
+    import json
+    import tempfile
+
+    t_base = 1_727_000_000_000
+    d = tempfile.mkdtemp(prefix="besk_bench_bsf_")
+    path = os.path.join(d, "fut_depth_big.jsonl")
+    with open(path, "w") as f:
+        u = 105
+        pu = 100
+        for i in range(n_frames):
+            ev = {
+                "e": "depthUpdate",
+                "E": t_base + 100 * i,
+                "s": "BTCUSDT",
+                "U": u - 2,
+                "u": u,
+                "pu": pu,
+                "b": [[f"{60100 - (i % 50) * 0.5:.8f}", f"{(i % 7) * 0.5:.8f}"]],
+                "a": [[f"{60100.5 + (i % 50) * 0.5:.8f}", f"{(i % 5) * 0.3:.8f}"]],
+            }
+            f.write(
+                json.dumps(
+                    {
+                        "frame": json.dumps(ev, separators=(",", ":")),
+                        "arrival_ms": t_base + 100 * i + 5,
+                        "seq": i,
+                    }
+                )
+                + "\n"
+            )
+            pu = u
+            u += 3
+    snapshot = {
+        "lastUpdateId": 103,  # bridges the first frame: U=103 <= 103 <= u=105
+        "bids": [["60100.00000000", "1.00000000"]],
+        "asks": [["60100.50000000", "1.20000000"]],
+    }
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.book_sync_futures import (
+        book_sync_batch_futures,
+        parse_depth_updates_futures,
+    )
+
+    t0 = time.perf_counter()
+    updates = parse_depth_updates_futures(
+        read_replay(spark, path, lines_per_partition=2500)
+    )
+    synced = book_sync_batch_futures(updates, {"BTCUSDT": snapshot})
+    n = materialize(synced)
+    return time.perf_counter() - t0, n
+
+
 def bench_book_sync_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
     """Same pipeline through transformWithStateInPandas as a REAL
     streaming query (RocksDB state store + protobuf state channel) so
@@ -383,6 +440,13 @@ def main() -> None:
     print(
         f"# book_sync_stream_20k: {bs_sec:.3f}s ({bs_rows} rows, "
         f"{bs_rows / bs_sec:,.0f} rows/s)",
+        file=sys.stderr,
+    )
+    bsf_sec, bsf_rows = bench_book_sync_futures(spark)
+    timings["book_sync_futures_20k"] = round(bsf_sec, 4)
+    print(
+        f"# book_sync_futures_20k: {bsf_sec:.3f}s ({bsf_rows} rows, "
+        f"{bsf_rows / bsf_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
     tws_sec, tws_rows = bench_book_sync_tws(spark)

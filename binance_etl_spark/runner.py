@@ -98,12 +98,20 @@ def start_jobs(spark: SparkSession, config: dict) -> list[StreamingQuery]:
         # FileStreamSink _spark_metadata log would each start at batch
         # 0 and the later one would silently skip its own batch ids
         # (reference writes per-symbol files too, storage.py:63-75).
+        # fmt='bigquery' (the reference's "todo" storage provider,
+        # factory.py:40-42): per-batch staged parquet + load manifests;
+        # the destination table id is <dataset>.<market>_<symbol>_<table>
+        bq_table = None
+        if fmt == "bigquery":
+            dataset = storage.get("bigquery_dataset", "binance_etl")
+            bq_table = f"{dataset}.{spec.market}_{spec.symbol}_{table}"
         queries.append(
             write_table_stream(
                 df,
                 os.path.join(out_root, spec.market, spec.symbol, table),
                 os.path.join(ckpt_root, spec.market, spec.symbol, table),
                 fmt=fmt,
+                bq_table=bq_table,
             )
         )
     return queries

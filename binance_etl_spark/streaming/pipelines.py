@@ -58,10 +58,25 @@ def write_table_stream(
     checkpoint_dir: str,
     fmt: str = "parquet",
     partition_by: tuple[str, ...] = ("symbol",),
+    bq_table: str | None = None,
 ) -> StreamingQuery:
     """Checkpointed append sink partitioned like the reference's
     {symbol}.{market} file layout (storage.py:57-59) — but exactly-once
-    and columnar."""
+    and columnar. ``fmt='bigquery'`` stages per-micro-batch parquet +
+    load-job manifests instead (sources/bq_staging.py — the storage
+    provider the reference stubs, factory.py:40-42)."""
+    if fmt == "bigquery":
+        import os as _os
+
+        from binance_etl_spark.sources.bq_staging import foreach_batch_bigquery
+
+        table = bq_table or _os.path.basename(out_dir.rstrip("/"))
+        return (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(foreach_batch_bigquery(out_dir, table))
+            .start()
+        )
     writer = (
         df.writeStream.format(fmt)
         .outputMode("append")
