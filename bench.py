@@ -138,6 +138,9 @@ HEADLINE_LLM = [
     "sink_snapshot_compact",
     "corpus_shuffle_shards",
     "sample_mixture_weights",
+    # round-6 microstructure tier (keyed-window estimators over the tape).
+    "ms_realized_vol",
+    "ms_ofi_forward_returns",
 ]
 
 

@@ -103,6 +103,7 @@ def _ensure_loaded() -> None:
         llm_ops10,
         llm_ops11,
         llm_ops12,
+        microstructure,
         relational,
         relational2,
         relational3,
