@@ -29,17 +29,20 @@ from pyspark.sql.window import Window as W
 from binance_etl_spark.catalog import load
 from binance_etl_spark.plans.registry import register
 
+# price > 0 guard in BOTH engines: a non-positive print is not a
+# valid tape row (and a zero would divide the return computation to an
+# ANSI error — sf0.1 carries a handful of zero-valued events).
 _TAPE_SQL = """
       SELECT event_id AS tid, CAST(user_id % 5 AS INT) AS sym, ts,
              value AS price,
              CAST(event_id % 7 + 1 AS BIGINT) AS qty,
              CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS side
-      FROM events
+      FROM events WHERE value > 0
 """
 
 
 def _tape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
     return e.select(
         F.col("event_id").alias("tid"),
         (F.col("user_id") % 5).cast("int").alias("sym"),

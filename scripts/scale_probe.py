@@ -90,6 +90,9 @@ QUERIES = [
     # round-6 assembly ops (documents-based, so the 10x replica applies)
     "corpus_shuffle_shards",
     "sample_mixture_weights",
+    # round-6 microstructure tier (events-based keyed-window estimators)
+    "ms_realized_vol",
+    "ms_ofi_forward_returns",
 ]
 
 

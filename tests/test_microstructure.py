@@ -1,0 +1,52 @@
+"""Microstructure estimator invariants (plans/microstructure.py) —
+bounds and identities the value-level oracle can't articulate."""
+
+from __future__ import annotations
+
+import math
+
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_realized_vol_bounds(spark, sf_dir):
+    rows = REGISTRY["ms_realized_vol"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["rv"] >= 0 and r["bv"] >= 0
+        assert r["n_returns"] > 0
+
+
+def test_roll_spread_nonnegative_and_clamped(spark, sf_dir):
+    for r in REGISTRY["ms_roll_spread"].fn(spark, sf_dir).collect():
+        assert r["roll_spread"] >= 0
+        if r["autocov"] < 0:
+            assert math.isclose(
+                r["roll_spread"], 2 * math.sqrt(-r["autocov"]), rel_tol=1e-12
+            )
+        else:
+            assert r["roll_spread"] == 0.0, "positive autocov clamps to zero"
+
+
+def test_imbalance_and_autocorr_are_bounded(spark, sf_dir):
+    for r in REGISTRY["ms_ofi_forward_returns"].fn(spark, sf_dir).collect():
+        assert -1.0 <= r["imbalance"] <= 1.0
+        assert r["buy_qty"] >= 0 and r["sell_qty"] >= 0
+    for r in REGISTRY["ms_tick_rule_autocorr"].fn(spark, sf_dir).collect():
+        assert -1.0 <= r["autocorr"] <= 1.0
+        assert 0.0 <= r["buy_fraction"] <= 1.0
+        assert abs(r["sum_prod"]) <= r["n_pairs"], "±1 products bound the sum"
+
+
+def test_forward_return_is_next_buckets_label(spark, sf_dir):
+    """fwd_ret on bucket k must equal the close-to-close return into
+    bucket k+1, and only each symbol's LAST bucket may be NULL."""
+    rows = REGISTRY["ms_ofi_forward_returns"].fn(spark, sf_dir).collect()
+    by_sym: dict[int, list] = {}
+    for r in rows:
+        by_sym.setdefault(r["sym"], []).append(r)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: r["bucket"])
+        nulls = [i for i, r in enumerate(rs) if r["fwd_ret"] is None]
+        assert nulls == [len(rs) - 1], f"sym {sym}: only the last bucket lacks a label"
