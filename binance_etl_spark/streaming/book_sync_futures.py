@@ -174,3 +174,84 @@ def book_sync_stream_futures(
     return updates.groupBy("symbol").applyInPandasWithState(
         fn, SYNC_OUT_SCHEMA, FUT_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant — typed value/list state, RocksDB
+# multi-column-family store; same API symmetry the spot sync has
+# (book_sync.BookSyncProcessor). Equivalence to the aIPWS path above
+# is pinned in tests/test_book_sync_futures.py.
+# ---------------------------------------------------------------------------
+
+try:
+    from binance_etl_spark.session import ensure_protobuf
+
+    ensure_protobuf()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - only if even the shim fails
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+
+
+class FuturesBookSyncProcessor(StatefulProcessor):
+    """Keyed by symbol: value state (synced, prev_u) + list state
+    (pre-sync buffer in FUT_DELTA_SCHEMA, pu column included)."""
+
+    def __init__(self, snapshot_for: dict[str, dict], available_after_ms: int = 0):
+        self._snapshot_for = snapshot_for
+        self._available_after_ms = available_after_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._sync = handle.getValueState("sync", "synced BOOLEAN, prev_u BIGINT")
+        self._buffer = handle.getListState("buffer", FUT_DELTA_SCHEMA)
+
+    def _load_state(self) -> SyncState:
+        st = SyncState()
+        if self._sync.exists():
+            synced, prev_u = self._sync.get()
+            st.synced, st.prev_u = bool(synced), int(prev_u)
+        st.buffer = [dict(zip(FUT_DELTA_COLS, row)) for row in self._buffer.get()]
+        return st
+
+    def _save_state(self, st: SyncState) -> None:
+        self._sync.update((st.synced, st.prev_u))
+        self._buffer.clear()
+        if st.buffer:
+            self._buffer.appendList(
+                [tuple(d[c] for c in FUT_DELTA_COLS) for d in st.buffer]
+            )
+
+    def handleInputRows(self, key, rows, timerValues):
+        symbol = key[0]
+        deltas: list[dict] = []
+        for pdf in rows:
+            deltas.extend(_records(pdf))
+        deltas.sort(key=lambda d: d["seq"])
+        snapshot = self._snapshot_for.get(symbol)
+        if snapshot is not None and self._available_after_ms:
+            if all(d["local_timestamp"] < self._available_after_ms for d in deltas):
+                snapshot = None
+        st = self._load_state()
+        out = _sync_step_futures(st, deltas, snapshot)
+        self._save_state(st)
+        if out:
+            yield _rows_to_pdf(out)
+
+    def close(self) -> None:
+        pass
+
+
+def book_sync_stream_futures_tws(
+    updates, snapshot_for: dict[str, dict], available_after_ms: int = 0
+):
+    """transformWithStateInPandas futures sync (needs protobuf +
+    RocksDB state store at runtime, like the spot tWS path)."""
+    return updates.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=FuturesBookSyncProcessor(snapshot_for, available_after_ms),
+        outputStructType=SYNC_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

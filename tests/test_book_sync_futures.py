@@ -139,3 +139,69 @@ def test_futures_runner_end_to_end(spark, tmp_path):
     assert got.count() >= 10
     assert got.where("is_snapshot").count() == 4
     assert got.where("gap").count() > 0  # the pu-gap frame flagged through
+
+
+def _protobuf_available() -> bool:
+    try:
+        from binance_etl_spark.session import ensure_protobuf
+
+        ensure_protobuf()
+        return True
+    except Exception:
+        return False
+
+
+def test_futures_tws_matches_aipws(spark, tmp_path):
+    """Both stateful APIs must produce the identical futures sync
+    output across micro-batch boundaries (the same equivalence pin the
+    spot sync carries in tests/test_tws_book_sync.py)."""
+    import pytest as _pytest
+
+    if not _protobuf_available():
+        _pytest.skip("no protobuf and shim failed")
+    from binance_etl_spark.streaming.book_sync_futures import (
+        book_sync_stream_futures_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        fx = FX.write_fixtures(str(tmp_path))
+        snap = {FX.FUT_SYMBOL: FX.futures_snapshot()}
+
+        def run(sdf, name):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return _norm(spark.table(name).collect())
+
+        got_aip = run(
+            book_sync_stream_futures(
+                parse_depth_updates_futures(stream_replay(spark, fx["futures_depth"], 2)),
+                snap,
+            ),
+            "mem_fut_aip",
+        )
+        got_tws = run(
+            book_sync_stream_futures_tws(
+                parse_depth_updates_futures(stream_replay(spark, fx["futures_depth"], 2)),
+                snap,
+            ),
+            "mem_fut_tws",
+        )
+        assert got_tws == got_aip
+        assert len(got_tws) == 11  # golden row count
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
