@@ -141,6 +141,8 @@ HEADLINE_LLM = [
     # round-6 microstructure tier (keyed-window estimators over the tape).
     "ms_realized_vol",
     "ms_ofi_forward_returns",
+    "ms_amihud_illiq",
+    "ms_kyle_lambda",
 ]
 
 

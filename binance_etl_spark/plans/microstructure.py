@@ -266,6 +266,196 @@ def ms_ofi_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sym", "bucket")
 
 
+# --- ms_amihud_illiq ---------------------------------------------------
+
+
+@register(
+    "ms_amihud_illiq",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    b AS (
+      SELECT sym, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+             ts, tid, price, qty
+      FROM t
+    ), agg AS (
+      SELECT sym, bucket,
+             SUM(CAST(floor(price * qty * 1000000) AS BIGINT)) AS dv_e6
+      FROM b GROUP BY sym, bucket
+    ), closes AS (
+      SELECT sym, bucket, price AS close FROM (
+        SELECT sym, bucket, price,
+               ROW_NUMBER() OVER (PARTITION BY sym, bucket
+                                  ORDER BY ts DESC, tid DESC) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ), j AS (
+      SELECT a.sym, a.bucket, a.dv_e6, c.close,
+             lag(c.close) OVER (PARTITION BY a.sym ORDER BY a.bucket) AS prev_close
+      FROM agg a JOIN closes c ON a.sym = c.sym AND a.bucket = c.bucket
+    ), r AS (
+      SELECT sym, bucket,
+             abs((close - prev_close) / prev_close)
+               / (CAST(dv_e6 AS DOUBLE) / 1000000) AS ratio
+      FROM j WHERE prev_close IS NOT NULL
+    )
+    SELECT sym,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CAST(floor(ratio * 1000000000000) AS BIGINT)) AS DOUBLE)
+             / 1000000000000 / COUNT(*) AS amihud
+    FROM r GROUP BY sym ORDER BY sym
+    """,
+    doc="Amihud (2002) illiquidity: per (symbol, hour) the absolute "
+    "close-to-close return divided by dollar volume, averaged over "
+    "buckets per symbol — the standard price-impact-per-dollar proxy. "
+    "Dollar volume is a floor-e6 integer partial sum (order-free, "
+    "map-side combinable); the per-bucket ratios are floor-e12 "
+    "integers before the cross-bucket sum, so the average is "
+    "bit-identical across engines and partitionings. Shuffles once "
+    "on (sym, bucket) then once on sym — the identical keyed 100 TB "
+    "shape as ms_ofi_forward_returns; no data-sized join.",
+    tags=("market", "risk", "agg"),
+)
+def ms_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    b = t.select(
+        "sym",
+        F.floor(F.col("ts").cast("double").cast("long") / 3600).cast("bigint").alias("bucket"),
+        "ts", "tid", "price", "qty",
+    )
+    agg = b.groupBy("sym", "bucket").agg(
+        F.sum(F.floor(F.col("price") * F.col("qty") * 1_000_000).cast("bigint")).alias("dv_e6")
+    )
+    wb = W.partitionBy("sym", "bucket").orderBy(F.col("ts").desc(), F.col("tid").desc())
+    closes = (
+        b.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("sym", "bucket", F.col("price").alias("close"))
+    )
+    j = agg.join(closes, ["sym", "bucket"]).withColumn(
+        "prev_close", F.lag("close").over(W.partitionBy("sym").orderBy("bucket"))
+    )
+    r = j.where(F.col("prev_close").isNotNull()).select(
+        "sym",
+        (
+            F.abs((F.col("close") - F.col("prev_close")) / F.col("prev_close"))
+            / (F.col("dv_e6").cast("double") / 1e6)
+        ).alias("ratio"),
+    )
+    return (
+        r.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (
+                F.sum(F.floor(F.col("ratio") * 1_000_000_000_000).cast("bigint")).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+            ).alias("amihud"),
+        )
+        .orderBy("sym")
+    )
+
+
+# --- ms_kyle_lambda ----------------------------------------------------
+
+
+@register(
+    "ms_kyle_lambda",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    b AS (
+      SELECT sym, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+             ts, tid, price, qty, side
+      FROM t
+    ), flow AS (
+      SELECT sym, bucket, SUM(side * qty) AS x
+      FROM b GROUP BY sym, bucket
+    ), ends AS (
+      SELECT sym, bucket,
+             max(CASE WHEN rn_a = 1 THEN price END) AS open,
+             max(CASE WHEN rn_d = 1 THEN price END) AS close
+      FROM (
+        SELECT sym, bucket, price,
+               ROW_NUMBER() OVER (PARTITION BY sym, bucket
+                                  ORDER BY ts, tid) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY sym, bucket
+                                  ORDER BY ts DESC, tid DESC) AS rn_d
+        FROM b
+      ) WHERE rn_a = 1 OR rn_d = 1
+      GROUP BY sym, bucket
+    ), xy AS (
+      SELECT f.sym, f.x, (e.close - e.open) / e.open AS y
+      FROM flow f JOIN ends e ON f.sym = e.sym AND f.bucket = e.bucket
+    ), s AS (
+      SELECT sym, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sx2,
+             SUM(CAST(floor(y * 1000000000) AS BIGINT)) AS sy_e9,
+             SUM(CAST(floor(x * y * 1000000000) AS BIGINT)) AS sxy_e9
+      FROM xy GROUP BY sym
+    )
+    SELECT sym, n AS n_buckets, sx AS net_signed_volume,
+           (n * (CAST(sxy_e9 AS DOUBLE) / 1000000000)
+             - sx * (CAST(sy_e9 AS DOUBLE) / 1000000000))
+           / nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0) AS kyle_lambda
+    FROM s ORDER BY sym
+    """,
+    doc="Kyle (1985) lambda: per symbol, the OLS slope of the "
+    "within-bucket open-to-close return on the bucket's net signed "
+    "volume — price impact per unit of order flow. Signed volume and "
+    "its square are EXACT bigint partial sums; the return moments are "
+    "floor-e9 integers, so the closed-form slope (n*Sxy - Sx*Sy) / "
+    "(n*Sx2 - Sx^2) is assembled from identical integers in both "
+    "engines (bit-stable doubles; NULL when flow has zero variance). "
+    "Two keyed shuffles — (sym, bucket) then sym — all aggregates "
+    "map-side combinable; scales like every other ms_* estimator.",
+    tags=("market", "risk", "agg"),
+)
+def ms_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    b = t.select(
+        "sym",
+        F.floor(F.col("ts").cast("double").cast("long") / 3600).cast("bigint").alias("bucket"),
+        "ts", "tid", "price", "qty", "side",
+    )
+    flow = b.groupBy("sym", "bucket").agg(F.sum(F.col("side") * F.col("qty")).alias("x"))
+    wa = W.partitionBy("sym", "bucket").orderBy("ts", "tid")
+    wd = W.partitionBy("sym", "bucket").orderBy(F.col("ts").desc(), F.col("tid").desc())
+    ends = (
+        b.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .where((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy("sym", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("price"))).alias("open"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("price"))).alias("close"),
+        )
+    )
+    xy = flow.join(ends, ["sym", "bucket"]).select(
+        "sym", "x", ((F.col("close") - F.col("open")) / F.col("open")).alias("y")
+    )
+    s = xy.groupBy("sym").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.floor(F.col("y") * 1_000_000_000).cast("bigint")).alias("sy_e9"),
+        F.sum(F.floor(F.col("x") * F.col("y") * 1_000_000_000).cast("bigint")).alias("sxy_e9"),
+    )
+    return s.select(
+        "sym",
+        F.col("n").alias("n_buckets"),
+        F.col("sx").alias("net_signed_volume"),
+        (
+            (
+                F.col("n") * (F.col("sxy_e9").cast("double") / 1e9)
+                - F.col("sx") * (F.col("sy_e9").cast("double") / 1e9)
+            )
+            / F.nullif(
+                (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("kyle_lambda"),
+    ).orderBy("sym")
+
+
 # --- ms_tick_rule_autocorr ---------------------------------------------
 
 

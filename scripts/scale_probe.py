@@ -93,6 +93,8 @@ QUERIES = [
     # round-6 microstructure tier (events-based keyed-window estimators)
     "ms_realized_vol",
     "ms_ofi_forward_returns",
+    "ms_amihud_illiq",
+    "ms_kyle_lambda",
 ]
 
 

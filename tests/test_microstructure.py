@@ -39,6 +39,30 @@ def test_imbalance_and_autocorr_are_bounded(spark, sf_dir):
         assert abs(r["sum_prod"]) <= r["n_pairs"], "±1 products bound the sum"
 
 
+def test_amihud_nonnegative_and_bucket_complete(spark, sf_dir):
+    rows = REGISTRY["ms_amihud_illiq"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["amihud"] >= 0, "|ret|/dv is nonnegative by construction"
+        assert r["n_buckets"] > 0
+
+
+def test_kyle_flow_matches_ofi_imbalance_sums(spark, sf_dir):
+    """Cross-estimator identity: Kyle's per-symbol net signed volume
+    must equal sum(buy_qty - sell_qty) over ms_ofi_forward_returns'
+    buckets — both walk the same tape with the same signing."""
+    kyle = {
+        r["sym"]: r for r in REGISTRY["ms_kyle_lambda"].fn(spark, sf_dir).collect()
+    }
+    net: dict[int, int] = {}
+    for r in REGISTRY["ms_ofi_forward_returns"].fn(spark, sf_dir).collect():
+        net[r["sym"]] = net.get(r["sym"], 0) + (r["buy_qty"] - r["sell_qty"])
+    assert set(kyle) == set(net)
+    for sym, k in kyle.items():
+        assert k["net_signed_volume"] == net[sym]
+        assert k["kyle_lambda"] is not None, "synthetic flow has nonzero variance"
+
+
 def test_forward_return_is_next_buckets_label(spark, sf_dir):
     """fwd_ret on bucket k must equal the close-to-close return into
     bucket k+1, and only each symbol's LAST bucket may be NULL."""
