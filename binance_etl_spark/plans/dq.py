@@ -1,0 +1,203 @@
+"""Declarative data-quality expectations — the audit gate every
+production ingest runs between "landed" and "trusted" (the reference
+trusts its websocket frames implicitly; binance_etl/base.py:47-60
+writes whatever parses — this suite is what a 100 TB lake puts in
+front of that firehose; same shape as Deequ constraint suites and
+Delta Live Tables expectations).
+
+Two surfaces:
+- dq_expectations — a constraint REPORT: one row per declared
+  expectation (completeness, range, domain, warn-threshold, key
+  uniqueness, referential integrity) with exact violation counts.
+- dq_quarantine — the row-level SPLIT: every row that trips a
+  row-level rule, with the comma-joined reason list (the DLT
+  "expect_or_drop ... quarantine" pattern).
+
+Scale posture: the report is ONE full scan with map-side-combinable
+CASE-WHEN sums; key uniqueness adds one count-distinct exchange on
+the composite key; referential integrity is a key-partitioned LEFT
+ANTI join (broadcast-able when the dimension fits). The quarantine
+is a pure filter+project (the trailing sort exists only for
+deterministic oracle output). Nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+# Row-level rule set shared by both surfaces: (name, violation predicate
+# as a Column factory). Order fixes the reasons-string layout.
+_HARD_RULES = [
+    ("quantity_not_null", lambda: F.col("l_quantity").isNull()),
+    (
+        "quantity_in_range",
+        lambda: F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50),
+    ),
+    (
+        "discount_in_range",
+        lambda: F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.1),
+    ),
+    (
+        "returnflag_domain",
+        lambda: F.col("l_returnflag").isNull()
+        | ~F.col("l_returnflag").isin("A", "N", "R"),
+    ),
+    ("warn_high_discount", lambda: F.col("l_discount") > 0.05),
+]
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v0,
+             SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+             SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                       OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v2,
+             SUM(CASE WHEN l_returnflag IS NULL
+                       OR l_returnflag NOT IN ('A','N','R')
+                  THEN 1 ELSE 0 END) AS v3,
+             SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS v4,
+             COUNT(*) - COUNT(DISTINCT concat(l_orderkey, '#', l_linenumber))
+               AS v5
+      FROM lineitem
+    ), r AS (
+      SELECT COUNT(*) AS v6 FROM lineitem
+      WHERE l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = lineitem.l_orderkey)
+    ), rows_out AS (
+      SELECT 'quantity_not_null' AS constraint_name, n AS n_rows,
+             v0 AS violations FROM m
+      UNION ALL SELECT 'quantity_in_range', n, v1 FROM m
+      UNION ALL SELECT 'discount_in_range', n, v2 FROM m
+      UNION ALL SELECT 'returnflag_domain', n, v3 FROM m
+      UNION ALL SELECT 'warn_high_discount', n, v4 FROM m
+      UNION ALL SELECT 'unique_line_key', n, v5 FROM m
+      UNION ALL SELECT 'orderkey_references_orders', m.n, r.v6 FROM m, r
+    )
+    SELECT constraint_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed,
+           CAST(violations AS DOUBLE) / n_rows AS violation_rate
+    FROM rows_out ORDER BY constraint_name
+    """,
+    doc="Declarative expectation suite over lineitem (Deequ/DLT "
+    "shape): completeness, range, domain, warn-threshold, composite-"
+    "key uniqueness, and referential integrity against orders — one "
+    "row per constraint with exact violation counts, pass flag, and "
+    "violation rate. Scale: one full scan computes every CASE-WHEN "
+    "counter map-side-combined; uniqueness adds a single count-"
+    "distinct exchange on the composite key; the referential check "
+    "is a LEFT ANTI join on the order key (key-partitioned, "
+    "broadcast-able when orders is dimension-sized). No collects — "
+    "the report is 7 rows however big the table is.",
+    tags=("quality", "agg", "join"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+
+    cnt = lambda pred: F.sum(F.when(pred, 1).otherwise(0))  # noqa: E731
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[cnt(pred()).alias(f"v{i}") for i, (_, pred) in enumerate(_HARD_RULES)],
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.concat(F.col("l_orderkey"), F.lit("#"), F.col("l_linenumber")))
+        ).alias("v5"),
+    )
+    orphans = (
+        li.where(F.col("l_orderkey").isNotNull())
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v6"))
+    )
+    names = [name for name, _ in _HARD_RULES] + [
+        "unique_line_key",
+        "orderkey_references_orders",
+    ]
+    one = agg.crossJoin(F.broadcast(orphans))
+    stacked = one.select(
+        F.col("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint_name"),
+                        F.col(f"v{i}").cast("bigint").alias("violations"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("c"),
+    )
+    return stacked.select(
+        F.col("c.constraint_name").alias("constraint_name"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("c.violations").alias("violations"),
+        (F.col("c.violations") == 0).alias("passed"),
+        (F.col("c.violations").cast("double") / F.col("n")).alias("violation_rate"),
+    ).orderBy("constraint_name")
+
+
+@register(
+    "dq_quarantine",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           concat_ws(',',
+             CASE WHEN l_discount > 0.05 THEN 'high_discount' END,
+             CASE WHEN l_quantity > 45 THEN 'bulk_quantity' END,
+             CASE WHEN l_tax > 0.06 THEN 'high_tax' END) AS reasons,
+           CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END
+              + CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END AS INT) AS n_reasons
+    FROM lineitem
+    WHERE l_discount > 0.05 OR l_quantity > 45 OR l_tax > 0.06
+    ORDER BY l_orderkey, l_linenumber, reasons, n_reasons
+    """,
+    doc="Row-level quarantine split (the DLT expect-or-quarantine "
+    "pattern): every lineitem row tripping a warn rule routes out "
+    "with the comma-joined reason list in fixed rule order, so the "
+    "downstream triage table is self-describing. Scale: a pure "
+    "filter+project over the scan — predicate pushdown applies, no "
+    "UDF, and the only exchange is the trailing parity-only sort "
+    "(production drops it); the complementary keep-side is the same "
+    "scan with the negated predicate.",
+    tags=("quality", "filter"),
+)
+def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        ("high_discount", F.col("l_discount") > 0.05),
+        ("bulk_quantity", F.col("l_quantity") > 45),
+        ("high_tax", F.col("l_tax") > 0.06),
+    ]
+    any_hit = rules[0][1] | rules[1][1] | rules[2][1]
+    return (
+        li.where(any_hit)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws(
+                ",", *[F.when(pred, F.lit(name)) for name, pred in rules]
+            ).alias("reasons"),
+            sum(
+                [F.when(pred, 1).otherwise(0) for _, pred in rules],
+                F.lit(0),
+            ).cast("int").alias("n_reasons"),
+        )
+        # the synthetic lineitem carries duplicate (orderkey, linenumber)
+        # pairs (see the unique_line_key expectation), so the sort must
+        # tie-break on every output column to be engine-stable
+        .orderBy("l_orderkey", "l_linenumber", "reasons", "n_reasons")
+    )
