@@ -136,6 +136,8 @@ HEADLINE_LLM = [
     # OPTIMIZE-style snapshot compaction, training-set assembly.
     "sim_ann_recall_learned",
     "sink_snapshot_compact",
+    "sink_snapshot_changes",
+    "dq_expectations",
     "corpus_shuffle_shards",
     "sample_mixture_weights",
     # round-6 microstructure tier (keyed-window estimators over the tape).

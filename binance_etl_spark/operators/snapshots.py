@@ -37,6 +37,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -469,6 +470,50 @@ def read_version(
     manifest = _load_manifest(table_dir, version)
     paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level CDC between two committed snapshots (the Iceberg
+    changelog-scan / Delta CDF read for copy-on-write tables): diff
+    the manifests' FILE LISTS and open only files added or removed
+    between the versions — I/O scales with the delta, never the
+    table. Row changes derive from the file diff:
+
+    - inserts = rows of added files EXCEPT ALL rows of removed files
+    - deletes = rows of removed files EXCEPT ALL rows of added files
+
+    so an append yields pure inserts (no diff join at all), a
+    `delete_where` rewrite yields exactly the erased rows as deletes
+    (survivors cancel), and a `compact` — which rewrites bytes but no
+    rows — yields ZERO changes, as a changelog should. Result carries
+    a `change_type` column ('insert' | 'delete'). Both endpoints must
+    still be committed (within retention — see vacuum's contract);
+    `from_version == to_version` returns an empty frame."""
+    vs = versions(table_dir)
+    for v in (from_version, to_version):
+        if v not in vs:
+            raise FileNotFoundError(f"snapshot v{v} not committed in {table_dir}")
+    if from_version > to_version:
+        raise ValueError("from_version must be <= to_version")
+    files_from = set(_load_manifest(table_dir, from_version)["files"])
+    files_to = set(_load_manifest(table_dir, to_version)["files"])
+    added = sorted(files_to - files_from)
+    removed = sorted(files_from - files_to)
+
+    def _read(rels: list[str]) -> DataFrame:
+        return spark.read.parquet(*[os.path.join(table_dir, r) for r in rels])
+
+    empty = read_version(spark, table_dir, to_version).limit(0)
+    a = _read(added) if added else empty
+    r = _read(removed) if removed else empty
+    tag = lambda df, t: df.withColumn("change_type", F.lit(t))  # noqa: E731
+    if not removed:  # pure append: no diff needed
+        return tag(a, "insert")
+    if not added:  # pure drop (overwrite to smaller set)
+        return tag(r, "delete")
+    return tag(a.exceptAll(r), "insert").unionByName(tag(r.exceptAll(a), "delete"))
 
 
 def read_version_as_of(

@@ -212,3 +212,62 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- sink_snapshot_changes -------------------------------------------
+
+
+@register(
+    "sink_snapshot_changes",
+    oracle="""
+    SELECT '1->2' AS step, 'insert' AS change_type, lang,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+    UNION ALL
+    SELECT '2->3', 'delete', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 = 3 GROUP BY lang
+    ORDER BY step, change_type, lang
+    """,
+    doc="Row-level CDC over the snapshot commit log (operators/"
+    "snapshots.py::read_changes — the Iceberg changelog-scan / Delta "
+    "CDF read): the corpus commits in two appends (v1 = doc_id%3<>2, "
+    "v2 = the rest), then delete_where erases doc_id%7=3 as v3. The "
+    "changes(1,2) read touches ONLY v2's added files and yields pure "
+    "inserts; changes(2,3) opens only the files the delete rewrote "
+    "and derives exactly the erased rows as deletes (survivors "
+    "cancel via EXCEPT ALL on the touched-file rows). Scale: I/O and "
+    "the diff shuffle are bounded by the files the delta touched, "
+    "never the table — the property that makes incremental "
+    "downstream consumers (index refresh, aggregate maintenance, "
+    "replication) affordable at 100 TB. Value-checked per language "
+    "on both legs.",
+    tags=("sink", "versioning", "llm"),
+)
+def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_cdc_") + "/docs_versioned"
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 3 != 2).repartitionByRange(4, "doc_id"),
+        table, mode="append",
+    )
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 3 == 2).repartitionByRange(2, "doc_id"),
+        table, mode="append",
+    )
+    SNAP.delete_where(spark, table, "doc_id % 7 = 3")
+
+    def leg(from_v: int, to_v: int) -> DataFrame:
+        ch = SNAP.read_changes(spark, table, from_v, to_v)
+        return ch.groupBy("change_type", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(
+            F.lit(f"{from_v}->{to_v}").alias("step"),
+            "change_type", "lang", "n_docs", "sum_chars",
+        )
+
+    return leg(1, 2).unionByName(leg(2, 3)).orderBy("step", "change_type", "lang")

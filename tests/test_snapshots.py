@@ -581,3 +581,54 @@ def test_read_version_as_of_timestamp(spark, tmp_path):
     assert SNAP.read_version_as_of(spark, table, time.time() + 60).count() == 30
     with pytest.raises(FileNotFoundError):
         SNAP.read_version_as_of(spark, table, t1 - 10.0)
+
+
+def test_read_changes_append_is_pure_inserts_touching_only_new_files(
+    spark, tmp_path
+):
+    """CDC append leg: only v2's added files are opened, every row is
+    an insert, and the change set equals the appended rows."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.write_version(_df(spark, 10, 25), table)
+    ch = SNAP.read_changes(spark, table, 1, 2)
+    added = set(SNAP._load_manifest(table, 2)["files"]) - set(
+        SNAP._load_manifest(table, 1)["files"]
+    )
+    opened = {os.path.relpath(p.removeprefix("file:"), table) for p in ch.inputFiles()}
+    assert opened <= added, "append CDC must not open carried-over files"
+    rows = ch.collect()
+    assert all(r.change_type == "insert" for r in rows)
+    assert sorted(r.id for r in rows) == list(range(10, 25))
+
+
+def test_read_changes_delete_yields_exactly_erased_rows(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 100).repartitionByRange(4, "id"), table)
+    SNAP.delete_where(spark, table, "id % 10 = 3")
+    ch = SNAP.read_changes(spark, table, 1, 2).collect()
+    assert all(r.change_type == "delete" for r in ch)
+    assert sorted(r.id for r in ch) == [i for i in range(100) if i % 10 == 3]
+
+
+def test_read_changes_compaction_is_zero_changes(spark, tmp_path):
+    """Compaction rewrites bytes but no rows — a changelog read across
+    it must be EMPTY (the property downstream incremental consumers
+    rely on to not reprocess the world after OPTIMIZE)."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(500).repartition(10), table)
+    SNAP.write_version(spark.range(500, 800).repartition(6), table)
+    v3 = SNAP.compact(spark, table, target_files=2)
+    assert SNAP.read_changes(spark, table, 2, v3).count() == 0
+
+
+def test_read_changes_edges(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 5), table)
+    assert SNAP.read_changes(spark, table, 1, 1).count() == 0
+    assert "change_type" in SNAP.read_changes(spark, table, 1, 1).columns
+    with pytest.raises(FileNotFoundError):
+        SNAP.read_changes(spark, table, 1, 9)
+    with pytest.raises(ValueError):
+        SNAP.write_version(_df(spark, 5, 9), table)
+        SNAP.read_changes(spark, table, 2, 1)
