@@ -137,6 +137,7 @@ HEADLINE_LLM = [
     "sim_ann_recall_learned",
     "sink_snapshot_compact",
     "sink_snapshot_changes",
+    "sink_snapshot_merge",
     "dq_expectations",
     "corpus_shuffle_shards",
     "sample_mixture_weights",

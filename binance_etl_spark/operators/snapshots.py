@@ -311,6 +311,130 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_condition: str | None = None,
+) -> int:
+    """MERGE INTO / CDC-apply over the snapshot log (the Delta MERGE
+    upsert and the DLT APPLY CHANGES shape): every target row whose
+    key matches a source row is REPLACED by that source row, source
+    rows with unmatched keys are INSERTED, and source rows matching
+    ``delete_condition`` (evaluated against SOURCE columns) tombstone
+    their key instead — the three-way CDC apply.
+
+    Scale shape (the copy-on-write MERGE plan):
+    1. one distributed scan with `input_file_name()` materialized
+       BEFORE the key semi-join finds the affected files — only files
+       holding a matched key rewrite (AQE picks broadcast when the
+       source key set is small);
+    2. affected files re-read, matched keys anti-joined out, the
+       source's surviving rows unioned in (whole-row update);
+    3. untouched files carry into the new manifest by name — zero
+       I/O; the atomic manifest replace publishes the merge and prior
+       versions still time-travel.
+
+    Source must carry exactly the target columns (plus any
+    ``delete_condition`` inputs) and at most ONE row per key —
+    ambiguous multi-row matches raise, as Delta's MERGE does. Shares
+    delete_where's optimistic-conflict retry: a concurrent append
+    landing mid-scan restarts the merge against the newer snapshot.
+    Returns the committed version."""
+    root = os.path.abspath(table_dir)
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into: source has multiple rows for key {tuple(dup[0])[:-1]!r}; "
+            "deduplicate the source (e.g. keep the latest change per key) first"
+        )
+    upserts = (
+        source.where(~F.coalesce(F.expr(delete_condition), F.lit(False)))
+        if delete_condition is not None
+        else source
+    )
+    all_keys = source.select(key_struct.alias("_k")).distinct()
+
+    for _attempt in range(4):
+        prior = versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to merge into")
+        prev = _load_manifest(table_dir, prior[-1])
+        snap = read_version(spark, table_dir, prior[-1])
+        if sorted(source.columns) != sorted(snap.columns):
+            raise ValueError(
+                f"merge_into: source columns {sorted(source.columns)} != "
+                f"target columns {sorted(snap.columns)}"
+            )
+        from urllib.parse import unquote, urlparse
+
+        tagged = snap.withColumn("_f", F.input_file_name()).withColumn(
+            "_k", key_struct
+        )
+        affected_rel = set()
+        for r in (
+            tagged.join(all_keys, "_k", "left_semi").select("_f").distinct().collect()
+        ):
+            p = unquote(urlparse(r["_f"]).path) or r["_f"]
+            affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
+        untouched = [
+            rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
+        ]
+        affected = [
+            rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
+        ]
+
+        v = _claim_version(table_dir, prior)
+        if versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        cols = snap.columns
+        kept = (
+            spark.read.parquet(*[os.path.join(table_dir, rel) for rel in affected])
+            .withColumn("_k", key_struct)
+            .join(all_keys, "_k", "left_anti")
+            .select(*cols)
+            if affected
+            else snap.limit(0)
+        )
+        new_data = kept.unionByName(upserts.select(*cols))
+        rel_dir = os.path.join("data", f"v{v}")
+        staging = os.path.join(table_dir, rel_dir)
+        new_data.write.mode("overwrite").parquet(staging)
+        new_files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(staging)
+            if name.endswith(".parquet")
+        )
+        stats = {
+            rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        _commit_manifest(
+            table_dir,
+            v,
+            {
+                "version": v,
+                "mode": "merge",
+                "files": untouched + new_files,
+                "stats": stats,
+                "rewrote": len(affected),
+                "carried": len(untouched),
+            },
+        )
+        return v
+    raise RuntimeError(
+        f"merge_into: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

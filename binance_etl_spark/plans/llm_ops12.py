@@ -271,3 +271,77 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg(1, 2).unionByName(leg(2, 3)).orderBy("step", "change_type", "lang")
+
+
+# --- sink_snapshot_merge ---------------------------------------------
+
+
+@register(
+    "sink_snapshot_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 10 <> 5
+      UNION ALL
+      SELECT doc_id + 1000000, 'xx', doc_id % 97
+      FROM documents WHERE doc_id % 10 = 7
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM merged GROUP BY lang ORDER BY lang
+    """,
+    doc="MERGE INTO / CDC-apply over the snapshot log (operators/"
+    "snapshots.py::merge_into — the Delta MERGE upsert + DLT APPLY "
+    "CHANGES shape): the corpus commits as v1, then ONE change batch "
+    "applies updates (doc_id%10=0 grows n_chars by 1000), deletes "
+    "(doc_id%10=5, via the source-side delete condition), and inserts "
+    "(new 'xx' docs keyed doc_id+1000000) in a single new version. "
+    "Scale: only files holding a matched key rewrite (input_file_name "
+    "scan + key semi-join); untouched files carry by name with zero "
+    "I/O; unmatched-key inserts never touch existing files. The "
+    "query value-checks the merged table per language; minimal-"
+    "rewrite and the CDC view of the merge are pinned in "
+    "tests/test_snapshots.py.",
+    tags=("sink", "versioning", "llm"),
+)
+def sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_merge_") + "/docs_versioned"
+    SNAP.write_version(d.repartitionByRange(4, "doc_id"), table, mode="append")
+
+    updates = d.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    deletes = d.where(F.col("doc_id") % 10 == 5)
+    inserts = d.where(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        (F.col("doc_id") % 97).cast("bigint").alias("n_chars"),
+    )
+    # merge source must match the target schema, so the delete op is a
+    # sentinel the delete_condition reads: n_chars = -1 (never a valid
+    # length) marks the key for tombstoning.
+    src = updates.unionByName(
+        deletes.withColumn("n_chars", F.lit(-1).cast("bigint"))
+    ).unionByName(inserts)
+    SNAP.merge_into(
+        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1"
+    )
+    return (
+        SNAP.read_version(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

@@ -632,3 +632,59 @@ def test_read_changes_edges(spark, tmp_path):
     with pytest.raises(ValueError):
         SNAP.write_version(_df(spark, 5, 9), table)
         SNAP.read_changes(spark, table, 2, 1)
+
+
+def test_merge_into_rewrites_only_files_holding_matched_keys(spark, tmp_path):
+    """Range-layout table, change batch touching keys in ONE file:
+    merge must carry the other files by name (manifest says so) and
+    apply update/insert/delete semantics exactly."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        _df(spark, 0, 100).repartitionByRange(4, "id"), table
+    )
+    m1_files = set(SNAP._load_manifest(table, 1)["files"])
+    # keys 0..9 live in the first range file; 500+ are pure inserts
+    src = spark.createDataFrame(
+        [(5, 555), (7, 777), (9, -1), (500, 1000), (501, 1002)], "id LONG, v LONG"
+    )
+    v = SNAP.merge_into(spark, table, src, ["id"], delete_condition="v = -1")
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "merge" and m["rewrote"] == 1
+    assert len(set(m["files"]) & m1_files) == 3, "3 of 4 files carried by name"
+
+    got = {r.id: r.v for r in SNAP.read_version(spark, table).collect()}
+    assert got[5] == 555 and got[7] == 777, "matched keys take the source row"
+    assert 9 not in got, "delete_condition tombstones the key"
+    assert got[500] == 1000 and got[501] == 1002, "unmatched keys insert"
+    assert got[4] == 8 and got[99] == 198, "untouched rows carry"
+    assert len(got) == 100 - 1 + 2
+    # prior version still time-travels to pre-merge values
+    assert {r.id: r.v for r in SNAP.read_version(spark, table, 1).collect()}[5] == 10
+
+
+def test_merge_into_rejects_ambiguous_and_mismatched_source(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 10), table)
+    dup = spark.createDataFrame([(1, 10), (1, 20)], "id LONG, v LONG")
+    with pytest.raises(ValueError, match="multiple rows"):
+        SNAP.merge_into(spark, table, dup, ["id"])
+    bad = spark.createDataFrame([(1, 10)], "id LONG, other LONG")
+    with pytest.raises(ValueError, match="columns"):
+        SNAP.merge_into(spark, table, bad, ["id"])
+
+
+def test_merge_then_cdc_shows_update_as_delete_insert_pair(spark, tmp_path):
+    """read_changes across a merge: each update appears as its old row
+    deleted + new row inserted; tombstones as pure deletes; inserts as
+    pure inserts — the changelog a downstream consumer replays."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 20).repartitionByRange(2, "id"), table)
+    src = spark.createDataFrame(
+        [(3, 999), (8, -1), (100, 42)], "id LONG, v LONG"
+    )
+    v = SNAP.merge_into(spark, table, src, ["id"], delete_condition="v = -1")
+    ch = SNAP.read_changes(spark, table, 1, v).collect()
+    ins = sorted((r.id, r.v) for r in ch if r.change_type == "insert")
+    dels = sorted((r.id, r.v) for r in ch if r.change_type == "delete")
+    assert ins == [(3, 999), (100, 42)]
+    assert dels == [(3, 6), (8, 16)]
