@@ -138,6 +138,7 @@ HEADLINE_LLM = [
     "sink_snapshot_compact",
     "sink_snapshot_changes",
     "sink_snapshot_merge",
+    "sink_cdc_incremental_agg",
     "dq_expectations",
     "corpus_shuffle_shards",
     "sample_mixture_weights",

@@ -345,3 +345,81 @@ def sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- sink_cdc_incremental_agg ----------------------------------------
+
+
+@register(
+    "sink_cdc_incremental_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                         ELSE n_chars END) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 10 <> 5
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Incremental view maintenance WITH RETRACTIONS, driven by the "
+    "CDC feed: a per-language aggregate follows the table through an "
+    "append (v2) AND a merge carrying updates + deletes (v3) by "
+    "applying read_changes deltas — inserts contribute +1/+n_chars, "
+    "deletes -1/-n_chars, so an update (delete+insert pair) nets its "
+    "difference. The manifest-diff pattern "
+    "(sink_incremental_manifest_agg) only survives appends; this is "
+    "the general maintenance loop a derived table needs once DELETE "
+    "and MERGE exist. Scale: each step scans only the files the delta "
+    "touched (read_changes' contract) plus the lang-sized state — "
+    "never history; the oracle is the full recompute, proving "
+    "delta-apply == recompute across all three versions.",
+    tags=("sink", "versioning", "incremental", "llm"),
+)
+def sink_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_cdcivm_") + "/docs_versioned"
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+
+    v1 = SNAP.write_version(
+        d.where(F.col("doc_id") % 3 != 2).repartitionByRange(4, "doc_id"), table
+    )
+    state = agg(SNAP.read_version(spark, table, v1)).localCheckpoint(eager=True)
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 3 == 2).repartitionByRange(2, "doc_id"), table
+    )
+    src = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            d.where(F.col("doc_id") % 10 == 5).withColumn(
+                "n_chars", F.lit(-1).cast("bigint")
+            )
+        )
+    )
+    v3 = SNAP.merge_into(
+        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1"
+    )
+    for a, b in [(1, 2), (2, v3)]:
+        ch = SNAP.read_changes(spark, table, a, b)
+        sgn = F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+        delta = ch.groupBy("lang").agg(
+            F.sum(sgn).cast("bigint").alias("n_docs"),
+            F.sum(sgn * F.col("n_chars")).cast("bigint").alias("sum_chars"),
+        )
+        state = (
+            state.unionByName(delta)
+            .groupBy("lang")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.where(F.col("n_docs") > 0).orderBy("lang")
