@@ -212,11 +212,9 @@ def bench_book_sync(spark, n_frames: int = 20_000) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
-    """Futures-market twin of bench_book_sync: same replay -> parse ->
-    stateful sync -> materialize pipeline through the pu-continuity
-    protocol (streaming/book_sync_futures.py), so the newly-implemented
-    market path carries its own round-over-round throughput number."""
+def _futures_fixture(n_frames: int) -> tuple[str, dict]:
+    """Synthetic 1-symbol FUTURES depth replay log (pu-chained) + a
+    bridging snapshot, shared by both futures stateful-API legs."""
     import json
     import tempfile
 
@@ -254,6 +252,15 @@ def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
         "bids": [["60100.00000000", "1.00000000"]],
         "asks": [["60100.50000000", "1.20000000"]],
     }
+    return path, snapshot
+
+
+def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
+    """Futures-market twin of bench_book_sync: same replay -> parse ->
+    stateful sync -> materialize pipeline through the pu-continuity
+    protocol (streaming/book_sync_futures.py), so the newly-implemented
+    market path carries its own round-over-round throughput number."""
+    path, snapshot = _futures_fixture(n_frames)
     from binance_etl_spark.sources.replay import read_replay
     from binance_etl_spark.streaming.book_sync_futures import (
         book_sync_batch_futures,
@@ -267,6 +274,60 @@ def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
     synced = book_sync_batch_futures(updates, {"BTCUSDT": snapshot})
     n = materialize(synced)
     return time.perf_counter() - t0, n
+
+
+def bench_book_sync_futures_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
+    """transformWithStateInPandas futures sync as a REAL streaming
+    query (RocksDB + protobuf state channel) — the same sizing and
+    shuffle-partition rationale as bench_book_sync_tws below, so the
+    futures market too has BOTH stateful APIs measured."""
+    from binance_etl_spark.sources.replay import stream_replay
+    from binance_etl_spark.streaming.book_sync_futures import (
+        book_sync_stream_futures_tws,
+        parse_depth_updates_futures,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(provider_key, None)
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(provider_key, rocksdb)
+    spark.conf.set(shuffle_key, "4")
+
+    counts: list[int] = []
+
+    def run(sdf) -> None:
+        q = sdf.writeStream.foreachBatch(
+            lambda df, _i: counts.append(df.count())
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    try:
+        wpath, wsnap = _futures_fixture(3)
+        run(
+            book_sync_stream_futures_tws(
+                parse_depth_updates_futures(stream_replay(spark, wpath, 10)),
+                {"BTCUSDT": wsnap},
+            )
+        )
+        path, snapshot = _futures_fixture(n_frames)
+        counts.clear()
+        t0 = time.perf_counter()
+        updates = parse_depth_updates_futures(
+            stream_replay(spark, path, n_frames + 10, lines_per_partition=4000)
+        )
+        run(book_sync_stream_futures_tws(updates, {"BTCUSDT": snapshot}))
+        return time.perf_counter() - t0, sum(counts)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+        spark.conf.set(shuffle_key, prior_shuffle)
 
 
 def bench_book_sync_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
@@ -463,6 +524,13 @@ def main() -> None:
     print(
         f"# book_sync_stream_tws: {tws_sec:.3f}s ({tws_rows} rows, "
         f"{tws_rows / tws_sec:,.0f} rows/s)",
+        file=sys.stderr,
+    )
+    ftws_sec, ftws_rows = bench_book_sync_futures_tws(spark)
+    timings["book_sync_futures_tws"] = round(ftws_sec, 4)
+    print(
+        f"# book_sync_futures_tws: {ftws_sec:.3f}s ({ftws_rows} rows, "
+        f"{ftws_rows / ftws_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
 
