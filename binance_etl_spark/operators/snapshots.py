@@ -64,6 +64,15 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _manifest_schema(manifest: dict):
+    """The StructType a manifest pins for its snapshot, or None for
+    manifests from before schemas were versioned (back-compat)."""
+    from pyspark.sql.types import StructType
+
+    sj = manifest.get("schema")
+    return StructType.fromJson(sj) if sj else None
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-column [min, max] from the parquet FOOTER row-group stats —
     no data read. JSON-safe types only (numeric/string); columns with
@@ -127,6 +136,28 @@ def write_version(
         for pv in prior:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
+    # Schema is VERSIONED with the log (the Delta model): each manifest
+    # records the schema that governs its snapshot, so readers never
+    # depend on which parquet file Spark samples first. Appends may
+    # EVOLVE the schema additively (new nullable columns; carried old
+    # files read as NULL for them) but never drop or retype a column
+    # the table already has — the Delta append-compatibility rule.
+    if prior and mode == "append":
+        prev_schema = _manifest_schema(_load_manifest(table_dir, prior[-1]))
+        if prev_schema is not None:
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            for f in prev_schema.fields:
+                if f.name not in new_fields:
+                    raise ValueError(
+                        f"append drops column {f.name!r}; schema evolution "
+                        "is additive-only (use mode='overwrite' to re-shape)"
+                    )
+                if new_fields[f.name] != f.dataType:
+                    raise ValueError(
+                        f"append retypes column {f.name!r} "
+                        f"({f.dataType.simpleString()} -> "
+                        f"{new_fields[f.name].simpleString()})"
+                    )
     # CLAIM the version number before writing: two concurrent writers
     # that both computed max+1 would otherwise both os.replace the same
     # manifest and silently drop one commit. O_EXCL claim-file creation
@@ -159,6 +190,7 @@ def write_version(
         "mode": mode,
         "files": carried + new_files,
         "stats": stats,
+        "schema": json.loads(df.schema.json()),
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
@@ -300,6 +332,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
                 "condition": condition,
                 "files": untouched + new_files,
                 "stats": stats,
+                "schema": prev.get("schema"),
                 "rewrote": len(affected),
                 "carried": len(untouched),
             },
@@ -425,6 +458,7 @@ def merge_into(
                 "mode": "merge",
                 "files": untouched + new_files,
                 "stats": stats,
+                "schema": prev.get("schema"),
                 "rewrote": len(affected),
                 "carried": len(untouched),
             },
@@ -492,6 +526,7 @@ def compact(
                 "mode": "compact",
                 "files": new_files,
                 "stats": stats,
+                "schema": _load_manifest(table_dir, v_read).get("schema"),
                 "compacted_from": v_read,
             },
         )
@@ -593,7 +628,12 @@ def read_version(
         raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
     manifest = _load_manifest(table_dir, version)
     paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
-    return spark.read.parquet(*paths)
+    # apply the manifest-pinned schema: reads are deterministic under
+    # schema evolution (old files yield NULL for later-added columns,
+    # and time travel returns each version's OWN schema).
+    schema = _manifest_schema(manifest)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def read_changes(

@@ -688,3 +688,41 @@ def test_merge_then_cdc_shows_update_as_delete_insert_pair(spark, tmp_path):
     dels = sorted((r.id, r.v) for r in ch if r.change_type == "delete")
     assert ins == [(3, 999), (100, 42)]
     assert dels == [(3, 6), (8, 16)]
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Appends may add nullable columns (the Delta evolution rule):
+    the latest read returns the evolved schema with NULLs for rows
+    from pre-evolution files, and time travel returns each version's
+    OWN manifest-pinned schema."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.write_version(
+        _df(spark, 10, 20).selectExpr("id", "v", "id * 3 AS w"), table
+    )
+    latest = SNAP.read_version(spark, table)
+    assert latest.columns == ["id", "v", "w"]
+    w = {r.id: r.w for r in latest.collect()}
+    assert w[5] is None, "pre-evolution rows read NULL for the new column"
+    assert w[15] == 45
+    assert SNAP.read_version(spark, table, 1).columns == ["id", "v"]
+    # evolution survives a rewrite op: delete carries the schema forward
+    SNAP.delete_where(spark, table, "id = 0")
+    assert SNAP.read_version(spark, table).columns == ["id", "v", "w"]
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError, match="drops column"):
+        SNAP.write_version(spark.range(5).selectExpr("id"), table)
+    with pytest.raises(ValueError, match="retypes column"):
+        SNAP.write_version(
+            spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v"), table
+        )
+    # overwrite re-shapes freely; prior versions keep their own schema
+    SNAP.write_version(
+        spark.range(3).selectExpr("id AS only_id"), table, mode="overwrite"
+    )
+    assert SNAP.read_version(spark, table).columns == ["only_id"]
+    assert SNAP.read_version(spark, table, 1).columns == ["id", "v"]
