@@ -100,6 +100,31 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _stage_files(table_dir: str, rel_dir: str) -> tuple[list[str], dict]:
+    """List a commit's staged parquet files and capture per-file
+    footer metadata (row count + bytes) for the manifest — METADATA-
+    only reads of files just written (still page-cache-hot), so
+    `count_rows`/`history` answer without ever scanning data. Driver-
+    side O(new files) like the rest of the log; Delta records the
+    same numRecords per file in its commit JSON."""
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table_dir, rel_dir)
+    rels = sorted(
+        os.path.join(rel_dir, name)
+        for name in os.listdir(staging)
+        if name.endswith(".parquet")
+    )
+    meta = {}
+    for rel in rels:
+        p = os.path.join(table_dir, rel)
+        meta[rel] = {
+            "rows": pq.ParquetFile(p).metadata.num_rows,
+            "bytes": os.path.getsize(p),
+        }
+    return rels, meta
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -170,11 +195,7 @@ def write_version(
     rel_dir = os.path.join("data", f"v{v}")
     staging = os.path.join(table_dir, rel_dir)
     df.write.mode("overwrite").parquet(staging)
-    new_files = sorted(
-        os.path.join(rel_dir, name)
-        for name in os.listdir(staging)
-        if name.endswith(".parquet")
-    )
+    new_files, file_meta = _stage_files(table_dir, rel_dir)
     stats = {}
     if stats_cols:
         for rel in new_files:
@@ -183,6 +204,7 @@ def write_version(
         prev = _load_manifest(table_dir, prior[-1])
         carried = prev["files"]
         stats = {**prev.get("stats", {}), **stats}
+        file_meta = {**prev.get("file_meta", {}), **file_meta}
     else:
         carried = []
     manifest = {
@@ -190,6 +212,7 @@ def write_version(
         "mode": mode,
         "files": carried + new_files,
         "stats": stats,
+        "file_meta": file_meta,
         "schema": json.loads(df.schema.json()),
     }
     if batch_id is not None:
@@ -306,6 +329,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             _release_claim(table_dir, v)  # newer commit landed mid-scan
             continue
         new_files: list[str] = []
+        new_meta: dict = {}
         if affected:
             keep = (
                 spark.read.parquet(
@@ -315,13 +339,17 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             rel_dir = os.path.join("data", f"v{v}")
             staging = os.path.join(table_dir, rel_dir)
             keep.write.mode("overwrite").parquet(staging)
-            new_files = sorted(
-                os.path.join(rel_dir, name)
-                for name in os.listdir(staging)
-                if name.endswith(".parquet")
-            )
+            new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        file_meta = {
+            **{
+                rel: m
+                for rel, m in prev.get("file_meta", {}).items()
+                if rel in set(untouched)
+            },
+            **new_meta,
         }
         _commit_manifest(
             table_dir,
@@ -332,6 +360,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
                 "condition": condition,
                 "files": untouched + new_files,
                 "stats": stats,
+                "file_meta": file_meta,
                 "schema": prev.get("schema"),
                 "rewrote": len(affected),
                 "carried": len(untouched),
@@ -442,13 +471,17 @@ def merge_into(
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
         new_data.write.mode("overwrite").parquet(staging)
-        new_files = sorted(
-            os.path.join(rel_dir, name)
-            for name in os.listdir(staging)
-            if name.endswith(".parquet")
-        )
+        new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        file_meta = {
+            **{
+                rel: m
+                for rel, m in prev.get("file_meta", {}).items()
+                if rel in set(untouched)
+            },
+            **new_meta,
         }
         _commit_manifest(
             table_dir,
@@ -458,6 +491,7 @@ def merge_into(
                 "mode": "merge",
                 "files": untouched + new_files,
                 "stats": stats,
+                "file_meta": file_meta,
                 "schema": prev.get("schema"),
                 "rewrote": len(affected),
                 "carried": len(untouched),
@@ -507,11 +541,7 @@ def compact(
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
         df.repartition(max(1, target_files)).write.mode("overwrite").parquet(staging)
-        new_files = sorted(
-            os.path.join(rel_dir, name)
-            for name in os.listdir(staging)
-            if name.endswith(".parquet")
-        )
+        new_files, file_meta = _stage_files(table_dir, rel_dir)
         stats = {}
         if stats_cols:
             for rel in new_files:
@@ -526,6 +556,7 @@ def compact(
                 "mode": "compact",
                 "files": new_files,
                 "stats": stats,
+                "file_meta": file_meta,
                 "schema": _load_manifest(table_dir, v_read).get("schema"),
                 "compacted_from": v_read,
             },
@@ -634,6 +665,54 @@ def read_version(
     schema = _manifest_schema(manifest)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(*paths)
+
+
+def count_rows(table_dir: str, version: int | None = None) -> int:
+    """Exact row count of a snapshot from manifest metadata alone —
+    zero data I/O, zero Spark jobs (the SELECT COUNT(*) fast path a
+    table format owes its users; Delta answers it from numRecords the
+    same way). Files committed before file_meta existed fall back to
+    one parquet-footer read each — still metadata-only."""
+    import pyarrow.parquet as pq
+
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    version = vs[-1] if version is None else version
+    m = _load_manifest(table_dir, version)
+    meta = m.get("file_meta", {})
+    total = 0
+    for rel in m["files"]:
+        if rel in meta:
+            total += meta[rel]["rows"]
+        else:  # pre-file_meta commit: footer read, no data scan
+            total += pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+    return total
+
+
+def history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per committed version, newest last —
+    version, mode, file/row/byte totals straight from the manifests
+    (no data I/O), plus the op-specific fields each mode records
+    (delete condition, compacted_from, batch_id, rewrote/carried).
+    Row/byte totals are None for pre-file_meta commits."""
+    out = []
+    for v in versions(table_dir):
+        m = _load_manifest(table_dir, v)
+        meta = m.get("file_meta", {})
+        have_all = all(rel in meta for rel in m["files"])
+        entry = {
+            "version": v,
+            "mode": m.get("mode"),
+            "n_files": len(m["files"]),
+            "n_rows": sum(meta[rel]["rows"] for rel in m["files"]) if have_all else None,
+            "n_bytes": sum(meta[rel]["bytes"] for rel in m["files"]) if have_all else None,
+        }
+        for k in ("condition", "compacted_from", "batch_id", "rewrote", "carried"):
+            if k in m:
+                entry[k] = m[k]
+        out.append(entry)
+    return out
 
 
 def read_changes(

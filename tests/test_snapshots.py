@@ -726,3 +726,33 @@ def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
     )
     assert SNAP.read_version(spark, table).columns == ["only_id"]
     assert SNAP.read_version(spark, table, 1).columns == ["id", "v"]
+
+
+def test_count_rows_is_metadata_only_and_exact(spark, tmp_path):
+    """Manifest row counts must equal actual counts through append,
+    delete, merge, and compact — and count_rows runs NO Spark job."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 100).repartitionByRange(4, "id"), table)
+    SNAP.write_version(_df(spark, 100, 150), table)
+    SNAP.delete_where(spark, table, "id % 10 = 1")
+    src = spark.createDataFrame([(3, 33), (200, 400)], "id LONG, v LONG")
+    SNAP.merge_into(spark, table, src, ["id"])
+    v_last = SNAP.compact(spark, table, target_files=2)
+    for v in SNAP.versions(table):
+        expected = SNAP.read_version(spark, table, v).count()
+        assert SNAP.count_rows(table, v) == expected, f"v{v}"
+    assert SNAP.count_rows(table) == SNAP.count_rows(table, v_last)
+
+
+def test_history_describes_every_commit(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(_df(spark, 0, 50), table)
+    SNAP.write_version(_df(spark, 50, 60), table)
+    SNAP.delete_where(spark, table, "id < 5")
+    h = SNAP.history(table)
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert [e["mode"] for e in h] == ["append", "append", "delete"]
+    assert h[0]["n_rows"] == 50 and h[1]["n_rows"] == 60
+    assert h[2]["n_rows"] == 55 and h[2]["condition"] == "id < 5"
+    assert all(e["n_bytes"] > 0 for e in h)
+    assert h[2]["carried"] >= 0 and h[2]["rewrote"] >= 1
