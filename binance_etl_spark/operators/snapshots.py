@@ -343,6 +343,12 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
+        # rewritten files keep the table's file-skipping power: recompute
+        # min/max over the same column set the prior manifest tracked
+        prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
+        if prev_stat_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), prev_stat_cols)
         file_meta = {
             **{
                 rel: m
@@ -475,6 +481,10 @@ def merge_into(
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
+        prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
+        if prev_stat_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), prev_stat_cols)
         file_meta = {
             **{
                 rel: m

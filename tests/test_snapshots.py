@@ -756,3 +756,25 @@ def test_history_describes_every_commit(spark, tmp_path):
     assert h[2]["n_rows"] == 55 and h[2]["condition"] == "id < 5"
     assert all(e["n_bytes"] > 0 for e in h)
     assert h[2]["carried"] >= 0 and h[2]["rewrote"] >= 1
+
+
+def test_rewrites_preserve_file_skipping_stats(spark, tmp_path):
+    """delete_where/merge_into must recompute min/max stats for the
+    files they rewrite (same column set the table tracked), so a
+    rewrite never silently degrades manifest-level skipping."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        _df(spark, 0, 100).repartitionByRange(4, "id"), table, stats_cols=["id"]
+    )
+    v2 = SNAP.delete_where(spark, table, "id % 10 = 3")
+    m2 = SNAP._load_manifest(table, v2)
+    assert all(
+        "id" in m2["stats"].get(rel, {}) for rel in m2["files"]
+    ), "every file (carried AND rewritten) keeps id stats"
+    kept, skipped = SNAP.select_files(table, v2, "id", 0, 10)
+    assert skipped, "skipping still prunes after the rewrite"
+
+    src = spark.createDataFrame([(5, 50), (500, 1000)], "id LONG, v LONG")
+    v3 = SNAP.merge_into(spark, table, src, ["id"])
+    m3 = SNAP._load_manifest(table, v3)
+    assert all("id" in m3["stats"].get(rel, {}) for rel in m3["files"])
