@@ -125,12 +125,34 @@ def _stage_files(table_dir: str, rel_dir: str) -> tuple[list[str], dict]:
     return rels, meta
 
 
+def _enforce_expectations(df: DataFrame, expectations: dict) -> None:
+    """CHECK-constraint gate: count violations of every predicate in
+    ONE aggregate pass and refuse the commit if any row fails (the
+    Delta CHECK constraint contract — bad data never becomes a
+    committed version; quarantine belongs upstream, see plans/dq.py).
+    NULL predicate results count as violations, as SQL CHECK does
+    not, but a lake constraint that silently passes NULLs hides the
+    exact rows that break downstream — callers wanting SQL semantics
+    write `cond OR col IS NULL`."""
+    checks = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, pred in sorted(expectations.items())
+    ]
+    row = df.agg(*checks).collect()[0]
+    bad = {name: int(row[name]) for name in row.asDict() if row[name]}
+    if bad:
+        raise ValueError(f"expectations violated, commit refused: {bad}")
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
@@ -142,6 +164,12 @@ def write_version(
     batch_id: idempotency token for streaming foreachBatch commits — a
     batch id already present in a committed manifest is a no-op replay
     and returns that existing version.
+    expectations: {name: SQL predicate} CHECK constraints — persisted
+    in the manifest as a TABLE PROPERTY, inherited and re-enforced by
+    every later append/merge (new names add to the set), and the
+    commit is REFUSED if any incoming row violates any of them. Costs
+    one extra aggregate pass over ``df`` per commit, as Delta's CHECK
+    enforcement does.
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
 
@@ -191,6 +219,14 @@ def write_version(
     # between claim and commit strands the claim — that version number
     # is simply skipped (readers only see committed manifests), the
     # same hole a failed Delta commit leaves.
+    effective_exp = dict(expectations or {})
+    if prior and mode == "append":
+        effective_exp = {
+            **_load_manifest(table_dir, prior[-1]).get("expectations", {}),
+            **effective_exp,
+        }
+    if effective_exp:
+        _enforce_expectations(df, effective_exp)
     v = _claim_version(table_dir, prior)
     rel_dir = os.path.join("data", f"v{v}")
     staging = os.path.join(table_dir, rel_dir)
@@ -214,6 +250,7 @@ def write_version(
         "stats": stats,
         "file_meta": file_meta,
         "schema": json.loads(df.schema.json()),
+        "expectations": effective_exp,
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
@@ -368,6 +405,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
                 "stats": stats,
                 "file_meta": file_meta,
                 "schema": prev.get("schema"),
+                "expectations": prev.get("expectations", {}),
                 "rewrote": len(affected),
                 "carried": len(untouched),
             },
@@ -464,6 +502,9 @@ def merge_into(
         if versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
+        exp = prev.get("expectations", {})
+        if exp:
+            _enforce_expectations(upserts, exp)
         cols = snap.columns
         kept = (
             spark.read.parquet(*[os.path.join(table_dir, rel) for rel in affected])
@@ -503,6 +544,7 @@ def merge_into(
                 "stats": stats,
                 "file_meta": file_meta,
                 "schema": prev.get("schema"),
+                "expectations": exp,
                 "rewrote": len(affected),
                 "carried": len(untouched),
             },
@@ -568,6 +610,9 @@ def compact(
                 "stats": stats,
                 "file_meta": file_meta,
                 "schema": _load_manifest(table_dir, v_read).get("schema"),
+                "expectations": _load_manifest(table_dir, v_read).get(
+                    "expectations", {}
+                ),
                 "compacted_from": v_read,
             },
         )
@@ -795,7 +840,12 @@ def read_version_as_of(
     return read_version(spark, table_dir, eligible[-1])
 
 
-def vacuum(table_dir: str, keep_last: int = 1, claim_ttl_seconds: float = 86400.0) -> dict:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 1,
+    claim_ttl_seconds: float = 86400.0,
+    retain_seconds: float | None = None,
+) -> dict:
     """Retention maintenance: physically delete data files referenced
     ONLY by expired snapshots (all but the newest ``keep_last``
     versions), plus crashed-commit orphan data dirs no manifest ever
@@ -827,7 +877,12 @@ def vacuum(table_dir: str, keep_last: int = 1, claim_ttl_seconds: float = 86400.
     pinned to an expired version races the physical erasure and may
     fail mid-scan. Pin retention to cover your longest reader.
 
-    Returns {"kept_versions", "removed_files", "removed_orphan_dirs"}.
+    ``retain_seconds`` adds TIME-based retention on top of the count:
+    any version whose manifest committed within the window is kept
+    even beyond ``keep_last`` (the Delta `RETAIN n HOURS` shape — age
+    from the manifest mtime, the same commit clock read_version_as_of
+    trusts). Returns {"kept_versions", "removed_files",
+    "removed_orphan_dirs"}.
     """
     import shutil
     import time
@@ -835,7 +890,17 @@ def vacuum(table_dir: str, keep_last: int = 1, claim_ttl_seconds: float = 86400.
     vs = versions(table_dir)
     if not vs:
         return {"kept_versions": [], "removed_files": 0, "removed_orphan_dirs": 0}
-    keep = vs[-max(1, keep_last):]
+    keep = set(vs[-max(1, keep_last):])
+    if retain_seconds is not None:
+        now = time.time()
+        mdir = _manifest_dir(table_dir)
+        keep |= {
+            v
+            for v in vs
+            if now - os.path.getmtime(os.path.join(mdir, f"v{v}.json"))
+            <= retain_seconds
+        }
+    keep = sorted(keep)
     expired = [v for v in vs if v not in keep]
     referenced: set[str] = set()
     for v in keep:

@@ -778,3 +778,62 @@ def test_rewrites_preserve_file_skipping_stats(spark, tmp_path):
     v3 = SNAP.merge_into(spark, table, src, ["id"])
     m3 = SNAP._load_manifest(table, v3)
     assert all("id" in m3["stats"].get(rel, {}) for rel in m3["files"])
+
+
+def test_check_constraints_gate_commits_and_inherit(spark, tmp_path):
+    """CHECK constraints are a table property: declared once, enforced
+    on every later append AND merge source, and a violating commit is
+    refused with nothing published."""
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        _df(spark, 1, 10), table, expectations={"v_positive": "v > 0"}
+    )
+    assert SNAP._load_manifest(table, 1)["expectations"] == {"v_positive": "v > 0"}
+
+    bad = spark.createDataFrame([(50, -2)], "id LONG, v LONG")
+    with pytest.raises(ValueError, match="v_positive"):
+        SNAP.write_version(bad, table)  # inherited, not re-declared
+    assert SNAP.versions(table) == [1], "refused commit published nothing"
+
+    # clean append passes and may ADD a constraint to the set
+    SNAP.write_version(
+        _df(spark, 10, 15), table, expectations={"id_nonneg": "id >= 0"}
+    )
+    assert set(SNAP._load_manifest(table, 2)["expectations"]) == {
+        "v_positive",
+        "id_nonneg",
+    }
+
+    # merge enforces on the SOURCE rows too
+    with pytest.raises(ValueError, match="v_positive"):
+        SNAP.merge_into(spark, table, bad, ["id"])
+    ok = spark.createDataFrame([(50, 2)], "id LONG, v LONG")
+    v = SNAP.merge_into(spark, table, ok, ["id"])
+    assert SNAP._load_manifest(table, v)["expectations"]["v_positive"] == "v > 0"
+    # NULL predicate counts as a violation (documented stricter-than-SQL)
+    nullrow = spark.createDataFrame([(60, None)], "id LONG, v LONG")
+    with pytest.raises(ValueError, match="v_positive"):
+        SNAP.write_version(nullrow, table)
+
+
+def test_vacuum_time_based_retention_keeps_young_versions(spark, tmp_path):
+    import os
+    import time
+
+    table = str(tmp_path / "t")
+    for lo in range(0, 30, 10):
+        SNAP.write_version(_df(spark, lo, lo + 10), table)
+    # age v1/v2's manifests beyond the window; v3 stays young
+    mdir = os.path.join(table, "_manifests")
+    old = time.time() - 3600
+    for v in (1, 2):
+        os.utime(os.path.join(mdir, f"v{v}.json"), (old, old))
+    res = SNAP.vacuum(table, keep_last=1, retain_seconds=300)
+    assert res["kept_versions"] == [3]
+    # young versions survive even beyond keep_last
+    table2 = str(tmp_path / "t2")
+    for lo in range(0, 30, 10):
+        SNAP.write_version(_df(spark, lo, lo + 10), table2)
+    res2 = SNAP.vacuum(table2, keep_last=1, retain_seconds=3600)
+    assert res2["kept_versions"] == [1, 2, 3], "all within the time window"
+    assert SNAP.read_version(spark, table2, 1).count() == 10
