@@ -64,6 +64,18 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def main_versions(table_dir: str) -> list[int]:
+    """Committed MAIN-LINE versions, ascending — the default-reader
+    history. Branch commits (`write_branch`) share the global version
+    sequence and data/ namespace but carry a `branch` marker in their
+    manifest; they are invisible to default reads until `publish_branch`
+    fast-forwards main onto them (the Iceberg WAP contract). O(versions)
+    manifest loads, driver-side JSON — same cost class as `history`."""
+    return [
+        v for v in versions(table_dir) if "branch" not in _load_manifest(table_dir, v)
+    ]
+
+
 def _manifest_schema(manifest: dict):
     """The StructType a manifest pins for its snapshot, or None for
     manifests from before schemas were versioned (back-compat)."""
@@ -184,11 +196,14 @@ def write_version(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
-    prior = versions(table_dir)
+    all_vs = versions(table_dir)
     if batch_id is not None:
-        for pv in prior:
+        for pv in all_vs:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
+    # appends chain onto the latest MAIN-LINE commit — a branch commit
+    # in the shared log is not this writer's parent (see main_versions)
+    prior = main_versions(table_dir)
     # Schema is VERSIONED with the log (the Delta model): each manifest
     # records the schema that governs its snapshot, so readers never
     # depend on which parquet file Spark samples first. Appends may
@@ -335,7 +350,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
 
     root = os.path.abspath(table_dir)
     for _attempt in range(4):
-        prior = versions(table_dir)
+        prior = main_versions(table_dir)
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to delete from")
         prev = _load_manifest(table_dir, prior[-1])
@@ -361,8 +376,8 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
         ]
 
-        v = _claim_version(table_dir, prior)
-        if versions(table_dir)[-1] != prior[-1]:
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)  # newer commit landed mid-scan
             continue
         new_files: list[str] = []
@@ -470,7 +485,7 @@ def merge_into(
     all_keys = source.select(key_struct.alias("_k")).distinct()
 
     for _attempt in range(4):
-        prior = versions(table_dir)
+        prior = main_versions(table_dir)
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to merge into")
         prev = _load_manifest(table_dir, prior[-1])
@@ -498,8 +513,8 @@ def merge_into(
             rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
         ]
 
-        v = _claim_version(table_dir, prior)
-        if versions(table_dir)[-1] != prior[-1]:
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
         exp = prev.get("expectations", {})
@@ -560,19 +575,30 @@ def compact(
     table_dir: str,
     target_files: int = 4,
     stats_cols: list[str] | None = None,
+    min_file_bytes: int | None = None,
 ) -> int:
-    """OPTIMIZE-style bin-packing compaction: rewrite the CURRENT
-    snapshot's rows into ``target_files`` evenly-sized files and
-    commit the result as a new version. Row-preserving by
-    construction — one distributed read, a round-robin repartition,
-    one write, no filters — so the new snapshot is value-identical to
-    the one it compacts, while the small files a streaming append
-    sink accumulates (one-plus per micro-batch) collapse into
-    scan-efficient ones: fewer tasks, fewer footer reads, bigger
-    sequential I/O (the Delta OPTIMIZE / Iceberg rewrite_data_files
-    maintenance op). Prior versions still time-travel to the
-    pre-compaction files; vacuum reclaims them once retention
-    expires.
+    """OPTIMIZE-style bin-packing compaction, committed as a new
+    version. Row-preserving by construction — a distributed read, a
+    round-robin repartition, one write, no filters — so the new
+    snapshot is value-identical to the one it compacts, while the
+    small files a streaming append sink accumulates (one-plus per
+    micro-batch) collapse into scan-efficient ones: fewer tasks,
+    fewer footer reads, bigger sequential I/O (the Delta OPTIMIZE /
+    Iceberg rewrite_data_files maintenance op). Prior versions still
+    time-travel to the pre-compaction files; vacuum reclaims them
+    once retention expires.
+
+    ``min_file_bytes=None`` rewrites the WHOLE snapshot into
+    ``target_files`` files — fine for tests and small tables, O(table
+    bytes) at scale. ``min_file_bytes=N`` is the 100 TB mode (what
+    Delta OPTIMIZE actually does): only files SMALLER than N are
+    bin-packed — into ceil(small_bytes / N) outputs, so merged files
+    approach the threshold size — and every already-large file is
+    carried into the new manifest BY NAME with zero I/O. Maintenance
+    cost then scales with the small-file tail the sink produced since
+    the last run, never with table size. Fewer than two small files
+    means nothing to merge: no commit, the current version is
+    returned unchanged.
 
     Concurrency: claims a version first (so a concurrent vacuum
     treats the staging dir as in-flight, never an orphan) and
@@ -581,39 +607,69 @@ def compact(
     check-to-publish window as delete_where.
     """
     for _attempt in range(4):
-        prior = versions(table_dir)
+        prior = main_versions(table_dir)
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to compact")
         v_read = prior[-1]
-        df = read_version(spark, table_dir, v_read)
-        v = _claim_version(table_dir, prior)
-        if versions(table_dir)[-1] != v_read:
+        prev = _load_manifest(table_dir, v_read)
+        if min_file_bytes is None:
+            to_merge = list(prev["files"])
+            carried = []
+            n_out = max(1, target_files)
+        else:
+            meta = prev.get("file_meta", {})
+            size = lambda rel: (  # noqa: E731
+                meta[rel]["bytes"]
+                if rel in meta
+                else os.path.getsize(os.path.join(table_dir, rel))
+            )
+            to_merge = [rel for rel in prev["files"] if size(rel) < min_file_bytes]
+            carried = [rel for rel in prev["files"] if size(rel) >= min_file_bytes]
+            if len(to_merge) < 2:
+                return v_read  # nothing to merge: no-op, no commit
+            small_bytes = sum(size(rel) for rel in to_merge)
+            n_out = max(1, -(-small_bytes // min_file_bytes))  # ceil
+        schema = _manifest_schema(prev)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(*[os.path.join(table_dir, rel) for rel in to_merge])
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != v_read:
             _release_claim(table_dir, v)  # newer commit landed mid-read
             continue
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
-        df.repartition(max(1, target_files)).write.mode("overwrite").parquet(staging)
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
         new_files, file_meta = _stage_files(table_dir, rel_dir)
-        stats = {}
-        if stats_cols:
+        stats = {
+            rel: s for rel, s in prev.get("stats", {}).items() if rel in set(carried)
+        }
+        prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
+        recompute_cols = sorted(set(prev_stat_cols) | set(stats_cols or []))
+        if recompute_cols:
             for rel in new_files:
-                stats[rel] = _file_stats(
-                    os.path.join(table_dir, rel), list(stats_cols)
-                )
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), recompute_cols)
+        file_meta = {
+            **{
+                rel: m
+                for rel, m in prev.get("file_meta", {}).items()
+                if rel in set(carried)
+            },
+            **file_meta,
+        }
         _commit_manifest(
             table_dir,
             v,
             {
                 "version": v,
                 "mode": "compact",
-                "files": new_files,
+                "files": carried + new_files,
                 "stats": stats,
                 "file_meta": file_meta,
-                "schema": _load_manifest(table_dir, v_read).get("schema"),
-                "expectations": _load_manifest(table_dir, v_read).get(
-                    "expectations", {}
-                ),
+                "schema": prev.get("schema"),
+                "expectations": prev.get("expectations", {}),
                 "compacted_from": v_read,
+                "rewrote": len(to_merge),
+                "carried": len(carried),
             },
         )
         return v
@@ -686,7 +742,7 @@ def foreach_batch_snapshot(
         if not compact_every:
             return
         since = 0
-        for v in reversed(versions(table_dir)):
+        for v in reversed(main_versions(table_dir)):
             if _load_manifest(table_dir, v).get("mode") == "compact":
                 break
             since += 1
@@ -704,12 +760,18 @@ def foreach_batch_snapshot(
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Read snapshot ``version`` (default: latest committed)."""
+    """Read snapshot ``version`` (default: latest committed MAIN-LINE
+    version — staged branch commits are invisible until published; an
+    explicit ``version`` may address any committed version, branch
+    commits included)."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
     if version is None:
-        version = vs[-1]
+        main = main_versions(table_dir)
+        if not main:
+            raise FileNotFoundError(f"no main-line snapshots in {table_dir}")
+        version = main[-1]
     if version not in vs:
         raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
     manifest = _load_manifest(table_dir, version)
@@ -733,7 +795,7 @@ def count_rows(table_dir: str, version: int | None = None) -> int:
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
-    version = vs[-1] if version is None else version
+    version = main_versions(table_dir)[-1] if version is None else version
     m = _load_manifest(table_dir, version)
     meta = m.get("file_meta", {})
     total = 0
@@ -763,7 +825,16 @@ def history(table_dir: str) -> list[dict]:
             "n_rows": sum(meta[rel]["rows"] for rel in m["files"]) if have_all else None,
             "n_bytes": sum(meta[rel]["bytes"] for rel in m["files"]) if have_all else None,
         }
-        for k in ("condition", "compacted_from", "batch_id", "rewrote", "carried"):
+        for k in (
+            "condition",
+            "compacted_from",
+            "batch_id",
+            "rewrote",
+            "carried",
+            "branch",
+            "parent",
+            "published_from",
+        ):
             if k in m:
                 entry[k] = m[k]
         out.append(entry)
@@ -830,7 +901,7 @@ def read_version_as_of(
     mdir = _manifest_dir(table_dir)
     eligible = [
         v
-        for v in versions(table_dir)
+        for v in main_versions(table_dir)
         if os.path.getmtime(os.path.join(mdir, f"v{v}.json")) <= ts
     ]
     if not eligible:
@@ -890,7 +961,13 @@ def vacuum(
     vs = versions(table_dir)
     if not vs:
         return {"kept_versions": [], "removed_files": 0, "removed_orphan_dirs": 0}
-    keep = set(vs[-max(1, keep_last):])
+    # retention COUNTS main-line history; branch commits expire unless a
+    # ref still points at them or they fall inside the time window
+    main = main_versions(table_dir)
+    keep = set(main[-max(1, keep_last):]) if main else set()
+    # a version any ref (tag or branch head) names never expires while
+    # the ref exists — the Iceberg expire_snapshots retention rule
+    keep |= {r["version"] for r in refs(table_dir).values() if r["version"] in vs}
     if retain_seconds is not None:
         now = time.time()
         mdir = _manifest_dir(table_dir)
@@ -961,3 +1038,243 @@ def vacuum(
         "removed_files": removed_files,
         "removed_orphan_dirs": removed_orphans,
     }
+
+
+# --- refs: tags, branches, write-audit-publish -----------------------
+#
+# Named pointers into the version log (the Iceberg refs model):
+# - a TAG is an immutable name for one snapshot ("train-2026-08-14"):
+#   reproducible training pins a tag, not a raw number;
+# - a BRANCH is a mutable pointer advanced by `write_branch`; its
+#   commits share the global version sequence and data/ namespace but
+#   are MARKED with the branch name, so default readers (latest
+#   main-line) never see them — staged data is invisible until audited;
+# - `publish_branch` is the WAP (write-audit-publish) commit: audit the
+#   branch head, then fast-forward main onto its FILE LIST by name —
+#   zero data I/O, one atomic manifest replace, and the audited bytes
+#   become the table's latest snapshot exactly as staged.
+#
+# Ref files live under `_refs/`, one JSON each, published with the same
+# write-temp + os.replace discipline as manifests. `vacuum` keeps every
+# ref-pointed version (see its keep-set), so a tag also acts as a
+# retention pin.
+
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _refs_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_refs")
+
+
+def _ref_path(table_dir: str, name: str) -> str:
+    if not _REF_NAME_RE.match(name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(_refs_dir(table_dir), f"{name}.json")
+
+
+def refs(table_dir: str) -> dict[str, dict]:
+    """All refs: {name: {"type": "tag"|"branch", "version": N, ...}}."""
+    rdir = _refs_dir(table_dir)
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for fname in sorted(os.listdir(rdir)):
+        if fname.endswith(".json"):
+            with open(os.path.join(rdir, fname)) as f:
+                out[fname[: -len(".json")]] = json.load(f)
+    return out
+
+
+def _write_ref(table_dir: str, name: str, payload: dict, *, create: bool) -> None:
+    path = _ref_path(table_dir, name)
+    os.makedirs(_refs_dir(table_dir), exist_ok=True)
+    if create:
+        # O_EXCL create arbitrates concurrent same-name creation; the
+        # content lands via replace so readers never see a partial ref.
+        with open(path, "x"):
+            pass
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def create_tag(table_dir: str, name: str, version: int | None = None) -> int:
+    """Immutable named snapshot pin. Defaults to the latest main-line
+    version; re-creating an existing ref name raises."""
+    if version is None:
+        version = main_versions(table_dir)[-1]
+    if version not in versions(table_dir):
+        raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
+    _write_ref(table_dir, name, {"type": "tag", "version": version}, create=True)
+    return version
+
+
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Mutable pointer for staged (WAP) writes, forked from ``version``
+    (default: latest main-line). Records the fork ``base`` so publish
+    can enforce fast-forward-only semantics."""
+    if version is None:
+        version = main_versions(table_dir)[-1]
+    if version not in versions(table_dir):
+        raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
+    _write_ref(
+        table_dir,
+        name,
+        {"type": "branch", "version": version, "base": version},
+        create=True,
+    )
+    return version
+
+
+def drop_ref(table_dir: str, name: str) -> None:
+    os.remove(_ref_path(table_dir, name))
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read the snapshot a tag or branch head points at."""
+    r = refs(table_dir).get(name)
+    if r is None:
+        raise FileNotFoundError(f"no ref {name!r} in {table_dir}")
+    return read_version(spark, table_dir, r["version"])
+
+
+def write_branch(
+    df: DataFrame,
+    table_dir: str,
+    branch: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    expectations: dict[str, str] | None = None,
+) -> int:
+    """Commit ``df`` onto ``branch`` (the W of write-audit-publish):
+    the new version chains onto the BRANCH head — append carries the
+    head's file list, overwrite starts fresh — and is marked with the
+    branch name, so default readers never see it. Inherits and
+    re-enforces the branch head's CHECK expectations exactly like a
+    main-line append; the branch pointer advances only after the
+    manifest commits (a crash in between leaves a committed-but-
+    unpointed version that retention expires — never a dangling ref).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode {mode!r}")
+    r = refs(table_dir).get(branch)
+    if r is None or r.get("type") != "branch":
+        raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
+    head = _load_manifest(table_dir, r["version"])
+    if mode == "append":
+        prev_schema = _manifest_schema(head)
+        if prev_schema is not None:
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            for fld in prev_schema.fields:
+                if fld.name not in new_fields:
+                    raise ValueError(
+                        f"append drops column {fld.name!r}; schema evolution "
+                        "is additive-only (use mode='overwrite' to re-shape)"
+                    )
+                if new_fields[fld.name] != fld.dataType:
+                    raise ValueError(
+                        f"append retypes column {fld.name!r} "
+                        f"({fld.dataType.simpleString()} -> "
+                        f"{new_fields[fld.name].simpleString()})"
+                    )
+    effective_exp = dict(expectations or {})
+    if mode == "append":
+        effective_exp = {**head.get("expectations", {}), **effective_exp}
+    if effective_exp:
+        _enforce_expectations(df, effective_exp)
+    v = _claim_version(table_dir, versions(table_dir))
+    rel_dir = os.path.join("data", f"v{v}")
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+    new_files, file_meta = _stage_files(table_dir, rel_dir)
+    stats = {}
+    if stats_cols:
+        for rel in new_files:
+            stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
+    if mode == "append":
+        carried = head["files"]
+        stats = {**head.get("stats", {}), **stats}
+        file_meta = {**head.get("file_meta", {}), **file_meta}
+    else:
+        carried = []
+    _commit_manifest(
+        table_dir,
+        v,
+        {
+            "version": v,
+            "mode": mode,
+            "branch": branch,
+            "parent": r["version"],
+            "files": carried + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": json.loads(df.schema.json()),
+            "expectations": effective_exp,
+        },
+    )
+    _write_ref(table_dir, branch, {**r, "version": v}, create=False)
+    return v
+
+
+def publish_branch(
+    table_dir: str,
+    branch: str,
+    spark: SparkSession | None = None,
+    audit: dict[str, str] | None = None,
+) -> int:
+    """The A+P of write-audit-publish: optionally AUDIT the branch head
+    (``audit`` = {name: SQL predicate} CHECK constraints evaluated over
+    the staged snapshot — requires ``spark``; a violation raises and
+    main is untouched), then PUBLISH by committing a main-line version
+    that carries the branch head's file list BY NAME — zero data I/O,
+    one atomic manifest replace, and default readers atomically see
+    exactly the audited bytes.
+
+    Fast-forward only: if main advanced past the branch's fork base,
+    publishing would silently drop those commits, so it raises instead
+    (re-branch from the new head and re-stage — the Iceberg
+    fast_forward contract). The branch ref survives publication;
+    drop_ref it when the staging lane is done."""
+    r = refs(table_dir).get(branch)
+    if r is None or r.get("type") != "branch":
+        raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
+    head_v = r["version"]
+    head = _load_manifest(table_dir, head_v)
+    if "branch" not in head:
+        # branch never written to: publishing is a no-op (head IS main)
+        return head_v
+    if audit:
+        if spark is None:
+            raise ValueError("audit requires a SparkSession")
+        _enforce_expectations(read_version(spark, table_dir, head_v), audit)
+    for _attempt in range(4):
+        main = main_versions(table_dir)
+        if main and main[-1] != r.get("base", main[-1]):
+            raise RuntimeError(
+                f"publish_branch: main advanced to v{main[-1]} past the "
+                f"branch fork base v{r.get('base')}; fast-forward publish "
+                "would drop those commits — re-branch and re-stage"
+            )
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir) != main:
+            _release_claim(table_dir, v)
+            continue
+        _commit_manifest(
+            table_dir,
+            v,
+            {
+                "version": v,
+                "mode": "publish",
+                "published_from": head_v,
+                "files": head["files"],
+                "stats": head.get("stats", {}),
+                "file_meta": head.get("file_meta", {}),
+                "schema": head.get("schema"),
+                "expectations": head.get("expectations", {}),
+            },
+        )
+        _write_ref(table_dir, branch, {**r, "base": v}, create=False)
+        return v
+    raise RuntimeError(
+        f"publish_branch: lost the optimistic-conflict race 4 times on {table_dir}"
+    )

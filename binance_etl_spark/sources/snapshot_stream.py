@@ -55,7 +55,11 @@ class _FileSlice(InputPartition):
 
 
 def _stream_schema(table_dir: str) -> StructType:
-    vs = versions(table_dir)
+    vs = [
+        v
+        for v in versions(table_dir)
+        if "branch" not in _load_manifest(table_dir, v)
+    ]
     if not vs:
         raise FileNotFoundError(f"no committed snapshots in {table_dir}")
     schema = _manifest_schema(_load_manifest(table_dir, vs[-1]))
@@ -108,6 +112,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if v not in vs:
                 continue  # crashed-commit hole in the version sequence
             m = _load_manifest(self.table_dir, v)
+            if "branch" in m:
+                # staged WAP branch commit: invisible to the main feed
+                # until published (the publish commit then streams the
+                # staged files as ordinary adds — prev_files untouched
+                # here so the diff lands on the publish, not the stage)
+                continue
             mode = m.get("mode", "append")
             is_base = v == vs[0]  # the table's first commit streams as-is
             if mode in _REWRITE_MODES and not is_base:
@@ -121,7 +131,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 prev_files = set(m["files"])
                 continue
             if prev_files is None:
-                earlier = [pv for pv in vs if pv < v]
+                earlier = [
+                    pv
+                    for pv in vs
+                    if pv < v
+                    and "branch" not in _load_manifest(self.table_dir, pv)
+                ]
                 prev_files = (
                     set(_load_manifest(self.table_dir, earlier[-1])["files"])
                     if earlier

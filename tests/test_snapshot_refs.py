@@ -1,0 +1,193 @@
+"""Snapshot-log refs: tags, branches, write-audit-publish (WAP), and
+incremental (small-file-only) compaction — operators/snapshots.py.
+
+The WAP contract under test is Iceberg's: staged branch commits share
+the table's version log and data namespace but are INVISIBLE to every
+default reader until an audited, fast-forward-only publish; a tag pins
+a snapshot against retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from binance_etl_spark.operators import snapshots as SNAP
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+# --- incremental compaction ------------------------------------------
+
+
+def test_incremental_compact_merges_only_small_files(spark, table):
+    # one big commit (single file) + many small append commits
+    SNAP.write_version(_df(spark, 0, 50_000).coalesce(1), table)
+    for i in range(4):
+        SNAP.write_version(
+            _df(spark, 50_000 + i * 10, 50_000 + (i + 1) * 10).coalesce(1), table
+        )
+    m_before = SNAP._load_manifest(table, SNAP.versions(table)[-1])
+    big = [
+        rel
+        for rel, meta in m_before["file_meta"].items()
+        if meta["bytes"] >= 100_000
+    ]
+    assert big, "expected the 50k-row file to exceed the threshold"
+    v = SNAP.compact(spark, table, min_file_bytes=100_000)
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "compact"
+    # the big file is carried BY NAME — zero I/O for it
+    for rel in big:
+        assert rel in m["files"]
+    assert m["carried"] == len(big)
+    assert m["rewrote"] == len(m_before["files"]) - len(big)
+    # row-preserving
+    assert SNAP.read_version(spark, table).count() == 50_040
+    # far fewer files than before
+    assert len(m["files"]) < len(m_before["files"])
+
+
+def test_incremental_compact_noop_when_nothing_to_merge(spark, table):
+    SNAP.write_version(_df(spark, 0, 50_000).coalesce(1), table)
+    head = SNAP.versions(table)[-1]
+    assert SNAP.compact(spark, table, min_file_bytes=100_000) == head
+    assert SNAP.versions(table)[-1] == head  # no new commit
+
+
+# --- tags -------------------------------------------------------------
+
+
+def test_tag_pins_snapshot_and_survives_vacuum(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_tag(table, "train-v1")
+    SNAP.write_version(_df(spark, 10, 20), table)
+    SNAP.write_version(_df(spark, 20, 30), table)
+    assert SNAP.read_ref(spark, table, "train-v1").count() == 10
+    # tags are immutable names
+    with pytest.raises(FileExistsError):
+        SNAP.create_tag(table, "train-v1")
+    # vacuum(keep_last=1) would expire v1, but the tag pins it
+    SNAP.vacuum(table, keep_last=1)
+    assert SNAP.read_ref(spark, table, "train-v1").count() == 10
+    # dropping the tag releases the pin
+    SNAP.drop_ref(table, "train-v1")
+    SNAP.vacuum(table, keep_last=1)
+    assert 1 not in SNAP.versions(table)
+
+
+# --- branches + WAP ---------------------------------------------------
+
+
+def test_branch_commits_invisible_until_published(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "staging")
+    bv = SNAP.write_branch(_df(spark, 10, 25), table, "staging")
+    # staged rows visible on the branch...
+    assert SNAP.read_ref(spark, table, "staging").count() == 25
+    assert SNAP.read_version(spark, table, bv).count() == 25  # explicit
+    # ...but every default-reader surface still sees only main
+    assert SNAP.read_version(spark, table).count() == 10
+    assert SNAP.count_rows(table) == 10
+    assert SNAP.main_versions(table) == [1]
+    # a concurrent main append is NOT contaminated by the staged files
+    SNAP.write_version(_df(spark, 1000, 1005), table)
+    assert SNAP.read_version(spark, table).count() == 15
+
+
+def test_publish_is_zero_copy_and_atomic(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "wap")
+    SNAP.write_branch(_df(spark, 10, 25), table, "wap")
+    head = SNAP.refs(table)["wap"]["version"]
+    head_files = set(SNAP._load_manifest(table, head)["files"])
+    v = SNAP.publish_branch(table, "wap")
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "publish" and m["published_from"] == head
+    # publish carries the audited FILE LIST by name — no new data files
+    assert set(m["files"]) == head_files
+    assert SNAP.read_version(spark, table).count() == 25
+    assert SNAP.count_rows(table) == 25
+
+
+def test_publish_audit_failure_leaves_main_untouched(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "wap")
+    SNAP.write_branch(_df(spark, 10, 25), table, "wap")
+    with pytest.raises(ValueError, match="expectations violated"):
+        SNAP.publish_branch(table, "wap", spark=spark, audit={"v_small": "v < 40"})
+    assert SNAP.read_version(spark, table).count() == 10
+    # fix the data on a fresh branch-overwrite and publish with audit
+    SNAP.write_branch(
+        _df(spark, 0, 12), table, "wap", mode="overwrite"
+    )
+    v = SNAP.publish_branch(table, "wap", spark=spark, audit={"v_small": "v < 40"})
+    assert SNAP.read_version(spark, table, v).count() == 12
+
+
+def test_publish_refuses_non_fast_forward(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "wap")
+    SNAP.write_branch(_df(spark, 10, 25), table, "wap")
+    SNAP.write_version(_df(spark, 100, 105), table)  # main advances
+    with pytest.raises(RuntimeError, match="fast-forward"):
+        SNAP.publish_branch(table, "wap")
+    assert SNAP.read_version(spark, table).count() == 15
+
+
+def test_branch_writes_inherit_expectations(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table, expectations={"pos": "id >= 0"})
+    SNAP.create_branch(table, "b")
+    with pytest.raises(ValueError, match="expectations violated"):
+        SNAP.write_branch(_df(spark, -5, 0), table, "b")
+
+
+def test_vacuum_expires_unpinned_branch_commits(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "b")
+    bv1 = SNAP.write_branch(_df(spark, 10, 20), table, "b")
+    bv2 = SNAP.write_branch(_df(spark, 20, 30), table, "b")
+    SNAP.write_version(_df(spark, 100, 110), table)
+    # branch HEAD (bv2) is ref-pinned; the intermediate bv1 expires
+    SNAP.vacuum(table, keep_last=1)
+    vs = SNAP.versions(table)
+    assert bv2 in vs and bv1 not in vs
+    assert SNAP.read_ref(spark, table, "b").count() == 30
+
+
+def test_stream_skips_staged_commits_and_serves_publish(spark, table, tmp_path):
+    from binance_etl_spark.sources.snapshot_stream import stream_snapshot
+
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "wap")
+    SNAP.write_branch(_df(spark, 10, 25), table, "wap")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_snapshot(spark, table)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # staged rows did NOT stream
+    assert drain().count() == 10
+    # publish, then resume: exactly the staged rows arrive as adds
+    SNAP.publish_branch(table, "wap")
+    got = drain()
+    assert got.count() == 25
+    assert got.selectExpr("max(id)").collect()[0][0] == 24
