@@ -147,6 +147,9 @@ HEADLINE_LLM = [
     "ms_ofi_forward_returns",
     "ms_amihud_illiq",
     "ms_kyle_lambda",
+    # round-6 lakehouse wave 2: WAP staged publish, bloom point-delete.
+    "sink_snapshot_wap",
+    "sink_bloom_delete_keys",
 ]
 
 

@@ -165,6 +165,7 @@ def write_version(
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
     expectations: dict[str, str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
@@ -182,6 +183,12 @@ def write_version(
     commit is REFUSED if any incoming row violates any of them. Costs
     one extra aggregate pass over ``df`` per commit, as Delta's CHECK
     enforcement does.
+    bloom_cols: record a per-file BLOOM FILTER over these key columns
+    for point-lookup file skipping (`select_files_point`,
+    `delete_keys`). Inherited like expectations: later appends keep
+    building blooms for their new files over the table's bloom
+    columns. Integer and string keys only (see the bloom section).
+    Costs one extra column-pruned pass over the NEW files per commit.
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
 
@@ -251,11 +258,20 @@ def write_version(
     if stats_cols:
         for rel in new_files:
             stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
-    if prior and mode == "append":
-        prev = _load_manifest(table_dir, prior[-1])
+    prev = (
+        _load_manifest(table_dir, prior[-1]) if prior and mode == "append" else {}
+    )
+    eff_bloom_cols = sorted(set(bloom_cols or []) | set(_prev_bloom_cols(prev)))
+    blooms = (
+        _build_blooms(df.sparkSession, table_dir, new_files, eff_bloom_cols)
+        if eff_bloom_cols
+        else {}
+    )
+    if prev:
         carried = prev["files"]
         stats = {**prev.get("stats", {}), **stats}
         file_meta = {**prev.get("file_meta", {}), **file_meta}
+        blooms = {**prev.get("blooms", {}), **blooms}
     else:
         carried = []
     manifest = {
@@ -267,6 +283,9 @@ def write_version(
         "schema": json.loads(df.schema.json()),
         "expectations": effective_exp,
     }
+    if blooms:
+        manifest["blooms"] = blooms
+        manifest["bloom_params"] = {"m": _BLOOM_M, "k": _BLOOM_K}
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     _commit_manifest(table_dir, v, manifest)
@@ -309,6 +328,166 @@ def _release_claim(table_dir: str, v: int) -> None:
         os.remove(os.path.join(_manifest_dir(table_dir), f".claim-v{v}"))
     except FileNotFoundError:
         pass
+
+
+# --- manifest bloom filters (point-lookup file skipping) -------------
+#
+# min/max stats prune RANGE predicates but are useless for point
+# lookups on high-cardinality keys (every file's [min,max] spans the
+# probe). The classic fix is a per-file BLOOM FILTER in the metadata
+# (Parquet bloom pages / Delta's deletion-vector-era file skipping):
+# k hash probes against an m-bit set answer "definitely absent" with
+# zero I/O. The flagship consumer is `delete_keys` — the GDPR
+# delete-by-id — which prunes its affected-file scan to the files
+# that MAY hold a requested key instead of scanning the whole table.
+#
+# Engine-portable hashing: bit position i = first 8 hex chars of
+# md5("{i}:{value}") mod m, with the value rendered via Spark's
+# CAST(x AS STRING) — identical to Python's str() for integer and
+# string keys (the supported key types), so the distributed builder
+# (JVM md5) and the driver-side prober (hashlib md5) agree bit-exactly.
+
+_BLOOM_M = 2048  # bits per file per column (256 bytes as hex in JSON)
+_BLOOM_K = 4  # hash probes; ~1% FPR at ~200 distinct keys/file
+
+
+def _bloom_positions(col: str, m: int, k: int):
+    """Array<bigint> of the k bloom bit positions for a column value —
+    pure JVM expressions (md5 + conv), no UDF."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def _build_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    rels: list[str],
+    cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict:
+    """{rel: {col: hex-bitmap}} for the given files — ONE distributed
+    pass over just those files' key columns (column-pruned scan), a
+    groupBy(file) whose result is bounded by files x cols x m bits, so
+    the driver collect is metadata-sized. Cost scales with the NEW
+    files of a commit, never the table."""
+    from urllib.parse import unquote, urlparse
+
+    if not rels or not cols:
+        return {}
+    root = os.path.abspath(table_dir)
+    df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+    have = [c for c in cols if c in df.columns]
+    if not have:
+        return {}
+    parts = []
+    for c in have:
+        parts.append(
+            df.where(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.lit(c).alias("_c"),
+                F.explode(_bloom_positions(c, m, k)).alias("_pos"),
+            )
+        )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    rows = (
+        long.groupBy("_f", "_c").agg(F.collect_set("_pos").alias("_bits")).collect()
+    )
+    out: dict[str, dict[str, str]] = {}
+    for r in rows:
+        p = unquote(urlparse(r["_f"]).path) or r["_f"]
+        rel = os.path.normpath(os.path.relpath(p, root))
+        buf = bytearray(m // 8)
+        for pos in r["_bits"]:
+            buf[pos // 8] |= 1 << (pos % 8)
+        out.setdefault(rel, {})[r["_c"]] = bytes(buf).hex()
+    return out
+
+
+def _bloom_maybe_contains(bloom_hex: str, value, m: int, k: int) -> bool:
+    """Driver-side probe: False means DEFINITELY absent from the file."""
+    import hashlib
+
+    buf = bytes.fromhex(bloom_hex)
+    for i in range(k):
+        pos = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        if not (buf[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
+def _prev_bloom_cols(prev: dict) -> list[str]:
+    return sorted({c for bm in prev.get("blooms", {}).values() for c in bm})
+
+
+def _carry_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    prev: dict,
+    untouched: list[str],
+    new_files: list[str],
+) -> dict:
+    """Rewrite-commit bloom maintenance: carry untouched files' blooms
+    by name, rebuild over the same key columns for rewritten files —
+    the same discipline `_file_stats` recompute follows."""
+    keep = set(untouched)
+    blooms = {
+        rel: bm for rel, bm in prev.get("blooms", {}).items() if rel in keep
+    }
+    cols = _prev_bloom_cols(prev)
+    if cols and new_files:
+        bp = prev.get("bloom_params", {})
+        blooms.update(
+            _build_blooms(
+                spark,
+                table_dir,
+                new_files,
+                cols,
+                bp.get("m", _BLOOM_M),
+                bp.get("k", _BLOOM_K),
+            )
+        )
+    return blooms
+
+
+def select_files_point(
+    table_dir: str, version: int | None, col: str, values: list
+) -> tuple[list[str], list[str]]:
+    """Manifest-level POINT-LOOKUP file skipping: split a snapshot's
+    files into (candidates, skipped) for ``col IN values`` using the
+    per-file blooms. Files without a bloom for ``col`` are always
+    candidates (skipping is an I/O optimization, never a filter)."""
+    vs = versions(table_dir)
+    if version is None:
+        version = main_versions(table_dir)[-1]
+    manifest = _load_manifest(table_dir, version)
+    blooms = manifest.get("blooms", {})
+    bp = manifest.get("bloom_params", {})
+    m, k = bp.get("m", _BLOOM_M), bp.get("k", _BLOOM_K)
+    cand, skipped = [], []
+    for rel in manifest["files"]:
+        bh = blooms.get(rel, {}).get(col)
+        if bh is not None and not any(
+            _bloom_maybe_contains(bh, v, m, k) for v in values
+        ):
+            skipped.append(rel)
+        else:
+            cand.append(rel)
+    return cand, skipped
 
 
 def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
@@ -409,26 +588,136 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             },
             **new_meta,
         }
-        _commit_manifest(
-            table_dir,
-            v,
-            {
-                "version": v,
-                "mode": "delete",
-                "condition": condition,
-                "files": untouched + new_files,
-                "stats": stats,
-                "file_meta": file_meta,
-                "schema": prev.get("schema"),
-                "expectations": prev.get("expectations", {}),
-                "rewrote": len(affected),
-                "carried": len(untouched),
-            },
-        )
+        manifest = {
+            "version": v,
+            "mode": "delete",
+            "condition": condition,
+            "files": untouched + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "rewrote": len(affected),
+            "carried": len(untouched),
+        }
+        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
+        if blooms:
+            manifest["blooms"] = blooms
+            manifest["bloom_params"] = prev.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
         f"delete_where: lost the optimistic-conflict race 4 times on {table_dir}; "
         "a writer is appending faster than the delete can scan"
+    )
+
+
+def delete_keys(
+    spark: SparkSession, table_dir: str, col: str, values: list
+) -> int:
+    """Point-delete by key — the GDPR erasure-request fast path.
+    Semantically ``delete_where(f"{col} IN (...)")``, but the
+    affected-file scan is PRE-PRUNED by the manifest blooms
+    (`select_files_point`): only files whose bloom says MAYBE for some
+    requested key are opened at all. On a 100 TB table with blooms on
+    the id column, a thousand-key erasure batch touches the handful of
+    files that can hold those keys instead of scanning every file —
+    the difference between a maintenance query and a table scan.
+    Files without blooms stay candidates (pruning is never a filter),
+    so the op is correct on tables that never enabled blooms — it just
+    degrades to delete_where's full scan. Integer/string keys only
+    (the bloom hashing contract). Same optimistic-conflict retry and
+    atomic manifest publish as delete_where; records the IN-list
+    condition in the manifest for `history`."""
+    from urllib.parse import unquote, urlparse
+
+    if not values:
+        raise ValueError("delete_keys: empty key list")
+    root = os.path.abspath(table_dir)
+    vset = set(values)
+    condition = f"{col} IN ({', '.join(repr(v) for v in sorted(vset))})"
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to delete from")
+        prev = _load_manifest(table_dir, prior[-1])
+        candidates, _pruned = select_files_point(
+            table_dir, prior[-1], col, sorted(vset)
+        )
+        affected_rel: set[str] = set()
+        if candidates:
+            schema = _manifest_schema(prev)
+            reader = spark.read.schema(schema) if schema is not None else spark.read
+            cand_df = reader.parquet(
+                *[os.path.join(table_dir, rel) for rel in candidates]
+            )
+            for r in (
+                cand_df.where(F.col(col).isin(list(vset)))
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            ):
+                p = unquote(urlparse(r["f"]).path) or r["f"]
+                affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
+        untouched = [
+            rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
+        ]
+        affected = [
+            rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
+        ]
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        new_files: list[str] = []
+        new_meta: dict = {}
+        if affected:
+            keep = spark.read.parquet(
+                *[os.path.join(table_dir, rel) for rel in affected]
+            ).where(~F.col(col).isin(list(vset)))
+            rel_dir = os.path.join("data", f"v{v}")
+            keep.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+            new_files, new_meta = _stage_files(table_dir, rel_dir)
+        stats = {
+            rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
+        if prev_stat_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), prev_stat_cols)
+        file_meta = {
+            **{
+                rel: m
+                for rel, m in prev.get("file_meta", {}).items()
+                if rel in set(untouched)
+            },
+            **new_meta,
+        }
+        manifest = {
+            "version": v,
+            "mode": "delete",
+            "condition": condition,
+            "files": untouched + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "rewrote": len(affected),
+            "carried": len(untouched),
+            "bloom_pruned": len(_pruned),
+        }
+        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
+        if blooms:
+            manifest["blooms"] = blooms
+            manifest["bloom_params"] = prev.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"delete_keys: lost the optimistic-conflict race 4 times on {table_dir}"
     )
 
 
@@ -549,21 +838,24 @@ def merge_into(
             },
             **new_meta,
         }
-        _commit_manifest(
-            table_dir,
-            v,
-            {
-                "version": v,
-                "mode": "merge",
-                "files": untouched + new_files,
-                "stats": stats,
-                "file_meta": file_meta,
-                "schema": prev.get("schema"),
-                "expectations": exp,
-                "rewrote": len(affected),
-                "carried": len(untouched),
-            },
-        )
+        manifest = {
+            "version": v,
+            "mode": "merge",
+            "files": untouched + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": prev.get("schema"),
+            "expectations": exp,
+            "rewrote": len(affected),
+            "carried": len(untouched),
+        }
+        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
+        if blooms:
+            manifest["blooms"] = blooms
+            manifest["bloom_params"] = prev.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
         f"merge_into: lost the optimistic-conflict race 4 times on {table_dir}"
@@ -656,22 +948,25 @@ def compact(
             },
             **file_meta,
         }
-        _commit_manifest(
-            table_dir,
-            v,
-            {
-                "version": v,
-                "mode": "compact",
-                "files": carried + new_files,
-                "stats": stats,
-                "file_meta": file_meta,
-                "schema": prev.get("schema"),
-                "expectations": prev.get("expectations", {}),
-                "compacted_from": v_read,
-                "rewrote": len(to_merge),
-                "carried": len(carried),
-            },
-        )
+        manifest = {
+            "version": v,
+            "mode": "compact",
+            "files": carried + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "compacted_from": v_read,
+            "rewrote": len(to_merge),
+            "carried": len(carried),
+        }
+        blooms = _carry_blooms(spark, table_dir, prev, carried, new_files)
+        if blooms:
+            manifest["blooms"] = blooms
+            manifest["bloom_params"] = prev.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
         f"compact: lost the optimistic-conflict race 4 times on {table_dir}"
@@ -1191,27 +1486,36 @@ def write_branch(
     if stats_cols:
         for rel in new_files:
             stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
+    head_bloom_cols = _prev_bloom_cols(head) if mode == "append" else []
+    blooms = (
+        _build_blooms(df.sparkSession, table_dir, new_files, head_bloom_cols)
+        if head_bloom_cols
+        else {}
+    )
     if mode == "append":
         carried = head["files"]
         stats = {**head.get("stats", {}), **stats}
         file_meta = {**head.get("file_meta", {}), **file_meta}
+        blooms = {**head.get("blooms", {}), **blooms}
     else:
         carried = []
-    _commit_manifest(
-        table_dir,
-        v,
-        {
-            "version": v,
-            "mode": mode,
-            "branch": branch,
-            "parent": r["version"],
-            "files": carried + new_files,
-            "stats": stats,
-            "file_meta": file_meta,
-            "schema": json.loads(df.schema.json()),
-            "expectations": effective_exp,
-        },
-    )
+    manifest = {
+        "version": v,
+        "mode": mode,
+        "branch": branch,
+        "parent": r["version"],
+        "files": carried + new_files,
+        "stats": stats,
+        "file_meta": file_meta,
+        "schema": json.loads(df.schema.json()),
+        "expectations": effective_exp,
+    }
+    if blooms:
+        manifest["blooms"] = blooms
+        manifest["bloom_params"] = head.get(
+            "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+        )
+    _commit_manifest(table_dir, v, manifest)
     _write_ref(table_dir, branch, {**r, "version": v}, create=False)
     return v
 
@@ -1259,20 +1563,22 @@ def publish_branch(
         if main_versions(table_dir) != main:
             _release_claim(table_dir, v)
             continue
-        _commit_manifest(
-            table_dir,
-            v,
-            {
-                "version": v,
-                "mode": "publish",
-                "published_from": head_v,
-                "files": head["files"],
-                "stats": head.get("stats", {}),
-                "file_meta": head.get("file_meta", {}),
-                "schema": head.get("schema"),
-                "expectations": head.get("expectations", {}),
-            },
-        )
+        manifest = {
+            "version": v,
+            "mode": "publish",
+            "published_from": head_v,
+            "files": head["files"],
+            "stats": head.get("stats", {}),
+            "file_meta": head.get("file_meta", {}),
+            "schema": head.get("schema"),
+            "expectations": head.get("expectations", {}),
+        }
+        if head.get("blooms"):
+            manifest["blooms"] = head["blooms"]
+            manifest["bloom_params"] = head.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
         _write_ref(table_dir, branch, {**r, "base": v}, create=False)
         return v
     raise RuntimeError(

@@ -1,0 +1,133 @@
+"""Lakehouse-format operators over the snapshot commit log, wave 2:
+write-audit-publish staging and bloom-pruned point deletes.
+
+- sink_snapshot_wap: the Iceberg WAP pattern (operators/snapshots.py
+  refs section) — stage on a branch, prove staged data is INVISIBLE
+  to default readers, audit, then fast-forward publish atomically.
+- sink_bloom_delete_keys: GDPR erasure by key via per-file manifest
+  BLOOM FILTERS — the affected-file scan opens only files whose bloom
+  says MAYBE, instead of scanning the table.
+
+Reference parity note: the reference ETL (binance_etl, ~539 LoC) has
+no table format; these are north-star extension operators per
+SURVEY.md §2.12, mirroring the Iceberg/Delta features a 100 TB
+training-corpus store needs (staged ingestion audits; erasure requests
+that don't table-scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+
+@register(
+    "sink_snapshot_wap",
+    oracle="""
+    SELECT 'staged_invisible' AS phase, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT 'published', COUNT(*), MIN(event_id), MAX(event_id)
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Write-audit-publish (WAP) staging over the snapshot log "
+    "(operators/snapshots.py refs: create_branch / write_branch / "
+    "publish_branch — the Iceberg WAP contract): events <1000 commit "
+    "to main, events 1000..1999 are STAGED on a branch. The query "
+    "reads the default (main) snapshot while the staged commit exists "
+    "— proving branch commits are invisible to every default reader — "
+    "then AUDITS the staged snapshot with a CHECK predicate and "
+    "publishes by fast-forwarding main onto the branch head's file "
+    "list BY NAME: zero data I/O, one atomic manifest replace, and "
+    "readers see exactly the audited bytes. A failed audit leaves "
+    "main untouched (pinned in tests/test_snapshot_refs.py, along "
+    "with non-fast-forward refusal, vacuum ref-pinning, and the "
+    "change-stream skipping staged commits). At 100 TB this is how "
+    "ingestion lands: quarantine-by-default, publish-after-audit.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    table = tempfile.mkdtemp(prefix="besk_wap_") + "/events_wap"
+    SNAP.write_version(e.where(F.col("event_id") < 1000), table, mode="append")
+    SNAP.create_branch(table, "staging")
+    SNAP.write_branch(
+        e.where((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)),
+        table,
+        "staging",
+    )
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).select(F.lit(phase).alias("phase"), "n", "min_id", "max_id")
+
+    # default read WHILE the staged commit exists: must not see it
+    pre = stats(SNAP.read_version(spark, table), "staged_invisible")
+    SNAP.publish_branch(
+        table, "staging", spark=spark, audit={"ids_in_range": "event_id < 2000"}
+    )
+    post = stats(SNAP.read_version(spark, table), "published")
+    return pre.unionByName(post)
+
+
+@register(
+    "sink_bloom_delete_keys",
+    oracle="""
+    SELECT 1 AS version, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 2, lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id NOT IN (3, 7, 11) GROUP BY lang
+    """,
+    doc="Point-delete by key via manifest BLOOM FILTERS "
+    "(operators/snapshots.py: bloom_cols / select_files_point / "
+    "delete_keys): the corpus commits range-partitioned with a "
+    "per-file bloom over doc_id (built in one column-pruned "
+    "distributed pass, stored as 256-byte bitmaps in the manifest), "
+    "then three erasure-request keys delete through the bloom-pruned "
+    "path — only files whose bloom answers MAYBE are opened by the "
+    "affected-file scan; every definitely-absent file is skipped with "
+    "ZERO I/O, driver-side, before Spark sees a path. At 100 TB with "
+    "blooms on the id column an erasure batch touches a handful of "
+    "files instead of scanning the table — min/max stats cannot do "
+    "this for high-cardinality keys (every file's range spans the "
+    "probe). No false negatives by construction; files without blooms "
+    "stay candidates (tests/test_snapshot_blooms.py pins skipping, "
+    "inheritance through appends/compaction, and the no-bloom "
+    "degradation). The query value-checks pre- and post-delete "
+    "snapshots per language.",
+    tags=("sink", "layout", "versioning", "llm"),
+)
+def sink_bloom_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_bloomdel_") + "/docs_bloom"
+    SNAP.write_version(
+        d.repartitionByRange(4, "doc_id"), table, bloom_cols=["doc_id"]
+    )
+    SNAP.delete_keys(spark, table, "doc_id", [3, 7, 11])
+
+    def stats(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(F.lit(v).alias("version"), "lang", "n_docs", "sum_chars")
+
+    v1 = stats(SNAP.read_version(spark, table, version=1), 1)
+    v2 = stats(SNAP.read_version(spark, table), 2)
+    return v1.unionByName(v2)

@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         dq,
         formats,
         graph,
+        lakehouse,
         llm_ops,
         llm_ops2,
         llm_ops3,

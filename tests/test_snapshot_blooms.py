@@ -1,0 +1,115 @@
+"""Manifest bloom filters + the bloom-pruned point-delete fast path
+(operators/snapshots.py: bloom_cols / select_files_point / delete_keys).
+
+Contract under test: blooms are an I/O optimization, never a filter —
+a "skip" is always safe (no false negatives by construction of the
+k-hash probe), files without blooms stay candidates, and the blooms
+follow the table through appends, compactions and rewrites."""
+
+from __future__ import annotations
+
+import pytest
+
+from binance_etl_spark.operators import snapshots as SNAP
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _ids(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .selectExpr("id", "CAST(id % 5 AS STRING) AS grp")
+        .repartitionByRange(parts, "id")
+    )
+
+
+def test_bloom_point_skipping(spark, table):
+    SNAP.write_version(_ids(spark, 0, 1000), table, bloom_cols=["id"])
+    m = SNAP._load_manifest(table, 1)
+    assert set(m["blooms"]) == set(m["files"])  # every file has a bloom
+    cand, skipped = SNAP.select_files_point(table, None, "id", [7])
+    # key 7 lives in exactly one range file; blooms prune the rest
+    assert len(cand) >= 1 and len(skipped) >= 1
+    assert len(cand) + len(skipped) == len(m["files"])
+    # the file that truly holds the key is always a candidate (no
+    # false negatives): deleting via the pruned path must erase it
+    v = SNAP.delete_keys(spark, table, "id", [7])
+    got = SNAP.read_version(spark, table, v)
+    assert got.where("id = 7").count() == 0
+    assert got.count() == 999
+
+
+def test_bloom_absent_key_prunes_everything(spark, table):
+    SNAP.write_version(_ids(spark, 0, 1000), table, bloom_cols=["id"])
+    cand, skipped = SNAP.select_files_point(table, None, "id", [10_000_000])
+    # an absent key should (with ~2% FPR per file) skip nearly all
+    # files; correctness needs none of that — just no false negatives
+    assert len(skipped) >= 1
+    # delete of an absent key commits a carry-everything no-op version
+    v = SNAP.delete_keys(spark, table, "id", [10_000_000])
+    m = SNAP._load_manifest(table, v)
+    assert m["rewrote"] == 0
+    assert SNAP.read_version(spark, table, v).count() == 1000
+
+
+def test_blooms_inherited_by_appends(spark, table):
+    SNAP.write_version(_ids(spark, 0, 500), table, bloom_cols=["id"])
+    SNAP.write_version(_ids(spark, 500, 1000), table)  # no bloom_cols arg
+    m = SNAP._load_manifest(table, 2)
+    assert set(m["blooms"]) == set(m["files"]), (
+        "append must keep building blooms over the table's bloom columns"
+    )
+    cand, skipped = SNAP.select_files_point(table, None, "id", [750])
+    assert len(skipped) >= 1
+
+
+def test_delete_keys_without_blooms_degrades_to_full_scan(spark, table):
+    SNAP.write_version(_ids(spark, 0, 100), table)  # no blooms at all
+    v = SNAP.delete_keys(spark, table, "id", [3, 4])
+    m = SNAP._load_manifest(table, v)
+    assert m["bloom_pruned"] == 0
+    got = SNAP.read_version(spark, table, v)
+    assert got.count() == 98 and got.where("id IN (3,4)").count() == 0
+
+
+def test_delete_keys_minimal_rewrite_and_prune_evidence(spark, table):
+    SNAP.write_version(_ids(spark, 0, 1000), table, bloom_cols=["id"])
+    m1 = SNAP._load_manifest(table, 1)
+    v = SNAP.delete_keys(spark, table, "id", [42])
+    m2 = SNAP._load_manifest(table, v)
+    # only the file(s) holding key 42 rewrite; the rest carry by name
+    assert m2["rewrote"] >= 1
+    assert m2["bloom_pruned"] >= 1
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == m2["carried"]
+    # rewritten files got FRESH blooms (the deleted key now probes
+    # absent in most files, though FPR makes that probabilistic; the
+    # structural check is bloom presence for every file)
+    assert set(m2["blooms"]) == set(m2["files"])
+
+
+def test_blooms_survive_compaction(spark, table):
+    SNAP.write_version(_ids(spark, 0, 300, parts=3), table, bloom_cols=["id"])
+    SNAP.write_version(_ids(spark, 300, 600, parts=3), table)
+    v = SNAP.compact(spark, table, target_files=2)
+    m = SNAP._load_manifest(table, v)
+    assert set(m["blooms"]) == set(m["files"])
+    cand, skipped = SNAP.select_files_point(table, None, "id", [5])
+    assert len(cand) >= 1
+    assert SNAP.read_version(spark, table, v).count() == 600
+
+
+def test_bloom_string_keys(spark, table):
+    df = spark.range(0, 400).selectExpr(
+        "CONCAT('user-', id) AS uid", "id AS n"
+    ).repartitionByRange(4, "n")
+    SNAP.write_version(df, table, bloom_cols=["uid"])
+    cand, skipped = SNAP.select_files_point(table, None, "uid", ["user-17"])
+    assert len(skipped) >= 1
+    v = SNAP.delete_keys(spark, table, "uid", ["user-17", "user-350"])
+    got = SNAP.read_version(spark, table, v)
+    assert got.count() == 398
+    assert got.where("uid IN ('user-17','user-350')").count() == 0
