@@ -147,9 +147,14 @@ HEADLINE_LLM = [
     "ms_ofi_forward_returns",
     "ms_amihud_illiq",
     "ms_kyle_lambda",
-    # round-6 lakehouse wave 2: WAP staged publish, bloom point-delete.
+    # round-6 lakehouse wave 2: WAP staged publish, bloom point-delete,
+    # deletion-vector merge-on-read delete lifecycle.
     "sink_snapshot_wap",
     "sink_bloom_delete_keys",
+    "sink_delete_mor",
+    # round-6 filter batteries: Gopher rules + C4 line cleaning.
+    "text_gopher_rules",
+    "text_c4_clean",
 ]
 
 

@@ -286,6 +286,11 @@ def write_version(
     if blooms:
         manifest["blooms"] = blooms
         manifest["bloom_params"] = {"m": _BLOOM_M, "k": _BLOOM_K}
+    if prev.get("dv"):
+        # appends carry the deletion vector BY NAME: old files keep
+        # their deletes, new files have none
+        manifest["dv"] = prev["dv"]
+        manifest["dv_rows"] = prev.get("dv_rows", 0)
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     _commit_manifest(table_dir, v, manifest)
@@ -490,6 +495,173 @@ def select_files_point(
     return cand, skipped
 
 
+# --- deletion vectors (merge-on-read deletes) ------------------------
+#
+# Copy-on-write deletes (`delete_where`) rewrite every file that holds
+# a matching row — correct, but at 100 TB a daily erasure batch that
+# touches one row in each of 10k files rewrites 10 TB to delete 10k
+# rows. The modern answer (Delta deletion vectors / Iceberg v2
+# positional deletes) is MERGE-ON-READ: record (file, row_position) of
+# deleted rows in a small sidecar dataset and have every reader
+# anti-join it; no data file is touched. Readers pay a (usually
+# broadcast) anti-join; maintenance folds the vectors back in —
+# a full-rewrite `compact()` PURGES them by construction because it
+# reads through the DV filter and writes clean files.
+#
+# Layout: one parquet dataset per DV-bearing version under
+# ``dv/v<N>/`` with rows (f: file-relative-path, pos: row_index).
+# Appends carry the previous version's DV dataset BY NAME (their new
+# files have no deleted rows); rewrite commits drop entries for
+# rewritten files and carry the rest. Row positions come from the
+# parquet reader's `_metadata.row_index` — stable because data files
+# are immutable once committed.
+
+
+def _dv_df(spark: SparkSession, table_dir: str, manifest: dict):
+    rel = manifest.get("dv")
+    if not rel:
+        return None
+    return spark.read.parquet(os.path.join(table_dir, rel))
+
+
+def _live_rows(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    rels: list[str],
+    with_file: bool = False,
+) -> DataFrame:
+    """Read the given files of a snapshot with its deletion vector
+    applied (the merge-on-read read path). ``with_file=True`` keeps a
+    ``__f`` column carrying each row's file-relative path — the
+    DV-safe replacement for input_file_name() in affected-file scans.
+    Tables without a DV read exactly as before (plus the manifest-
+    pinned schema); the anti-join only exists when deletes do."""
+    root = os.path.abspath(table_dir)
+    schema = _manifest_schema(manifest)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+    cols = df.columns
+    dv = _dv_df(spark, table_dir, manifest)
+    if dv is None and not with_file:
+        return df
+    rel_expr = F.expr(
+        f"substring(_metadata.file_path, "
+        f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
+    )
+    tagged = df.select(
+        *cols,
+        rel_expr.alias("__f"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if dv is not None:
+        dvr = dv.select(F.col("f").alias("__f"), F.col("pos").alias("__pos"))
+        tagged = tagged.join(dvr, ["__f", "__pos"], "left_anti")
+    return tagged.select(*cols, "__f") if with_file else tagged.select(*cols)
+
+
+def _carry_dv(
+    spark: SparkSession,
+    table_dir: str,
+    prev: dict,
+    untouched: list[str],
+    v: int,
+) -> tuple[str | None, int]:
+    """Rewrite-commit DV maintenance: entries for rewritten files fold
+    into the clean rewrite (they were filtered out by `_live_rows`),
+    entries for carried files persist into a fresh dataset for the new
+    version. Returns (dv_rel or None, dv_row_count)."""
+    dv = _dv_df(spark, table_dir, prev)
+    if dv is None:
+        return None, 0
+    keep = dv.where(F.col("f").isin([os.path.normpath(r) for r in untouched]))
+    n = keep.count()
+    if n == 0:
+        return None, 0
+    rel = os.path.join("dv", f"v{v}")
+    keep.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    return rel, n
+
+
+def delete_where_mor(
+    spark: SparkSession, table_dir: str, condition: str
+) -> int:
+    """Merge-on-read DELETE: commit a new snapshot in which every row
+    matching ``condition`` is gone — WITHOUT rewriting any data file.
+    One scan finds matching (file, row_position) pairs; they merge
+    into the table's deletion vector; the new manifest carries the
+    SAME file list plus the new DV. Every reader (`read_version`,
+    `read_changes`, the CoW maintenance ops, `count_rows`) applies the
+    vector; a later full `compact()` folds it into clean files and
+    drops it. NULL-valued conditions keep the row (SQL DELETE
+    semantics), and rows already deleted dedupe away. Same
+    optimistic-conflict retry discipline as delete_where."""
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to delete from")
+        prev = _load_manifest(table_dir, prior[-1])
+        cond = F.expr(condition)
+        live = _live_rows(spark, table_dir, prev, prev["files"], with_file=True)
+        root = os.path.abspath(table_dir)
+        rel_expr = F.expr(
+            f"substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
+        )
+        # positions come from the raw read (pre-anti-join) restricted
+        # to live rows via the same cond filter; re-deleting an
+        # already-deleted row is a distinct() no-op
+        schema = _manifest_schema(prev)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        raw = reader.parquet(
+            *[os.path.join(table_dir, rel) for rel in prev["files"]]
+        )
+        matches = (
+            raw.where(F.coalesce(cond, F.lit(False)))
+            .select(
+                rel_expr.alias("f"),
+                F.col("_metadata.row_index").cast("bigint").alias("pos"),
+            )
+        )
+        old_dv = _dv_df(spark, table_dir, prev)
+        new_dv = (
+            matches.unionByName(old_dv).distinct()
+            if old_dv is not None
+            else matches.distinct()
+        )
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        dv_rel = os.path.join("dv", f"v{v}")
+        new_dv.write.mode("overwrite").parquet(os.path.join(table_dir, dv_rel))
+        dv_rows = spark.read.parquet(os.path.join(table_dir, dv_rel)).count()
+        manifest = {
+            "version": v,
+            "mode": "delete",
+            "condition": condition,
+            "files": list(prev["files"]),
+            "stats": prev.get("stats", {}),
+            "file_meta": prev.get("file_meta", {}),
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "rewrote": 0,
+            "carried": len(prev["files"]),
+            "dv": dv_rel,
+            "dv_rows": dv_rows,
+        }
+        if prev.get("blooms"):
+            manifest["blooms"] = prev["blooms"]
+            manifest["bloom_params"] = prev.get(
+                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+            )
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"delete_where_mor: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
 def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
     """Targeted DELETE (the right-to-be-forgotten / retention op):
     commit a new snapshot in which every row matching ``condition`` is
@@ -533,20 +705,17 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to delete from")
         prev = _load_manifest(table_dir, prior[-1])
-        snap = read_version(spark, table_dir, prior[-1])
         cond = F.expr(condition)
-        # input_file_name() yields absolute URIs; strip the table root
-        # and compare NORMALIZED RELATIVE paths exactly — suffix
-        # matching would alias same-named files across versions.
-        affected_rel = set()
-        for r in (
-            snap.where(cond)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        ):
-            p = unquote(urlparse(r["f"]).path) or r["f"]
-            affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
+        # the tagged live read carries each row's file-RELATIVE path
+        # (exact normalized comparison — suffix matching would alias
+        # same-named files across versions) and applies any deletion
+        # vector, so DV-erased rows can neither mark a file affected
+        # nor resurrect in the rewrite.
+        live = _live_rows(spark, table_dir, prev, prev["files"], with_file=True)
+        affected_rel = {
+            os.path.normpath(r["__f"])
+            for r in live.where(cond).select("__f").distinct().collect()
+        }
 
         untouched = [
             rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
@@ -562,10 +731,8 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
         new_files: list[str] = []
         new_meta: dict = {}
         if affected:
-            keep = (
-                spark.read.parquet(
-                    *[os.path.join(table_dir, rel) for rel in affected]
-                ).where(~F.coalesce(cond, F.lit(False)))
+            keep = _live_rows(spark, table_dir, prev, affected).where(
+                ~F.coalesce(cond, F.lit(False))
             )
             rel_dir = os.path.join("data", f"v{v}")
             staging = os.path.join(table_dir, rel_dir)
@@ -606,6 +773,10 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             manifest["bloom_params"] = prev.get(
                 "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
             )
+        dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
+        if dv_rel:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -631,11 +802,8 @@ def delete_keys(
     (the bloom hashing contract). Same optimistic-conflict retry and
     atomic manifest publish as delete_where; records the IN-list
     condition in the manifest for `history`."""
-    from urllib.parse import unquote, urlparse
-
     if not values:
         raise ValueError("delete_keys: empty key list")
-    root = os.path.abspath(table_dir)
     vset = set(values)
     condition = f"{col} IN ({', '.join(repr(v) for v in sorted(vset))})"
     for _attempt in range(4):
@@ -648,19 +816,16 @@ def delete_keys(
         )
         affected_rel: set[str] = set()
         if candidates:
-            schema = _manifest_schema(prev)
-            reader = spark.read.schema(schema) if schema is not None else spark.read
-            cand_df = reader.parquet(
-                *[os.path.join(table_dir, rel) for rel in candidates]
+            cand_df = _live_rows(
+                spark, table_dir, prev, candidates, with_file=True
             )
-            for r in (
-                cand_df.where(F.col(col).isin(list(vset)))
-                .select(F.input_file_name().alias("f"))
+            affected_rel = {
+                os.path.normpath(r["__f"])
+                for r in cand_df.where(F.col(col).isin(list(vset)))
+                .select("__f")
                 .distinct()
                 .collect()
-            ):
-                p = unquote(urlparse(r["f"]).path) or r["f"]
-                affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
+            }
         untouched = [
             rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
         ]
@@ -674,9 +839,9 @@ def delete_keys(
         new_files: list[str] = []
         new_meta: dict = {}
         if affected:
-            keep = spark.read.parquet(
-                *[os.path.join(table_dir, rel) for rel in affected]
-            ).where(~F.col(col).isin(list(vset)))
+            keep = _live_rows(spark, table_dir, prev, affected).where(
+                ~F.col(col).isin(list(vset))
+            )
             rel_dir = os.path.join("data", f"v{v}")
             keep.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
             new_files, new_meta = _stage_files(table_dir, rel_dir)
@@ -714,6 +879,10 @@ def delete_keys(
             manifest["bloom_params"] = prev.get(
                 "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
             )
+        dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
+        if dv_rel:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -784,17 +953,18 @@ def merge_into(
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"target columns {sorted(snap.columns)}"
             )
-        from urllib.parse import unquote, urlparse
-
-        tagged = snap.withColumn("_f", F.input_file_name()).withColumn(
-            "_k", key_struct
-        )
-        affected_rel = set()
-        for r in (
-            tagged.join(all_keys, "_k", "left_semi").select("_f").distinct().collect()
-        ):
-            p = unquote(urlparse(r["_f"]).path) or r["_f"]
-            affected_rel.add(os.path.normpath(os.path.relpath(p, root)))
+        # tagged live read: file-relative path per row, deletion vector
+        # applied (a DV-erased row must not mark its file affected)
+        tagged = _live_rows(
+            spark, table_dir, prev, prev["files"], with_file=True
+        ).withColumn("_k", key_struct)
+        affected_rel = {
+            os.path.normpath(r["__f"])
+            for r in tagged.join(all_keys, "_k", "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
         untouched = [
             rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
         ]
@@ -811,7 +981,7 @@ def merge_into(
             _enforce_expectations(upserts, exp)
         cols = snap.columns
         kept = (
-            spark.read.parquet(*[os.path.join(table_dir, rel) for rel in affected])
+            _live_rows(spark, table_dir, prev, affected)
             .withColumn("_k", key_struct)
             .join(all_keys, "_k", "left_anti")
             .select(*cols)
@@ -855,6 +1025,10 @@ def merge_into(
             manifest["bloom_params"] = prev.get(
                 "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
             )
+        dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
+        if dv_rel:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -921,9 +1095,9 @@ def compact(
                 return v_read  # nothing to merge: no-op, no commit
             small_bytes = sum(size(rel) for rel in to_merge)
             n_out = max(1, -(-small_bytes // min_file_bytes))  # ceil
-        schema = _manifest_schema(prev)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        df = reader.parquet(*[os.path.join(table_dir, rel) for rel in to_merge])
+        # the live read applies any deletion vector, so a full rewrite
+        # PURGES merge-on-read deletes into clean files by construction
+        df = _live_rows(spark, table_dir, prev, to_merge)
         v = _claim_version(table_dir, versions(table_dir))
         if main_versions(table_dir)[-1] != v_read:
             _release_claim(table_dir, v)  # newer commit landed mid-read
@@ -966,6 +1140,10 @@ def compact(
             manifest["bloom_params"] = prev.get(
                 "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
             )
+        dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, carried, v)
+        if dv_rel:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1070,13 +1248,11 @@ def read_version(
     if version not in vs:
         raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
     manifest = _load_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
-    # apply the manifest-pinned schema: reads are deterministic under
-    # schema evolution (old files yield NULL for later-added columns,
-    # and time travel returns each version's OWN schema).
-    schema = _manifest_schema(manifest)
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*paths)
+    # `_live_rows` applies the manifest-pinned schema (reads are
+    # deterministic under schema evolution; time travel returns each
+    # version's OWN schema) and the version's deletion vector, if any
+    # (merge-on-read deletes — see delete_where_mor).
+    return _live_rows(spark, table_dir, manifest, manifest["files"])
 
 
 def count_rows(table_dir: str, version: int | None = None) -> int:
@@ -1099,7 +1275,9 @@ def count_rows(table_dir: str, version: int | None = None) -> int:
             total += meta[rel]["rows"]
         else:  # pre-file_meta commit: footer read, no data scan
             total += pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
-    return total
+    # merge-on-read deletes: DV rows are live-row subtractions, and the
+    # manifest records their count at commit time — still zero data I/O
+    return total - m.get("dv_rows", 0)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -1117,7 +1295,11 @@ def history(table_dir: str) -> list[dict]:
             "version": v,
             "mode": m.get("mode"),
             "n_files": len(m["files"]),
-            "n_rows": sum(meta[rel]["rows"] for rel in m["files"]) if have_all else None,
+            "n_rows": (
+                sum(meta[rel]["rows"] for rel in m["files"]) - m.get("dv_rows", 0)
+            )
+            if have_all
+            else None,
             "n_bytes": sum(meta[rel]["bytes"] for rel in m["files"]) if have_all else None,
         }
         for k in (
@@ -1129,6 +1311,7 @@ def history(table_dir: str) -> list[dict]:
             "branch",
             "parent",
             "published_from",
+            "dv_rows",
         ):
             if k in m:
                 entry[k] = m[k]
@@ -1151,33 +1334,73 @@ def read_changes(
     so an append yields pure inserts (no diff join at all), a
     `delete_where` rewrite yields exactly the erased rows as deletes
     (survivors cancel), and a `compact` — which rewrites bytes but no
-    rows — yields ZERO changes, as a changelog should. Result carries
-    a `change_type` column ('insert' | 'delete'). Both endpoints must
-    still be committed (within retention — see vacuum's contract);
-    `from_version == to_version` returns an empty frame."""
+    rows — yields ZERO changes, as a changelog should. Merge-on-read
+    deletes (`delete_where_mor`) change NO files, so their delta comes
+    from the DELETION-VECTOR diff instead: rows of files present in
+    both versions whose (file, position) is deleted in ``to`` but not
+    ``from`` surface as deletes — I/O proportional to the DV delta.
+    Result carries a `change_type` column ('insert' | 'delete'). Both
+    endpoints must still be committed (within retention — see vacuum's
+    contract); `from_version == to_version` returns an empty frame."""
     vs = versions(table_dir)
     for v in (from_version, to_version):
         if v not in vs:
             raise FileNotFoundError(f"snapshot v{v} not committed in {table_dir}")
     if from_version > to_version:
         raise ValueError("from_version must be <= to_version")
-    files_from = set(_load_manifest(table_dir, from_version)["files"])
-    files_to = set(_load_manifest(table_dir, to_version)["files"])
+    m_from = _load_manifest(table_dir, from_version)
+    m_to = _load_manifest(table_dir, to_version)
+    files_from = set(m_from["files"])
+    files_to = set(m_to["files"])
     added = sorted(files_to - files_from)
     removed = sorted(files_from - files_to)
-
-    def _read(rels: list[str]) -> DataFrame:
-        return spark.read.parquet(*[os.path.join(table_dir, r) for r in rels])
+    common = sorted(files_from & files_to)
 
     empty = read_version(spark, table_dir, to_version).limit(0)
-    a = _read(added) if added else empty
-    r = _read(removed) if removed else empty
+    cols = empty.columns
+    # live reads: each side's deletion vector applied, so a row erased
+    # before `from` can never re-surface in the diff
+    a = _live_rows(spark, table_dir, m_to, added) if added else empty
+    r = _live_rows(spark, table_dir, m_from, removed) if removed else empty
+
+    # DV delta over files both versions share
+    dv_ins = dv_del = empty
+    dv_f = _dv_df(spark, table_dir, m_from)
+    dv_t = _dv_df(spark, table_dir, m_to)
+    if common and (dv_f is not None or dv_t is not None):
+        zf = dv_f if dv_f is not None else dv_t.limit(0)
+        zt = dv_t if dv_t is not None else dv_f.limit(0)
+        common_n = [os.path.normpath(c) for c in common]
+
+        def _rows_at(posdf: DataFrame) -> DataFrame:
+            root = os.path.abspath(table_dir)
+            schema = _manifest_schema(m_to)
+            reader = spark.read.schema(schema) if schema is not None else spark.read
+            raw = reader.parquet(*[os.path.join(table_dir, c) for c in common])
+            tagged = raw.select(
+                *cols,
+                F.expr(
+                    f"substring(_metadata.file_path, "
+                    f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
+                ).alias("__f"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            keys = posdf.where(F.col("f").isin(common_n)).selectExpr(
+                "f AS __f", "pos AS __pos"
+            )
+            return tagged.join(keys, ["__f", "__pos"], "left_semi").select(*cols)
+
+        dv_del = _rows_at(zt.exceptAll(zf))  # newly deleted rows
+        dv_ins = _rows_at(zf.exceptAll(zt))  # un-deleted rows (rare)
+
     tag = lambda df, t: df.withColumn("change_type", F.lit(t))  # noqa: E731
-    if not removed:  # pure append: no diff needed
-        return tag(a, "insert")
-    if not added:  # pure drop (overwrite to smaller set)
-        return tag(r, "delete")
-    return tag(a.exceptAll(r), "insert").unionByName(tag(r.exceptAll(a), "delete"))
+    if added and removed:
+        ins, dele = a.exceptAll(r), r.exceptAll(a)
+    else:
+        ins, dele = a, r
+    return tag(ins.unionByName(dv_ins), "insert").unionByName(
+        tag(dele.unionByName(dv_del), "delete")
+    )
 
 
 def read_version_as_of(
@@ -1326,6 +1549,33 @@ def vacuum(
                 removed_orphans += 1
                 if claim is not None and os.path.exists(claim):
                     os.remove(claim)  # stale claim reclaimed with its dir
+    # deletion-vector datasets: a DV dir survives while ANY kept
+    # manifest references it (appends share a DV by name); expired-only
+    # DVs and crashed-commit DV orphans sweep like data dirs, with the
+    # same live-claim TTL guard for an in-flight delete_where_mor.
+    referenced_dv = {
+        os.path.normpath(_load_manifest(table_dir, v)["dv"])
+        for v in keep
+        if "dv" in _load_manifest(table_dir, v)
+    }
+    dv_root = os.path.join(table_dir, "dv")
+    if os.path.isdir(dv_root):
+        for entry in sorted(os.listdir(dv_root)):
+            rel_dir = os.path.normpath(os.path.join("dv", entry))
+            full = os.path.join(dv_root, entry)
+            if not os.path.isdir(full) or rel_dir in referenced_dv:
+                continue
+            m = re.match(r"^v(\d+)$", entry)
+            claim = (
+                os.path.join(_manifest_dir(table_dir), f".claim-v{m.group(1)}")
+                if m
+                else None
+            )
+            if claim is not None and os.path.exists(claim):
+                if time.time() - os.path.getmtime(claim) < claim_ttl_seconds:
+                    continue
+            shutil.rmtree(full)
+            removed_orphans += 1
     for v in expired:  # manifests go LAST (see safety note)
         os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
     return {
@@ -1515,6 +1765,9 @@ def write_branch(
         manifest["bloom_params"] = head.get(
             "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
         )
+    if mode == "append" and head.get("dv"):
+        manifest["dv"] = head["dv"]
+        manifest["dv_rows"] = head.get("dv_rows", 0)
     _commit_manifest(table_dir, v, manifest)
     _write_ref(table_dir, branch, {**r, "version": v}, create=False)
     return v
@@ -1578,6 +1831,9 @@ def publish_branch(
             manifest["bloom_params"] = head.get(
                 "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
             )
+        if head.get("dv"):
+            manifest["dv"] = head["dv"]
+            manifest["dv_rows"] = head.get("dv_rows", 0)
         _commit_manifest(table_dir, v, manifest)
         _write_ref(table_dir, branch, {**r, "base": v}, create=False)
         return v

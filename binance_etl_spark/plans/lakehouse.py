@@ -131,3 +131,60 @@ def sink_bloom_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = stats(SNAP.read_version(spark, table, version=1), 1)
     v2 = stats(SNAP.read_version(spark, table), 2)
     return v1.unionByName(v2)
+
+
+@register(
+    "sink_delete_mor",
+    oracle="""
+    SELECT 'v1' AS phase, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'mor_deleted', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    UNION ALL
+    SELECT 'purged', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    """,
+    doc="Merge-on-read DELETE via deletion vectors "
+    "(operators/snapshots.py::delete_where_mor — the Delta deletion-"
+    "vector / Iceberg v2 positional-delete shape): the corpus commits "
+    "as v1, then every doc with doc_id %% 7 = 3 is deleted WITHOUT "
+    "touching a single data file — one scan records (file, "
+    "row_position) pairs into a sidecar dataset the manifest carries, "
+    "and every reader (read_version, read_changes, count_rows, the "
+    "CoW maintenance ops) anti-joins it. The query value-checks all "
+    "three lifecycle phases: the pre-delete snapshot, the MOR-deleted "
+    "snapshot (file list verbatim, vector applied), and the post-"
+    "compact snapshot where the vector has been PURGED into clean "
+    "files (compaction reads through the DV filter by construction) — "
+    "same values, zero vector. At 100 TB this is the difference "
+    "between an erasure batch that rewrites 10 TB to drop 10k rows "
+    "and one that writes a megabyte sidecar; maintenance folds the "
+    "vectors in on its own schedule. Carried-file/rewritten-file DV "
+    "semantics, CDC delta, vacuum retention, and no-resurrection "
+    "under CoW/merge are pinned in tests/test_deletion_vectors.py.",
+    tags=("sink", "layout", "versioning", "llm"),
+)
+def sink_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_mor_") + "/docs_mor"
+    SNAP.write_version(d.repartitionByRange(4, "doc_id"), table)
+    v2 = SNAP.delete_where_mor(spark, table, "doc_id % 7 = 3")
+    v3 = SNAP.compact(spark, table, target_files=2)
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(F.lit(phase).alias("phase"), "lang", "n_docs", "sum_chars")
+
+    return (
+        stats(SNAP.read_version(spark, table, version=1), "v1")
+        .unionByName(stats(SNAP.read_version(spark, table, version=v2), "mor_deleted"))
+        .unionByName(stats(SNAP.read_version(spark, table, version=v3), "purged"))
+    )

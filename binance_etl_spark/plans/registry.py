@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         llm_ops10,
         llm_ops11,
         llm_ops12,
+        llm_ops13,
         microstructure,
         relational,
         relational2,
