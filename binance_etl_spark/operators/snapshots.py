@@ -261,17 +261,12 @@ def write_version(
     prev = (
         _load_manifest(table_dir, prior[-1]) if prior and mode == "append" else {}
     )
-    eff_bloom_cols = sorted(set(bloom_cols or []) | set(_prev_bloom_cols(prev)))
-    blooms = (
-        _build_blooms(df.sparkSession, table_dir, new_files, eff_bloom_cols)
-        if eff_bloom_cols
-        else {}
-    )
+    new_meta = dict(file_meta)  # this commit's files only (for bloom sizing)
+    eff_bloom_cols = sorted(set(bloom_cols or []) | set(prev.get("bloom_cols", [])))
     if prev:
         carried = prev["files"]
         stats = {**prev.get("stats", {}), **stats}
         file_meta = {**prev.get("file_meta", {}), **file_meta}
-        blooms = {**prev.get("blooms", {}), **blooms}
     else:
         carried = []
     manifest = {
@@ -283,9 +278,16 @@ def write_version(
         "schema": json.loads(df.schema.json()),
         "expectations": effective_exp,
     }
-    if blooms:
-        manifest["blooms"] = blooms
-        manifest["bloom_params"] = {"m": _BLOOM_M, "k": _BLOOM_K}
+    if eff_bloom_cols:
+        manifest["bloom_cols"] = eff_bloom_cols
+        indexes = list(prev.get("bloom_indexes", [])) if prev else []
+        idx_rel = _write_bloom_index(
+            df.sparkSession, table_dir, new_files, eff_bloom_cols, new_meta, v
+        )
+        if idx_rel:
+            indexes.append(idx_rel)
+        if indexes:
+            manifest["bloom_indexes"] = indexes
     if prev.get("dv"):
         # appends carry the deletion vector BY NAME: old files keep
         # their deletes, new files have none
@@ -335,159 +337,208 @@ def _release_claim(table_dir: str, v: int) -> None:
         pass
 
 
-# --- manifest bloom filters (point-lookup file skipping) -------------
+# --- bloom filter index (point-lookup file skipping) -----------------
 #
 # min/max stats prune RANGE predicates but are useless for point
 # lookups on high-cardinality keys (every file's [min,max] spans the
-# probe). The classic fix is a per-file BLOOM FILTER in the metadata
-# (Parquet bloom pages / Delta's deletion-vector-era file skipping):
-# k hash probes against an m-bit set answer "definitely absent" with
-# zero I/O. The flagship consumer is `delete_keys` — the GDPR
-# delete-by-id — which prunes its affected-file scan to the files
-# that MAY hold a requested key instead of scanning the whole table.
+# probe). The classic fix is a per-file BLOOM FILTER (Parquet bloom
+# pages / Iceberg puffin blooms): k hash probes against an m-bit set
+# answer "definitely absent" with zero data I/O. The flagship consumer
+# is `delete_keys` — the GDPR delete-by-id — which prunes its
+# affected-file scan to the files that MAY hold a requested key.
 #
-# Engine-portable hashing: bit position i = first 8 hex chars of
-# md5("{i}:{value}") mod m, with the value rendered via Spark's
-# CAST(x AS STRING) — identical to Python's str() for integer and
-# string keys (the supported key types), so the distributed builder
-# (JVM md5) and the driver-side prober (hashlib md5) agree bit-exactly.
+# Two decisions matter at 100 TB (both probed in scale_probe --lake):
+# - SIZE ADAPTIVELY: a fixed small m saturates the moment files carry
+#   more keys than it was sized for (an always-1 bitmap prunes
+#   nothing). m is chosen per commit as ~12 bits per row of the
+#   commit's largest new file (power of two, clamped) — ~0.7% FPR at
+#   k=4 regardless of file size.
+# - SIDECAR, NOT INLINE: bitmaps live in parquet INDEX datasets under
+#   ``bloom/v<N>/`` (rows: f, col, m, k, bits BINARY), built and
+#   written executor-side; the manifest stores only the column list
+#   and the LIST of index datasets (each commit appends one covering
+#   its new files — the Iceberg manifest-list shape). Commit cost is
+#   O(new files); nothing is rewritten; stale entries for files no
+#   snapshot lists anymore are dead weight until vacuum sweeps their
+#   index, never a correctness issue.
+#
+# Hashing is engine-portable and builder==prober by construction: bit
+# position i = int(md5("{i}:" + value)[:8 hex], 16) % m with the value
+# rendered via Spark CAST(x AS STRING) — identical to Python str() for
+# the supported integer and string key types.
 
-_BLOOM_M = 2048  # bits per file per column (256 bytes as hex in JSON)
-_BLOOM_K = 4  # hash probes; ~1% FPR at ~200 distinct keys/file
-
-
-def _bloom_positions(col: str, m: int, k: int):
-    """Array<bigint> of the k bloom bit positions for a column value —
-    pure JVM expressions (md5 + conv), no UDF."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % m
-            for i in range(k)
-        ]
-    )
+_BLOOM_K = 4  # hash probes
+_BLOOM_MIN_M = 2048  # floor: tiny files still get a real bitmap
+_BLOOM_MAX_M = 1 << 22  # cap: 512 KiB bitmap per file-column
+_BLOOM_BITS_PER_ROW = 12
 
 
-def _build_blooms(
+def _bloom_m_for(rows_max: int) -> int:
+    m = _BLOOM_MIN_M
+    while m < min(_BLOOM_BITS_PER_ROW * max(1, rows_max), _BLOOM_MAX_M):
+        m <<= 1
+    return m
+
+
+def _write_bloom_index(
     spark: SparkSession,
     table_dir: str,
     rels: list[str],
     cols: list[str],
-    m: int = _BLOOM_M,
-    k: int = _BLOOM_K,
-) -> dict:
-    """{rel: {col: hex-bitmap}} for the given files — ONE distributed
-    pass over just those files' key columns (column-pruned scan), a
-    groupBy(file) whose result is bounded by files x cols x m bits, so
-    the driver collect is metadata-sized. Cost scales with the NEW
-    files of a commit, never the table."""
-    from urllib.parse import unquote, urlparse
+    new_meta: dict,
+    v: int,
+) -> str | None:
+    """Build per-(file, column) bloom bitmaps for the given NEW files
+    and write them as the commit's index dataset ``bloom/v<v>/``.
+    One column-pruned pass: each input partition folds its rows into
+    local bitmaps (mapInPandas — the md5 loop runs executor-side,
+    parallel across files), then a groupBy(f, col) OR-reduce merges
+    the per-partition bitmaps; only bitmap-sized rows ever shuffle.
+    Returns the index's rel path, or None if there is nothing to do."""
+    import pandas as pd
 
     if not rels or not cols:
-        return {}
+        return None
     root = os.path.abspath(table_dir)
-    df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels])
-    have = [c for c in cols if c in df.columns]
+    probe = spark.read.parquet(*[os.path.join(table_dir, rels[0])])
+    have = [c for c in cols if c in probe.columns]
     if not have:
-        return {}
-    parts = []
-    for c in have:
-        parts.append(
-            df.where(F.col(c).isNotNull())
-            .select(
-                F.input_file_name().alias("_f"),
-                F.lit(c).alias("_c"),
-                F.explode(_bloom_positions(c, m, k)).alias("_pos"),
-            )
-        )
-    long = parts[0]
-    for p in parts[1:]:
-        long = long.unionByName(p)
-    rows = (
-        long.groupBy("_f", "_c").agg(F.collect_set("_pos").alias("_bits")).collect()
+        return None
+    rows_max = max(new_meta.get(rel, {}).get("rows", 0) for rel in rels)
+    m, k = _bloom_m_for(rows_max), _BLOOM_K
+    mb = m // 8
+    df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels]).select(
+        F.expr(
+            f"substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
+        ).alias("__f"),
+        *[F.col(c).cast("string").alias(c) for c in have],
     )
-    out: dict[str, dict[str, str]] = {}
-    for r in rows:
-        p = unquote(urlparse(r["_f"]).path) or r["_f"]
-        rel = os.path.normpath(os.path.relpath(p, root))
-        buf = bytearray(m // 8)
-        for pos in r["_bits"]:
-            buf[pos // 8] |= 1 << (pos % 8)
-        out.setdefault(rel, {})[r["_c"]] = bytes(buf).hex()
+
+    def fold(batches):
+        import hashlib
+
+        acc: dict[tuple[str, str], bytearray] = {}
+        for pdf in batches:
+            for c in have:
+                for f, val in zip(pdf["__f"], pdf[c]):
+                    if val is None:
+                        continue
+                    buf = acc.get((f, c))
+                    if buf is None:
+                        buf = acc[(f, c)] = bytearray(mb)
+                    for i in range(k):
+                        pos = (
+                            int(
+                                hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % m
+                        )
+                        buf[pos >> 3] |= 1 << (pos & 7)
+        out = [(f, c, bytes(b)) for (f, c), b in acc.items()]
+        yield pd.DataFrame(out, columns=["f", "col", "bits"])
+
+    def orred(pdf):
+        import numpy as np
+
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
+        out = arrs[0].copy()
+        for a in arrs[1:]:
+            out |= a
+        return pd.DataFrame(
+            [(pdf["f"].iloc[0], pdf["col"].iloc[0], out.tobytes())],
+            columns=["f", "col", "bits"],
+        )
+
+    agg = (
+        df.mapInPandas(fold, "f string, col string, bits binary")
+        .groupBy("f", "col")
+        .applyInPandas(orred, "f string, col string, bits binary")
+        .select(
+            "f", "col", F.lit(m).alias("m"), F.lit(k).alias("k"), "bits"
+        )
+    )
+    rel = os.path.join("bloom", f"v{v}")
+    agg.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    return rel
+
+
+def _load_bloom_entries(table_dir: str, manifest: dict) -> dict:
+    """{(file_rel, col): (m, k, bits)} from the manifest's index list —
+    driver-side pyarrow reads, no Spark job. Entries for files the
+    snapshot no longer lists are simply ignored by probes."""
+    import pyarrow.parquet as pq
+
+    out: dict[tuple[str, str], tuple[int, int, bytes]] = {}
+    for idx_rel in manifest.get("bloom_indexes", []):
+        path = os.path.join(table_dir, idx_rel)
+        if not os.path.isdir(path) and not os.path.isfile(path):
+            continue
+        t = pq.read_table(path)
+        for f, c, m, k, bits in zip(
+            t["f"].to_pylist(),
+            t["col"].to_pylist(),
+            t["m"].to_pylist(),
+            t["k"].to_pylist(),
+            t["bits"].to_pylist(),
+        ):
+            out[(os.path.normpath(f), c)] = (m, k, bits)
     return out
 
 
-def _bloom_maybe_contains(bloom_hex: str, value, m: int, k: int) -> bool:
+def _bloom_maybe_contains(bits: bytes, value, m: int, k: int) -> bool:
     """Driver-side probe: False means DEFINITELY absent from the file."""
     import hashlib
 
-    buf = bytes.fromhex(bloom_hex)
     for i in range(k):
         pos = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
-        if not (buf[pos // 8] >> (pos % 8)) & 1:
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
 
 
-def _prev_bloom_cols(prev: dict) -> list[str]:
-    return sorted({c for bm in prev.get("blooms", {}).values() for c in bm})
-
-
-def _carry_blooms(
+def _bloom_manifest_fields(
     spark: SparkSession,
     table_dir: str,
     prev: dict,
-    untouched: list[str],
     new_files: list[str],
+    new_meta: dict,
+    v: int,
 ) -> dict:
-    """Rewrite-commit bloom maintenance: carry untouched files' blooms
-    by name, rebuild over the same key columns for rewritten files —
-    the same discipline `_file_stats` recompute follows."""
-    keep = set(untouched)
-    blooms = {
-        rel: bm for rel, bm in prev.get("blooms", {}).items() if rel in keep
-    }
-    cols = _prev_bloom_cols(prev)
-    if cols and new_files:
-        bp = prev.get("bloom_params", {})
-        blooms.update(
-            _build_blooms(
-                spark,
-                table_dir,
-                new_files,
-                cols,
-                bp.get("m", _BLOOM_M),
-                bp.get("k", _BLOOM_K),
-            )
-        )
-    return blooms
+    """Commit fields for inheriting prev's bloom config: carry the
+    index list, append a fresh index covering this commit's new files
+    (the same discipline stats/file_meta recompute follows)."""
+    cols = prev.get("bloom_cols", [])
+    if not cols:
+        return {}
+    out: dict = {"bloom_cols": cols}
+    indexes = list(prev.get("bloom_indexes", []))
+    if new_files:
+        rel = _write_bloom_index(spark, table_dir, new_files, cols, new_meta, v)
+        if rel:
+            indexes.append(rel)
+    if indexes:
+        out["bloom_indexes"] = indexes
+    return out
 
 
 def select_files_point(
     table_dir: str, version: int | None, col: str, values: list
 ) -> tuple[list[str], list[str]]:
-    """Manifest-level POINT-LOOKUP file skipping: split a snapshot's
+    """Index-level POINT-LOOKUP file skipping: split a snapshot's
     files into (candidates, skipped) for ``col IN values`` using the
     per-file blooms. Files without a bloom for ``col`` are always
     candidates (skipping is an I/O optimization, never a filter)."""
-    vs = versions(table_dir)
     if version is None:
         version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
-    blooms = manifest.get("blooms", {})
-    bp = manifest.get("bloom_params", {})
-    m, k = bp.get("m", _BLOOM_M), bp.get("k", _BLOOM_K)
+    entries = _load_bloom_entries(table_dir, manifest)
     cand, skipped = [], []
     for rel in manifest["files"]:
-        bh = blooms.get(rel, {}).get(col)
-        if bh is not None and not any(
-            _bloom_maybe_contains(bh, v, m, k) for v in values
+        e = entries.get((os.path.normpath(rel), col))
+        if e is not None and not any(
+            _bloom_maybe_contains(e[2], val, e[0], e[1]) for val in values
         ):
             skipped.append(rel)
         else:
@@ -650,11 +701,10 @@ def delete_where_mor(
             "dv": dv_rel,
             "dv_rows": dv_rows,
         }
-        if prev.get("blooms"):
-            manifest["blooms"] = prev["blooms"]
-            manifest["bloom_params"] = prev.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        if prev.get("bloom_cols"):
+            manifest["bloom_cols"] = prev["bloom_cols"]
+            if prev.get("bloom_indexes"):
+                manifest["bloom_indexes"] = prev["bloom_indexes"]
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -767,12 +817,9 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             "rewrote": len(affected),
             "carried": len(untouched),
         }
-        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
-        if blooms:
-            manifest["blooms"] = blooms
-            manifest["bloom_params"] = prev.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        manifest.update(
+            _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
+        )
         dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
         if dv_rel:
             manifest["dv"] = dv_rel
@@ -873,12 +920,9 @@ def delete_keys(
             "carried": len(untouched),
             "bloom_pruned": len(_pruned),
         }
-        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
-        if blooms:
-            manifest["blooms"] = blooms
-            manifest["bloom_params"] = prev.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        manifest.update(
+            _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
+        )
         dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
         if dv_rel:
             manifest["dv"] = dv_rel
@@ -1019,12 +1063,9 @@ def merge_into(
             "rewrote": len(affected),
             "carried": len(untouched),
         }
-        blooms = _carry_blooms(spark, table_dir, prev, untouched, new_files)
-        if blooms:
-            manifest["blooms"] = blooms
-            manifest["bloom_params"] = prev.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        manifest.update(
+            _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
+        )
         dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
         if dv_rel:
             manifest["dv"] = dv_rel
@@ -1134,12 +1175,9 @@ def compact(
             "rewrote": len(to_merge),
             "carried": len(carried),
         }
-        blooms = _carry_blooms(spark, table_dir, prev, carried, new_files)
-        if blooms:
-            manifest["blooms"] = blooms
-            manifest["bloom_params"] = prev.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        manifest.update(
+            _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
+        )
         dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, carried, v)
         if dv_rel:
             manifest["dv"] = dv_rel
@@ -1549,21 +1587,27 @@ def vacuum(
                 removed_orphans += 1
                 if claim is not None and os.path.exists(claim):
                     os.remove(claim)  # stale claim reclaimed with its dir
-    # deletion-vector datasets: a DV dir survives while ANY kept
-    # manifest references it (appends share a DV by name); expired-only
-    # DVs and crashed-commit DV orphans sweep like data dirs, with the
-    # same live-claim TTL guard for an in-flight delete_where_mor.
-    referenced_dv = {
-        os.path.normpath(_load_manifest(table_dir, v)["dv"])
-        for v in keep
-        if "dv" in _load_manifest(table_dir, v)
-    }
-    dv_root = os.path.join(table_dir, "dv")
-    if os.path.isdir(dv_root):
-        for entry in sorted(os.listdir(dv_root)):
-            rel_dir = os.path.normpath(os.path.join("dv", entry))
-            full = os.path.join(dv_root, entry)
-            if not os.path.isdir(full) or rel_dir in referenced_dv:
+    # sidecar datasets (deletion vectors under dv/, bloom indexes under
+    # bloom/): a sidecar dir survives while ANY kept manifest references
+    # it (appends share them by name); expired-only sidecars and
+    # crashed-commit orphans sweep like data dirs, with the same
+    # live-claim TTL guard for an in-flight committer.
+    referenced_side: set[str] = set()
+    for v in keep:
+        m = _load_manifest(table_dir, v)
+        if "dv" in m:
+            referenced_side.add(os.path.normpath(m["dv"]))
+        referenced_side.update(
+            os.path.normpath(rel) for rel in m.get("bloom_indexes", [])
+        )
+    for side in ("dv", "bloom"):
+        side_root = os.path.join(table_dir, side)
+        if not os.path.isdir(side_root):
+            continue
+        for entry in sorted(os.listdir(side_root)):
+            rel_dir = os.path.normpath(os.path.join(side, entry))
+            full = os.path.join(side_root, entry)
+            if not os.path.isdir(full) or rel_dir in referenced_side:
                 continue
             m = re.match(r"^v(\d+)$", entry)
             claim = (
@@ -1736,17 +1780,10 @@ def write_branch(
     if stats_cols:
         for rel in new_files:
             stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
-    head_bloom_cols = _prev_bloom_cols(head) if mode == "append" else []
-    blooms = (
-        _build_blooms(df.sparkSession, table_dir, new_files, head_bloom_cols)
-        if head_bloom_cols
-        else {}
-    )
     if mode == "append":
         carried = head["files"]
         stats = {**head.get("stats", {}), **stats}
         file_meta = {**head.get("file_meta", {}), **file_meta}
-        blooms = {**head.get("blooms", {}), **blooms}
     else:
         carried = []
     manifest = {
@@ -1760,10 +1797,11 @@ def write_branch(
         "schema": json.loads(df.schema.json()),
         "expectations": effective_exp,
     }
-    if blooms:
-        manifest["blooms"] = blooms
-        manifest["bloom_params"] = head.get(
-            "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
+    if mode == "append":
+        manifest.update(
+            _bloom_manifest_fields(
+                df.sparkSession, table_dir, head, new_files, file_meta, v
+            )
         )
     if mode == "append" and head.get("dv"):
         manifest["dv"] = head["dv"]
@@ -1826,11 +1864,10 @@ def publish_branch(
             "schema": head.get("schema"),
             "expectations": head.get("expectations", {}),
         }
-        if head.get("blooms"):
-            manifest["blooms"] = head["blooms"]
-            manifest["bloom_params"] = head.get(
-                "bloom_params", {"m": _BLOOM_M, "k": _BLOOM_K}
-            )
+        if head.get("bloom_cols"):
+            manifest["bloom_cols"] = head["bloom_cols"]
+            if head.get("bloom_indexes"):
+                manifest["bloom_indexes"] = head["bloom_indexes"]
         if head.get("dv"):
             manifest["dv"] = head["dv"]
             manifest["dv_rows"] = head.get("dv_rows", 0)

@@ -8,7 +8,12 @@ combinable aggregation, broadcast or banded joins), while an
 accidentally quadratic or shuffle-fat plan blows past 10x. Results are
 recorded in PERFORMANCE.md.
 
-Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10] [--ann]
+Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10] [--ann] [--lake]
+
+--lake probes the lakehouse DELETE strategies at sf0.1 vs 10x docs:
+bloom-pruned delete_keys (near-constant files opened), CoW full-scan
+delete_where, and MOR delete_where_mor vs CoW under a spread
+predicate (the rewrite-everything worst case).
 
 --ann probes the ANN tier (sim_ann_pq / sim_ann_ivfpq /
 sim_ann_recall) at sf0.1 vs 10x embeddings: the shuffle-free
@@ -361,6 +366,83 @@ def ann_main(spark) -> None:
         )
 
 
+def lake_main(spark) -> None:
+    """Lakehouse-tier slope probe: the three DELETE strategies at
+    sf0.1 vs 10x documents. Healthy =
+    - `delete_keys` (bloom-pruned) opens a near-constant number of
+      files regardless of table size (the prune is driver-side over
+      manifest bitmaps), so its wall grows far slower than the table;
+    - `delete_where` (CoW full scan) scales with table bytes — the
+      baseline the blooms beat;
+    - `delete_where_mor` under a SPREAD predicate (every file holds a
+      match, the CoW worst case) avoids the full-table rewrite: its
+      wall tracks the scan, while CoW pays scan + rewrite of every
+      affected file."""
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    def build_table(sf_dir: str, bloom: bool) -> str:
+        d = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "lang", "n_chars", "text")
+            .repartitionByRange(16, "doc_id")
+        )
+        t = tempfile.mkdtemp(prefix="lake_probe_") + "/docs"
+        SNAP.write_version(d, t, bloom_cols=["doc_id"] if bloom else None)
+        return t
+
+    keys = [3, 7, 11]
+    spread = "doc_id % 97 = 3"
+    print(f"\n{'op':26s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}  evidence")
+    rows = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
+        t = build_table(sf_dir, bloom=True)
+        t0 = time.time()
+        v = SNAP.delete_keys(spark, t, "doc_id", keys)
+        m = SNAP._load_manifest(t, v)
+        n_files = len(SNAP._load_manifest(t, 1)["files"])
+        rows[("delete_keys(bloom)", label)] = (
+            time.time() - t0,
+            f"pruned {m['bloom_pruned']}/{n_files} files, rewrote {m['rewrote']}",
+        )
+        t = build_table(sf_dir, bloom=False)
+        t0 = time.time()
+        v = SNAP.delete_where(spark, t, f"doc_id IN ({', '.join(map(str, keys))})")
+        m = SNAP._load_manifest(t, v)
+        rows[("delete_where(CoW scan)", label)] = (
+            time.time() - t0,
+            f"scanned all, rewrote {m['rewrote']}",
+        )
+        t = build_table(sf_dir, bloom=False)
+        t0 = time.time()
+        v = SNAP.delete_where_mor(spark, t, spread)
+        m = SNAP._load_manifest(t, v)
+        rows[("delete_mor(spread)", label)] = (
+            time.time() - t0,
+            f"dv_rows {m['dv_rows']}, rewrote 0",
+        )
+        t = build_table(sf_dir, bloom=False)
+        t0 = time.time()
+        v = SNAP.delete_where(spark, t, spread)
+        m = SNAP._load_manifest(t, v)
+        rows[("delete_cow(spread)", label)] = (
+            time.time() - t0,
+            f"rewrote {m['rewrote']} files (worst case)",
+        )
+    for op in (
+        "delete_keys(bloom)",
+        "delete_where(CoW scan)",
+        "delete_mor(spread)",
+        "delete_cow(spread)",
+    ):
+        (t0, e0), (t1, e1) = rows[(op, "sf0.1")], rows[(op, "sf~1")]
+        print(
+            f"{op:26s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
+            f"sf0.1: {e0} | sf~1: {e1}"
+        )
+
+
 def main() -> None:
     extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
     spark = get_spark("scale-probe", extra)
@@ -370,6 +452,9 @@ def main() -> None:
         build(spark)
     if "--ann" in sys.argv:
         ann_main(spark)
+        return
+    if "--lake" in sys.argv:
+        lake_main(spark)
         return
     if "--stages" in sys.argv or "--llm10" in sys.argv:
         if not os.path.isdir(DST100):

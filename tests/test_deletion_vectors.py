@@ -158,5 +158,7 @@ def test_mor_delete_with_blooms_carries_them(spark, table):
     SNAP.write_version(_df(spark, 0, 200), table, bloom_cols=["id"])
     v = SNAP.delete_where_mor(spark, table, "id = 17")
     m = SNAP._load_manifest(table, v)
-    assert set(m["blooms"]) == set(m["files"])
+    entries = SNAP._load_bloom_entries(table, m)
+    covered = {f for (f, c) in entries}
+    assert covered >= {SNAP.os.path.normpath(f) for f in m["files"]}
     assert SNAP.read_version(spark, table).count() == 199

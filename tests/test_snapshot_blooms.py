@@ -29,7 +29,10 @@ def _ids(spark, lo, hi, parts=4):
 def test_bloom_point_skipping(spark, table):
     SNAP.write_version(_ids(spark, 0, 1000), table, bloom_cols=["id"])
     m = SNAP._load_manifest(table, 1)
-    assert set(m["blooms"]) == set(m["files"])  # every file has a bloom
+    assert m["bloom_cols"] == ["id"] and m["bloom_indexes"]
+    entries = SNAP._load_bloom_entries(table, m)
+    covered = {f for (f, c) in entries}
+    assert covered == {SNAP.os.path.normpath(f) for f in m["files"]}
     cand, skipped = SNAP.select_files_point(table, None, "id", [7])
     # key 7 lives in exactly one range file; blooms prune the rest
     assert len(cand) >= 1 and len(skipped) >= 1
@@ -59,7 +62,9 @@ def test_blooms_inherited_by_appends(spark, table):
     SNAP.write_version(_ids(spark, 0, 500), table, bloom_cols=["id"])
     SNAP.write_version(_ids(spark, 500, 1000), table)  # no bloom_cols arg
     m = SNAP._load_manifest(table, 2)
-    assert set(m["blooms"]) == set(m["files"]), (
+    entries = SNAP._load_bloom_entries(table, m)
+    covered = {f for (f, c) in entries}
+    assert covered >= {SNAP.os.path.normpath(f) for f in m["files"]}, (
         "append must keep building blooms over the table's bloom columns"
     )
     cand, skipped = SNAP.select_files_point(table, None, "id", [750])
@@ -85,10 +90,11 @@ def test_delete_keys_minimal_rewrite_and_prune_evidence(spark, table):
     assert m2["bloom_pruned"] >= 1
     carried = set(m1["files"]) & set(m2["files"])
     assert len(carried) == m2["carried"]
-    # rewritten files got FRESH blooms (the deleted key now probes
-    # absent in most files, though FPR makes that probabilistic; the
-    # structural check is bloom presence for every file)
-    assert set(m2["blooms"]) == set(m2["files"])
+    # rewritten files got FRESH blooms (structural check: the index
+    # union covers every file in the new snapshot)
+    entries = SNAP._load_bloom_entries(table, m2)
+    covered = {f for (f, c) in entries}
+    assert covered >= {SNAP.os.path.normpath(f) for f in m2["files"]}
 
 
 def test_blooms_survive_compaction(spark, table):
@@ -96,7 +102,9 @@ def test_blooms_survive_compaction(spark, table):
     SNAP.write_version(_ids(spark, 300, 600, parts=3), table)
     v = SNAP.compact(spark, table, target_files=2)
     m = SNAP._load_manifest(table, v)
-    assert set(m["blooms"]) == set(m["files"])
+    entries = SNAP._load_bloom_entries(table, m)
+    covered = {f for (f, c) in entries}
+    assert covered >= {SNAP.os.path.normpath(f) for f in m["files"]}
     cand, skipped = SNAP.select_files_point(table, None, "id", [5])
     assert len(cand) >= 1
     assert SNAP.read_version(spark, table, v).count() == 600
