@@ -934,6 +934,230 @@ def delete_keys(
     )
 
 
+def _apply_assignments(df: DataFrame, condition: str, assignments: dict) -> DataFrame:
+    """SQL UPDATE row semantics: for rows matching ``condition`` each
+    assigned column becomes its SET expression (evaluated against the
+    PRE-update row, as SQL does — all right-hand sides see old values);
+    non-matching rows pass through unchanged. NULL conditions do not
+    match."""
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    cols = df.columns
+    news = {c: F.expr(e) for c, e in assignments.items()}
+    return df.select(
+        *[
+            (
+                F.when(cond, news[c]).otherwise(F.col(c)).cast(df.schema[c].dataType).alias(c)
+                if c in news
+                else F.col(c)
+            )
+            for c in cols
+        ]
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """Copy-on-write UPDATE (the Delta UPDATE plan): commit a new
+    snapshot where every row matching ``condition`` has each column in
+    ``assignments`` replaced by its SET expression (right-hand sides
+    see the pre-update row, standard SQL UPDATE semantics). Only files
+    HOLDING a matching row rewrite; untouched files carry by name;
+    table CHECK expectations re-enforce on the rewritten rows, and a
+    violating update is refused with nothing published. Assigned
+    columns must already exist (UPDATE never evolves schema). Same
+    tagged DV-aware scan, optimistic-conflict retry, and atomic
+    manifest publish as delete_where."""
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to update")
+        prev = _load_manifest(table_dir, prior[-1])
+        schema = _manifest_schema(prev)
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            bad = sorted(set(assignments) - known)
+            if bad:
+                raise ValueError(f"update_where: unknown columns {bad}")
+        cond = F.expr(condition)
+        live = _live_rows(spark, table_dir, prev, prev["files"], with_file=True)
+        affected_rel = {
+            os.path.normpath(r["__f"])
+            for r in live.where(cond).select("__f").distinct().collect()
+        }
+        untouched = [
+            rel for rel in prev["files"] if os.path.normpath(rel) not in affected_rel
+        ]
+        affected = [
+            rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
+        ]
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        new_files: list[str] = []
+        new_meta: dict = {}
+        if affected:
+            updated = _apply_assignments(
+                _live_rows(spark, table_dir, prev, affected), condition, assignments
+            )
+            exp = prev.get("expectations", {})
+            if exp:
+                _enforce_expectations(updated, exp)
+            rel_dir = os.path.join("data", f"v{v}")
+            updated.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+            new_files, new_meta = _stage_files(table_dir, rel_dir)
+        stats = {
+            rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
+        }
+        prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
+        if prev_stat_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), prev_stat_cols)
+        file_meta = {
+            **{
+                rel: m
+                for rel, m in prev.get("file_meta", {}).items()
+                if rel in set(untouched)
+            },
+            **new_meta,
+        }
+        manifest = {
+            "version": v,
+            "mode": "update",
+            "condition": condition,
+            "files": untouched + new_files,
+            "stats": stats,
+            "file_meta": file_meta,
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "rewrote": len(affected),
+            "carried": len(untouched),
+        }
+        manifest.update(
+            _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
+        )
+        dv_rel, dv_rows = _carry_dv(spark, table_dir, prev, untouched, v)
+        if dv_rel:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"update_where: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
+def update_where_mor(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """Merge-on-read UPDATE — the deletion-vector UPDATE shape (how
+    Delta updates a DV-enabled table): the matching rows' old versions
+    are tombstoned by POSITION into the deletion vector, and their
+    updated versions append as NEW files. No existing data file is
+    rewritten; write volume is O(matching rows), not O(affected
+    files). The new snapshot = old files (vector applied) + the
+    update's delta files; `read_changes` consequently reports the
+    update as its natural delete+insert pair. CHECK expectations
+    re-enforce on the updated rows. Maintenance folds everything in:
+    a later full compact purges the vector and merges the delta files
+    away."""
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to update")
+        prev = _load_manifest(table_dir, prior[-1])
+        schema = _manifest_schema(prev)
+        if schema is not None:
+            bad = sorted(set(assignments) - {f.name for f in schema.fields})
+            if bad:
+                raise ValueError(f"update_where_mor: unknown columns {bad}")
+        cond = F.expr(condition)
+        root = os.path.abspath(table_dir)
+        rel_expr = F.expr(
+            f"substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
+        )
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        raw = reader.parquet(
+            *[os.path.join(table_dir, rel) for rel in prev["files"]]
+        )
+        cols = [c for c in raw.columns]
+        tagged = raw.select(
+            *cols,
+            rel_expr.alias("__f"),
+            F.col("_metadata.row_index").cast("bigint").alias("__pos"),
+        )
+        old_dv = _dv_df(spark, table_dir, prev)
+        if old_dv is not None:
+            dvr = old_dv.select(
+                F.col("f").alias("__f"), F.col("pos").alias("__pos")
+            )
+            tagged = tagged.join(dvr, ["__f", "__pos"], "left_anti")
+        matches = tagged.where(F.coalesce(cond, F.lit(False)))
+        # one scan feeds both legs: cache the (small) matching set
+        matches = matches.localCheckpoint(eager=True)
+        updated = _apply_assignments(
+            matches.select(*cols), condition, assignments
+        )
+        exp = prev.get("expectations", {})
+        if exp:
+            _enforce_expectations(updated, exp)
+        v = _claim_version(table_dir, versions(table_dir))
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        rel_dir = os.path.join("data", f"v{v}")
+        updated.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+        new_files, new_meta = _stage_files(table_dir, rel_dir)
+        new_pos = matches.select(
+            F.col("__f").alias("f"), F.col("__pos").alias("pos")
+        )
+        new_dv = (
+            new_pos.unionByName(old_dv).distinct()
+            if old_dv is not None
+            else new_pos.distinct()
+        )
+        dv_rel = os.path.join("dv", f"v{v}")
+        new_dv.write.mode("overwrite").parquet(os.path.join(table_dir, dv_rel))
+        dv_rows = spark.read.parquet(os.path.join(table_dir, dv_rel)).count()
+        stats = dict(prev.get("stats", {}))
+        prev_stat_cols = sorted({c for st in stats.values() for c in st})
+        if prev_stat_cols:
+            for rel in new_files:
+                stats[rel] = _file_stats(os.path.join(table_dir, rel), prev_stat_cols)
+        manifest = {
+            "version": v,
+            "mode": "update",
+            "condition": condition,
+            "files": list(prev["files"]) + new_files,
+            "stats": stats,
+            "file_meta": {**prev.get("file_meta", {}), **new_meta},
+            "schema": prev.get("schema"),
+            "expectations": prev.get("expectations", {}),
+            "rewrote": 0,
+            "carried": len(prev["files"]),
+            "dv": dv_rel,
+            "dv_rows": dv_rows,
+        }
+        manifest.update(
+            _bloom_manifest_fields(
+                spark, table_dir, prev, new_files, new_meta, v
+            )
+        )
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"update_where_mor: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
 def merge_into(
     spark: SparkSession,
     table_dir: str,

@@ -188,3 +188,61 @@ def sink_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(SNAP.read_version(spark, table, version=v2), "mor_deleted"))
         .unionByName(stats(SNAP.read_version(spark, table, version=v3), "purged"))
     )
+
+
+@register(
+    "sink_update_where",
+    oracle="""
+    WITH upd AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+      FROM documents
+    )
+    SELECT 'cow' AS path, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM upd GROUP BY lang
+    UNION ALL
+    SELECT 'mor', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM upd GROUP BY lang
+    """,
+    doc="SQL UPDATE over the snapshot log, both execution strategies "
+    "(operators/snapshots.py::update_where / update_where_mor — the "
+    "Delta UPDATE and DV-update shapes): two copies of the corpus "
+    "each run `UPDATE SET n_chars = n_chars + 1000 WHERE lang = "
+    "'en'`; the copy-on-write path rewrites ONLY the files holding a "
+    "matching row (untouched files carry by name), while the merge-"
+    "on-read path rewrites NOTHING — matching rows' old versions are "
+    "tombstoned by position into the deletion vector and the updated "
+    "rows append as delta files, so write volume is O(matching rows). "
+    "The query value-checks both snapshots against the same CASE-WHEN "
+    "oracle, proving the two strategies value-identical. SET right-"
+    "hand sides see the pre-update row (swap test), CHECK "
+    "expectations gate both paths, CDC reports the MOR update as its "
+    "delete+insert pair, and compaction folds the vector + delta "
+    "files away — pinned in tests/test_snapshot_update.py.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="besk_upd_")
+    cow, mor = base + "/docs_cow", base + "/docs_mor"
+    ranged = d.repartitionByRange(4, "doc_id")
+    SNAP.write_version(ranged, cow)
+    SNAP.write_version(ranged, mor)
+    SNAP.update_where(spark, cow, "lang = 'en'", {"n_chars": "n_chars + 1000"})
+    SNAP.update_where_mor(spark, mor, "lang = 'en'", {"n_chars": "n_chars + 1000"})
+
+    def stats(df: DataFrame, path: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(F.lit(path).alias("path"), "lang", "n_docs", "sum_chars")
+
+    return stats(SNAP.read_version(spark, cow), "cow").unionByName(
+        stats(SNAP.read_version(spark, mor), "mor")
+    )

@@ -44,7 +44,7 @@ from binance_etl_spark.operators.snapshots import (
     versions,
 )
 
-_REWRITE_MODES = ("delete", "merge", "compact", "overwrite")
+_REWRITE_MODES = ("delete", "update", "merge", "compact", "overwrite")
 
 
 class _FileSlice(InputPartition):
