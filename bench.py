@@ -153,6 +153,7 @@ HEADLINE_LLM = [
     "sink_bloom_delete_keys",
     "sink_delete_mor",
     "sink_update_where",
+    "sink_clone_restore",
     # round-6 filter batteries: Gopher rules + C4 line cleaning.
     "text_gopher_rules",
     "text_c4_clean",

@@ -399,7 +399,6 @@ def _write_bloom_index(
 
     if not rels or not cols:
         return None
-    root = os.path.abspath(table_dir)
     probe = spark.read.parquet(*[os.path.join(table_dir, rels[0])])
     have = [c for c in cols if c in probe.columns]
     if not have:
@@ -408,10 +407,7 @@ def _write_bloom_index(
     m, k = _bloom_m_for(rows_max), _BLOOM_K
     mb = m // 8
     df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels]).select(
-        F.expr(
-            f"substring(_metadata.file_path, "
-            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
-        ).alias("__f"),
+        _file_rel_expr(table_dir).alias("__f"),
         *[F.col(c).cast("string").alias(c) for c in have],
     )
 
@@ -475,6 +471,14 @@ def _load_bloom_entries(table_dir: str, manifest: dict) -> dict:
         path = os.path.join(table_dir, idx_rel)
         if not os.path.isdir(path) and not os.path.isfile(path):
             continue
+        # index borrowed from a shallow clone's source: its `f` entries
+        # are source-relative — canonicalize to the absolute spelling
+        # the clone's manifest uses for borrowed files
+        base = (
+            os.path.dirname(os.path.dirname(idx_rel))
+            if os.path.isabs(idx_rel)
+            else None
+        )
         t = pq.read_table(path)
         for f, c, m, k, bits in zip(
             t["f"].to_pylist(),
@@ -483,7 +487,8 @@ def _load_bloom_entries(table_dir: str, manifest: dict) -> dict:
             t["k"].to_pylist(),
             t["bits"].to_pylist(),
         ):
-            out[(os.path.normpath(f), c)] = (m, k, bits)
+            key = f if base is None or os.path.isabs(f) else os.path.join(base, f)
+            out[(os.path.normpath(key), c)] = (m, k, bits)
     return out
 
 
@@ -568,11 +573,38 @@ def select_files_point(
 # are immutable once committed.
 
 
+def _file_rel_expr(table_dir: str):
+    """Column: each row's data-file path as the manifest records it —
+    table-RELATIVE for files under the table root, ABSOLUTE for files a
+    shallow clone references in its source table (join() resolves both
+    transparently, so one expression serves every tagged read)."""
+    root = os.path.abspath(table_dir)
+    return F.expr(
+        f"CASE WHEN instr(_metadata.file_path, '{root}/') > 0 "
+        f"THEN substring(_metadata.file_path, "
+        f"instr(_metadata.file_path, '{root}/') + {len(root) + 1}) "
+        f"ELSE regexp_replace(_metadata.file_path, '^file:/+', '/') END"
+    )
+
+
 def _dv_df(spark: SparkSession, table_dir: str, manifest: dict):
     rel = manifest.get("dv")
     if not rel:
         return None
-    return spark.read.parquet(os.path.join(table_dir, rel))
+    df = spark.read.parquet(os.path.join(table_dir, rel))
+    if os.path.isabs(rel):
+        # sidecar borrowed from a shallow clone's SOURCE table: its
+        # `f` entries are source-relative — canonicalize to the
+        # absolute spelling `_file_rel_expr` produces for borrowed
+        # files so anti-joins and carries line up
+        src_root = os.path.dirname(os.path.dirname(rel))
+        df = df.select(
+            F.when(F.col("f").startswith("/"), F.col("f"))
+            .otherwise(F.concat(F.lit(src_root + "/"), F.col("f")))
+            .alias("f"),
+            "pos",
+        )
+    return df
 
 
 def _live_rows(
@@ -588,7 +620,6 @@ def _live_rows(
     DV-safe replacement for input_file_name() in affected-file scans.
     Tables without a DV read exactly as before (plus the manifest-
     pinned schema); the anti-join only exists when deletes do."""
-    root = os.path.abspath(table_dir)
     schema = _manifest_schema(manifest)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
@@ -596,10 +627,7 @@ def _live_rows(
     dv = _dv_df(spark, table_dir, manifest)
     if dv is None and not with_file:
         return df
-    rel_expr = F.expr(
-        f"substring(_metadata.file_path, "
-        f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
-    )
+    rel_expr = _file_rel_expr(table_dir)
     tagged = df.select(
         *cols,
         rel_expr.alias("__f"),
@@ -654,11 +682,7 @@ def delete_where_mor(
         prev = _load_manifest(table_dir, prior[-1])
         cond = F.expr(condition)
         live = _live_rows(spark, table_dir, prev, prev["files"], with_file=True)
-        root = os.path.abspath(table_dir)
-        rel_expr = F.expr(
-            f"substring(_metadata.file_path, "
-            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
-        )
+        rel_expr = _file_rel_expr(table_dir)
         # positions come from the raw read (pre-anti-join) restricted
         # to live rows via the same cond filter; re-deleting an
         # already-deleted row is a distinct() no-op
@@ -1079,11 +1103,7 @@ def update_where_mor(
             if bad:
                 raise ValueError(f"update_where_mor: unknown columns {bad}")
         cond = F.expr(condition)
-        root = os.path.abspath(table_dir)
-        rel_expr = F.expr(
-            f"substring(_metadata.file_path, "
-            f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
-        )
+        rel_expr = _file_rel_expr(table_dir)
         reader = spark.read.schema(schema) if schema is not None else spark.read
         raw = reader.parquet(
             *[os.path.join(table_dir, rel) for rel in prev["files"]]
@@ -1635,16 +1655,12 @@ def read_changes(
         common_n = [os.path.normpath(c) for c in common]
 
         def _rows_at(posdf: DataFrame) -> DataFrame:
-            root = os.path.abspath(table_dir)
             schema = _manifest_schema(m_to)
             reader = spark.read.schema(schema) if schema is not None else spark.read
             raw = reader.parquet(*[os.path.join(table_dir, c) for c in common])
             tagged = raw.select(
                 *cols,
-                F.expr(
-                    f"substring(_metadata.file_path, "
-                    f"instr(_metadata.file_path, '{root}/') + {len(root) + 1})"
-                ).alias("__f"),
+                _file_rel_expr(table_dir).alias("__f"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
             keys = posdf.where(F.col("f").isin(common_n)).selectExpr(
@@ -1763,12 +1779,19 @@ def vacuum(
     for v in keep:
         referenced.update(os.path.normpath(p) for p in _load_manifest(table_dir, v)["files"])
     removed_files = 0
+    root = os.path.abspath(table_dir)
     for v in expired:
         for rel in _load_manifest(table_dir, v)["files"]:
             rel_n = os.path.normpath(rel)
             if rel_n in referenced:
                 continue
             path = os.path.join(table_dir, rel_n)
+            # never delete outside the table root: a SHALLOW CLONE's
+            # manifests reference the SOURCE table's files by absolute
+            # path, and vacuuming the clone must not reach into the
+            # source (the Delta shallow-clone vacuum contract)
+            if not os.path.abspath(path).startswith(root + os.sep):
+                continue
             if os.path.exists(path):
                 os.remove(path)
                 removed_files += 1
@@ -2101,3 +2124,105 @@ def publish_branch(
     raise RuntimeError(
         f"publish_branch: lost the optimistic-conflict race 4 times on {table_dir}"
     )
+
+
+# --- restore + shallow clone -----------------------------------------
+
+
+def restore(table_dir: str, version: int) -> int:
+    """RESTORE (the Delta RESTORE / Iceberg rollback): make an earlier
+    snapshot the table's latest by committing a NEW version that
+    carries the old version's file list, schema, expectations, and
+    sidecars BY NAME — zero data I/O, one atomic manifest replace, and
+    the bad commits stay in history for forensics (time travel still
+    reads them until retention expires). The rollback move after a bad
+    publish or a botched delete. Restoring to a version inside the
+    current retention window is always safe; restoring to one already
+    vacuumed raises like any read of it would."""
+    vs = versions(table_dir)
+    if version not in vs:
+        raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
+    src = _load_manifest(table_dir, version)
+    for _attempt in range(4):
+        main = main_versions(table_dir)
+        v = _claim_version(table_dir, vs)
+        if main_versions(table_dir) != main:
+            _release_claim(table_dir, v)
+            vs = versions(table_dir)
+            continue
+        manifest = {
+            "version": v,
+            "mode": "restore",
+            "restored_from": version,
+            "files": list(src["files"]),
+            "stats": src.get("stats", {}),
+            "file_meta": src.get("file_meta", {}),
+            "schema": src.get("schema"),
+            "expectations": src.get("expectations", {}),
+        }
+        for key in ("dv", "dv_rows", "bloom_cols", "bloom_indexes"):
+            if key in src:
+                manifest[key] = src[key]
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"restore: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
+def shallow_clone(src_dir: str, dst_dir: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (the Delta shallow clone): create a NEW table at
+    ``dst_dir`` whose v1 references the source snapshot's data files
+    IN PLACE by absolute path — zero data copied, instant, and fully
+    writable: appends/deletes/updates on the clone commit clone-local
+    files while the borrowed source files keep serving the unchanged
+    rows (`_file_rel_expr` resolves both spellings transparently in
+    every tagged scan). The experimentation front door: fork a 100 TB
+    corpus, try a cleanup recipe, diff, throw the clone away.
+
+    Contracts (the same ones Delta documents):
+    - the clone's vacuum NEVER deletes source files (guarded by the
+      table-root check) — but it also cannot protect them: vacuuming
+      or deleting the SOURCE can invalidate clones, exactly like
+      Delta; pin the source version with a tag for the clone's
+      lifetime;
+    - sidecar state (deletion vector, bloom indexes) is referenced
+      absolutely too, so a clone of a MOR table reads correctly."""
+    vs = versions(dst_dir)
+    if vs:
+        raise ValueError(f"shallow_clone: {dst_dir} already has committed versions")
+    src_abs = os.path.abspath(src_dir)
+    if version is None:
+        version = main_versions(src_dir)[-1]
+    if version not in versions(src_dir):
+        raise FileNotFoundError(f"snapshot v{version} not committed in {src_dir}")
+    m = _load_manifest(src_dir, version)
+
+    def absolutize(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+
+    files = [absolutize(rel) for rel in m["files"]]
+    remap = dict(zip(m["files"], files))
+    manifest = {
+        "version": 1,
+        "mode": "clone",
+        "cloned_from": {"table": src_abs, "version": version},
+        "files": files,
+        "stats": {remap[r]: s for r, s in m.get("stats", {}).items() if r in remap},
+        "file_meta": {
+            remap[r]: fm for r, fm in m.get("file_meta", {}).items() if r in remap
+        },
+        "schema": m.get("schema"),
+        "expectations": m.get("expectations", {}),
+    }
+    if "dv" in m:
+        manifest["dv"] = absolutize(m["dv"])
+        manifest["dv_rows"] = m.get("dv_rows", 0)
+    if m.get("bloom_cols"):
+        manifest["bloom_cols"] = m["bloom_cols"]
+        manifest["bloom_indexes"] = [
+            absolutize(rel) for rel in m.get("bloom_indexes", [])
+        ]
+    v = _claim_version(dst_dir, [])
+    _commit_manifest(dst_dir, v, manifest)
+    return v

@@ -246,3 +246,61 @@ def sink_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(SNAP.read_version(spark, cow), "cow").unionByName(
         stats(SNAP.read_version(spark, mor), "mor")
     )
+
+
+@register(
+    "sink_clone_restore",
+    oracle="""
+    SELECT 'restored' AS phase, COUNT(*) AS n, MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT 'clone', COUNT(*), MIN(event_id), MAX(event_id)
+    FROM events WHERE event_id < 1000 AND event_id % 5 <> 0
+    """,
+    doc="SHALLOW CLONE + RESTORE lifecycle over the snapshot log "
+    "(operators/snapshots.py::shallow_clone / restore — the Delta "
+    "shallow-clone and RESTORE shapes): events <1000 commit to the "
+    "source table; a shallow clone forks it ZERO-COPY (v1 references "
+    "the source's data files in place by absolute path — no bytes "
+    "move) and runs a clone-LOCAL delete of every fifth event, which "
+    "rewrites only affected borrowed files into clone-local ones; "
+    "meanwhile the source suffers a bad delete and ROLLS BACK via "
+    "restore — a new version carrying the pre-delete file list by "
+    "name, zero data I/O, bad commit kept in history for forensics. "
+    "The query value-checks both end states: the restored source "
+    "equals the original corpus; the clone shows only its own edit. "
+    "Clone vacuum can never reach source bytes (table-root guard), "
+    "borrowed deletion vectors and bloom indexes keep working through "
+    "path canonicalization — pinned in "
+    "tests/test_snapshot_clone_restore.py. At 100 TB this is how "
+    "experiments fork a corpus: try a cleanup recipe on a clone, "
+    "diff, throw it away.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="besk_clone_")
+    src, clone = base + "/events_src", base + "/events_clone"
+    SNAP.write_version(
+        e.where(F.col("event_id") < 1000).repartitionByRange(4, "event_id"), src
+    )
+    SNAP.shallow_clone(src, clone)
+    SNAP.delete_where(spark, clone, "event_id % 5 = 0")  # clone-local edit
+    SNAP.delete_where(spark, src, "event_id < 500")  # the "bad" commit
+    SNAP.restore(src, 1)  # zero-copy rollback
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).select(F.lit(phase).alias("phase"), "n", "min_id", "max_id")
+
+    return stats(SNAP.read_version(spark, src), "restored").unionByName(
+        stats(SNAP.read_version(spark, clone), "clone")
+    )
