@@ -192,15 +192,20 @@ def write_version(
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
 
-    Concurrency contract: the O_EXCL version claim guarantees two
-    concurrent writers can never overwrite each other's manifest (no
-    silently lost commits). APPEND file-list linearization across
-    concurrent writers is deliberately out of scope — an appender
-    carries the latest manifest COMMITTED when it claimed, so
-    concurrent appenders should serialize (the streaming sink is a
-    single foreachBatch writer by construction; Delta solves the same
-    problem with optimistic-conflict retry).
+    Concurrency contract — SERIALIZABLE appends: data stages once
+    under a transaction token, then a tight claim → wait-for-lower-
+    claims → rebase-if-main-advanced → commit loop publishes it. The
+    O_EXCL claim arbitrates version numbers; `_await_predecessors`
+    makes commit order equal claim order (a writer waits for every
+    lower live claim to commit or vanish before checking its base), so
+    two concurrent appenders both land and the later one carries the
+    earlier one's files — no lost updates (the Delta optimistic-commit
+    loop). A crash between claim and commit strands the claim: that
+    version number is skipped, the staged tx dir is TTL-swept by
+    vacuum, and successors stop waiting once the claim goes stale.
     """
+    import uuid as _uuid
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
     all_vs = versions(table_dir)
@@ -208,95 +213,115 @@ def write_version(
         for pv in all_vs:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
-    # appends chain onto the latest MAIN-LINE commit — a branch commit
-    # in the shared log is not this writer's parent (see main_versions)
-    prior = main_versions(table_dir)
-    # Schema is VERSIONED with the log (the Delta model): each manifest
-    # records the schema that governs its snapshot, so readers never
-    # depend on which parquet file Spark samples first. Appends may
-    # EVOLVE the schema additively (new nullable columns; carried old
-    # files read as NULL for them) but never drop or retype a column
-    # the table already has — the Delta append-compatibility rule.
-    if prior and mode == "append":
-        prev_schema = _manifest_schema(_load_manifest(table_dir, prior[-1]))
-        if prev_schema is not None:
-            new_fields = {f.name: f.dataType for f in df.schema.fields}
-            for f in prev_schema.fields:
-                if f.name not in new_fields:
-                    raise ValueError(
-                        f"append drops column {f.name!r}; schema evolution "
-                        "is additive-only (use mode='overwrite' to re-shape)"
-                    )
-                if new_fields[f.name] != f.dataType:
-                    raise ValueError(
-                        f"append retypes column {f.name!r} "
-                        f"({f.dataType.simpleString()} -> "
-                        f"{new_fields[f.name].simpleString()})"
-                    )
-    # CLAIM the version number before writing: two concurrent writers
-    # that both computed max+1 would otherwise both os.replace the same
-    # manifest and silently drop one commit. O_EXCL claim-file creation
-    # is the atomic arbiter (the filesystem twin of Delta's
-    # putIfAbsent); the loser advances to the next number. A crash
-    # between claim and commit strands the claim — that version number
-    # is simply skipped (readers only see committed manifests), the
-    # same hole a failed Delta commit leaves.
-    effective_exp = dict(expectations or {})
-    if prior and mode == "append":
-        effective_exp = {
-            **_load_manifest(table_dir, prior[-1]).get("expectations", {}),
-            **effective_exp,
-        }
-    if effective_exp:
-        _enforce_expectations(df, effective_exp)
-    v = _claim_version(table_dir, prior)
-    rel_dir = os.path.join("data", f"v{v}")
+    # stage the data ONCE — the commit loop below may rebase, but the
+    # bytes never rewrite (manifests don't care what the dir is named)
+    token = _uuid.uuid4().hex[:12]
+    rel_dir = os.path.join("data", f"tx-{token}")
     staging = os.path.join(table_dir, rel_dir)
-    df.write.mode("overwrite").parquet(staging)
-    new_files, file_meta = _stage_files(table_dir, rel_dir)
-    stats = {}
-    if stats_cols:
-        for rel in new_files:
-            stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
-    prev = (
-        _load_manifest(table_dir, prior[-1]) if prior and mode == "append" else {}
-    )
-    new_meta = dict(file_meta)  # this commit's files only (for bloom sizing)
-    eff_bloom_cols = sorted(set(bloom_cols or []) | set(prev.get("bloom_cols", [])))
-    if prev:
-        carried = prev["files"]
-        stats = {**prev.get("stats", {}), **stats}
-        file_meta = {**prev.get("file_meta", {}), **file_meta}
-    else:
-        carried = []
-    manifest = {
-        "version": v,
-        "mode": mode,
-        "files": carried + new_files,
-        "stats": stats,
-        "file_meta": file_meta,
-        "schema": json.loads(df.schema.json()),
-        "expectations": effective_exp,
-    }
-    if eff_bloom_cols:
-        manifest["bloom_cols"] = eff_bloom_cols
-        indexes = list(prev.get("bloom_indexes", [])) if prev else []
-        idx_rel = _write_bloom_index(
-            df.sparkSession, table_dir, new_files, eff_bloom_cols, new_meta, v
+    enforced: set[str] = set()
+    built_bloom_for: tuple | None = None
+    idx_rel = None
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        new_files, new_meta = _stage_files(table_dir, rel_dir)
+        new_stats = {}
+        if stats_cols:
+            for rel in new_files:
+                new_stats[rel] = _file_stats(
+                    os.path.join(table_dir, rel), list(stats_cols)
+                )
+        for _attempt in range(20):
+            prior = main_versions(table_dir)
+            prev = (
+                _load_manifest(table_dir, prior[-1])
+                if prior and mode == "append"
+                else {}
+            )
+            # Schema is VERSIONED with the log (the Delta model): appends
+            # may EVOLVE it additively (new nullable columns; carried old
+            # files read as NULL for them) but never drop or retype a
+            # column the table has — re-checked after every rebase.
+            prev_schema = _manifest_schema(prev) if prev else None
+            if prev_schema is not None:
+                new_fields = {f.name: f.dataType for f in df.schema.fields}
+                for f in prev_schema.fields:
+                    if f.name not in new_fields:
+                        raise ValueError(
+                            f"append drops column {f.name!r}; schema evolution "
+                            "is additive-only (use mode='overwrite' to re-shape)"
+                        )
+                    if new_fields[f.name] != f.dataType:
+                        raise ValueError(
+                            f"append retypes column {f.name!r} "
+                            f"({f.dataType.simpleString()} -> "
+                            f"{new_fields[f.name].simpleString()})"
+                        )
+            effective_exp = {**prev.get("expectations", {}), **(expectations or {})}
+            todo = set(effective_exp) - enforced
+            if todo:  # heavy scans stay OUTSIDE the claim window
+                _enforce_expectations(df, effective_exp)
+                enforced |= set(effective_exp)
+            eff_bloom_cols = sorted(
+                set(bloom_cols or []) | set(prev.get("bloom_cols", []))
+            )
+            if eff_bloom_cols and built_bloom_for != tuple(eff_bloom_cols):
+                idx_rel = _write_bloom_index(
+                    df.sparkSession,
+                    table_dir,
+                    new_files,
+                    eff_bloom_cols,
+                    new_meta,
+                    f"tx-{token}",
+                )
+                built_bloom_for = tuple(eff_bloom_cols)
+            v = _claim_version(table_dir, versions(table_dir))
+            _await_predecessors(table_dir, v)
+            if main_versions(table_dir) != prior:
+                _release_claim(table_dir, v)  # rebase onto the new head
+                continue
+            if prev:
+                carried = prev["files"]
+                stats = {**prev.get("stats", {}), **new_stats}
+                file_meta = {**prev.get("file_meta", {}), **new_meta}
+            else:
+                carried, stats, file_meta = [], dict(new_stats), dict(new_meta)
+            manifest = {
+                "version": v,
+                "mode": mode,
+                "files": carried + new_files,
+                "stats": stats,
+                "file_meta": file_meta,
+                "schema": json.loads(df.schema.json()),
+                "expectations": effective_exp,
+            }
+            if eff_bloom_cols:
+                manifest["bloom_cols"] = eff_bloom_cols
+                indexes = list(prev.get("bloom_indexes", [])) if prev else []
+                if idx_rel:
+                    indexes.append(idx_rel)
+                if indexes:
+                    manifest["bloom_indexes"] = indexes
+            if prev.get("dv"):
+                # appends carry the deletion vector BY NAME: old files
+                # keep their deletes, new files have none
+                manifest["dv"] = prev["dv"]
+                manifest["dv_rows"] = prev.get("dv_rows", 0)
+            if batch_id is not None:
+                manifest["batch_id"] = batch_id
+            _commit_manifest(table_dir, v, manifest)
+            return v
+        raise RuntimeError(
+            f"write_version: lost the commit race 20 times on {table_dir}"
         )
+    except (ValueError, RuntimeError):
+        # refused commit (schema/expectations/race): remove the staged
+        # bytes rather than leaving them for the TTL sweep
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
         if idx_rel:
-            indexes.append(idx_rel)
-        if indexes:
-            manifest["bloom_indexes"] = indexes
-    if prev.get("dv"):
-        # appends carry the deletion vector BY NAME: old files keep
-        # their deletes, new files have none
-        manifest["dv"] = prev["dv"]
-        manifest["dv_rows"] = prev.get("dv_rows", 0)
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    _commit_manifest(table_dir, v, manifest)
-    return v
+            shutil.rmtree(os.path.join(table_dir, idx_rel), ignore_errors=True)
+        raise
 
 
 def _claim_version(table_dir: str, prior: list[int]) -> int:
@@ -386,10 +411,11 @@ def _write_bloom_index(
     rels: list[str],
     cols: list[str],
     new_meta: dict,
-    v: int,
+    name,
 ) -> str | None:
     """Build per-(file, column) bloom bitmaps for the given NEW files
-    and write them as the commit's index dataset ``bloom/v<v>/``.
+    and write them as the commit's index dataset ``bloom/<name>/``
+    (version number or staging transaction token).
     One column-pruned pass: each input partition folds its rows into
     local bitmaps (mapInPandas — the md5 loop runs executor-side,
     parallel across files), then a groupBy(f, col) OR-reduce merges
@@ -455,7 +481,7 @@ def _write_bloom_index(
             "f", "col", F.lit(m).alias("m"), F.lit(k).alias("k"), "bits"
         )
     )
-    rel = os.path.join("bloom", f"v{v}")
+    rel = os.path.join("bloom", name if isinstance(name, str) else f"v{name}")
     agg.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
     return rel
 
@@ -662,6 +688,49 @@ def _carry_dv(
     return rel, n
 
 
+def _await_predecessors(
+    table_dir: str, v: int, stale_after: float = 600.0, timeout: float = 15.0
+) -> None:
+    """Commit-order serialization: block until every LOWER-numbered
+    live claim has committed or vanished. With this wait in front of
+    every committer's base check, commit order equals claim order, so
+    the base check is authoritative and no concurrent commit can be
+    silently dropped from forward history (the residual check-to-
+    publish window closes). A claim older than ``stale_after`` is a
+    crashed writer — its number stays a hole and nobody waits for it;
+    hitting ``timeout`` degrades to the plain optimistic check rather
+    than deadlocking behind a stuck-but-alive writer — safe, because
+    every committer ALSO re-checks its base immediately before the
+    manifest publish and aborts/retries if it moved."""
+    import time as _time
+
+    mdir = _manifest_dir(table_dir)
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        pending = False
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return
+        for name in names:
+            mm = re.match(r"^\.claim-v(\d+)$", name)
+            if not mm or int(mm.group(1)) >= v:
+                continue
+            if os.path.exists(os.path.join(mdir, f"v{mm.group(1)}.json")):
+                continue  # committed; claim removal is racing
+            try:
+                age = _time.time() - os.path.getmtime(os.path.join(mdir, name))
+            except FileNotFoundError:
+                continue  # released between listdir and stat
+            if age > stale_after:
+                continue  # crashed writer: permanent hole
+            pending = True
+            break
+        if not pending:
+            return
+        _time.sleep(0.01)
+
+
 def delete_where_mor(
     spark: SparkSession, table_dir: str, condition: str
 ) -> int:
@@ -705,6 +774,7 @@ def delete_where_mor(
             else matches.distinct()
         )
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
@@ -729,6 +799,14 @@ def delete_where_mor(
             manifest["bloom_cols"] = prev["bloom_cols"]
             if prev.get("bloom_indexes"):
                 manifest["bloom_indexes"] = prev["bloom_indexes"]
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -799,6 +877,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
         ]
 
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)  # newer commit landed mid-scan
             continue
@@ -848,6 +927,14 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -904,6 +991,7 @@ def delete_keys(
             rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
         ]
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
@@ -951,6 +1039,14 @@ def delete_keys(
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1019,6 +1115,7 @@ def update_where(
             rel for rel in prev["files"] if os.path.normpath(rel) in affected_rel
         ]
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
@@ -1068,6 +1165,14 @@ def update_where(
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1130,6 +1235,7 @@ def update_where_mor(
         if exp:
             _enforce_expectations(updated, exp)
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
@@ -1171,6 +1277,14 @@ def update_where_mor(
                 spark, table_dir, prev, new_files, new_meta, v
             )
         )
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1261,6 +1375,7 @@ def merge_into(
         ]
 
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
@@ -1314,6 +1429,14 @@ def merge_into(
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1384,6 +1507,7 @@ def compact(
         # PURGES merge-on-read deletes into clean files by construction
         df = _live_rows(spark, table_dir, prev, to_merge)
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir)[-1] != v_read:
             _release_claim(table_dir, v)  # newer commit landed mid-read
             continue
@@ -1426,6 +1550,14 @@ def compact(
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # FINAL base re-check: the data write above may have taken
+        # long enough for a waiting racer to time out and commit —
+        # publishing now would drop that commit from forward history,
+        # so abort and retry against the new head instead (the staged
+        # dir becomes an unreferenced orphan vacuum sweeps)
+        if main_versions(table_dir)[-1] != v_read:
+            _release_claim(table_dir, v)
+            continue
         _commit_manifest(table_dir, v, manifest)
         return v
     raise RuntimeError(
@@ -1825,6 +1957,15 @@ def vacuum(
                 # commit we may reclaim.
                 if time.time() - os.path.getmtime(claim) < claim_ttl_seconds:
                     continue
+            if m is None:
+                # tx-<token> staging for an in-flight append (no claim
+                # yet — the claim comes at commit time): young dirs are
+                # live writers, only TTL-stale ones are crash debris
+                try:
+                    if time.time() - os.path.getmtime(full) < claim_ttl_seconds:
+                        continue
+                except FileNotFoundError:
+                    continue
             has_referenced = any(
                 os.path.normpath(os.path.join(rel_dir, f)) in referenced
                 for f in os.listdir(full)
@@ -1864,6 +2005,13 @@ def vacuum(
             )
             if claim is not None and os.path.exists(claim):
                 if time.time() - os.path.getmtime(claim) < claim_ttl_seconds:
+                    continue
+            if m is None:
+                # bloom/tx-<token> staged by an in-flight append: TTL
+                try:
+                    if time.time() - os.path.getmtime(full) < claim_ttl_seconds:
+                        continue
+                except FileNotFoundError:
                     continue
             shutil.rmtree(full)
             removed_orphans += 1
@@ -2098,6 +2246,7 @@ def publish_branch(
                 "would drop those commits — re-branch and re-stage"
             )
         v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir) != main:
             _release_claim(table_dir, v)
             continue
@@ -2146,6 +2295,7 @@ def restore(table_dir: str, version: int) -> int:
     for _attempt in range(4):
         main = main_versions(table_dir)
         v = _claim_version(table_dir, vs)
+        _await_predecessors(table_dir, v)
         if main_versions(table_dir) != main:
             _release_claim(table_dir, v)
             vs = versions(table_dir)

@@ -497,14 +497,14 @@ def test_compact_retries_on_concurrent_commit(spark, tmp_path):
 
 
 def test_concurrent_appenders_never_lose_a_commit(spark, tmp_path):
-    """The O_EXCL version-claim contract under REAL thread
-    concurrency: N appenders racing on one table must each commit a
-    distinct version whose snapshot contains that writer's rows.
-    (APPEND file-list linearization across racers is documented
-    out-of-scope — write_version's contract — so the assertion is
-    exactly what the claim protocol promises: no overwritten
-    manifest, no unreadable version, no writer's own rows missing
-    from its own commit.)"""
+    """SERIALIZABLE appends under REAL thread concurrency: N appenders
+    racing on one table must ALL land — the final snapshot carries
+    every writer's rows (the claim → await-predecessors → rebase →
+    commit loop makes commit order equal claim order, so a later
+    committer always carries an earlier committer's files). Strictly
+    stronger than the old contract, which only promised no overwritten
+    manifests and allowed racers to drop each other's files from
+    forward history."""
     from concurrent.futures import ThreadPoolExecutor
 
     from binance_etl_spark.operators import snapshots as SNAP
@@ -526,6 +526,15 @@ def test_concurrent_appenders_never_lose_a_commit(spark, tmp_path):
         got = SNAP.read_version(spark, table, version=v)
         n = got.where(f"id >= {1000 * i} AND id < {1000 * i + 10}").count()
         assert n == 10, f"writer {i}'s rows missing from its own commit v{v}"
+    # the serializability payoff: the LATEST snapshot has everyone's
+    # rows — no lost updates anywhere in the race
+    final = SNAP.read_version(spark, table)
+    assert final.count() == 10 + 6 * 10
+    assert SNAP.count_rows(table) == 70
+    for i in range(1, 7):
+        assert (
+            final.where(f"id >= {1000 * i} AND id < {1000 * i + 10}").count() == 10
+        ), f"writer {i}'s rows lost from the final snapshot"
 
 
 def test_foreach_batch_auto_compaction(spark, tmp_path):
@@ -837,3 +846,35 @@ def test_vacuum_time_based_retention_keeps_young_versions(spark, tmp_path):
     res2 = SNAP.vacuum(table2, keep_last=1, retain_seconds=3600)
     assert res2["kept_versions"] == [1, 2, 3], "all within the time window"
     assert SNAP.read_version(spark, table2, 1).count() == 10
+
+
+def test_append_racing_delete_serializes(spark, tmp_path):
+    """An append and a CoW delete racing on one table must BOTH land:
+    the delete's erased keys stay gone, the append's rows survive
+    (whichever order the committers serialize into), and nothing else
+    is lost — the await-predecessors + rebase/abort discipline across
+    ALL committers, not just appenders."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(100).repartitionByRange(4, "id"), table, mode="append"
+    )
+
+    def do_delete():
+        return ("del", SNAP.delete_where(spark, table, "id < 10"))
+
+    def do_append():
+        return ("app", SNAP.write_version(spark.range(1000, 1010), table))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = dict(ex.map(lambda f: f(), [do_delete, do_append]))
+
+    final = SNAP.read_version(spark, table)
+    assert final.where("id < 10").count() == 0, "delete lost"
+    assert final.where("id >= 1000").count() == 10, "append lost"
+    assert final.count() == 100
+    assert SNAP.count_rows(table) == 100
+    assert len(set(results.values())) == 2  # distinct committed versions
