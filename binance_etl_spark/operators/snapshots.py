@@ -2130,11 +2130,15 @@ def write_branch(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     expectations: dict[str, str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` onto ``branch`` (the W of write-audit-publish):
     the new version chains onto the BRANCH head — append carries the
     head's file list, overwrite starts fresh — and is marked with the
-    branch name, so default readers never see it. Inherits and
+    branch name, so default readers never see it. ``batch_id`` gives
+    streaming foreachBatch writers the same replay idempotency as
+    `write_version`: a batch id already committed ON THIS BRANCH is a
+    no-op returning the existing version. Inherits and
     re-enforces the branch head's CHECK expectations exactly like a
     main-line append; the branch pointer advances only after the
     manifest commits (a crash in between leaves a committed-but-
@@ -2145,6 +2149,11 @@ def write_branch(
     r = refs(table_dir).get(branch)
     if r is None or r.get("type") != "branch":
         raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
+    if batch_id is not None:
+        for pv in versions(table_dir):
+            m = _load_manifest(table_dir, pv)
+            if m.get("branch") == branch and m.get("batch_id") == batch_id:
+                return pv  # replayed micro-batch: already staged
     head = _load_manifest(table_dir, r["version"])
     if mode == "append":
         prev_schema = _manifest_schema(head)
@@ -2201,9 +2210,37 @@ def write_branch(
     if mode == "append" and head.get("dv"):
         manifest["dv"] = head["dv"]
         manifest["dv_rows"] = head.get("dv_rows", 0)
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     _commit_manifest(table_dir, v, manifest)
     _write_ref(table_dir, branch, {**r, "version": v}, create=False)
     return v
+
+
+def foreach_batch_branch(
+    table_dir: str,
+    branch: str,
+    stats_cols: list[str] | None = None,
+):
+    """writeStream.foreachBatch body STAGING each micro-batch onto a
+    WAP branch instead of main — the streaming half of write-audit-
+    publish: ingestion lands continuously but stays invisible to every
+    default reader until an audited `publish_branch` fast-forwards
+    main onto the staged snapshot. Exactly-once via the batch-id
+    token, like `foreach_batch_snapshot`. The quarantine-by-default
+    ingestion front door: at 100 TB you never let a raw crawl batch
+    become the table's latest without an audit between."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        write_branch(
+            batch_df,
+            table_dir,
+            branch,
+            stats_cols=stats_cols,
+            batch_id=batch_id,
+        )
+
+    return apply
 
 
 def publish_branch(

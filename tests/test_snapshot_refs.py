@@ -191,3 +191,45 @@ def test_stream_skips_staged_commits_and_serves_publish(spark, table, tmp_path):
     got = drain()
     assert got.count() == 25
     assert got.selectExpr("max(id)").collect()[0][0] == 24
+
+
+def test_streaming_wap_ingestion_e2e(spark, table, tmp_path):
+    """The streaming write-audit-publish loop: a real writeStream
+    stages micro-batches onto a branch (replay-idempotent via batch
+    ids), main stays untouched throughout, and one audited publish
+    atomically exposes everything staged."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "ingest")
+
+    src = str(tmp_path / "src")
+    _df(spark, 100, 150).coalesce(2).write.parquet(src)
+    sdf = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(SNAP.foreach_batch_branch(table, "ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # staged rows visible on the branch, invisible on main
+    assert SNAP.read_ref(spark, table, "ingest").count() == 60
+    assert SNAP.read_version(spark, table).count() == 10
+    assert SNAP.count_rows(table) == 10
+
+    # replay: re-applying an already-committed batch id is a no-op
+    head_before = SNAP.refs(table)["ingest"]["version"]
+    bm = SNAP._load_manifest(table, head_before)
+    assert "batch_id" in bm
+    v = SNAP.write_branch(
+        _df(spark, 100, 150), table, "ingest", batch_id=bm["batch_id"]
+    )
+    assert v == head_before
+    assert SNAP.refs(table)["ingest"]["version"] == head_before
+
+    # audited publish exposes exactly the staged snapshot
+    SNAP.publish_branch(
+        table, "ingest", spark=spark, audit={"ids_sane": "id < 1000"}
+    )
+    assert SNAP.read_version(spark, table).count() == 60
