@@ -647,6 +647,19 @@ def _live_rows(
     Tables without a DV read exactly as before (plus the manifest-
     pinned schema); the anti-join only exists when deletes do."""
     schema = _manifest_schema(manifest)
+    if not rels:
+        # a delete can legitimately empty the snapshot: zero files,
+        # schema still pinned by the manifest
+        if schema is None:
+            raise ValueError(
+                "snapshot has no files and no pinned schema; cannot read"
+            )
+        empty = spark.createDataFrame([], schema)
+        return (
+            empty.withColumn("__f", F.lit(None).cast("string"))
+            if with_file
+            else empty
+        )
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
     cols = df.columns
@@ -780,7 +793,12 @@ def delete_where_mor(
             continue
         dv_rel = os.path.join("dv", f"v{v}")
         new_dv.write.mode("overwrite").parquet(os.path.join(table_dir, dv_rel))
-        dv_rows = spark.read.parquet(os.path.join(table_dir, dv_rel)).count()
+        # count from the written footers (metadata-only) — also the
+        # empty-vector guard: a no-match delete on a vector-less table
+        # writes an EMPTY dataset, which must not become a `dv` entry
+        # (an empty parquet dir cannot even be re-read without a schema)
+        _dv_files, _dv_meta = _stage_files(table_dir, dv_rel)
+        dv_rows = sum(m["rows"] for m in _dv_meta.values())
         manifest = {
             "version": v,
             "mode": "delete",
@@ -792,9 +810,10 @@ def delete_where_mor(
             "expectations": prev.get("expectations", {}),
             "rewrote": 0,
             "carried": len(prev["files"]),
-            "dv": dv_rel,
-            "dv_rows": dv_rows,
         }
+        if dv_rows:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         if prev.get("bloom_cols"):
             manifest["bloom_cols"] = prev["bloom_cols"]
             if prev.get("bloom_indexes"):
@@ -1252,7 +1271,9 @@ def update_where_mor(
         )
         dv_rel = os.path.join("dv", f"v{v}")
         new_dv.write.mode("overwrite").parquet(os.path.join(table_dir, dv_rel))
-        dv_rows = spark.read.parquet(os.path.join(table_dir, dv_rel)).count()
+        # footer-count + empty-vector guard, as in delete_where_mor
+        _dv_files, _dv_meta = _stage_files(table_dir, dv_rel)
+        dv_rows = sum(m["rows"] for m in _dv_meta.values())
         stats = dict(prev.get("stats", {}))
         prev_stat_cols = sorted({c for st in stats.values() for c in st})
         if prev_stat_cols:
@@ -1269,9 +1290,10 @@ def update_where_mor(
             "expectations": prev.get("expectations", {}),
             "rewrote": 0,
             "carried": len(prev["files"]),
-            "dv": dv_rel,
-            "dv_rows": dv_rows,
         }
+        if dv_rows:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         manifest.update(
             _bloom_manifest_fields(
                 spark, table_dir, prev, new_files, new_meta, v

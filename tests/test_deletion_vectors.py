@@ -162,3 +162,34 @@ def test_mor_delete_with_blooms_carries_them(spark, table):
     covered = {f for (f, c) in entries}
     assert covered >= {SNAP.os.path.normpath(f) for f in m["files"]}
     assert SNAP.read_version(spark, table).count() == 199
+
+
+def test_mor_no_match_on_vectorless_table_is_clean_noop(spark, table):
+    SNAP.write_version(_df(spark, 0, 50), table)
+    v = SNAP.delete_where_mor(spark, table, "id > 9999")
+    m = SNAP._load_manifest(table, v)
+    # an empty vector must not be recorded (it could not even be read)
+    assert "dv" not in m
+    assert SNAP.read_version(spark, table).count() == 50
+    assert SNAP.count_rows(table) == 50
+    # same guard on the MOR update path
+    v2 = SNAP.update_where_mor(spark, table, "id > 9999", {"v": "0"})
+    assert "dv" not in SNAP._load_manifest(table, v2)
+    assert SNAP.read_version(spark, table).count() == 50
+
+
+def test_delete_that_empties_the_table_still_reads(spark, table):
+    SNAP.write_version(_df(spark, 0, 20), table)
+    v = SNAP.delete_where(spark, table, "id >= 0")
+    m = SNAP._load_manifest(table, v)
+    # Spark writes a zero-row part for the empty rewrite, so the list
+    # holds only empty files (the rels==[] guard in _live_rows is
+    # defense-in-depth for manifests built without that behavior)
+    assert m["rewrote"] >= 1 and m["carried"] == 0
+    got = SNAP.read_version(spark, table)
+    assert got.count() == 0
+    assert got.columns == ["id", "v"]  # schema survives via the manifest
+    assert SNAP.count_rows(table) == 0
+    # and the table remains appendable afterwards
+    SNAP.write_version(_df(spark, 100, 105), table)
+    assert SNAP.read_version(spark, table).count() == 5

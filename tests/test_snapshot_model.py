@@ -1,0 +1,129 @@
+"""Model-based randomized testing of the snapshot log: a seeded random
+sequence of table operations (append / CoW + MOR delete / CoW + MOR
+update / merge / compact / restore / vacuum) runs against BOTH the real
+log and a trivial in-memory model; after every step the latest
+snapshot must equal the model exactly (full row multiset), and
+metadata-only count_rows must agree.
+
+This is the artillery behind the individual contracts: any
+interaction bug between the features (a deletion vector resurrecting
+rows through a compact, an update double-applying after a restore, a
+carried bloom index breaking a read) shows up as a value diff at the
+exact step that introduced it."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from binance_etl_spark.operators import snapshots as SNAP
+
+
+def _read_rows(spark, table) -> dict[int, int]:
+    return {
+        r["id"]: r["v"] for r in SNAP.read_version(spark, table).collect()
+    }
+
+
+def _mk_df(spark, rows: dict[int, int]):
+    data = [(k, v) for k, v in sorted(rows.items())]
+    return spark.createDataFrame(data, "id long, v long").repartition(2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    table = str(tmp_path / f"tbl{seed}")
+
+    model: dict[int, int] = {i: i * 2 for i in range(40)}
+    SNAP.write_version(_mk_df(spark, model), table)
+    next_id = 40
+    history: list[dict[int, int]] = [dict(model)]  # per committed version
+
+    def check(step: str) -> None:
+        got = _read_rows(spark, table)
+        assert got == model, f"seed {seed} step {step}: snapshot != model"
+        assert SNAP.count_rows(table) == len(model), (
+            f"seed {seed} step {step}: metadata count drift"
+        )
+
+    ops = []
+    for _ in range(14):
+        op = rng.choice(
+            [
+                "append",
+                "delete_cow",
+                "delete_mor",
+                "update_cow",
+                "update_mor",
+                "merge",
+                "compact",
+                "restore",
+            ]
+        )
+        ops.append(op)
+        if op == "append":
+            n = rng.randint(1, 15)
+            batch = {next_id + i: (next_id + i) * 2 for i in range(n)}
+            next_id += n
+            SNAP.write_version(_mk_df(spark, batch), table)
+            model.update(batch)
+            history.append(dict(model))
+        elif op in ("delete_cow", "delete_mor"):
+            mod = rng.randint(2, 7)
+            res = rng.randrange(mod)
+            cond = f"id % {mod} = {res}"
+            fn = SNAP.delete_where if op == "delete_cow" else SNAP.delete_where_mor
+            fn(spark, table, cond)
+            model = {k: v for k, v in model.items() if k % mod != res}
+            history.append(dict(model))
+        elif op in ("update_cow", "update_mor"):
+            mod = rng.randint(2, 7)
+            res = rng.randrange(mod)
+            delta = rng.randint(1, 1000)
+            cond = f"id % {mod} = {res}"
+            fn = SNAP.update_where if op == "update_cow" else SNAP.update_where_mor
+            fn(spark, table, cond, {"v": f"v + {delta}"})
+            model = {
+                k: (v + delta if k % mod == res else v) for k, v in model.items()
+            }
+            history.append(dict(model))
+        elif op == "merge":
+            # upsert a mix of existing and new keys
+            keys = rng.sample(sorted(model) or [0], min(3, max(1, len(model))))
+            src_rows = {k: rng.randint(0, 10_000) for k in keys}
+            for i in range(2):
+                src_rows[next_id] = next_id * 2
+                next_id += 1
+            if not model:
+                continue  # merge needs a committed non-empty read path
+            SNAP.merge_into(
+                spark, table, _mk_df(spark, src_rows), ["id"]
+            )
+            model.update(src_rows)
+            history.append(dict(model))
+        elif op == "compact":
+            mode_full = rng.random() < 0.5
+            before = SNAP.main_versions(table)[-1]
+            v = (
+                SNAP.compact(spark, table, target_files=2)
+                if mode_full
+                else SNAP.compact(spark, table, min_file_bytes=50_000)
+            )
+            if v != before:  # incremental compact may no-op
+                history.append(dict(model))
+        elif op == "restore":
+            # restore to a random earlier MAIN version; model rewinds
+            mains = SNAP.main_versions(table)
+            idx = rng.randrange(len(mains))
+            SNAP.restore(table, mains[idx])
+            model = dict(history[idx])
+            history.append(dict(model))
+        check(f"{len(ops)}:{op}")
+
+    # end-of-sequence maintenance must preserve the final state
+    SNAP.compact(spark, table, target_files=2)
+    check("final-compact")
+    SNAP.vacuum(table, keep_last=1)
+    check("post-vacuum")
