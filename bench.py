@@ -125,6 +125,7 @@ HEADLINE_LLM = [
     "sim_ann_pq",
     "text_heavy_hitters_cms",
     "graph_triangles",
+    "graph_label_prop",
     "er_resolve_e2e",
     # round-5 additions: composite coarse+PQ ANN, point-in-time feature
     # join, snapshot DELETE propagation, cluster-keyed train/val split.

@@ -67,3 +67,43 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return rank.select("node", F.col("r").alias("rank_units"))
+
+
+def label_propagation(und_edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over
+    undirected `und_edges(u, v)`, returning (node, community).
+
+    Deterministic variant (no randomness, so the DuckDB oracle can
+    unroll it): labels start as the node id; each iteration every node
+    adopts the MOST FREQUENT label among its neighbours, ties broken
+    by the SMALLEST label. Same Spark-first shape as pagerank: per
+    iteration one labels⋈edges equi-join, one (node, label) count
+    aggregate, one per-node argmax window — O(iters) shuffles, eager
+    localCheckpoint per iteration to keep lineage flat. The argmax is
+    `max_by(label, (count, -label))`: max count first, then the
+    smallest label, with no ROW_NUMBER sort over the whole graph.
+    """
+    nb = (
+        und_edges.select(F.col("u").alias("node"), F.col("v").alias("neigh"))
+        .union(und_edges.select(F.col("v").alias("node"), F.col("u").alias("neigh")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nb.select("node").distinct().withColumn(
+        "label", F.col("node").cast("bigint")
+    )
+    for _ in range(n_iters):
+        neigh_lbl = nb.join(
+            labels.withColumnRenamed("node", "neigh"), "neigh"
+        ).select("node", "label")
+        cnt = neigh_lbl.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(c, -label))").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

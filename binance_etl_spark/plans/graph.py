@@ -155,3 +155,65 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("node")
     )
+
+
+# One synchronous LPA iteration as a DuckDB CTE body: labels `{prev}`
+# -> new label per node (mode of neighbour labels, ties -> smallest).
+# ROW_NUMBER ordered by (count DESC, label ASC) == Spark's
+# max_by(label, struct(c, -label)).
+_LPA_ITER = """
+  SELECT node, label FROM (
+    SELECT nb2.node, l2.label,
+           ROW_NUMBER() OVER (PARTITION BY nb2.node
+                              ORDER BY COUNT(*) DESC, l2.label ASC) AS rn
+    FROM nb nb2 JOIN {prev} l2 ON l2.node = nb2.neigh
+    GROUP BY nb2.node, l2.label
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "graph_label_prop",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(user_id, {_DST}) AS u, greatest(user_id, {_DST}) AS v
+      FROM events WHERE user_id <> {_DST}
+    ), nb AS (
+      SELECT u AS node, v AS neigh FROM und
+      UNION
+      SELECT v AS node, u AS neigh FROM und
+    ), l0 AS (
+      SELECT DISTINCT node, CAST(node AS BIGINT) AS label FROM nb
+    ), it1 AS ({_LPA_ITER.format(prev="l0")}
+    ), it2 AS ({_LPA_ITER.format(prev="it1")}
+    ), it3 AS ({_LPA_ITER.format(prev="it2")})
+    SELECT node, label AS community FROM it3 ORDER BY node
+    """,
+    doc="Community detection by synchronous label propagation, 3 "
+    "iterations over the undirected event link graph "
+    "(operators/graph.py::label_propagation): every node adopts the "
+    "most frequent neighbour label, ties to the smallest — the "
+    "deterministic LPA variant, so the DuckDB oracle unrolls the "
+    "exact iterations (arg_max == max_by, integer labels, no "
+    "randomness). Per iteration one labels-to-edges equi-join, one "
+    "map-side-combinable (node, label) count, one argmax aggregate — "
+    "O(iters) shuffles, lineage kept flat with eager localCheckpoint "
+    "like pagerank/CC; no per-node sort and no driver-side adjacency, "
+    "so the plan survives a power-law 100 TB graph the same way the "
+    "degree-oriented triangle count does.",
+    tags=("graph", "iterative"),
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.graph import label_propagation
+
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    und = (
+        e.select(
+            F.least(F.col("user_id"), dst).alias("u"),
+            F.greatest(F.col("user_id"), dst).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return label_propagation(und, n_iters=3).orderBy("node")
