@@ -64,7 +64,25 @@ def write_table_stream(
     {symbol}.{market} file layout (storage.py:57-59) — but exactly-once
     and columnar. ``fmt='bigquery'`` stages per-micro-batch parquet +
     load-job manifests instead (sources/bq_staging.py — the storage
-    provider the reference stubs, factory.py:40-42)."""
+    provider the reference stubs, factory.py:40-42).
+    ``fmt='snapshot'`` lands each micro-batch as a VERSION of a
+    snapshot-log table (operators/snapshots.py): exactly-once via
+    batch-id replay tokens, auto-compaction every 8 versions, readers
+    get time travel / tags / CDC over the live ingestion table — the
+    lakehouse storage provider."""
+    if fmt == "snapshot":
+        from binance_etl_spark.operators.snapshots import foreach_batch_snapshot
+
+        return (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(
+                foreach_batch_snapshot(
+                    out_dir, compact_every=8, compact_target_files=4
+                )
+            )
+            .start()
+        )
     if fmt == "bigquery":
         import os as _os
 
