@@ -1472,6 +1472,7 @@ def compact(
     target_files: int = 4,
     stats_cols: list[str] | None = None,
     min_file_bytes: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE-style bin-packing compaction, committed as a new
     version. Row-preserving by construction — a distributed read, a
@@ -1535,13 +1536,25 @@ def compact(
             continue
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
-        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+        if zorder_by:
+            # OPTIMIZE ZORDER BY: cluster the rewrite on the Morton
+            # curve of the given columns so footer min/max stats prune
+            # files for predicates on ANY of them (operators/zorder.py;
+            # the maintenance twin of Delta's ZORDER). Stats for the
+            # z-columns are recorded below so skipping works at once.
+            from binance_etl_spark.operators.zorder import write_zordered
+
+            write_zordered(df, staging, zorder_by, n_out)
+        else:
+            df.repartition(n_out).write.mode("overwrite").parquet(staging)
         new_files, file_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(carried)
         }
         prev_stat_cols = sorted({c for st in prev.get("stats", {}).values() for c in st})
-        recompute_cols = sorted(set(prev_stat_cols) | set(stats_cols or []))
+        recompute_cols = sorted(
+            set(prev_stat_cols) | set(stats_cols or []) | set(zorder_by or [])
+        )
         if recompute_cols:
             for rel in new_files:
                 stats[rel] = _file_stats(os.path.join(table_dir, rel), recompute_cols)

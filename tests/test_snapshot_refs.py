@@ -233,3 +233,29 @@ def test_streaming_wap_ingestion_e2e(spark, table, tmp_path):
         table, "ingest", spark=spark, audit={"ids_sane": "id < 1000"}
     )
     assert SNAP.read_version(spark, table).count() == 60
+
+
+def test_compact_zorder_clusters_and_prunes(spark, table):
+    """compact(zorder_by=[a, b]) — OPTIMIZE ZORDER: the rewrite
+    clusters rows on the Morton curve of both columns and records
+    their per-file stats, so `select_files` prunes on EITHER
+    dimension afterwards; row-preserving like every compact."""
+    df = spark.range(100_000).selectExpr(
+        "id AS a", "CAST((id * 7919) % 100000 AS BIGINT) AS b"
+    )
+    SNAP.write_version(df.repartition(8), table)
+    v = SNAP.compact(spark, table, target_files=8, zorder_by=["a", "b"])
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "compact"
+    assert SNAP.read_version(spark, table, v).count() == 100_000
+    # both dimensions prune: a narrow range on each must skip files
+    kept_a, skipped_a = SNAP.select_files(table, v, "a", 0, 5000)
+    kept_b, skipped_b = SNAP.select_files(table, v, "b", 0, 5000)
+    assert skipped_a, "z-order must give file skipping on column a"
+    assert skipped_b, "z-order must give file skipping on column b"
+    # and pruning is still correct (never loses matching rows)
+    import os as _os
+
+    got = spark.read.parquet(*[_os.path.join(table, f) for f in kept_a])
+    want = SNAP.read_version(spark, table, v).where("a BETWEEN 0 AND 5000")
+    assert got.where("a BETWEEN 0 AND 5000").count() == want.count()
