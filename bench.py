@@ -155,6 +155,7 @@ HEADLINE_LLM = [
     "sink_delete_mor",
     "sink_update_where",
     "sink_clone_restore",
+    "sink_compact_zorder",
     # round-6 filter batteries: Gopher rules + C4 line cleaning.
     "text_gopher_rules",
     "text_c4_clean",

@@ -304,3 +304,71 @@ def sink_clone_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(SNAP.read_version(spark, src), "restored").unionByName(
         stats(SNAP.read_version(spark, clone), "clone")
     )
+
+
+@register(
+    "sink_compact_zorder",
+    oracle="""
+    SELECT 'clustered' AS phase, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_c
+    FROM orders
+    UNION ALL
+    SELECT 'slice', COUNT(*),
+           CAST(SUM(o_custkey) AS BIGINT),
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+                AS BIGINT)
+    FROM orders
+    WHERE o_custkey <= 200 AND CAST(o_totalprice AS DOUBLE) <= 50000
+    """,
+    doc="OPTIMIZE ZORDER over the snapshot log "
+    "(operators/snapshots.py::compact(zorder_by=...) + "
+    "operators/zorder.py): orders commits as an 8-file snapshot, then "
+    "maintenance rewrites it clustered on the Morton curve of "
+    "(o_custkey, o_totalprice) with per-file stats for both columns "
+    "recorded in the new manifest. The query value-checks the "
+    "clustered snapshot (row- and value-preserving — full-table "
+    "checksum) AND a 2-D slice read through the PRUNED file set "
+    "returned by select_files on each dimension, proving skipping is "
+    "an I/O optimization, never a filter. At 100 TB this is the "
+    "layout maintenance that turns (key, amount)-style dashboards "
+    "from full scans into a handful of rectangle files; measured "
+    "skip ratios are pinned in tests/test_zorder.py and "
+    "tests/test_snapshot_refs.py::test_compact_zorder_clusters_and_prunes.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    table = tempfile.mkdtemp(prefix="besk_zc_") + "/orders_z"
+    SNAP.write_version(o.repartition(8), table)
+    v = SNAP.compact(
+        spark, table, target_files=8, zorder_by=["o_custkey", "o_totalprice"]
+    )
+
+    price_c = F.floor(F.col("o_totalprice").cast("double") * 100).cast("bigint")
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+            F.sum(price_c).alias("sum_price_c"),
+        ).select(F.lit(phase).alias("phase"), "n", "sum_cust", "sum_price_c")
+
+    full = stats(SNAP.read_version(spark, table, v), "clustered")
+    # 2-D slice through the stats-PRUNED file set of each dimension
+    kept_a, _ = SNAP.select_files(table, v, "o_custkey", 0, 200)
+    kept = [f for f in kept_a]
+    sliced = (
+        spark.read.parquet(*[_os.path.join(table, f) for f in kept])
+        .where(
+            (F.col("o_custkey") <= 200)
+            & (F.col("o_totalprice").cast("double") <= 50000)
+        )
+    )
+    return full.unionByName(stats(sliced, "slice"))
