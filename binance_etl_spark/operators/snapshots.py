@@ -166,8 +166,19 @@ def write_version(
     batch_id: int | None = None,
     expectations: dict[str, str] | None = None,
     bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
+
+    partition_by: METADATA partitioning (the Iceberg hidden-partition
+    shape, not Hive directories): rows are hash-clustered so each file
+    holds few distinct values of the partition columns, the columns
+    stay IN the data files, and their per-file min/max land in the
+    manifest — so `select_files` prunes partition-equality predicates
+    from metadata alone while the file layout stays flat (no
+    directory-encoding, no partition-column loss on per-file reads,
+    rewrites need no special casing). Implies stats over these
+    columns.
 
     mode='append': the new snapshot sees prior files + the new ones.
     mode='overwrite': the new snapshot sees only the new files (prior
@@ -213,6 +224,21 @@ def write_version(
         for pv in all_vs:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
+    if partition_by:
+        missing = sorted(set(partition_by) - set(df.columns))
+        if missing:
+            raise ValueError(f"partition_by columns not in data: {missing}")
+        # one range partition per distinct partition tuple (explicit N,
+        # so AQE cannot coalesce the clustering away): files come out
+        # (near-)single-valued in the partition columns and the
+        # recorded min/max collapse to equality — metadata partition
+        # pruning. The distinct count is one cheap agg per commit;
+        # partition columns should be low-cardinality, as everywhere.
+        nparts = df.select(*partition_by).distinct().count()
+        df = df.repartitionByRange(
+            max(1, int(nparts)), *[F.col(c) for c in partition_by]
+        )
+        stats_cols = sorted(set(stats_cols or []) | set(partition_by))
     # stage the data ONCE — the commit loop below may rebase, but the
     # bytes never rewrite (manifests don't care what the dir is named)
     token = _uuid.uuid4().hex[:12]

@@ -878,3 +878,39 @@ def test_append_racing_delete_serializes(spark, tmp_path):
     assert final.count() == 100
     assert SNAP.count_rows(table) == 100
     assert len(set(results.values())) == 2  # distinct committed versions
+
+
+def test_partition_by_prunes_from_metadata(spark, tmp_path):
+    """write_version(partition_by=...): Iceberg-style metadata
+    partitioning — rows cluster per partition value, the columns stay
+    in the data, and select_files prunes partition-equality reads
+    with zero file opens; no Hive directories anywhere."""
+    import os as _os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    df = spark.range(3000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS lang"
+    )
+    SNAP.write_version(df, table, partition_by=["lang"])
+    m = SNAP._load_manifest(table, 1)
+    # flat layout: every file directly under the staging dir
+    assert all("=" not in _os.path.basename(f) for f in m["files"])
+    # per-file lang stats recorded; files are single-valued in lang
+    single = [
+        rel for rel, st in m["stats"].items() if "lang" in st and st["lang"][0] == st["lang"][1]
+    ]
+    assert single, "hash clustering must give single-partition-value files"
+    kept, skipped = SNAP.select_files(table, None, "lang", "1", "1")
+    assert skipped, "partition-equality read must prune files"
+    # pruning is an optimization, never a filter
+    got = spark.read.parquet(*[_os.path.join(table, f) for f in kept])
+    assert got.where("lang = '1'").count() == 1000
+    # partition columns survive per-file reads (they are IN the data)
+    assert "lang" in got.columns
+    # rejects unknown partition columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_by columns"):
+        SNAP.write_version(df, table, partition_by=["nope"])
