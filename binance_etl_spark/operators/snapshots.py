@@ -2474,3 +2474,64 @@ def shallow_clone(src_dir: str, dst_dir: str, version: int | None = None) -> int
     v = _claim_version(dst_dir, [])
     _commit_manifest(dst_dir, v, manifest)
     return v
+
+
+def add_columns(table_dir: str, new_fields: dict[str, str]) -> int:
+    """ALTER TABLE ADD COLUMNS — METADATA-ONLY schema evolution (the
+    Delta shape): commit a new version carrying the current file list
+    verbatim with the schema extended by the given nullable fields
+    ({name: Spark type string, e.g. 'bigint', 'string'}). Zero data
+    I/O; every existing file serves NULL for the new columns through
+    the manifest-pinned schema, and the next append may populate them.
+    Duplicate names raise; evolution stays additive-only (drops and
+    retypes go through mode='overwrite', as ever). Serialized like
+    every commit (claim + predecessor wait + rebase)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    if not new_fields:
+        raise ValueError("add_columns: no fields given")
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to alter")
+        prev = _load_manifest(table_dir, prior[-1])
+        schema = _manifest_schema(prev)
+        if schema is None:
+            raise ValueError(
+                f"{table_dir}: latest manifest predates versioned schemas; "
+                "recommit (any append) before altering"
+            )
+        existing = {f.name for f in schema.fields}
+        dup = sorted(set(new_fields) & existing)
+        if dup:
+            raise ValueError(f"add_columns: columns already exist: {dup}")
+        extended = StructType(
+            list(schema.fields)
+            + [
+                StructField(name, _parse_datatype_string(t), True)
+                for name, t in sorted(new_fields.items())
+            ]
+        )
+        v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        manifest = {
+            "version": v,
+            "mode": "alter",
+            "added_columns": sorted(new_fields),
+            "files": list(prev["files"]),
+            "stats": prev.get("stats", {}),
+            "file_meta": prev.get("file_meta", {}),
+            "schema": json.loads(extended.json()),
+            "expectations": prev.get("expectations", {}),
+        }
+        for key in ("dv", "dv_rows", "bloom_cols", "bloom_indexes"):
+            if key in prev:
+                manifest[key] = prev[key]
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"add_columns: lost the optimistic-conflict race 4 times on {table_dir}"
+    )

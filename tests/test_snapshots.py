@@ -914,3 +914,37 @@ def test_partition_by_prunes_from_metadata(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition_by columns"):
         SNAP.write_version(df, table, partition_by=["nope"])
+
+
+def test_add_columns_is_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS: zero data I/O — old files serve NULL
+    for the new columns via the pinned schema, the next append may
+    populate them, and time travel keeps each version's own shape."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(5).selectExpr("id", "id*2 AS v"), table)
+    v = SNAP.add_columns(table, {"score": "double", "tag": "string"})
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "alter"
+    assert m["files"] == SNAP._load_manifest(table, 1)["files"]  # no I/O
+    got = SNAP.read_version(spark, table)
+    assert set(got.columns) == {"id", "v", "score", "tag"}
+    assert got.where("score IS NULL AND tag IS NULL").count() == 5
+    # next append populates the evolved columns
+    SNAP.write_version(
+        spark.sql(
+            "SELECT CAST(100 AS BIGINT) AS id, CAST(0 AS BIGINT) AS v, "
+            "CAST(1.5 AS DOUBLE) AS score, 'a' AS tag"
+        ),
+        table,
+    )
+    got = SNAP.read_version(spark, table)
+    assert got.count() == 6 and got.where("tag = 'a'").count() == 1
+    # time travel: v1 still has its ORIGINAL two-column shape
+    assert set(SNAP.read_version(spark, table, 1).columns) == {"id", "v"}
+    # duplicates refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exist"):
+        SNAP.add_columns(table, {"v": "bigint"})
