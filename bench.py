@@ -156,6 +156,7 @@ HEADLINE_LLM = [
     "sink_update_where",
     "sink_clone_restore",
     "sink_compact_zorder",
+    "sink_partition_prune",
     # round-6 filter batteries: Gopher rules + C4 line cleaning.
     "text_gopher_rules",
     "text_c4_clean",

@@ -372,3 +372,54 @@ def sink_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return full.unionByName(stats(sliced, "slice"))
+
+
+@register(
+    "sink_partition_prune",
+    oracle="""
+    SELECT 'full' AS phase, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'pruned_read', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    """,
+    doc="Metadata partitioning over the snapshot log "
+    "(operators/snapshots.py::write_version(partition_by=...) — the "
+    "Iceberg hidden-partition shape): the corpus commits range-"
+    "clustered on lang with one partition per distinct value; the "
+    "columns stay IN the data files (no Hive directories, nothing "
+    "lost on per-file reads) and their per-file min/max collapse to "
+    "equality in the manifest, so a partition-equality read prunes "
+    "its file set from METADATA alone (select_files, zero file "
+    "opens) before Spark plans a scan. The query value-checks the "
+    "full snapshot AND the lang='en' slice read through the pruned "
+    "file list — pruning as pure I/O optimization, never a filter. "
+    "At 100 TB this is partition pruning without the Hive-layout "
+    "taxes: rewrites, clones, and deletion vectors need no special "
+    "casing because a partitioned table is an ordinary table "
+    "(tests/test_snapshots.py::test_partition_by_prunes_from_metadata).",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_part_") + "/docs_part"
+    SNAP.write_version(d, table, partition_by=["lang"])
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        ).select(F.lit(phase).alias("phase"), "lang", "n_docs", "sum_chars")
+
+    full = stats(SNAP.read_version(spark, table), "full")
+    kept, _skipped = SNAP.select_files(table, None, "lang", "en", "en")
+    sliced = spark.read.parquet(
+        *[_os.path.join(table, f) for f in kept]
+    ).where(F.col("lang") == "en")
+    return full.unionByName(stats(sliced, "pruned_read"))
