@@ -49,7 +49,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         )
 
     ops = []
-    for _ in range(14):
+    for _ in range(16):
         op = rng.choice(
             [
                 "append",
@@ -60,6 +60,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "merge",
                 "compact",
                 "restore",
+                "wap_append",
+                "clone_check",
             ]
         )
         ops.append(op)
@@ -120,6 +122,35 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             SNAP.restore(table, mains[idx])
             model = dict(history[idx])
             history.append(dict(model))
+        elif op == "wap_append":
+            # stage on a branch, verify invisibility, publish, drop —
+            # the WAP cycle against whatever state came before (DVs,
+            # restores, clones all included)
+            n = rng.randint(1, 10)
+            batch = {next_id + i: (next_id + i) * 2 for i in range(n)}
+            next_id += n
+            name = f"b{len(ops)}"
+            SNAP.create_branch(table, name)
+            SNAP.write_branch(_mk_df(spark, batch), table, name)
+            check(f"{len(ops)}:wap-staged-invisible")  # model unchanged
+            SNAP.publish_branch(table, name)
+            SNAP.drop_ref(table, name)
+            model.update(batch)
+            history.append(dict(model))
+        elif op == "clone_check":
+            # a shallow clone of the CURRENT state must read the model
+            # exactly (borrowed files, vectors, and bloom sidecars)
+            import shutil
+            import uuid
+
+            cdir = str(tmp_path / f"clone_{uuid.uuid4().hex[:8]}")
+            SNAP.shallow_clone(table, cdir)
+            got = {
+                r["id"]: r["v"]
+                for r in SNAP.read_version(spark, cdir).collect()
+            }
+            assert got == model, f"seed {seed} step {len(ops)}: clone != model"
+            shutil.rmtree(cdir)
         check(f"{len(ops)}:{op}")
 
     # end-of-sequence maintenance must preserve the final state
