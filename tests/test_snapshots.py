@@ -948,3 +948,46 @@ def test_add_columns_is_metadata_only(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exist"):
         SNAP.add_columns(table, {"v": "bigint"})
+
+
+def test_stale_claim_skipped_without_waiting(spark, tmp_path):
+    """A crashed writer's claim (mtime past the stale threshold) must
+    neither block successors at the predecessor wait nor be clobbered:
+    the next committer proceeds immediately and takes the next number."""
+    import time as _t
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(5), table)
+    claim = os.path.join(table, "_manifests", ".claim-v2")
+    open(claim, "x").close()
+    past = _t.time() - 3600
+    os.utime(claim, (past, past))  # crashed long ago
+    t0 = _t.time()
+    v = SNAP.write_version(spark.range(5, 10), table)
+    assert _t.time() - t0 < 10, "stale claim must not trigger the wait"
+    assert v == 3 and SNAP.read_version(spark, table).count() == 10
+
+
+def test_vacuum_sweeps_stale_tx_staging_keeps_live(spark, tmp_path):
+    """Crashed-append debris: a data/tx-* staging dir with no claim is
+    swept only once it is older than the TTL; a young one is a live
+    writer and must survive."""
+    import time as _t
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(spark.range(5), table)
+    stale = os.path.join(table, "data", "tx-deadbeef")
+    live = os.path.join(table, "data", "tx-live")
+    spark.range(3).coalesce(1).write.parquet(stale)
+    spark.range(3).coalesce(1).write.parquet(live)
+    past = _t.time() - 7 * 86400
+    os.utime(stale, (past, past))
+    res = SNAP.vacuum(table, keep_last=5)
+    assert not os.path.isdir(stale), "TTL-stale tx staging is crash debris"
+    assert os.path.isdir(live), "young tx staging is an in-flight append"
+    assert res["removed_orphan_dirs"] >= 1
+    assert SNAP.read_version(spark, table).count() == 5
