@@ -2535,3 +2535,42 @@ def add_columns(table_dir: str, new_fields: dict[str, str]) -> int:
     raise RuntimeError(
         f"add_columns: lost the optimistic-conflict race 4 times on {table_dir}"
     )
+
+
+def describe_detail(table_dir: str) -> dict:
+    """DESCRIBE DETAIL: one metadata-only dict of the table's current
+    facts (the Delta command's twin) — latest main version, file/row/
+    byte totals net of deletion vectors, schema column names, CHECK
+    constraint names, bloom columns, refs, and the version count by
+    commit mode. Zero data I/O, zero Spark jobs."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    main = main_versions(table_dir)
+    head = _load_manifest(table_dir, main[-1]) if main else {}
+    meta = head.get("file_meta", {})
+    have_all = all(rel in meta for rel in head.get("files", []))
+    schema = _manifest_schema(head)
+    modes: dict[str, int] = {}
+    for v in vs:
+        m = _load_manifest(table_dir, v).get("mode", "append")
+        modes[m] = modes.get(m, 0) + 1
+    return {
+        "version": main[-1] if main else None,
+        "n_versions": len(vs),
+        "n_files": len(head.get("files", [])),
+        "n_rows": (
+            sum(meta[r]["rows"] for r in head["files"]) - head.get("dv_rows", 0)
+            if have_all
+            else None
+        ),
+        "n_bytes": (
+            sum(meta[r]["bytes"] for r in head["files"]) if have_all else None
+        ),
+        "columns": [f.name for f in schema.fields] if schema else None,
+        "expectations": sorted(head.get("expectations", {})),
+        "bloom_cols": head.get("bloom_cols", []),
+        "dv_rows": head.get("dv_rows", 0),
+        "refs": {n: r["version"] for n, r in refs(table_dir).items()},
+        "commit_modes": modes,
+    }

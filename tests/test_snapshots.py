@@ -991,3 +991,24 @@ def test_vacuum_sweeps_stale_tx_staging_keeps_live(spark, tmp_path):
     assert os.path.isdir(live), "young tx staging is an in-flight append"
     assert res["removed_orphan_dirs"] >= 1
     assert SNAP.read_version(spark, table).count() == 5
+
+
+def test_describe_detail_is_metadata_only(spark, tmp_path):
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        _df(spark, 0, 100),
+        table,
+        bloom_cols=["id"],
+        expectations={"pos": "id >= 0"},
+    )
+    SNAP.create_tag(table, "pin")
+    SNAP.delete_where_mor(spark, table, "id < 10")
+    d = SNAP.describe_detail(table)
+    assert d["version"] == 2 and d["n_versions"] == 2
+    assert d["n_rows"] == 90 and d["dv_rows"] == 10
+    assert d["columns"] == ["id", "v"]
+    assert d["expectations"] == ["pos"] and d["bloom_cols"] == ["id"]
+    assert d["refs"] == {"pin": 1}
+    assert d["commit_modes"] == {"append": 1, "delete": 1}
