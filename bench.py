@@ -143,6 +143,7 @@ HEADLINE_LLM = [
     "dq_expectations",
     "corpus_shuffle_shards",
     "sample_mixture_weights",
+    "sample_token_budget_mixture",
     # round-6 microstructure tier (keyed-window estimators over the tape).
     "ms_realized_vol",
     "ms_ofi_forward_returns",

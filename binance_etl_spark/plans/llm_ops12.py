@@ -423,3 +423,91 @@ def sink_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return state.where(F.col("n_docs") > 0).orderBy("lang")
+
+
+_TOKEN_BUDGET = 20_000
+
+
+@register(
+    "sample_token_budget_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), w AS (
+      SELECT source,
+             1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
+      FROM (SELECT DISTINCT source FROM t)
+    ), tot AS (SELECT SUM(weight) AS tw FROM w),
+    budgets AS (
+      SELECT source, weight,
+             CAST(floor({_TOKEN_BUDGET} * weight / tw) AS BIGINT) AS token_budget
+      FROM w, tot
+    ), cum AS (
+      SELECT t.doc_id, t.source, t.toks,
+             SUM(t.toks) OVER (
+               PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS running
+      FROM t
+    )
+    SELECT b.source, b.token_budget,
+           COUNT(*) AS n_kept,
+           CAST(SUM(c.toks) AS BIGINT) AS kept_tokens,
+           CAST(MAX(c.running) AS BIGINT) AS max_running
+    FROM budgets b JOIN cum c
+      ON c.source = b.source AND c.running <= b.token_budget
+    GROUP BY b.source, b.token_budget
+    ORDER BY b.source
+    """,
+    doc="TOKEN-budget domain mixture: training mixes are specified in "
+    "tokens, not document counts — per-source weights become token "
+    "budgets (floor of the proportional share), and each budget fills "
+    "GREEDILY in deterministic md5 order: a doc is kept while the "
+    "running token total stays within budget (strict fill — the "
+    "crossing doc is excluded, so kept_tokens <= budget is an "
+    "invariant the query itself proves via max_running). Token counts "
+    "are whitespace tokens, consistent with text_token_count. Same "
+    "plan shape as sample_mixture_weights: k-row broadcast budget "
+    "table + ONE window pass partitioned by source (running sum in "
+    "the same pass as the ordering) — no skew, no collect; the ranked "
+    "window is the only data-sized exchange at 100 TB.",
+    tags=("llm", "sampling"),
+)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    w = d.select("source").distinct().select(
+        "source",
+        (1 + F.substring("source", 4, 10).cast("int") % 3).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    budgets = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.lit(_TOKEN_BUDGET) * F.col("weight") / F.col("tw"))
+        .cast("bigint")
+        .alias("token_budget"),
+    )
+    cum = d.withColumn(
+        "running",
+        F.sum("toks").over(
+            W.partitionBy("source")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    kept = cum.join(F.broadcast(budgets), "source").where(
+        F.col("running") <= F.col("token_budget")
+    )
+    return (
+        kept.groupBy("source", "token_budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("toks").cast("bigint").alias("kept_tokens"),
+            F.max("running").cast("bigint").alias("max_running"),
+        )
+        .orderBy("source")
+    )
