@@ -650,7 +650,10 @@ def sim_ann_recall_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_spark.operators import similarity as S
     from binance_etl_spark.operators.kmeans import kmeans_fit
 
-    e = fanout(load(spark, sf_dir, "embeddings"))
+    # persist for the fit's 4 driver actions + the 3 downstream scans
+    # (2000 rows x 64 floats at sf1 — bounded by the corpus, and the
+    # fit re-reads it every Lloyd iteration otherwise)
+    e = fanout(load(spark, sf_dir, "embeddings")).persist()
     centroids, assign = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=3)
 
     # single bounded collect: THE query vector (1 row, 64 floats)
