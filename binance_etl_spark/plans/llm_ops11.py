@@ -154,12 +154,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_col(codebook, adc) -> Column:
-    """encode-and-lookup as ONE codegen'd column over `embedding`:
-    per subspace, argmin over the literal codebook (ties to the lower
-    code), then the query's precomputed ADC entry for that code."""
+def _pq_code_cols(codebook) -> list[Column]:
+    """Per-subspace PQ code (argmin over the codebook, ties to the
+    lower code index) as M long columns over `embedding` — the encode
+    half of PQ, shared by the inline ADC scan (sim_ann_pq) and the
+    persistent index build (plans/ann_index.py)."""
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    approx: Column = F.lit(0).cast("long")
+    codes: list[Column] = []
     for m in range(_M):
         sub = F.slice(emb_d, m * _DSUB + 1, _DSUB)
         # One distance LAMBDA evaluated over the literal codebook array
@@ -180,7 +181,16 @@ def _pq_adc_col(codebook, adc) -> Column:
                 lambda dv, k: dv * _K + k,
             )
         )
-        code = enc % _K
+        codes.append(enc % _K)
+    return codes
+
+
+def _pq_adc_col(codebook, adc) -> Column:
+    """encode-and-lookup as ONE codegen'd column over `embedding`:
+    per subspace, argmin over the literal codebook (ties to the lower
+    code), then the query's precomputed ADC entry for that code."""
+    approx: Column = F.lit(0).cast("long")
+    for m, code in enumerate(_pq_code_cols(codebook)):
         adc_m = F.element_at(
             F.array(*[F.lit(int(v)) for v in adc[m]]), (code + 1).cast("int")
         )
