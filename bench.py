@@ -161,6 +161,9 @@ HEADLINE_LLM = [
     # round-6 filter batteries: Gopher rules + C4 line cleaning.
     "text_gopher_rules",
     "text_c4_clean",
+    # round-6: persistent PQ index build/refresh/serve over the
+    # snapshot log (structural sibling: sim_ann_pq's inline scan).
+    "sim_ann_index_lifecycle",
 ]
 
 
