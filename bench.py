@@ -164,6 +164,10 @@ HEADLINE_LLM = [
     # round-6: persistent PQ index build/refresh/serve over the
     # snapshot log (structural sibling: sim_ann_pq's inline scan).
     "sim_ann_index_lifecycle",
+    # round-6: DSIR importance selection (structural sibling:
+    # text_lm_unigram_score's vocab-join shape, with a bounded
+    # 1024-bucket feature space instead of the vocabulary).
+    "sample_dsir_select",
 ]
 
 

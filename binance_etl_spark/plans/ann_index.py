@@ -37,12 +37,18 @@ from binance_etl_spark.plans.registry import REGISTRY, register
 
 
 def build_pq_index(
-    vectors: DataFrame, codebook, table_dir: str, id_col: str = "vec_id"
+    vectors: DataFrame,
+    codebook,
+    table_dir: str,
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> int:
     """Encode `vectors` with `codebook` and commit the codes as the
     next snapshot version of `table_dir`. Called once for the initial
     corpus and once per refresh with ONLY the delta — each call is one
-    narrow encode scan (no shuffle) plus one snapshot commit."""
+    narrow encode scan (no shuffle) plus one snapshot commit.
+    `batch_id` is the streaming idempotency token (see
+    foreach_batch_ann_index)."""
     from binance_etl_spark.operators import snapshots as SNAP
 
     codes = vectors.select(
@@ -50,7 +56,25 @@ def build_pq_index(
         "label",
         *[c.cast("int").alias(f"c{m}") for m, c in enumerate(_pq_code_cols(codebook))],
     )
-    return SNAP.write_version(codes, table_dir, mode="append", stats_cols=[id_col])
+    return SNAP.write_version(
+        codes, table_dir, mode="append", stats_cols=[id_col], batch_id=batch_id
+    )
+
+
+def foreach_batch_ann_index(codebook, table_dir: str, id_col: str = "vec_id"):
+    """writeStream.foreachBatch body keeping the PQ index CURRENT as
+    vectors arrive: each micro-batch is encoded (O(batch), never
+    O(corpus)) and appended as one snapshot version, exactly-once via
+    the batch-id token — a checkpoint-replayed batch finds its id in a
+    committed manifest and no-ops. Readers always serve a consistent
+    index version mid-ingest (the atomic manifest swap), which is the
+    Milvus/Lance "growing segment" story re-expressed over the
+    snapshot log."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        build_pq_index(batch_df, codebook, table_dir, id_col, batch_id=batch_id)
+
+    return apply
 
 
 def adc_lookup_col(adc) -> Column:

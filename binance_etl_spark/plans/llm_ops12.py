@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from binance_etl_spark.catalog import load
+from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.plans.registry import register
 
 _N_SHARDS = 8
@@ -510,4 +510,108 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("running").cast("bigint").alias("max_running"),
         )
         .orderBy("source")
+    )
+
+
+_DSIR_B = 1024  # hashed feature buckets (16^4 = 64 * 1024 -> uniform mod)
+_DSIR_TOPK = 50
+
+
+def _dsir_bucket(tok):
+    """Engine-portable hashed n-gram feature: first 4 md5 hex chars of
+    the salted token -> 0..65535, mod the bucket count (65536 is an
+    exact multiple of _DSIR_B, so the fold is uniform)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, 4), 16, 10)
+        .cast("long")
+        % _DSIR_B
+    )
+
+
+@register(
+    "sample_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang,
+             CAST((
+               (instr('0123456789abcdef', substr(md5('dsir:' || tok), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5('dsir:' || tok), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5('dsir:' || tok), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5('dsir:' || tok), 4, 1)) - 1)
+             ) % {_DSIR_B} AS BIGINT) AS b
+      FROM tok
+    ), counts AS (
+      SELECT b, COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+      FROM tb GROUP BY b
+    ), tot AS (
+      SELECT SUM(raw_n) AS raw_total, SUM(tgt_n) AS tgt_total FROM counts
+    ), w AS (
+      SELECT b, (1000000 * tgt_n) // nullif(tgt_total, 0)
+               - (1000000 * raw_n) // nullif(raw_total, 0) AS w_ppm
+      FROM counts, tot
+    )
+    SELECT t.doc_id, t.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(w.w_ppm) AS BIGINT) AS dsir_score_ppm
+    FROM tb t JOIN w USING (b)
+    WHERE t.lang <> 'en'
+    GROUP BY t.doc_id, t.lang
+    ORDER BY dsir_score_ppm DESC, t.doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR-style importance selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): score "
+    "every candidate doc by how target-like its HASHED n-gram feature "
+    "profile is, using the per-bucket frequency gap between the "
+    "target distribution (here the lang='en' slice) and the raw "
+    "corpus; return the top-k most target-like candidates from "
+    "OUTSIDE the target. Weights are exact integer ppm (tgt ppm - raw "
+    "ppm via DIV), so scores are bigint-exact in both engines - the "
+    "published method's log-ratio becomes a frequency-gap linear "
+    "score, keeping the oracle bit-stable (no libm log). Scale shape: "
+    "the feature space is FIXED at 1024 buckets, so both target and "
+    "raw distributions come out of ONE map-side-combinable groupBy "
+    "(count + filtered count in the same pass), the weight table is a "
+    "<=1024-row broadcast, and the per-doc score is one more combinable "
+    "aggregate ending in TakeOrderedAndProject - two bounded shuffles "
+    "at any corpus size, no vocab-sized state, no collect, no UDF.",
+    tags=("llm", "sampling", "quality"),
+)
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.dedup import tokenize
+
+    d = fanout(load(spark, sf_dir, "documents"))
+    tokb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    ).select("doc_id", "lang", _dsir_bucket(F.col("tok")).alias("b"))
+    counts = tokb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count_if(F.col("lang") == "en").alias("tgt_n"),
+    )
+    tot = counts.agg(
+        F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr("(1000000 * tgt_n) DIV nullif(tgt_total, 0)")
+            - F.expr("(1000000 * raw_n) DIV nullif(raw_total, 0)")
+        ).alias("w_ppm"),
+    )
+    return (
+        tokb.where(F.col("lang") != "en")
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_ppm").cast("bigint").alias("dsir_score_ppm"),
+        )
+        .orderBy(F.desc("dsir_score_ppm"), "doc_id")
+        .limit(_DSIR_TOPK)
     )

@@ -75,3 +75,94 @@ def test_registered_query_returns_topk_with_lifecycle_evidence(spark):
     assert all(r["n_versions"] == 2 for r in out)
     dists = [r["adc_dist"] for r in out]
     assert dists == sorted(dists)
+
+
+def _topk(spark, table, adc, k=10):
+    return (
+        SNAP.read_version(spark, table)
+        .select("vec_id", adc_lookup_col(adc).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .collect()
+    )
+
+
+def test_deleted_vectors_leave_the_topk_without_file_rewrites(spark, lifecycle):
+    """Right-to-be-forgotten for vector search: a merge-on-read DELETE
+    on the index table drops the vector from every subsequent top-k
+    WITHOUT rewriting a single code file (DV only) — read_version
+    applies the deletion vector on the serve path for free."""
+    e, codebook, adc, _, _, _ = lifecycle
+    import tempfile
+
+    table = tempfile.mkdtemp(prefix="annidx_del_") + "/pq"
+    build_pq_index(e, codebook, table)
+    before = _topk(spark, table, adc)
+    victim = before[0]["vec_id"]
+    files_before = SNAP._load_manifest(table, SNAP.versions(table)[-1])["files"]
+    SNAP.delete_where_mor(spark, table, f"vec_id = {victim}")
+    files_after = SNAP._load_manifest(table, SNAP.versions(table)[-1])["files"]
+    assert files_after == files_before  # DV only — no data-file rewrite
+    after = _topk(spark, table, adc)
+    assert victim not in {r["vec_id"] for r in after}
+    # survivors keep their order; one new row fills the freed slot
+    assert [r["vec_id"] for r in after][:9] == [r["vec_id"] for r in before[1:]]
+
+
+def test_streaming_refresh_keeps_index_current(spark, lifecycle):
+    """foreach_batch_ann_index driven by a REAL file-source stream:
+    one snapshot version per micro-batch, encode cost O(batch), served
+    scores identical to inline recompute over the full corpus."""
+    import os
+
+    from binance_etl_spark.plans.ann_index import foreach_batch_ann_index
+
+    e, codebook, adc, _, _, _ = lifecycle
+    root = tempfile.mkdtemp(prefix="annidx_stream_")
+    src = os.path.join(root, "src")
+    e.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    e.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    table = os.path.join(root, "pq")
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_ann_index(codebook, table))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(SNAP.main_versions(table)) == 2  # one version per batch
+    assert SNAP.count_rows(table) == e.count()
+    served = {r["vec_id"]: r["d"] for r in _topk(spark, table, adc, k=10_000)}
+    from binance_etl_spark.plans.llm_ops11 import _pq_adc_col
+
+    inline = {
+        r["vec_id"]: r["d"]
+        for r in e.select("vec_id", _pq_adc_col(codebook, adc).alias("d")).collect()
+    }
+    assert served == inline
+
+
+def test_replayed_batch_is_a_noop(spark, lifecycle):
+    """Checkpoint recovery re-delivers the last micro-batch; the
+    batch-id token must make the second commit a no-op (no duplicate
+    vectors in the index, no extra version)."""
+    from binance_etl_spark.plans.ann_index import foreach_batch_ann_index
+
+    e, codebook, _, _, _, _ = lifecycle
+    table = tempfile.mkdtemp(prefix="annidx_replay_") + "/pq"
+    body = foreach_batch_ann_index(codebook, table)
+    body(e, 0)
+    n_v, n_rows = len(SNAP.versions(table)), SNAP.count_rows(table)
+    body(e, 0)  # replay
+    assert len(SNAP.versions(table)) == n_v
+    assert SNAP.count_rows(table) == n_rows

@@ -452,3 +452,17 @@ def test_mixture_weights_quota_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_join_is_broadcast_topk_take_ordered(spark):
+    """sample_dsir_select: the <=1024-row hashed-feature weight table
+    must broadcast into the token stream (a shuffled join would move
+    the exploded corpus again at 100 TB), the doc score must combine
+    map-side, and the top-k must be TakeOrderedAndProject, never a
+    global sort."""
+    plan = _plan(spark, "sample_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
