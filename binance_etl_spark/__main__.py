@@ -1,0 +1,94 @@
+"""CLI front door: ``python -m binance_etl_spark --config config.json``.
+
+The engine twin of the reference's boot script (main.py:25-33: load
+config, build the ETLs, register SIGINT/SIGTERM handlers, start, block
+until stopped). Differences are Spark-native, not cosmetic:
+
+- one supervised Structured Streaming query per event id instead of
+  one websocket thread per ETL (reference factory.py:9-17) — restart
+  recovery comes from checkpoints, not process memory;
+- a signal stops queries through `pipelines.stop_all` (the handler
+  twin of main.py:12-23), so in-flight micro-batches commit and the
+  sinks stay exactly-once;
+- `--duration` bounds the run for replay/backfill jobs (the reference
+  runs until killed; a batch backfill over a finite replay log should
+  exit on its own once sources drain).
+
+Config shape is `runner.start_jobs`'s (mirrors reference config.json,
+with `sources` pointing at replay logs / live spool directories).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m binance_etl_spark",
+        description="Run configured market-data ETL streams until "
+        "stopped (SIGINT/SIGTERM) or --duration elapses.",
+    )
+    ap.add_argument("--config", default="config.json", help="config JSON path")
+    ap.add_argument(
+        "--duration",
+        type=float,
+        default=None,
+        help="seconds to run before a graceful stop (default: until signal)",
+    )
+    ap.add_argument(
+        "--drain",
+        action="store_true",
+        help="process everything currently available in the sources, "
+        "then stop (replay/backfill mode)",
+    )
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        config = json.load(f)
+
+    from binance_etl_spark.runner import start_jobs
+    from binance_etl_spark.session import get_spark
+    from binance_etl_spark.streaming.pipelines import stop_all
+
+    spark = get_spark("binance-etl-spark")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = start_jobs(spark, config)
+    print(f"started {len(queries)} streaming queries", flush=True)
+
+    stopping = {"flag": False}
+
+    def handle(signum, frame):  # main.py:12-23 twin
+        print(f"intercepted signal {signum}, stopping queries...", flush=True)
+        stopping["flag"] = True
+
+    signal.signal(signal.SIGINT, handle)
+    signal.signal(signal.SIGTERM, handle)
+
+    try:
+        if args.drain:
+            for q in queries:
+                q.processAllAvailable()
+        else:
+            deadline = time.monotonic() + args.duration if args.duration else None
+            # Poll rather than awaitAnyTermination: a JVM-blocked await
+            # cannot observe the Python signal flag until it returns.
+            while not stopping["flag"]:
+                if deadline is not None and time.monotonic() >= deadline:
+                    break
+                if not spark.streams.active:
+                    break
+                time.sleep(0.2)
+    finally:
+        stop_all(spark)
+        spark.stop()
+    print("exiting binance-etl-spark", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""The CLI front door (python -m binance_etl_spark) — the user-visible
+boot command the reference ships (main.py:25-33): config in, streams
+started, SIGTERM handled gracefully, drain mode exits on its own.
+Runs in a REAL subprocess: signal delivery, stdout contract, and exit
+codes are process-level behaviors a same-process test cannot see."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+from binance_etl_spark.sources import fixtures as FX
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _config(d: str) -> str:
+    paths = FX.write_fixtures(d)
+    sym = FX.SYMBOL.lower()
+    cfg = {
+        "events": [f"binance.spot.{sym}.trade", f"binance.spot.{sym}.depth"],
+        "storage": {"format": "parquet", "output_path": d + "/out"},
+        "sources": {
+            f"{sym}.trade": paths["trades"],
+            f"{sym}.depth": paths["depth"],
+        },
+        "snapshots": {FX.SYMBOL: FX.snapshot()},
+    }
+    cpath = os.path.join(d, "config.json")
+    with open(cpath, "w") as f:
+        json.dump(cfg, f)
+    return cpath
+
+
+def _read_counts(spark, d: str) -> tuple[int, int]:
+    sym = FX.SYMBOL.lower()
+    t = spark.read.parquet(f"{d}/out/spot/{sym}/trades").count()
+    dp = spark.read.parquet(f"{d}/out/spot/{sym}/depth").count()
+    return t, dp
+
+
+def test_cli_drain_mode_processes_and_exits(spark):
+    d = tempfile.mkdtemp(prefix="besk_cli_")
+    cpath = _config(d)
+    proc = subprocess.run(
+        [sys.executable, "-m", "binance_etl_spark", "--config", cpath, "--drain"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "started 2 streaming queries" in proc.stdout
+    assert "exiting binance-etl-spark" in proc.stdout
+    assert _read_counts(spark, d) == (10, 16)
+
+
+def test_cli_sigterm_stops_gracefully(spark):
+    d = tempfile.mkdtemp(prefix="besk_cli_sig_")
+    cpath = _config(d)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "binance_etl_spark", "--config", cpath],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        # wait for boot (the "started" line), then signal — the
+        # reference's Ctrl+C/kill flow (main.py:12-23)
+        deadline = time.monotonic() + 240
+        sym = FX.SYMBOL.lower()
+        markers = [
+            f"{d}/out/spot/{sym}/{t}/_spark_metadata" for t in ("trades", "depth")
+        ]
+
+        def committed(m: str) -> bool:  # first batch id file published
+            return os.path.isdir(m) and len(os.listdir(m)) > 0
+
+        while time.monotonic() < deadline and not all(map(committed, markers)):
+            if proc.poll() is not None:
+                raise AssertionError(proc.stderr.read()[-2000:])
+            time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, err[-2000:]
+    assert "intercepted signal" in out
+    assert "exiting binance-etl-spark" in out
+    t, dp = _read_counts(spark, d)
+    assert t > 0 and dp > 0  # committed micro-batches survived the stop
