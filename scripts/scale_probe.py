@@ -297,10 +297,18 @@ def inverted_index_full(spark, sf_dir: str):
     return REGISTRY["text_inverted_index"].fn(spark, sf_dir)
 
 
+def dsir_full(spark, sf_dir):
+    """sample_dsir_select unmodified: output is top-50 capped but the
+    WORK is O(corpus tokens) — the slope shows whether the fixed
+    1024-bucket feature space keeps the two aggregates per-row flat."""
+    return REGISTRY["sample_dsir_select"].fn(spark, sf_dir)
+
+
 LLM10 = {
     "minhash_lsh_fullcorpus": minhash_full,
     "substring_dedup_full": substring_dedup_full,
     "inverted_index_full": inverted_index_full,
+    "dsir_select_full": dsir_full,
 }
 
 
@@ -325,7 +333,16 @@ def llm10_main(spark) -> None:
         print(f"{name:30s} {t0:8.2f} {t1:8.2f} {t1 / max(t0, 0.01):5.1f}x {r0:10d} {r1:11d}")
 
 
-ANN = ["sim_ann_pq", "sim_ann_ivfpq", "sim_ann_recall", "sim_ann_recall_learned"]
+ANN = [
+    "sim_ann_pq",
+    "sim_ann_ivfpq",
+    "sim_ann_recall",
+    "sim_ann_recall_learned",
+    # persistent index lifecycle: 2 encode passes + 2 snapshot commits
+    # + the codes-only serve scan — expected per-row-flat like the
+    # inline PQ scan it shares the encode with.
+    "sim_ann_index_lifecycle",
+]
 
 
 def ann_main(spark) -> None:
