@@ -168,6 +168,10 @@ HEADLINE_LLM = [
     # text_lm_unigram_score's vocab-join shape, with a bounded
     # 1024-bucket feature space instead of the vocabulary).
     "sample_dsir_select",
+    # round-6: batch snapshot DataSource lifecycle (structural
+    # sibling: sink_delete_mor's build, plus the format("snapshot")
+    # pushdown read + time travel).
+    "sink_batch_source_read",
 ]
 
 

@@ -423,3 +423,78 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_os.path.join(table, f) for f in kept]
     ).where(F.col("lang") == "en")
     return full.unionByName(stats(sliced, "pruned_read"))
+
+
+@register(
+    "sink_batch_source_read",
+    oracle="""
+    WITH final AS (
+      SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+      FROM documents WHERE doc_id % 5 <> 2
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 0.5 FROM documents WHERE doc_id % 5 = 2
+    )
+    SELECT 'pushdown_read' AS phase, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(quality) AS BIGINT) AS n_quality
+    FROM final WHERE doc_id < 30 GROUP BY lang
+    UNION ALL
+    SELECT 'time_travel', lang, COUNT(*),
+           CAST(SUM(n_chars) AS BIGINT), 0
+    FROM documents GROUP BY lang
+    """,
+    doc="The BATCH snapshot DataSource (sources/snapshot_batch.py): "
+    "spark.read.format('snapshot') serves one consistent snapshot "
+    "through the standard reader API — manifest-pinned schema, "
+    "deletion vectors applied INSIDE the scan (each file partition "
+    "drops its DV positions executor-side), pre-evolution files "
+    "serving NULL for later columns, and manifest-stats FILE PRUNING "
+    "via the Python DataSource pushFilters hook (a doc_id range "
+    "predicate skips files whose min/max cannot match, driver-side, "
+    "zero file opens — every filter is returned unhandled so Spark "
+    "still row-filters). The query proves the full lifecycle: v1 in "
+    "range-clustered files + MOR delete + metadata-only ADD COLUMNS + "
+    "delta append, then a filtered read of the latest snapshot AND a "
+    "versionAsOf time-travel read of v1. Scale: one Arrow-batched "
+    "partition per KEPT file, the DV sidecar read per-task with a "
+    "file-path predicate (the whole vector never ships through the "
+    "driver); pruning behavior pinned in "
+    "tests/test_snapshot_batch_source.py.",
+    tags=("sink", "layout", "versioning", "scan"),
+)
+def sink_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.sources.snapshot_batch import read_snapshot
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_bsrc_") + "/docs"
+    SNAP.write_version(d.repartitionByRange(4, "doc_id"), table, stats_cols=["doc_id"])
+    SNAP.delete_where_mor(spark, table, "doc_id % 5 = 2")
+    SNAP.add_columns(table, {"quality": "double"})
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 5 == 2).withColumn("quality", F.lit(0.5)),
+        table,
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+
+    latest = read_snapshot(spark, table).where(F.col("doc_id") < 30)
+    leg1 = latest.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.count("quality").cast("bigint").alias("n_quality"),
+    ).select(F.lit("pushdown_read").alias("phase"), "lang", "n_docs", "sum_chars", "n_quality")
+    v1 = read_snapshot(spark, table, version=1)
+    leg2 = v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(
+        F.lit("time_travel").alias("phase"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.lit(0).cast("bigint").alias("n_quality"),
+    )
+    return leg1.unionByName(leg2)

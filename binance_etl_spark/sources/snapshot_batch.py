@@ -1,0 +1,238 @@
+"""Batch Python DataSource over the snapshot commit log — the reader
+API symmetry partner of sources/snapshot_stream.py: where that tails a
+table (`spark.readStream.format("snapshot_changes")`), this reads one
+consistent snapshot through the STANDARD batch reader surface,
+
+    spark.read.format("snapshot").option("path", t)
+        [.option("versionAsOf", n)].load(),
+
+so any Spark consumer — including ones that know nothing about this
+repo's `operators.snapshots` module — gets:
+
+- manifest-pinned schema (reads deterministic under schema evolution;
+  files from before an additive evolution serve NULL for later
+  columns, exactly like `read_version`);
+- deletion-vector application INSIDE the scan: each file partition
+  drops its DV positions executor-side while reading, so merge-on-read
+  deletes are invisible without any caller-visible anti-join;
+- manifest-stats FILE PRUNING via `pushFilters`: =, <, <=, >, >=, IN
+  predicates on stats-bearing columns skip files whose min/max ranges
+  cannot match, decided driver-side with ZERO file opens — the
+  Iceberg/Delta data-skipping move surfaced through the Python
+  DataSource filter-pushdown API. Every filter is returned as
+  unhandled (pruning is an I/O optimization, never a row filter), so
+  Spark still applies the full predicate to scanned rows.
+
+Scale: one partition per kept file (the natural parallel unit;
+executors read parquet + their file's DV slice directly — no driver
+data path), Arrow record batches end-to-end (no per-row Python). The
+DV sidecar is read per-partition with a file-path predicate pushed to
+the parquet dataset reader, so a 10k-file table with one huge DV never
+ships the whole vector through the driver or to every task.
+
+Reference parity note: the reference ETL (binance_etl, ~539 LoC) has
+no table format; north-star extension per SURVEY.md §2.12/FORMAT.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructField, StructType
+
+from binance_etl_spark.operators.snapshots import (
+    _load_manifest,
+    _manifest_schema,
+    main_versions,
+    versions,
+)
+
+
+class _FilePart(InputPartition):
+    def __init__(self, path: str, dv_key: str, dv_dir: str | None):
+        self.path = path
+        self.dv_key = dv_key  # the manifest's spelling — matches DV `f`
+        self.dv_dir = dv_dir
+
+
+def _resolve_manifest(options: dict) -> dict:
+    table_dir = options["path"]
+    v = options.get("versionasof")
+    if v is not None:
+        version = int(v)
+        if version not in versions(table_dir):
+            raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
+    else:
+        main = main_versions(table_dir)
+        if not main:
+            raise FileNotFoundError(f"no main-line snapshots in {table_dir}")
+        version = main[-1]
+    return _load_manifest(table_dir, version)
+
+
+def _batch_schema(options: dict) -> StructType:
+    schema = _manifest_schema(_resolve_manifest(options))
+    if schema is None:
+        raise ValueError(
+            f"{options['path']}: manifest predates versioned schemas; "
+            "recommit (any append) to enable the batch source"
+        )
+    # nullable like every evolved read: pre-evolution files serve NULL
+    return StructType([StructField(f.name, f.dataType, True) for f in schema.fields])
+
+
+class SnapshotBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.table_dir = options["path"]
+        self.manifest = _resolve_manifest(options)
+        self.spark_schema = schema
+        # (col, lo, hi) closed ranges accumulated from pushed filters;
+        # None bound = unbounded on that side
+        self._ranges: list[tuple[str, object, object]] = []
+
+    def pushFilters(self, filters):
+        """Record prunable ranges; hand EVERY filter back to Spark.
+        Correctness never depends on this method — it only shrinks
+        partitions() via the manifest's per-file min/max."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                self._ranges.append((col, f.value, f.value))
+            elif isinstance(f, In):
+                vals = list(f.value)
+                if vals and all(v is not None for v in vals):
+                    self._ranges.append((col, min(vals), max(vals)))
+            elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
+                # closed bound is conservative for the strict case
+                self._ranges.append((col, f.value, None))
+            elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
+                self._ranges.append((col, None, f.value))
+        return filters  # all unhandled: Spark re-applies row-level
+
+    def _kept_files(self) -> list[str]:
+        stats = self.manifest.get("stats", {})
+        kept = []
+        for rel in self.manifest["files"]:
+            fstats = stats.get(rel, {})
+            skip = False
+            for col, lo, hi in self._ranges:
+                mm = fstats.get(col)
+                if mm is None:
+                    continue  # no stats -> must keep (pruning is I/O only)
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(rel)
+        return kept
+
+    def partitions(self):
+        dv_rel = self.manifest.get("dv")
+        dv_dir = (
+            (dv_rel if os.path.isabs(dv_rel) else os.path.join(self.table_dir, dv_rel))
+            if dv_rel
+            else None
+        )
+        parts = []
+        for rel in self._kept_files():
+            path = rel if os.path.isabs(rel) else os.path.join(self.table_dir, rel)
+            parts.append(_FilePart(path, rel, dv_dir))
+        return parts or [_FilePart("", "", None)]
+
+    def read(self, partition: _FilePart):
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.spark_schema)
+        deleted: set[int] = set()
+        if partition.dv_dir:
+            # file-path predicate pushes into the sidecar dataset read:
+            # each task loads only ITS file's positions
+            dv = pq.read_table(
+                partition.dv_dir,
+                filters=[("f", "=", partition.dv_key)],
+                columns=["pos"],
+            )
+            deleted = set(dv.column("pos").to_pylist())
+
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        want = [f.name for f in target if f.name in present]
+        offset = 0
+        for batch in pf.iter_batches(columns=want or None):
+            n = batch.num_rows
+            if deleted:
+                mask = pa.array(
+                    [offset + i not in deleted for i in range(n)], type=pa.bool_()
+                )
+                batch = batch.filter(mask)
+            offset += n
+            if batch.num_rows == 0:
+                continue
+            arrays = []
+            for field in target:
+                if field.name in present:
+                    col = batch.column(batch.schema.get_field_index(field.name))
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    arrays.append(col)
+                else:  # pre-evolution file: later columns are NULL
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class SnapshotBatchDataSource(DataSource):
+    """spark.read.format("snapshot").option("path", t).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def schema(self) -> StructType:
+        return _batch_schema(self.options)
+
+    def reader(self, schema) -> SnapshotBatchReader:
+        return SnapshotBatchReader(self.options, schema)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register(spark) -> None:
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(SnapshotBatchDataSource)
+        # pushFilters is rejected outright while this flag is off (a
+        # bare/driver session leaves it at the false default), and it
+        # is runtime-settable — flip it here so stats pruning works on
+        # ANY session that reads through this source.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _REGISTERED.add(key)
+
+
+def read_snapshot(spark, table_dir: str, version: int | None = None):
+    """One consistent snapshot through the standard batch reader."""
+    register(spark)
+    r = spark.read.format("snapshot").option("path", os.fspath(table_dir))
+    if version is not None:
+        r = r.option("versionAsOf", str(version))
+    return r.load()

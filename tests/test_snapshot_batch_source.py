@@ -1,0 +1,95 @@
+"""Batch snapshot DataSource (sources/snapshot_batch.py) — the
+`spark.read.format("snapshot")` surface: consistency with read_version
+across MOR deletes and schema evolution, versionAsOf time travel, and
+manifest-stats file pruning through pushFilters."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.operators import snapshots as SNAP
+from binance_etl_spark.sources.snapshot_batch import (
+    SnapshotBatchReader,
+    _batch_schema,
+    read_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    d = load(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    t = tempfile.mkdtemp(prefix="besk_bsrc_") + "/docs"
+    SNAP.write_version(
+        d.repartitionByRange(4, "doc_id"), t, stats_cols=["doc_id"]
+    )
+    SNAP.delete_where_mor(spark, t, "doc_id % 5 = 2")
+    SNAP.add_columns(t, {"quality": "double"})
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 5 == 2).withColumn("quality", F.lit(0.5)),
+        t,
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "lang", "n_chars", "quality").collect())
+
+
+def test_latest_matches_read_version(spark, table):
+    got = read_snapshot(spark, table)
+    want = SNAP.read_version(spark, table)
+    assert got.schema == want.schema or set(got.columns) == set(want.columns)
+    assert _rows(got) == _rows(want)
+    # MOR-deleted originals are gone, re-appended copies present
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids))  # no resurrected duplicates
+
+
+def test_version_as_of_time_travel(spark, table):
+    got = read_snapshot(spark, table, version=1)
+    want = SNAP.read_version(spark, table, version=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # v1 predates the evolution: no quality column
+    assert "quality" not in got.columns
+
+
+def test_evolved_column_is_null_for_old_files(spark, table):
+    got = read_snapshot(spark, table)
+    n_old = got.where(F.col("quality").isNull()).count()
+    n_new = got.where(F.col("quality") == 0.5).count()
+    assert n_new > 0 and n_old > 0
+    assert n_old + n_new == got.count()
+
+
+def test_push_filters_prune_files_from_stats(spark, table):
+    opts = {"path": table}
+    schema = _batch_schema(opts)
+    reader = SnapshotBatchReader(opts, schema)
+    total = len(reader.partitions())
+    assert total >= 5  # 4 range files + the append
+
+    pruned = SnapshotBatchReader(opts, schema)
+    unhandled = pruned.pushFilters([EqualTo(("doc_id",), 3)])
+    # every filter comes back: pruning is I/O-only, Spark re-applies
+    assert len(list(unhandled)) == 1
+    assert len(pruned.partitions()) < total
+
+    rng = SnapshotBatchReader(opts, schema)
+    rng.pushFilters([GreaterThanOrEqual(("doc_id",), 0), LessThan(("doc_id",), 5)])
+    assert len(rng.partitions()) < total
+
+
+def test_filtered_read_is_still_exact(spark, table):
+    got = read_snapshot(spark, table).where("doc_id >= 10 AND doc_id < 20")
+    want = SNAP.read_version(spark, table).where("doc_id >= 10 AND doc_id < 20")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
