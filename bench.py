@@ -149,6 +149,7 @@ HEADLINE_LLM = [
     "ms_ofi_forward_returns",
     "ms_amihud_illiq",
     "ms_kyle_lambda",
+    "ms_microprice",
     # round-6 lakehouse wave 2: WAP staged publish, bloom point-delete,
     # deletion-vector merge-on-read delete lifecycle.
     "sink_snapshot_wap",

@@ -524,3 +524,87 @@ def ms_tick_rule_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym")
     )
+
+
+# --- ms_microprice -------------------------------------------------------
+
+# Deterministic synthetic QUOTE stream from the same events spine the
+# tape uses: mid = value, half-spread/sizes from event_id residues —
+# a stable parquet input with an exact oracle, matching _TAPE_SQL's
+# approach for trades.
+_QUOTES_SQL = """
+      SELECT event_id AS qid, CAST(user_id % 5 AS INT) AS sym, ts,
+             value - (event_id % 5 + 1) AS bid,
+             value + (event_id % 5 + 1) AS ask,
+             CAST(event_id % 7 + 1 AS BIGINT) AS bq,
+             CAST(event_id % 11 + 1 AS BIGINT) AS aq
+      FROM events WHERE value > 0
+"""
+
+
+@register(
+    "ms_microprice",
+    oracle=f"""
+    WITH q AS ({_QUOTES_SQL}),
+    per AS (
+      SELECT sym,
+             CAST(floor((ask * bq + bid * aq) / (bq + aq) * 1000000000
+                        - (bid + ask) / 2 * 1000000000) AS BIGINT)
+               AS prem_e9,
+             CAST(floor(CAST(bq AS DOUBLE) / (bq + aq) * 1000000000)
+                  AS BIGINT) AS imb_e9
+      FROM q
+    )
+    SELECT sym, COUNT(*) AS n_quotes,
+           SUM(prem_e9) AS sum_premium_e9,
+           SUM(imb_e9) AS sum_imbalance_e9
+    FROM per GROUP BY sym ORDER BY sym
+    """,
+    doc="Stoikov microprice + depth imbalance over the synthetic quote "
+    "stream: microprice = (ask*bq + bid*aq)/(bq+aq) — the "
+    "size-weighted fair price that leans toward the heavier side of "
+    "the book (the standard short-horizon price-direction feature) — "
+    "reported as its premium over the mid, plus the bid-size "
+    "imbalance bq/(bq+aq). Both are floor-scaled to integer "
+    "nano-units PER ROW before summing (order-free bigint adds; "
+    "per-row double division is IEEE-exact-rounded and bit-identical "
+    "across engines — no ln anywhere, per the tier's parity "
+    "discipline). Scale: pure codegen projection + ONE "
+    "map-side-combinable aggregate keyed by symbol — no window, no "
+    "join, no shuffle beyond the k-symbol group-by.",
+    tags=("market", "risk"),
+)
+def ms_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    q = e.select(
+        (F.col("user_id") % 5).cast("int").alias("sym"),
+        (F.col("value") - (F.col("event_id") % 5 + 1)).alias("bid"),
+        (F.col("value") + (F.col("event_id") % 5 + 1)).alias("ask"),
+        (F.col("event_id") % 7 + 1).cast("bigint").alias("bq"),
+        (F.col("event_id") % 11 + 1).cast("bigint").alias("aq"),
+    )
+    per = q.select(
+        "sym",
+        F.floor(
+            (F.col("ask") * F.col("bq") + F.col("bid") * F.col("aq"))
+            / (F.col("bq") + F.col("aq"))
+            * 1000000000
+            - (F.col("bid") + F.col("ask")) / 2 * 1000000000
+        )
+        .cast("bigint")
+        .alias("prem_e9"),
+        F.floor(
+            F.col("bq").cast("double") / (F.col("bq") + F.col("aq")) * 1000000000
+        )
+        .cast("bigint")
+        .alias("imb_e9"),
+    )
+    return (
+        per.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_quotes"),
+            F.sum("prem_e9").alias("sum_premium_e9"),
+            F.sum("imb_e9").alias("sum_imbalance_e9"),
+        )
+        .orderBy("sym")
+    )

@@ -74,3 +74,39 @@ def test_forward_return_is_next_buckets_label(spark, sf_dir):
         rs.sort(key=lambda r: r["bucket"])
         nulls = [i for i, r in enumerate(rs) if r["fwd_ret"] is None]
         assert nulls == [len(rs) - 1], f"sym {sym}: only the last bucket lacks a label"
+
+
+def test_microprice_leans_toward_the_heavier_side(spark, sf_dir):
+    """Algebraic identity of the Stoikov microprice: premium over mid
+    = (bq - aq)/(bq + aq) * half_spread, so its SIGN must match the
+    size-imbalance sign row by row. Checked on the per-row projection
+    the registered aggregate sums."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0).limit(2000)
+    q = e.select(
+        (F.col("value") - (F.col("event_id") % 5 + 1)).alias("bid"),
+        (F.col("value") + (F.col("event_id") % 5 + 1)).alias("ask"),
+        (F.col("event_id") % 7 + 1).alias("bq"),
+        (F.col("event_id") % 11 + 1).alias("aq"),
+    ).select(
+        (
+            (F.col("ask") * F.col("bq") + F.col("bid") * F.col("aq"))
+            / (F.col("bq") + F.col("aq"))
+            - (F.col("bid") + F.col("ask")) / 2
+        ).alias("prem"),
+        (
+            (F.col("bq") - F.col("aq"))
+            / (F.col("bq") + F.col("aq"))
+            * (F.col("ask") - F.col("bid"))
+            / 2
+        ).alias("expected"),
+    )
+    # exact in the reals; in doubles the subtraction of two near-equal
+    # quote-scale numbers leaves ulp-level noise, so compare with an
+    # absolute tolerance far above ulp yet far below one tick
+    bad = q.where(F.abs(F.col("prem") - F.col("expected")) > 1e-6).count()
+    assert bad == 0
+    assert REGISTRY["ms_microprice"].fn(spark, sf_dir).count() > 0
