@@ -93,3 +93,22 @@ def test_filtered_read_is_still_exact(spark, table):
     want = SNAP.read_version(spark, table).where("doc_id >= 10 AND doc_id < 20")
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_sql_ddl_view_over_snapshot_table(spark, table):
+    """Snapshot tables are addressable from PURE SQL — CREATE VIEW
+    USING snapshot — so a SQL-only consumer needs no Python API at
+    all (the Delta `USING delta` ergonomics)."""
+    from binance_etl_spark.sources.snapshot_batch import register
+
+    register(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_docs "
+        f"USING snapshot OPTIONS (path '{table}')"
+    )
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(quality) AS nq FROM snap_docs"
+    ).first()
+    want = SNAP.read_version(spark, table)
+    assert got["n"] == want.count()
+    assert got["nq"] == want.where(F.col("quality").isNotNull()).count()
