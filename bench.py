@@ -173,6 +173,9 @@ HEADLINE_LLM = [
     # sibling: sink_delete_mor's build, plus the format("snapshot")
     # pushdown read + time travel).
     "sink_batch_source_read",
+    # round-6: epoch-reshuffled training order (structural sibling:
+    # corpus_shuffle_shards, run twice + an adjacency equi-join).
+    "corpus_epoch_order",
 ]
 
 

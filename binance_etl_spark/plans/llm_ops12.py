@@ -615,3 +615,113 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score_ppm"), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+def _epoch_hk(epoch: int, col):
+    """Per-epoch deterministic shuffle key: md5 of the epoch-salted id.
+    Same id, different epoch -> independent hash -> independent order."""
+    return F.md5(F.concat(F.lit(f"epoch:{epoch}:"), col.cast("string")))
+
+
+@register(
+    "corpus_epoch_order",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id, md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS hk FROM d
+    ), s0 AS (
+      SELECT doc_id, hk,
+             CAST(((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
+                  % {_N_SHARDS} AS INT) AS shard
+      FROM e0
+    ), p0 AS (
+      SELECT doc_id AS a,
+             lead(doc_id) OVER (PARTITION BY shard ORDER BY hk, doc_id) AS b
+      FROM s0
+    ), e1 AS (
+      SELECT doc_id, md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS hk FROM d
+    ), s1 AS (
+      SELECT doc_id, hk,
+             CAST(((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
+                  % {_N_SHARDS} AS INT) AS shard
+      FROM e1
+    ), p1 AS (
+      SELECT doc_id AS a,
+             lead(doc_id) OVER (PARTITION BY shard ORDER BY hk, doc_id) AS b
+      FROM s1
+    ), shared AS (
+      SELECT COUNT(*) AS c
+      FROM (SELECT a, b FROM p0 WHERE b IS NOT NULL) x
+      JOIN (SELECT a, b FROM p1 WHERE b IS NOT NULL) y USING (a, b)
+    )
+    SELECT 0 AS epoch, COUNT(*) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT shard) AS BIGINT) AS n_pairs,
+           arg_min(doc_id, hk) AS first_doc, arg_max(doc_id, hk) AS last_doc,
+           (SELECT c FROM shared) AS shared_adjacencies
+    FROM s0
+    UNION ALL
+    SELECT 1, COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT shard) AS BIGINT),
+           arg_min(doc_id, hk), arg_max(doc_id, hk),
+           (SELECT c FROM shared)
+    FROM s1
+    ORDER BY epoch
+    """,
+    doc="Epoch-reshuffled training order: each epoch orders the corpus "
+    "by an epoch-salted md5 (shard = first-byte mod N, within-shard "
+    "order = full hash — corpus_shuffle_shards' layout, re-keyed per "
+    "epoch), so every epoch's order is byte-REPRODUCIBLE given "
+    "(corpus, epoch) while any two epochs are statistically "
+    "independent — repeating one fixed order every epoch is a known "
+    "convergence harm, and this is the deterministic alternative to "
+    "an unseeded shuffle. The audit emits per-epoch doc counts, "
+    "adjacency-pair counts, hash-order first/last docs (pinning the "
+    "ORDER, not just membership), and the cross-epoch count of SHARED "
+    "adjacent pairs — the decorrelation statement (expected ~n/256 "
+    "shared pairs by chance; a correlated reshuffle would score near "
+    "n). Scale: per epoch one hash exchange + one shard-keyed window "
+    "(identical to the shard-assembly plan), then an equi-join on "
+    "pair keys — no global-order single-partition window anywhere.",
+    tags=("llm", "sampling", "layout"),
+)
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    legs = []
+    pairs = []
+    for e in (0, 1):
+        hk = _epoch_hk(e, F.col("doc_id"))
+        s = d.select(
+            "doc_id",
+            hk.alias("hk"),
+            (
+                F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % _N_SHARDS
+            ).alias("shard"),
+        )
+        w = W.partitionBy("shard").orderBy("hk", "doc_id")
+        pairs.append(
+            s.select(
+                F.col("doc_id").alias("a"), F.lead("doc_id").over(w).alias("b")
+            ).where(F.col("b").isNotNull())
+        )
+        legs.append(
+            s.agg(
+                F.lit(e).alias("epoch"),
+                F.count(F.lit(1)).alias("n_docs"),
+                (F.count(F.lit(1)) - F.countDistinct("shard"))
+                .cast("bigint")
+                .alias("n_pairs"),
+                F.min_by("doc_id", "hk").alias("first_doc"),
+                F.max_by("doc_id", "hk").alias("last_doc"),
+            )
+        )
+    shared = pairs[0].join(pairs[1], ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("shared_adjacencies")
+    )
+    return (
+        legs[0]
+        .unionByName(legs[1])
+        .crossJoin(F.broadcast(shared))
+        .orderBy("epoch")
+    )
