@@ -45,6 +45,12 @@ EMPTY_SAFE = [
     "graph_triangles",
     "er_resolve_e2e",
     "sample_quality_calibrated",
+    # round-6 additions: DSIR scoring (nullif-guarded ppm divisions),
+    # the quote-stream estimator. (corpus_epoch_order is excluded like
+    # sim_ann_recall: a global aggregate legitimately returns its
+    # epoch rows on empty input, not zero rows.)
+    "sample_dsir_select",
+    "ms_microprice",
 ]
 
 
