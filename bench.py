@@ -176,6 +176,9 @@ HEADLINE_LLM = [
     # round-6: epoch-reshuffled training order (structural sibling:
     # corpus_shuffle_shards, run twice + an adjacency equi-join).
     "corpus_epoch_order",
+    # round-6: training-run assembly flagship (mixture -> epoch order
+    # -> packing in one plan; siblings: the three ops it composes).
+    "assemble_training_run",
 ]
 
 

@@ -725,3 +725,166 @@ def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(shared))
         .orderBy("epoch")
     )
+
+
+@register(
+    "assemble_training_run",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT source, 1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
+      FROM (SELECT DISTINCT source FROM toks)
+    ), tot AS (SELECT SUM(weight) AS tw FROM w),
+    q0 AS (
+      SELECT source, weight,
+             CAST(floor({_MIX_BUDGET} * weight / tw) AS BIGINT) AS base,
+             ({_MIX_BUDGET} * weight / tw)
+               - floor({_MIX_BUDGET} * weight / tw) AS rem
+      FROM w, tot
+    ), leftover AS (SELECT {_MIX_BUDGET} - SUM(base) AS k FROM q0),
+    quotas AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                              <= k THEN 1 ELSE 0 END AS quota
+      FROM q0, leftover
+    ), ranked AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+             ) AS rn
+      FROM toks t
+    ), kept AS (
+      SELECT r.doc_id, r.source, r.n_tokens
+      FROM ranked r JOIN quotas q ON r.source = q.source AND r.rn <= q.quota
+    ), ordered AS (
+      SELECT doc_id, source, n_tokens,
+             md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS hk,
+             CAST(((instr('0123456789abcdef',
+                          substr(md5('epoch:0:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef',
+                           substr(md5('epoch:0:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                  % {_N_SHARDS} AS INT) AS shard
+      FROM kept
+    ), packed AS (
+      SELECT shard, source, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                        / 512) AS BIGINT) AS pack_id
+      FROM ordered
+    )
+    SELECT 'shard ' || CAST(shard AS VARCHAR) AS grp,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY shard
+    UNION ALL
+    SELECT 'source ' || source, COUNT(*), CAST(0 AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT)
+    FROM packed GROUP BY source
+    ORDER BY grp
+    """,
+    doc="Training-run ASSEMBLY flagship — the last-mile composite in "
+    "ONE plan: (1) exact largest-remainder domain mixture fills "
+    "per-source quotas with deterministic bottom-by-hash samples "
+    "(sample_mixture_weights), (2) the kept docs take the epoch-0 "
+    "reshuffled order (corpus_epoch_order's salted-hash shard + "
+    "within-shard order), (3) each shard greedy-packs into 512-token "
+    "training sequences (text_pack_sequences' cumulative idiom). The "
+    "audit reports per-shard doc/pack/token mass AND per-source kept "
+    "mass — proving the mixture held through assembly. Every stage "
+    "is engine-portable md5 arithmetic, so the whole run is "
+    "byte-reproducible. Scale shape: a k-row broadcast quota table, "
+    "one source-keyed window (the mixture rank), one shard-keyed "
+    "window (order + packing in the same exchange), and combinable "
+    "final aggregates — three bounded shuffles for the full pipeline, "
+    "no collect, no UDF.",
+    tags=("llm", "sampling", "pack", "layout"),
+)
+def assemble_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = toks.select("source").distinct().select(
+        "source",
+        (1 + F.substring("source", 4, 10).cast("int") % 3).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    exact = F.lit(_MIX_BUDGET) * F.col("weight") / F.col("tw")
+    q0 = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(exact).alias("base"),
+        (exact - F.floor(exact)).alias("rem"),
+    )
+    leftover = q0.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("k"))
+    quotas = (
+        q0.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "tr",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
+            ),
+        )
+        .select(
+            "source",
+            (F.col("base") + F.when(F.col("tr") <= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    ranked = toks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    kept = ranked.join(F.broadcast(quotas), "source").where(
+        F.col("rn") <= F.col("quota")
+    )
+    hk = _epoch_hk(0, F.col("doc_id"))
+    ordered = kept.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        hk.alias("hk"),
+        (F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % _N_SHARDS).alias(
+            "shard"
+        ),
+    )
+    wsh = (
+        W.partitionBy("shard")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = ordered.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(wsh) - F.col("n_tokens")) / 512).cast(
+            "bigint"
+        ),
+    )
+    by_shard = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    ).select(
+        F.concat(F.lit("shard "), F.col("shard").cast("string")).alias("grp"),
+        "n_docs",
+        "n_packs",
+        "sum_tokens",
+    )
+    by_source = packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    ).select(
+        F.concat(F.lit("source "), F.col("source")).alias("grp"),
+        "n_docs",
+        "n_packs",
+        "sum_tokens",
+    )
+    return by_shard.unionByName(by_source).orderBy("grp")
