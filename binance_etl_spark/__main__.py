@@ -27,6 +27,34 @@ import sys
 import time
 
 
+def _run_query_mode(args) -> int:
+    """Ad-hoc query runner: the 264-query registered surface as a
+    shell command — list names, or run one and print JSON lines (the
+    engine-as-a-tool ergonomics the per-query oracles already verify)."""
+    from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    if args.list_queries:
+        for name in sorted(REGISTRY):
+            print(name)
+        return 0
+    if args.run_query not in REGISTRY:
+        print(f"unknown query {args.run_query!r}; try --list-queries", flush=True)
+        return 2
+
+    from binance_etl_spark.session import get_spark
+
+    spark = get_spark("binance-etl-spark-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = REGISTRY[args.run_query].fn(spark, args.sf_dir)
+        for row in df.toJSON().toLocalIterator():
+            print(row, flush=True)
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m binance_etl_spark",
@@ -46,7 +74,27 @@ def main(argv: list[str] | None = None) -> int:
         help="process everything currently available in the sources, "
         "then stop (replay/backfill mode)",
     )
+    ap.add_argument(
+        "--run-query",
+        metavar="NAME",
+        default=None,
+        help="instead of streaming: run one registered query by name "
+        "(see QUERIES.md) and print its rows as JSON lines",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="table directory for --run-query (default sf0.01)",
+    )
+    ap.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print every registered query name and exit",
+    )
     args = ap.parse_args(argv)
+
+    if args.list_queries or args.run_query:
+        return _run_query_mode(args)
 
     with open(args.config) as f:
         config = json.load(f)

@@ -96,3 +96,38 @@ def test_cli_sigterm_stops_gracefully(spark):
     assert "exiting binance-etl-spark" in out
     t, dp = _read_counts(spark, d)
     assert t > 0 and dp > 0  # committed micro-batches survived the stop
+
+
+def test_cli_run_query_prints_json_lines():
+    import json as _json
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "binance_etl_spark",
+            "--run-query", "ms_microprice",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [_json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert rows and all("sym" in r and "n_quotes" in r for r in rows)
+
+
+def test_cli_list_queries_and_unknown_name():
+    proc = subprocess.run(
+        [sys.executable, "-m", "binance_etl_spark", "--list-queries"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0
+    names = proc.stdout.split()
+    assert "assemble_training_run" in names and len(names) >= 260
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "binance_etl_spark", "--run-query", "nope"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stdout
