@@ -466,3 +466,26 @@ def test_dsir_weights_join_is_broadcast_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_epoch_order_no_global_window_no_python(spark):
+    """corpus_epoch_order: both epochs' windows must be SHARD-keyed
+    (a global-order window would single-partition the corpus at
+    100 TB) and the whole plan stays JVM-side."""
+    plan = _plan(spark, "corpus_epoch_order")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every window partitions by shard — no empty partition spec
+    assert "windowspecdefinition(shard" in plan.replace(" ", "").lower() or (
+        "partitionBy" not in plan
+    )
+    assert "SortMergeJoin" not in plan  # adjacency join under AQE/broadcast
+
+
+def test_assembly_quota_join_broadcast_no_python(spark):
+    """assemble_training_run: the k-row quota table broadcasts into
+    the ranked stream, and the full mixture->order->pack pipeline is
+    pure codegen."""
+    plan = _plan(spark, "assemble_training_run")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
