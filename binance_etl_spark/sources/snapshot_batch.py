@@ -67,12 +67,33 @@ class _FilePart(InputPartition):
 
 
 def _resolve_manifest(options: dict) -> dict:
+    import os as _os
+
     table_dir = options["path"]
     v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
     if v is not None:
         version = int(v)
         if version not in versions(table_dir):
             raise FileNotFoundError(f"snapshot v{version} not committed in {table_dir}")
+    elif ts is not None:
+        # the read_version_as_of contract: manifest mtime gates
+        # eligibility, version number orders the log
+        from binance_etl_spark.operators.snapshots import _manifest_dir
+
+        mdir = _manifest_dir(table_dir)
+        eligible = [
+            mv
+            for mv in main_versions(table_dir)
+            if _os.path.getmtime(_os.path.join(mdir, f"v{mv}.json")) <= float(ts)
+        ]
+        if not eligible:
+            raise FileNotFoundError(
+                f"{table_dir}: no snapshot committed at or before ts={ts}"
+            )
+        version = eligible[-1]
     else:
         main = main_versions(table_dir)
         if not main:
@@ -229,10 +250,21 @@ def register(spark) -> None:
         _REGISTERED.add(key)
 
 
-def read_snapshot(spark, table_dir: str, version: int | None = None):
-    """One consistent snapshot through the standard batch reader."""
+def read_snapshot(
+    spark,
+    table_dir: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+):
+    """One consistent snapshot through the standard batch reader.
+    `version` is the Delta `versionAsOf` twin; `timestamp` (unix
+    seconds) is `timestampAsOf` — newest snapshot committed at or
+    before that wall clock (manifest mtime, read_version_as_of's
+    contract)."""
     register(spark)
     r = spark.read.format("snapshot").option("path", os.fspath(table_dir))
     if version is not None:
         r = r.option("versionAsOf", str(version))
+    if timestamp is not None:
+        r = r.option("timestampAsOf", repr(float(timestamp)))
     return r.load()

@@ -112,3 +112,26 @@ def test_sql_ddl_view_over_snapshot_table(spark, table):
     want = SNAP.read_version(spark, table)
     assert got["n"] == want.count()
     assert got["nq"] == want.where(F.col("quality").isNotNull()).count()
+
+
+def test_timestamp_as_of_reads_the_then_newest_snapshot(spark, table):
+    """timestampAsOf through the DataSource must match
+    read_version_as_of: mtime gates eligibility, version orders."""
+    import os as _os
+    import time
+
+    from binance_etl_spark.operators.snapshots import _manifest_dir
+    from binance_etl_spark.sources.snapshot_batch import read_snapshot as RS
+
+    mdir = _manifest_dir(table)
+    t_v1 = _os.path.getmtime(_os.path.join(mdir, "v1.json"))
+    got = RS(spark, table, timestamp=t_v1)
+    want = SNAP.read_version_as_of(spark, table, t_v1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # a timestamp after every commit serves the latest snapshot
+    now = time.time() + 60
+    assert RS(spark, table, timestamp=now).count() == SNAP.read_version(
+        spark, table
+    ).count()
+    with pytest.raises(Exception):
+        RS(spark, table, timestamp=t_v1 - 10_000).count()
