@@ -8,7 +8,7 @@ combinable aggregation, broadcast or banded joins), while an
 accidentally quadratic or shuffle-fat plan blows past 10x. Results are
 recorded in PERFORMANCE.md.
 
-Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10] [--ann] [--lake]
+Usage: python scripts/scale_probe.py [--rebuild] [--x100] [--stages] [--llm10] [--ann] [--lake] [--sync]
 
 --lake probes the lakehouse DELETE strategies at sf0.1 vs 10x docs:
 bloom-pruned delete_keys (near-constant files opened), CoW full-scan
@@ -460,6 +460,90 @@ def lake_main(spark) -> None:
         )
 
 
+
+# --- multi-symbol key-parallelism probe (--sync) -------------------------
+
+
+def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
+    """One interleaved replay log with n_syms independent u-chained
+    depth streams + one snapshot per symbol — the same wire shape as
+    bench._book_sync_fixture, widened across keys."""
+    import json as _json
+    import tempfile
+
+    t_base = 1_727_000_000_000
+    d = tempfile.mkdtemp(prefix="besk_sync_probe_")
+    path = os.path.join(d, "depth_multi.jsonl")
+    us = {k: 103 for k in range(n_syms)}
+    seq = 0
+    with open(path, "w") as f:
+        for i in range(frames_per_sym):
+            for k in range(n_syms):
+                u = us[k]
+                ev = {
+                    "e": "depthUpdate",
+                    "E": t_base + 100 * i,
+                    "s": f"SYM{k}USDT",
+                    "U": u,
+                    "u": u + 2,
+                    "b": [[f"{500 + k - (i % 50) * 0.1:.8f}", f"{(i % 7) * 0.5:.8f}"]],
+                    "a": [[f"{500.1 + k + (i % 50) * 0.1:.8f}", f"{(i % 5) * 0.3:.8f}"]],
+                }
+                f.write(
+                    _json.dumps(
+                        {
+                            "frame": _json.dumps(ev, separators=(",", ":")),
+                            "arrival_ms": t_base + 100 * i + 5,
+                            "seq": seq,
+                        }
+                    )
+                    + "\n"
+                )
+                us[k] = u + 3
+                seq += 1
+    snaps = {
+        f"SYM{k}USDT": {
+            "lastUpdateId": 102,
+            "bids": [[f"{500 + k:.8f}", "1.00000000"]],
+            "asks": [[f"{500.1 + k:.8f}", "1.20000000"]],
+        }
+        for k in range(n_syms)
+    }
+    return path, snaps
+
+
+def sync_main(spark) -> None:
+    """Key-parallelism proof for the reference's core path: the SAME
+    total frame count synced as 1, 4, and 16 independent symbols. The
+    stateful step is one ordered group per symbol (applyInPandas), so
+    wall time should FALL as symbols grow — a 1000-symbol deployment
+    scales across executors by key, and a single hot symbol is the
+    worst case, not the design point. Healthy = 16-symbol wall <=
+    1-symbol wall; the parse/scan stages are key-oblivious."""
+    import time as _time
+
+    from binance_etl_spark.sources.replay import read_replay
+    from binance_etl_spark.streaming.book_sync import book_sync_batch
+    from binance_etl_spark.streaming.parse import parse_depth_updates
+
+    total = 128_000
+    print(f"\n{'symbols':>8s} {'frames':>8s} {'best_s':>7s} {'rows':>9s} {'rows/s':>9s}")
+    for n_syms in (1, 4, 16):
+        path, snaps = _multi_sym_fixture(n_syms, total // n_syms)
+        best, rows = float("inf"), 0
+        for _ in range(3):
+            t0 = _time.time()
+            upd = parse_depth_updates(
+                read_replay(spark, path, lines_per_partition=4000)
+            )
+            out = book_sync_batch(upd, snaps)
+            rows = out.agg(F.count(F.lit(1))).first()[0]
+            best = min(best, _time.time() - t0)
+        print(
+            f"{n_syms:8d} {total:8d} {best:7.2f} {rows:9d} {rows / best:9.0f}"
+        )
+
+
 def main() -> None:
     extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
     spark = get_spark("scale-probe", extra)
@@ -467,6 +551,9 @@ def main() -> None:
     _ensure_loaded()
     if "--rebuild" in sys.argv or not os.path.isdir(DST):
         build(spark)
+    if "--sync" in sys.argv:
+        sync_main(spark)
+        return
     if "--ann" in sys.argv:
         ann_main(spark)
         return
