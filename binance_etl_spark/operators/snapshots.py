@@ -1499,6 +1499,7 @@ def compact(
     stats_cols: list[str] | None = None,
     min_file_bytes: int | None = None,
     zorder_by: list[str] | None = None,
+    where_stats: tuple[str, object, object] | None = None,
 ) -> int:
     """OPTIMIZE-style bin-packing compaction, committed as a new
     version. Row-preserving by construction — a distributed read, a
@@ -1528,6 +1529,17 @@ def compact(
     aborts + retries if a newer version committed since the snapshot
     it read — same optimistic-conflict discipline and same residual
     check-to-publish window as delete_where.
+
+    ``where_stats=(col, lo, hi)`` is the OPTIMIZE WHERE analog: only
+    files whose manifest min/max for ``col`` INTERSECTS [lo, hi] are
+    candidates (files provably outside — or lacking stats intersection
+    by range — are carried by name with zero I/O); whole candidate
+    files rewrite, so the op stays row-preserving. This scopes a
+    maintenance pass to the hot region a streaming sink just appended
+    (e.g. today's timestamps) instead of the whole table — composable
+    with ``min_file_bytes`` (scope first, then size threshold) and
+    ``zorder_by``. Files WITHOUT stats for ``col`` are conservatively
+    in scope, mirroring select_files' keep-on-unknown rule.
     """
     for _attempt in range(4):
         prior = main_versions(table_dir)
@@ -1535,10 +1547,24 @@ def compact(
             raise ValueError(f"{table_dir}: no committed snapshot to compact")
         v_read = prior[-1]
         prev = _load_manifest(table_dir, v_read)
+        scope = list(prev["files"])
+        scoped_out: list[str] = []
+        if where_stats is not None:
+            col, lo, hi = where_stats
+            stats0 = prev.get("stats", {})
+
+            def outside(rel: str) -> bool:
+                mm = stats0.get(rel, {}).get(col)
+                return mm is not None and (mm[1] < lo or mm[0] > hi)
+
+            scoped_out = [rel for rel in scope if outside(rel)]
+            scope = [rel for rel in scope if not outside(rel)]
         if min_file_bytes is None:
-            to_merge = list(prev["files"])
-            carried = []
+            to_merge = scope
+            carried = scoped_out
             n_out = max(1, target_files)
+            if where_stats is not None and len(to_merge) < 2:
+                return v_read  # scope holds <2 files: nothing to merge
         else:
             meta = prev.get("file_meta", {})
             size = lambda rel: (  # noqa: E731
@@ -1546,8 +1572,10 @@ def compact(
                 if rel in meta
                 else os.path.getsize(os.path.join(table_dir, rel))
             )
-            to_merge = [rel for rel in prev["files"] if size(rel) < min_file_bytes]
-            carried = [rel for rel in prev["files"] if size(rel) >= min_file_bytes]
+            to_merge = [rel for rel in scope if size(rel) < min_file_bytes]
+            carried = scoped_out + [
+                rel for rel in scope if size(rel) >= min_file_bytes
+            ]
             if len(to_merge) < 2:
                 return v_read  # nothing to merge: no-op, no commit
             small_bytes = sum(size(rel) for rel in to_merge)

@@ -259,3 +259,73 @@ def test_compact_zorder_clusters_and_prunes(spark, table):
     got = spark.read.parquet(*[_os.path.join(table, f) for f in kept_a])
     want = SNAP.read_version(spark, table, v).where("a BETWEEN 0 AND 5000")
     assert got.where("a BETWEEN 0 AND 5000").count() == want.count()
+
+
+# --- predicate-scoped compaction (OPTIMIZE WHERE) ---------------------
+
+
+def test_where_scoped_compact_rewrites_only_intersecting_files(spark, table):
+    """compact(where_stats=(col, lo, hi)): files whose manifest stats
+    are provably outside the range carry BY NAME; only the hot region
+    rewrites, and values are identical (whole candidate files rewrite
+    — row-preserving by construction)."""
+    # 4 range-clustered files over id: [0,25k) [25k,50k) [50k,75k) [75k,100k)
+    SNAP.write_version(
+        _df(spark, 0, 100_000).repartitionByRange(4, "id"),
+        table,
+        stats_cols=["id"],
+    )
+    m0 = SNAP._load_manifest(table, SNAP.versions(table)[-1])
+    assert len(m0["files"]) == 4
+    want = sorted(map(tuple, SNAP.read_version(spark, table).collect()))
+
+    # scope: the hot upper half (two of the four range files)
+    v = SNAP.compact(
+        spark, table, target_files=1, where_stats=("id", 50_000, 99_999)
+    )
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "compact"
+    outside = [
+        rel
+        for rel in m0["files"]
+        if m0["stats"][rel]["id"][1] < 50_000
+    ]
+    assert len(outside) == 2
+    for rel in outside:  # cold files carried by name — zero I/O
+        assert rel in m["files"]
+    assert m["carried"] == 2 and m["rewrote"] == 2
+    got = sorted(map(tuple, SNAP.read_version(spark, table).collect()))
+    assert got == want  # row-preserving
+
+    # a scope that intersects <2 files is a no-op, no commit
+    head = SNAP.versions(table)[-1]
+    assert (
+        SNAP.compact(spark, table, where_stats=("id", 0, 10)) == head
+    )
+    assert SNAP.versions(table)[-1] == head
+
+
+def test_where_scoped_compact_composes_with_size_threshold(spark, table):
+    """Scope first, then the size threshold: only SMALL files INSIDE
+    the range merge; large in-scope files and everything out of scope
+    carry."""
+    SNAP.write_version(
+        _df(spark, 0, 50_000).coalesce(1), table, stats_cols=["id"]
+    )
+    for i in range(4):  # small hot appends at the id tail
+        SNAP.write_version(
+            _df(spark, 50_000 + i * 10, 50_000 + (i + 1) * 10).coalesce(1),
+            table,
+            stats_cols=["id"],
+        )
+    m0 = SNAP._load_manifest(table, SNAP.versions(table)[-1])
+    v = SNAP.compact(
+        spark,
+        table,
+        min_file_bytes=100_000,
+        where_stats=("id", 50_000, 60_000),
+    )
+    m = SNAP._load_manifest(table, v)
+    assert m["rewrote"] == 4  # the four small hot files
+    assert m["carried"] == len(m0["files"]) - 4
+    assert SNAP.read_version(spark, table).count() == 50_040
