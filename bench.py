@@ -179,6 +179,9 @@ HEADLINE_LLM = [
     # round-6: training-run assembly flagship (mixture -> epoch order
     # -> packing in one plan; siblings: the three ops it composes).
     "assemble_training_run",
+    # round-6: persistent inverted index build/refresh/serve
+    # (structural siblings: text_inverted_index + text_bm25_topk).
+    "text_index_lifecycle",
 ]
 
 

@@ -480,7 +480,7 @@ def sink_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_cols=["doc_id"],
     )
 
-    latest = read_snapshot(spark, table).where(F.col("doc_id") < 30)
+    latest = read_snapshot(spark, table, prune=True).where(F.col("doc_id") < 30)
     leg1 = latest.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),

@@ -119,6 +119,7 @@ def _ensure_loaded() -> None:
         scalar3,
         streaming_analog,
         subqueries,
+        text_index,
         timeseries,
         tpch,
     )

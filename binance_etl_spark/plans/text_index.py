@@ -1,0 +1,199 @@
+"""Persistent INVERTED INDEX as a lakehouse table — the keyword-
+retrieval twin of plans/ann_index.py: build postings once, refresh
+with only the newly-arrived docs, serve BM25 from the STORED postings
+without touching document text again.
+
+The inline queries (llm_ops7: text_inverted_index / text_bm25_topk)
+re-tokenize the corpus per query — right for one-shot scans, wrong for
+a serving system: production keyword search pays tokenize ONCE per
+document ever (Lucene's segment model), and every query reads only
+posting rows. Re-expressed over this repo's table format:
+
+- storage  = snapshots.write_version with METADATA PARTITIONING on the
+  row kind (posting vs doc-stat rows), so the per-file min/max stats
+  separate the two kinds into disjoint files;
+- refresh  = append the delta docs' postings (O(delta) tokenize, one
+  commit; exactly-once under streaming via the batch-id token);
+- serve    = spark.read.format("snapshot") — the batch DataSource's
+  pushFilters hook PRUNES the doc-stat scan to the doc-row files from
+  manifest stats alone, and BM25 ranks the stored postings with the
+  exact integer arithmetic of the inline twin.
+
+Index consistency statement: serving from storage must be
+bit-identical to recomputing over the full corpus — the oracle IS the
+inline BM25 oracle. At 100 TB the split is the point: tokenize is
+paid once per doc (build + deltas), queries move only matching
+postings + the doc-stat rows, and corpus growth is absorbed as
+snapshot appends the scoped compactor can fold.
+
+Reference parity note: the reference ETL (binance_etl, ~539 LoC) has
+no index structures; north-star extension per SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.plans.llm_ops7 import _BM25_K, _BM25_TERMS
+from binance_etl_spark.plans.registry import REGISTRY, register
+
+
+def build_text_index(
+    docs: DataFrame, table_dir: str, batch_id: int | None = None
+) -> int:
+    """Tokenize `docs` (doc_id, text) and commit their posting rows +
+    doc-stat rows as the next snapshot version. Row kinds share one
+    schema: postings (is_doc=0: term, doc_id, tf, dl) and doc-stat
+    rows (is_doc=1: term='', tf=0, dl) — metadata-partitioned on
+    is_doc so the serve path's stats scan file-prunes to the doc rows."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    base = toks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"), "toks"
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("term", "doc_id", "tf", "dl", F.lit(0).alias("is_doc"))
+    )
+    docrows = base.select(
+        F.lit("").alias("term"),
+        "doc_id",
+        F.lit(0).cast("bigint").alias("tf"),
+        "dl",
+        F.lit(1).alias("is_doc"),
+    )
+    return SNAP.write_version(
+        postings.unionByName(docrows),
+        table_dir,
+        mode="append",
+        partition_by=["is_doc"],
+        batch_id=batch_id,
+    )
+
+
+def serve_bm25(spark: SparkSession, table_dir: str, terms, k: int) -> DataFrame:
+    """BM25 top-k from STORED postings — no document text anywhere.
+    Identical integer arithmetic to llm_ops7.text_bm25_topk, so served
+    scores equal inline recomputation bit for bit."""
+    from binance_etl_spark.sources.snapshot_batch import read_snapshot
+
+    # One relation PER LEG: the doc-stat leg and the postings leg scan
+    # under conflicting predicates, and a single Python-source relation
+    # must not be reused across differently-filtered scans (the Spark
+    # pushdown hazard documented in sources/snapshot_batch.py).
+    # The doc-stat leg opts into pruning: is_doc = 1 reaches the
+    # DataSource as an EqualTo pushFilter, and the metadata
+    # partitioning on is_doc lets manifest stats prune this scan to
+    # the doc-row files (pinned in tests/test_text_index.py).
+    stats = (
+        read_snapshot(spark, table_dir, prune=True)
+        .where(F.col("is_doc") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("(SUM(dl) * 1000) div COUNT(*)").alias("avgdl_e3"),
+        )
+    )
+    idx = read_snapshot(spark, table_dir)
+    tf = idx.where((F.col("is_doc") == 0) & F.col("term").isin(*terms))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((tf * 2200 * 1000000) div"
+                " (tf * 1000 + (1200 * (250 + (750 * dl * 1000) div avgdl_e3)) div 1000)"
+                " * ((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1))"
+                ") div 1000000"
+            ).alias("contrib_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("contrib_e6").cast("bigint").alias("score_e6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        )
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score_e6", "n_hit_terms")
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def foreach_batch_text_index(table_dir: str):
+    """writeStream.foreachBatch body keeping the index current as docs
+    arrive: O(batch) tokenize per micro-batch, one snapshot version,
+    exactly-once via the batch-id token (ann_index's streaming story
+    for the keyword modality)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        build_text_index(batch_df, table_dir, batch_id=batch_id)
+
+    return apply
+
+
+# Served-from-storage BM25 over the full corpus is by construction
+# identical to the inline recompute — reuse that oracle's WITH chain
+# and extend the projection with the lifecycle evidence.
+def _lifecycle_oracle() -> str:
+    base = REGISTRY["text_bm25_topk"].oracle
+    head = base.rsplit("SELECT CAST(doc_id AS BIGINT)", 1)[0]
+    return (
+        head
+        + f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(contrib_e6) AS BIGINT) AS score_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           CAST(2 AS INT) AS n_versions,
+           (SELECT COUNT(*) FROM documents) AS n_indexed
+    FROM scored GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT {_BM25_K}
+    """
+    )
+
+
+@register(
+    "text_index_lifecycle",
+    oracle=_lifecycle_oracle(),
+    doc="Persistent inverted index over the snapshot log: BUILD "
+    "(tokenize the initial corpus — doc_id % 10 != 7 — into posting + "
+    "doc-stat rows, metadata-partitioned on row kind, committed as "
+    "v1), REFRESH (tokenize ONLY the late % 10 == 7 slice, O(delta), "
+    "append as v2), SERVE (BM25 top-k from the STORED postings via "
+    "the batch DataSource — the doc-stat scan file-prunes through "
+    "pushFilters, matching postings filter before any shuffle, no "
+    "document text touched). Returns the top-k plus lifecycle "
+    "evidence (commit count from the log, indexed-doc count). The "
+    "oracle is the inline BM25 oracle over the full corpus — served "
+    "must equal recomputed, the index-consistency statement. At "
+    "100 TB tokenize is paid once per doc ever; every query moves "
+    "only matching postings. Plan + pruning pinned in "
+    "tests/test_text_index.py.",
+    tags=("text", "retrieval", "sink", "llm"),
+)
+def text_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = fanout(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="besk_txtidx_") + "/postings"
+    build_text_index(d.where(F.col("doc_id") % 10 != 7), table)
+    build_text_index(d.where(F.col("doc_id") % 10 == 7), table)
+
+    n_versions = len(SNAP.main_versions(table))
+    n_indexed = d.count()
+    served = serve_bm25(spark, table, _BM25_TERMS, _BM25_K)
+    return served.select(
+        "doc_id",
+        "score_e6",
+        "n_hit_terms",
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(n_indexed).cast("long").alias("n_indexed"),
+    )

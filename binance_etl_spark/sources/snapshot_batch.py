@@ -114,54 +114,24 @@ def _batch_schema(options: dict) -> StructType:
 
 
 class SnapshotBatchReader(DataSourceReader):
+    """Default reader: NO pushFilters. Spark 4.1's Python-DataSource
+    filter pushdown mis-associates scans when one load() relation is
+    scanned under DIFFERENT pushed filters in a single query (observed:
+    a join between an is_doc=0 leg and an is_doc=1 leg of the same
+    relation returned zero rows even though each scan's reader planned
+    the correct files — the per-scan partition lists get crossed).
+    Identical scans (no pushdown) reuse safely, so the default reader
+    implements none and stats pruning is OPT-IN per read via
+    .option("pruneFiles", "true") — see SnapshotPruningBatchReader's
+    single-scan contract."""
+
     def __init__(self, options: dict, schema: StructType):
         self.table_dir = options["path"]
         self.manifest = _resolve_manifest(options)
         self.spark_schema = schema
-        # (col, lo, hi) closed ranges accumulated from pushed filters;
-        # None bound = unbounded on that side
-        self._ranges: list[tuple[str, object, object]] = []
-
-    def pushFilters(self, filters):
-        """Record prunable ranges; hand EVERY filter back to Spark.
-        Correctness never depends on this method — it only shrinks
-        partitions() via the manifest's per-file min/max."""
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if not attr or len(attr) != 1:
-                continue
-            col = attr[0]
-            if isinstance(f, EqualTo):
-                self._ranges.append((col, f.value, f.value))
-            elif isinstance(f, In):
-                vals = list(f.value)
-                if vals and all(v is not None for v in vals):
-                    self._ranges.append((col, min(vals), max(vals)))
-            elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
-                # closed bound is conservative for the strict case
-                self._ranges.append((col, f.value, None))
-            elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
-                self._ranges.append((col, None, f.value))
-        return filters  # all unhandled: Spark re-applies row-level
 
     def _kept_files(self) -> list[str]:
-        stats = self.manifest.get("stats", {})
-        kept = []
-        for rel in self.manifest["files"]:
-            fstats = stats.get(rel, {})
-            skip = False
-            for col, lo, hi in self._ranges:
-                mm = fstats.get(col)
-                if mm is None:
-                    continue  # no stats -> must keep (pruning is I/O only)
-                if (hi is not None and mm[0] > hi) or (
-                    lo is not None and mm[1] < lo
-                ):
-                    skip = True
-                    break
-            if not skip:
-                kept.append(rel)
-        return kept
+        return list(self.manifest["files"])
 
     def partitions(self):
         dv_rel = self.manifest.get("dv")
@@ -221,6 +191,72 @@ class SnapshotBatchReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
+class SnapshotPruningBatchReader(SnapshotBatchReader):
+    """Opt-in stats-pruning reader (.option("pruneFiles", "true")):
+    implements pushFilters so =, <, <=, >, >=, IN predicates on
+    stats-bearing columns skip files driver-side with zero opens.
+
+    CONTRACT: use on a relation consumed by ONE scan shape per query
+    (the overwhelmingly common case — read, filter, aggregate). Do NOT
+    reuse a single pruned load() under conflicting filters inside one
+    query: Spark's Python-source pushdown crosses the per-scan
+    partition lists (see SnapshotBatchReader's docstring); take a
+    fresh read_snapshot() per leg instead. As defense in depth, when
+    this reader DOES receive multiple pushFilters calls it keeps the
+    UNION of every call's survivors, so over-pruning can never drop a
+    sibling leg's files."""
+
+    def __init__(self, options: dict, schema: StructType):
+        super().__init__(options, schema)
+        self._range_sets: list[list[tuple[str, object, object]]] = []
+
+    def pushFilters(self, filters):
+        ranges: list[tuple[str, object, object]] = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                ranges.append((col, f.value, f.value))
+            elif isinstance(f, In):
+                vals = list(f.value)
+                if vals and all(v is not None for v in vals):
+                    ranges.append((col, min(vals), max(vals)))
+            elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
+                # closed bound is conservative for the strict case
+                ranges.append((col, f.value, None))
+            elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
+                ranges.append((col, None, f.value))
+        self._range_sets.append(ranges)
+        return filters  # all unhandled: Spark re-applies row-level
+
+    def _kept_files(self) -> list[str]:
+        stats = self.manifest.get("stats", {})
+
+        def excluded_by(fstats: dict, ranges) -> bool:
+            for col, lo, hi in ranges:
+                mm = fstats.get(col)
+                if mm is None:
+                    continue  # no stats -> cannot exclude
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    return True
+            return False
+
+        kept = []
+        for rel in self.manifest["files"]:
+            fstats = stats.get(rel, {})
+            # keep unless EVERY scan's range-set excludes it
+            if self._range_sets and all(
+                excluded_by(fstats, rs) for rs in self._range_sets
+            ):
+                continue
+            kept.append(rel)
+        return kept
+
+
 class SnapshotBatchDataSource(DataSource):
     """spark.read.format("snapshot").option("path", t).load()"""
 
@@ -232,6 +268,8 @@ class SnapshotBatchDataSource(DataSource):
         return _batch_schema(self.options)
 
     def reader(self, schema) -> SnapshotBatchReader:
+        if str(self.options.get("prunefiles", "false")).lower() == "true":
+            return SnapshotPruningBatchReader(self.options, schema)
         return SnapshotBatchReader(self.options, schema)
 
 
@@ -255,16 +293,22 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     timestamp: float | None = None,
+    prune: bool = False,
 ):
     """One consistent snapshot through the standard batch reader.
     `version` is the Delta `versionAsOf` twin; `timestamp` (unix
     seconds) is `timestampAsOf` — newest snapshot committed at or
     before that wall clock (manifest mtime, read_version_as_of's
-    contract)."""
+    contract). `prune=True` enables manifest-stats file pruning for
+    this relation — opt-in because of the Spark Python-source
+    pushdown hazard documented on SnapshotPruningBatchReader: only
+    prune a relation consumed by one scan shape per query."""
     register(spark)
     r = spark.read.format("snapshot").option("path", os.fspath(table_dir))
     if version is not None:
         r = r.option("versionAsOf", str(version))
     if timestamp is not None:
         r = r.option("timestampAsOf", repr(float(timestamp)))
+    if prune:
+        r = r.option("pruneFiles", "true")
     return r.load()

@@ -15,6 +15,7 @@ from binance_etl_spark.catalog import load
 from binance_etl_spark.operators import snapshots as SNAP
 from binance_etl_spark.sources.snapshot_batch import (
     SnapshotBatchReader,
+    SnapshotPruningBatchReader,
     _batch_schema,
     read_snapshot,
 )
@@ -76,16 +77,42 @@ def test_push_filters_prune_files_from_stats(spark, table):
     reader = SnapshotBatchReader(opts, schema)
     total = len(reader.partitions())
     assert total >= 5  # 4 range files + the append
+    from pyspark.sql.datasource import DataSourceReader
 
-    pruned = SnapshotBatchReader(opts, schema)
+    # default reader must NOT override pushFilters (safe under scan reuse)
+    assert SnapshotBatchReader.pushFilters is DataSourceReader.pushFilters
+
+    pruned = SnapshotPruningBatchReader(opts, schema)
     unhandled = pruned.pushFilters([EqualTo(("doc_id",), 3)])
     # every filter comes back: pruning is I/O-only, Spark re-applies
     assert len(list(unhandled)) == 1
     assert len(pruned.partitions()) < total
 
-    rng = SnapshotBatchReader(opts, schema)
+    rng = SnapshotPruningBatchReader(opts, schema)
     rng.pushFilters([GreaterThanOrEqual(("doc_id",), 0), LessThan(("doc_id",), 5)])
     assert len(rng.partitions()) < total
+
+    # defense in depth: a shared reader fed CONFLICTING scans keeps the
+    # UNION of survivors — it must never prune below either leg's needs
+    multi = SnapshotPruningBatchReader(opts, schema)
+    multi.pushFilters([EqualTo(("doc_id",), 3)])
+    n_one = len(multi.partitions())
+    multi.pushFilters([GreaterThanOrEqual(("doc_id",), 10_000)])
+    assert len(multi.partitions()) >= n_one
+
+
+def test_shared_relation_conflicting_filters_join_is_correct(spark, table):
+    """REGRESSION (Spark Python-source pushdown hazard): one load()
+    relation scanned under two conflicting filters inside ONE query
+    returned zero rows when the reader implemented pushFilters. The
+    default reader implements none, so this must be exact."""
+    idx = read_snapshot(spark, table)
+    legA = idx.where(F.col("quality").isNull()).groupBy().count()
+    legB = idx.where(F.col("quality") == 0.5).groupBy().count()
+    both = legA.crossJoin(legB.withColumnRenamed("count", "count_b")).first()
+    want = SNAP.read_version(spark, table)
+    assert both["count"] == want.where(F.col("quality").isNull()).count()
+    assert both["count_b"] == want.where(F.col("quality") == 0.5).count()
 
 
 def test_filtered_read_is_still_exact(spark, table):
