@@ -224,6 +224,19 @@ def write_version(
         for pv in all_vs:
             if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already committed
+    if partition_by is None:
+        # The partition spec is TABLE metadata (the Iceberg model):
+        # once declared it is INHERITED by every later commit until a
+        # writer explicitly changes it (pass a new list to evolve the
+        # spec — old files keep their old clustering, stats-based
+        # pruning doesn't care — or [] to clear it). Inherit only when
+        # the spec columns survive in this df (an overwrite may
+        # legitimately re-shape them away).
+        head = main_versions(table_dir)
+        if head:
+            inherited = _load_manifest(table_dir, head[-1]).get("partition_by")
+            if inherited and set(inherited) <= set(df.columns):
+                partition_by = list(inherited)
     if partition_by:
         missing = sorted(set(partition_by) - set(df.columns))
         if missing:
@@ -319,6 +332,11 @@ def write_version(
                 "file_meta": file_meta,
                 "schema": json.loads(df.schema.json()),
                 "expectations": effective_exp,
+                # always explicit here ([] = no/cleared spec) — a
+                # write_version commit is authoritative for the spec,
+                # while rewrite committers omit the key and
+                # _commit_manifest carries the table's spec forward
+                "partition_by": list(partition_by or []),
             }
             if eff_bloom_cols:
                 manifest["bloom_cols"] = eff_bloom_cols
@@ -369,7 +387,19 @@ def _claim_version(table_dir: str, prior: list[int]) -> int:
 
 
 def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
-    """Atomic manifest publish + claim release — THE commit point."""
+    """Atomic manifest publish + claim release — THE commit point.
+
+    Table-level properties ride every commit: a manifest that does not
+    SET `partition_by` (every rewrite/maintenance committer) inherits
+    the main head's spec, so the table's declared partitioning
+    survives delete/update/merge/compact/restore — only write_version
+    sets the key explicitly (authoritative declare/evolve/clear)."""
+    if "partition_by" not in manifest:
+        prior = [pv for pv in main_versions(table_dir) if pv != v]
+        if prior:
+            spec = _load_manifest(table_dir, prior[-1]).get("partition_by")
+            if spec:
+                manifest["partition_by"] = spec
     mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-v{v}.json")
     with open(tmp, "w") as f:
@@ -1590,6 +1620,7 @@ def compact(
             continue
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
+        pspec = prev.get("partition_by")
         if zorder_by:
             # OPTIMIZE ZORDER BY: cluster the rewrite on the Morton
             # curve of the given columns so footer min/max stats prune
@@ -1599,6 +1630,16 @@ def compact(
             from binance_etl_spark.operators.zorder import write_zordered
 
             write_zordered(df, staging, zorder_by, n_out)
+        elif pspec and set(pspec) <= set(df.columns):
+            # the table declares a partition spec: the rewrite must
+            # PRESERVE the hidden-partition clustering (Delta OPTIMIZE
+            # compacts within partitions the same way) — otherwise
+            # maintenance would quietly destroy the equality-pruning
+            # layout write_version built
+            nspec = df.select(*pspec).distinct().count()
+            df.repartitionByRange(
+                max(n_out, int(nspec), 1), *[F.col(c) for c in pspec]
+            ).write.mode("overwrite").parquet(staging)
         else:
             df.repartition(n_out).write.mode("overwrite").parquet(staging)
         new_files, file_meta = _stage_files(table_dir, rel_dir)

@@ -1012,3 +1012,55 @@ def test_describe_detail_is_metadata_only(spark, tmp_path):
     assert d["expectations"] == ["pos"] and d["bloom_cols"] == ["id"]
     assert d["refs"] == {"pin": 1}
     assert d["commit_modes"] == {"append": 1, "delete": 1}
+
+
+def test_partition_spec_is_inherited_and_survives_maintenance(spark, tmp_path):
+    """The partition spec is TABLE metadata (Iceberg model): declared
+    once, inherited by later appends (which cluster without re-passing
+    it), carried through rewrite commits, preserved by compact's
+    rewrite, evolvable, and clearable with []."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "tspec")
+    df = spark.range(3000).selectExpr("id", "CAST(id % 3 AS STRING) AS lang")
+    SNAP.write_version(df, table, partition_by=["lang"])
+    assert SNAP._load_manifest(table, 1)["partition_by"] == ["lang"]
+
+    # plain append INHERITS the spec: new files cluster single-valued
+    df2 = spark.range(3000, 6000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS lang"
+    )
+    v2 = SNAP.write_version(df2, table)
+    m2 = SNAP._load_manifest(table, v2)
+    assert m2["partition_by"] == ["lang"]
+    new_files = [f for f in m2["files"] if f not in SNAP._load_manifest(table, 1)["files"]]
+    assert new_files
+    # clustering happened (same standard as the declare-time test:
+    # range clustering yields single-valued files, sampling ties may
+    # leave a boundary file)
+    assert any(
+        m2["stats"][f]["lang"][0] == m2["stats"][f]["lang"][1] for f in new_files
+    )
+
+    # a rewrite commit CARRIES the spec even though it never sets it
+    v3 = SNAP.delete_where(spark, table, "id % 1000 = 7")
+    assert SNAP._load_manifest(table, v3).get("partition_by") == ["lang"]
+
+    # compact PRESERVES the clustering: post-compact files stay
+    # single-valued in lang, so equality pruning still works
+    v4 = SNAP.compact(spark, table, target_files=2)
+    m4 = SNAP._load_manifest(table, v4)
+    assert m4.get("partition_by") == ["lang"]
+    assert any(
+        st["lang"][0] == st["lang"][1]
+        for st in m4["stats"].values()
+        if "lang" in st
+    )
+    kept, skipped = SNAP.select_files(table, None, "lang", "1", "1")
+    assert skipped, "equality pruning must survive compaction"
+
+    # explicit [] CLEARS the spec; the next append stops clustering
+    v5 = SNAP.write_version(df, table, partition_by=[])
+    assert SNAP._load_manifest(table, v5)["partition_by"] == []
+    v6 = SNAP.write_version(df2, table)
+    assert SNAP._load_manifest(table, v6)["partition_by"] == []

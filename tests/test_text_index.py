@@ -110,3 +110,19 @@ def test_registered_lifecycle_query(spark):
     assert all(r["n_versions"] == 2 for r in out)
     scores = [r["score_e6"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_index_maintenance_compact_preserves_serving(spark, table):
+    """The index table is a snapshot table, so the maintenance ops
+    compose: a full compact (merges the build+refresh segments, folds
+    any DV) must not change a single served score."""
+    d, _, _, _ = table
+    t = tempfile.mkdtemp(prefix="txtidx_compact_") + "/postings"
+    build_text_index(d.where(F.col("doc_id") % 10 != 7), t)
+    build_text_index(d.where(F.col("doc_id") % 10 == 7), t)
+    before = [tuple(r) for r in serve_bm25(spark, t, _BM25_TERMS, _BM25_K).collect()]
+    v = SNAP.compact(spark, t, target_files=2)
+    m = SNAP._load_manifest(t, v)
+    assert m["mode"] == "compact" and len(m["files"]) <= 2
+    after = [tuple(r) for r in serve_bm25(spark, t, _BM25_TERMS, _BM25_K).collect()]
+    assert after == before
