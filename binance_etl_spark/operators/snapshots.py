@@ -158,6 +158,62 @@ def _enforce_expectations(df: DataFrame, expectations: dict) -> None:
         raise ValueError(f"expectations violated, commit refused: {bad}")
 
 
+def _enforce_unique(
+    df: DataFrame, table_dir: str, prev: dict, keys: list[str]
+) -> None:
+    """PRIMARY-KEY-style uniqueness gate: refuse the commit if the
+    incoming batch repeats a key internally OR collides with a LIVE
+    key already in the table (deletion-vector-deleted rows don't
+    block re-insert — _live_rows applies the DV).
+
+    Cost model (documented, like everything at 100 TB): the in-batch
+    check is one combinable aggregate over the new rows. The vs-table
+    probe takes the fast path when the batch carries <= 1024 distinct
+    keys (the CDC/late-fix shape): collect them and bloom-prune the
+    existing-file set via the table's key bloom (select_files_point),
+    then semi-join ONLY the candidate files. A wide batch falls back
+    to one key-projected, column-pruned scan + semi-join — what PK
+    enforcement costs without an index, stated rather than hidden."""
+    spark = df.sparkSession
+    dupe = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dupe:
+        raise ValueError(
+            f"unique_keys violated in the incoming batch, commit refused: "
+            f"{dict(zip(keys, [dupe[0][k] for k in keys]))} appears "
+            f"{dupe[0]['n']} times"
+        )
+    if not prev.get("files"):
+        return
+    new_keys = df.select(*keys).distinct()
+    files = prev["files"]
+    probe = new_keys.limit(1025).collect()
+    if len(probe) <= 1024 and keys[0] in prev.get("bloom_cols", []):
+        entries = _load_bloom_entries(table_dir, prev)
+        vals = [r[keys[0]] for r in probe]
+        files = [
+            rel
+            for rel in files
+            if (e := entries.get((os.path.normpath(rel), keys[0]))) is None
+            or any(_bloom_maybe_contains(e[2], v, e[0], e[1]) for v in vals)
+        ]
+        if not files:
+            return  # every file's bloom rules every new key out
+    existing = _live_rows(spark, table_dir, prev, files).select(*keys)
+    hit = existing.join(new_keys, list(keys), "left_semi").limit(1).collect()
+    if hit:
+        raise ValueError(
+            f"unique_keys violated, commit refused: key "
+            f"{dict(zip(keys, [hit[0][k] for k in keys]))} already live "
+            f"in {table_dir} (use merge_into/update_where to upsert)"
+        )
+
+
 def write_version(
     df: DataFrame,
     table_dir: str,
@@ -167,6 +223,7 @@ def write_version(
     expectations: dict[str, str] | None = None,
     bloom_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    unique_keys: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
@@ -258,6 +315,7 @@ def write_version(
     rel_dir = os.path.join("data", f"tx-{token}")
     staging = os.path.join(table_dir, rel_dir)
     enforced: set[str] = set()
+    uk_checked_head: tuple | None = None
     built_bloom_for: tuple | None = None
     idx_rel = None
     try:
@@ -300,6 +358,22 @@ def write_version(
             if todo:  # heavy scans stay OUTSIDE the claim window
                 _enforce_expectations(df, effective_exp)
                 enforced |= set(effective_exp)
+            # unique-key (PK) gate — inherited like expectations; the
+            # vs-table probe is re-run if a rebase moved the head (a
+            # racer may have inserted the same key)
+            effective_uk = (
+                list(unique_keys)
+                if unique_keys is not None
+                else list(prev.get("unique_keys", []))
+            )
+            if effective_uk:
+                missing_uk = sorted(set(effective_uk) - set(df.columns))
+                if missing_uk:
+                    raise ValueError(f"unique_keys columns not in data: {missing_uk}")
+                head_now = prior[-1] if prior else None
+                if uk_checked_head != ("head", head_now):
+                    _enforce_unique(df, table_dir, prev, effective_uk)
+                    uk_checked_head = ("head", head_now)
             eff_bloom_cols = sorted(
                 set(bloom_cols or []) | set(prev.get("bloom_cols", []))
             )
@@ -337,6 +411,7 @@ def write_version(
                 # while rewrite committers omit the key and
                 # _commit_manifest carries the table's spec forward
                 "partition_by": list(partition_by or []),
+                "unique_keys": effective_uk,
             }
             if eff_bloom_cols:
                 manifest["bloom_cols"] = eff_bloom_cols
@@ -386,20 +461,27 @@ def _claim_version(table_dir: str, prior: list[int]) -> int:
     return v
 
 
+_CARRIED_PROPS = ("partition_by", "unique_keys")
+
+
 def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
     """Atomic manifest publish + claim release — THE commit point.
 
     Table-level properties ride every commit: a manifest that does not
-    SET `partition_by` (every rewrite/maintenance committer) inherits
-    the main head's spec, so the table's declared partitioning
-    survives delete/update/merge/compact/restore — only write_version
-    sets the key explicitly (authoritative declare/evolve/clear)."""
-    if "partition_by" not in manifest:
+    SET a carried property (every rewrite/maintenance committer)
+    inherits the main head's value, so declared partitioning and
+    unique-key constraints survive delete/update/merge/compact/restore
+    — only write_version sets them explicitly (authoritative
+    declare/evolve/clear)."""
+    missing = [p for p in _CARRIED_PROPS if p not in manifest]
+    if missing:
         prior = [pv for pv in main_versions(table_dir) if pv != v]
         if prior:
-            spec = _load_manifest(table_dir, prior[-1]).get("partition_by")
-            if spec:
-                manifest["partition_by"] = spec
+            head = _load_manifest(table_dir, prior[-1])
+            for prop in missing:
+                val = head.get(prop)
+                if val:
+                    manifest[prop] = val
     mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-v{v}.json")
     with open(tmp, "w") as f:

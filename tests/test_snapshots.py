@@ -1064,3 +1064,66 @@ def test_partition_spec_is_inherited_and_survives_maintenance(spark, tmp_path):
     assert SNAP._load_manifest(table, v5)["partition_by"] == []
     v6 = SNAP.write_version(df2, table)
     assert SNAP._load_manifest(table, v6)["partition_by"] == []
+
+
+def test_unique_keys_enforced_and_inherited(spark, tmp_path):
+    """PRIMARY-KEY gate: declared once, inherited by later appends;
+    refuses in-batch dupes AND collisions with live table keys; a
+    DV-deleted key frees its slot; refusal commits nothing."""
+    import pytest as _pytest
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "uk")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    SNAP.write_version(df, table, unique_keys=["k"])
+    assert SNAP._load_manifest(table, 1)["unique_keys"] == ["k"]
+
+    # in-batch duplicate refused
+    dup = spark.createDataFrame([(200, 1), (200, 2)], "k LONG, v LONG")
+    with _pytest.raises(ValueError, match="unique_keys violated in the incoming"):
+        SNAP.write_version(dup, table)  # inherits the constraint
+    # collision with a live key refused, nothing committed
+    head = SNAP.versions(table)[-1]
+    clash = spark.createDataFrame([(42, 1)], "k LONG, v LONG")
+    with _pytest.raises(ValueError, match="already live"):
+        SNAP.write_version(clash, table)
+    assert SNAP.versions(table)[-1] == head
+
+    # clean append passes and the property is recorded again
+    ok = spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v")
+    v = SNAP.write_version(ok, table)
+    assert SNAP._load_manifest(table, v)["unique_keys"] == ["k"]
+
+    # rewrite commits CARRY the property
+    v_del = SNAP.delete_where_mor(spark, table, "k = 42")
+    assert SNAP._load_manifest(table, v_del).get("unique_keys") == ["k"]
+    # the DV-deleted key is free again
+    v_re = SNAP.write_version(clash, table)
+    assert SNAP.read_version(spark, table).where("k = 42").count() == 1
+    assert v_re == SNAP.versions(table)[-1]
+
+
+def test_unique_keys_bloom_fast_path_prunes_probe(spark, tmp_path):
+    """With a bloom over the key, a small batch's vs-table probe
+    opens only candidate files (possibly none)."""
+    import pytest as _pytest
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "ukb")
+    df = spark.range(2000).selectExpr("id AS k", "id AS v")
+    SNAP.write_version(
+        df.repartitionByRange(4, "k"), table, unique_keys=["k"], bloom_cols=["k"]
+    )
+    # non-colliding small batch: blooms rule every file out -> accepted
+    # without opening any data file (behavioral proof: it commits)
+    v = SNAP.write_version(
+        spark.createDataFrame([(999_999, 0)], "k LONG, v LONG"), table
+    )
+    assert v == SNAP.versions(table)[-1]
+    # colliding small batch still refused through the pruned probe
+    with _pytest.raises(ValueError, match="already live"):
+        SNAP.write_version(
+            spark.createDataFrame([(7, 0)], "k LONG, v LONG"), table
+        )
