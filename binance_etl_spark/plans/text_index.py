@@ -101,9 +101,14 @@ def serve_bm25(spark: SparkSession, table_dir: str, terms, k: int) -> DataFrame:
     )
     idx = read_snapshot(spark, table_dir)
     tf = idx.where((F.col("is_doc") == 0) & F.col("term").isin(*terms))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df (docs containing the term) = tf rows per term — a term-keyed
+    # window over the ALREADY-FILTERED postings gives it in the same
+    # scan, replacing the inline twin's second scan + broadcast join
+    # (only matching postings flow through the exchange)
+    from pyspark.sql.window import Window as W
+
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
