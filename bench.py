@@ -182,6 +182,9 @@ HEADLINE_LLM = [
     # round-6: persistent inverted index build/refresh/serve
     # (structural siblings: text_inverted_index + text_bm25_topk).
     "text_index_lifecycle",
+    # round-6: PRIMARY-KEY enforcement lifecycle (structural sibling:
+    # sink_delete_mor's build + one key-projected probe scan).
+    "sink_unique_key_guard",
 ]
 
 

@@ -498,3 +498,62 @@ def sink_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("n_quality"),
     )
     return leg1.unionByName(leg2)
+
+
+@register(
+    "sink_unique_key_guard",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_live,
+           CAST(2 AS INT) AS n_refused,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(2 AS INT) AS n_versions
+    FROM documents
+    """,
+    doc="PRIMARY-KEY enforcement lifecycle over the snapshot log "
+    "(operators/snapshots.py::_enforce_unique, inherited table "
+    "property like CHECK constraints): the corpus commits as v1 with "
+    "unique_keys=[doc_id], an append REPEATING a key inside its own "
+    "batch is refused, an append COLLIDING with a live key is refused "
+    "(both leave no version behind — the staged bytes are cleaned, "
+    "pinned in tests/test_snapshots.py), and a key-shifted copy "
+    "commits cleanly as v2 — after which the table provably holds "
+    "2N rows with 2N distinct keys. The vs-table probe bloom-prunes "
+    "candidate files for small batches (<= 1024 distinct keys) and "
+    "falls back to ONE key-projected column-pruned scan + semi-join "
+    "for wide batches like this one — the stated O(table-scan) cost "
+    "of PK enforcement without an index, paid per commit, never "
+    "hidden. DV-deleted keys free their slots (re-insert allowed).",
+    tags=("sink", "layout", "versioning", "llm"),
+)
+def sink_unique_key_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_uk_") + "/docs_pk"
+    SNAP.write_version(d, table, unique_keys=["doc_id"])
+
+    n_refused = 0
+    dup = d.limit(1).unionByName(d.limit(1))  # same key twice in one batch
+    try:
+        SNAP.write_version(dup, table)
+    except ValueError:
+        n_refused += 1
+    try:  # every key collides with a live one
+        SNAP.write_version(d.limit(5), table)
+    except ValueError:
+        n_refused += 1
+
+    shifted = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "n_chars"
+    )
+    SNAP.write_version(shifted, table)  # clean append, inherits the PK
+
+    live = SNAP.read_version(spark, table)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.lit(n_refused).cast("int").alias("n_refused"),
+        F.countDistinct("doc_id").alias("n_distinct_keys"),
+        F.lit(len(SNAP.main_versions(table))).cast("int").alias("n_versions"),
+    )
