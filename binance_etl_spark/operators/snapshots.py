@@ -1458,6 +1458,7 @@ def merge_into(
     source: DataFrame,
     key_cols: list[str],
     delete_condition: str | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE INTO / CDC-apply over the snapshot log (the Delta MERGE
     upsert and the DLT APPLY CHANGES shape): every target row whose
@@ -1482,8 +1483,14 @@ def merge_into(
     ambiguous multi-row matches raise, as Delta's MERGE does. Shares
     delete_where's optimistic-conflict retry: a concurrent append
     landing mid-scan restarts the merge against the newer snapshot.
-    Returns the committed version."""
+    Returns the committed version. `batch_id` is the streaming
+    exactly-once replay token (see foreach_batch_merge): a replayed
+    micro-batch finds its id in a committed manifest and no-ops."""
     root = os.path.abspath(table_dir)
+    if batch_id is not None:
+        for pv in versions(table_dir):
+            if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
+                return pv  # replayed micro-batch: already applied
     key_struct = F.struct(*[F.col(c) for c in key_cols])
     dup = (
         source.groupBy(*key_cols)
@@ -1589,6 +1596,8 @@ def merge_into(
         if dv_rel:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         # FINAL base re-check: the data write above may have taken
         # long enough for a waiting racer to time out and commit —
         # publishing now would drop that commit from forward history,
@@ -1602,6 +1611,51 @@ def merge_into(
     raise RuntimeError(
         f"merge_into: lost the optimistic-conflict race 4 times on {table_dir}"
     )
+
+
+def foreach_batch_merge(
+    table_dir: str,
+    key_cols: list[str],
+    sequence_col: str | None = None,
+    delete_condition: str | None = None,
+):
+    """writeStream.foreachBatch body applying each micro-batch of
+    CHANGE rows as one MERGE commit — the DLT APPLY CHANGES INTO shape
+    over the snapshot log: matched keys replace, unmatched insert,
+    rows satisfying ``delete_condition`` tombstone, exactly-once via
+    the batch-id token (a checkpoint-replayed batch no-ops).
+
+    ``sequence_col`` resolves multi-change keys the way APPLY CHANGES'
+    SEQUENCE BY does: within the batch only each key's HIGHEST-sequence
+    row applies (ties broken by the remaining columns for determinism);
+    without it, a key appearing twice in one batch raises, as
+    merge_into does. Scale shape is merge_into's: only files holding a
+    matched key rewrite, per micro-batch."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df
+        if sequence_col is not None:
+            from pyspark.sql.window import Window as _W
+
+            others = [c for c in src.columns if c not in key_cols]
+            w = _W.partitionBy(*key_cols).orderBy(
+                F.col(sequence_col).desc(), *[F.col(c).desc() for c in others]
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        merge_into(
+            batch_df.sparkSession,
+            table_dir,
+            src,
+            key_cols,
+            delete_condition=delete_condition,
+            batch_id=batch_id,
+        )
+
+    return apply
 
 
 def compact(
