@@ -2110,6 +2110,7 @@ def vacuum(
     keep_last: int = 1,
     claim_ttl_seconds: float = 86400.0,
     retain_seconds: float | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Retention maintenance: physically delete data files referenced
     ONLY by expired snapshots (all but the newest ``keep_last``
@@ -2148,6 +2149,11 @@ def vacuum(
     from the manifest mtime, the same commit clock read_version_as_of
     trusts). Returns {"kept_versions", "removed_files",
     "removed_orphan_dirs"}.
+
+    ``dry_run=True`` (the Delta VACUUM DRY RUN shape) reports exactly
+    what a real run would remove — same keep-set, same TTL guards —
+    while touching nothing on disk; the operational check before an
+    irreversible retention pass.
     """
     import shutil
     import time
@@ -2191,7 +2197,8 @@ def vacuum(
             if not os.path.abspath(path).startswith(root + os.sep):
                 continue
             if os.path.exists(path):
-                os.remove(path)
+                if not dry_run:
+                    os.remove(path)
                 removed_files += 1
     # crashed-commit orphans: data/v<N> dirs no manifest (kept OR
     # expired... expired are going away) references, and empty dirs
@@ -2237,10 +2244,11 @@ def vacuum(
                 for f in os.listdir(full)
             )
             if not has_referenced:
-                shutil.rmtree(full)
+                if not dry_run:
+                    shutil.rmtree(full)
+                    if claim is not None and os.path.exists(claim):
+                        os.remove(claim)  # stale claim reclaimed with its dir
                 removed_orphans += 1
-                if claim is not None and os.path.exists(claim):
-                    os.remove(claim)  # stale claim reclaimed with its dir
     # sidecar datasets (deletion vectors under dv/, bloom indexes under
     # bloom/): a sidecar dir survives while ANY kept manifest references
     # it (appends share them by name); expired-only sidecars and
@@ -2279,14 +2287,18 @@ def vacuum(
                         continue
                 except FileNotFoundError:
                     continue
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed_orphans += 1
     for v in expired:  # manifests go LAST (see safety note)
-        os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
+        if not dry_run:
+            os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
     return {
         "kept_versions": keep,
         "removed_files": removed_files,
         "removed_orphan_dirs": removed_orphans,
+        "expired_versions": expired,
+        "dry_run": dry_run,
     }
 
 

@@ -1127,3 +1127,32 @@ def test_unique_keys_bloom_fast_path_prunes_probe(spark, tmp_path):
         SNAP.write_version(
             spark.createDataFrame([(7, 0)], "k LONG, v LONG"), table
         )
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
+    """VACUUM DRY RUN: the report equals the real run's (same keep-set
+    and TTL guards) while every byte survives; the real run then
+    removes exactly what the dry run predicted."""
+    import os as _os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "vdr")
+    SNAP.write_version(_df(spark, 0, 100).coalesce(1), table)
+    SNAP.write_version(_df(spark, 100, 200).coalesce(1), table, mode="overwrite")
+    v1_files = SNAP._load_manifest(table, 1)["files"]
+
+    dry = SNAP.vacuum(table, keep_last=1, dry_run=True)
+    assert dry["dry_run"] and dry["expired_versions"] == [1]
+    assert dry["removed_files"] > 0
+    for rel in v1_files:  # nothing actually gone
+        assert _os.path.exists(_os.path.join(table, rel))
+    assert SNAP.read_version(spark, table, version=1).count() == 100
+
+    real = SNAP.vacuum(table, keep_last=1)
+    assert not real["dry_run"]
+    assert real["removed_files"] == dry["removed_files"]
+    assert real["kept_versions"] == dry["kept_versions"]
+    assert not any(
+        _os.path.exists(_os.path.join(table, rel)) for rel in v1_files
+    )
