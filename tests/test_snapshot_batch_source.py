@@ -162,3 +162,20 @@ def test_timestamp_as_of_reads_the_then_newest_snapshot(spark, table):
     ).count()
     with pytest.raises(Exception):
         RS(spark, table, timestamp=t_v1 - 10_000).count()
+
+
+def test_sql_time_travel_via_view_options(spark, table):
+    """SQL-only time travel: versionAsOf rides the view's OPTIONS, so
+    a SQL consumer pins a snapshot with DDL alone."""
+    from binance_etl_spark.sources.snapshot_batch import register
+
+    register(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_docs_v1 "
+        f"USING snapshot OPTIONS (path '{table}', versionAsOf '1')"
+    )
+    got = spark.sql("SELECT COUNT(*) AS n FROM snap_docs_v1").first()["n"]
+    assert got == SNAP.read_version(spark, table, version=1).count()
+    # v1 predates the evolution: the pinned view has no quality column
+    cols = [f.name for f in spark.table("snap_docs_v1").schema.fields]
+    assert "quality" not in cols
