@@ -329,3 +329,31 @@ def test_where_scoped_compact_composes_with_size_threshold(spark, table):
     assert m["rewrote"] == 4  # the four small hot files
     assert m["carried"] == len(m0["files"]) - 4
     assert SNAP.read_version(spark, table).count() == 50_040
+
+
+def test_where_scoped_zorder_compact_composes(spark, table):
+    """OPTIMIZE ... WHERE ... ZORDER BY: the scope limits which files
+    rewrite, the rewrite itself is z-clustered, values unchanged."""
+    df = spark.range(40_000).selectExpr(
+        "id", "CAST(id % 200 AS INT) AS a", "CAST((id * 7) % 200 AS INT) AS b"
+    )
+    SNAP.write_version(df.repartitionByRange(4, "id"), table, stats_cols=["id"])
+    m0 = SNAP._load_manifest(table, SNAP.versions(table)[-1])
+    want = SNAP.read_version(spark, table).count()
+    v = SNAP.compact(
+        spark,
+        table,
+        target_files=4,
+        zorder_by=["a", "b"],
+        where_stats=("id", 20_000, 39_999),
+    )
+    m = SNAP._load_manifest(table, v)
+    assert m["mode"] == "compact"
+    assert m["carried"] == 2 and m["rewrote"] == 2  # scope held
+    assert SNAP.read_version(spark, table).count() == want
+    # the rewritten files carry stats for BOTH z-columns
+    new_files = [f for f in m["files"] if f not in m0["files"]]
+    assert new_files
+    assert all(
+        {"a", "b"} <= set(m["stats"][f]) for f in new_files
+    )
