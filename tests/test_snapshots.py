@@ -1156,3 +1156,34 @@ def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
     assert not any(
         _os.path.exists(_os.path.join(table, rel)) for rel in v1_files
     )
+
+
+def test_unique_keys_racing_appenders_exactly_one_wins(spark, tmp_path):
+    """PK under REAL thread concurrency: two appenders racing the SAME
+    key — the claim/await/rebase loop re-probes against the new head,
+    so exactly one commits and the other is refused (no double key
+    ever becomes visible)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "ukrace")
+    SNAP.write_version(
+        spark.range(10).selectExpr("id AS k", "id AS v"), table, unique_keys=["k"]
+    )
+
+    def appender(tag: int):
+        try:
+            SNAP.write_version(
+                spark.createDataFrame([(777, tag)], "k LONG, v LONG"), table
+            )
+            return ("ok", tag)
+        except ValueError:
+            return ("refused", tag)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = list(ex.map(appender, [1, 2]))
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["ok", "refused"], results
+    live = SNAP.read_version(spark, table).where("k = 777").collect()
+    assert len(live) == 1  # exactly one racer's row is visible
