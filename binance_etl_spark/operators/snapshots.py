@@ -64,16 +64,64 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+_MAIN_IDX = "main.idx.json"
+
+
+def _load_main_idx(table_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(_manifest_dir(table_dir), _MAIN_IDX)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _update_main_idx(table_dir: str, v: int, is_main: bool) -> None:
+    """Advance the main-line index through version ``v`` — called from
+    _commit_manifest while the committer still holds its claim, so
+    updates are strictly serialized (commit order == claim order).
+    Atomic replace; a crash between the manifest publish and this
+    update only leaves the idx one version behind, which the tail scan
+    in main_versions heals on the next read."""
+    idx = _load_main_idx(table_dir) or {"last": 0, "main": []}
+    if v <= idx["last"]:
+        return  # replayed/old update: the idx already covers v
+    if is_main:
+        idx["main"].append(v)
+    idx["last"] = v
+    mdir = _manifest_dir(table_dir)
+    tmp = os.path.join(mdir, f".tmp-{_MAIN_IDX}")
+    with open(tmp, "w") as f:
+        json.dump(idx, f)
+    os.replace(tmp, os.path.join(mdir, _MAIN_IDX))
+
+
 def main_versions(table_dir: str) -> list[int]:
     """Committed MAIN-LINE versions, ascending — the default-reader
     history. Branch commits (`write_branch`) share the global version
     sequence and data/ namespace but carry a `branch` marker in their
     manifest; they are invisible to default reads until `publish_branch`
-    fast-forwards main onto them (the Iceberg WAP contract). O(versions)
-    manifest loads, driver-side JSON — same cost class as `history`."""
-    return [
-        v for v in versions(table_dir) if "branch" not in _load_manifest(table_dir, v)
+    fast-forwards main onto them (the Iceberg WAP contract).
+
+    Cost: the `main.idx.json` checkpoint (maintained at commit time)
+    answers for every version up to its `last`; only manifests NEWER
+    than that load as JSON (the Delta checkpoint+tail design). A
+    streaming table with 10k commits pays one small idx read + the
+    tail since the last commit, not 10k manifest parses per read. The
+    idx is advisory: missing/stale/corrupt degrades to the full scan
+    and self-heals at the next commit; vacuumed versions are filtered
+    against the live manifest listing."""
+    vs = versions(table_dir)
+    idx = _load_main_idx(table_dir)
+    if idx is None:
+        return [v for v in vs if "branch" not in _load_manifest(table_dir, v)]
+    live = set(vs)
+    covered = [v for v in idx["main"] if v in live]
+    tail = [
+        v
+        for v in vs
+        if v > idx["last"] and "branch" not in _load_manifest(table_dir, v)
     ]
+    return covered + tail
 
 
 def _manifest_schema(manifest: dict):
@@ -487,6 +535,9 @@ def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
+    # advance the main-line checkpoint BEFORE releasing the claim:
+    # claims serialize committers, so idx writes never interleave
+    _update_main_idx(table_dir, v, is_main="branch" not in manifest)
     os.remove(os.path.join(mdir, f".claim-v{v}"))
 
 

@@ -1187,3 +1187,52 @@ def test_unique_keys_racing_appenders_exactly_one_wins(spark, tmp_path):
     assert outcomes == ["ok", "refused"], results
     live = SNAP.read_version(spark, table).where("k = 777").collect()
     assert len(live) == 1  # exactly one racer's row is visible
+
+
+def test_main_idx_checkpoint_heals_and_filters(spark, tmp_path):
+    """The main-line index (Delta checkpoint+tail shape): commit-time
+    maintenance answers main_versions without loading every manifest;
+    missing/stale idx degrades to the scan and self-heals; vacuumed
+    versions are filtered out."""
+    import json as _json
+    import os as _os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "midx")
+    for i in range(5):
+        SNAP.write_version(_df(spark, i * 10, i * 10 + 10).coalesce(1), table)
+    SNAP.create_branch(table, "b")
+    SNAP.write_branch(_df(spark, 100, 110), table, "b")  # branch commit
+    SNAP.write_version(_df(spark, 200, 210), table)
+
+    idx_path = _os.path.join(table, "_manifests", "main.idx.json")
+    assert _os.path.exists(idx_path)
+    idx = _json.load(open(idx_path))
+    want_main = [v for v in SNAP.versions(table)
+                 if "branch" not in SNAP._load_manifest(table, v)]
+    assert SNAP.main_versions(table) == want_main
+    assert idx["main"] == want_main  # idx fully covers the log
+    assert idx["last"] == SNAP.versions(table)[-1]
+
+    # stale idx (simulated crash between manifest publish and idx
+    # update): truncate it two commits back — the tail scan heals
+    stale = {"last": want_main[-3], "main": [v for v in want_main if v <= want_main[-3]]}
+    _json.dump(stale, open(idx_path, "w"))
+    assert SNAP.main_versions(table) == want_main
+
+    # missing idx: full-scan fallback
+    _os.remove(idx_path)
+    assert SNAP.main_versions(table) == want_main
+    # corrupt idx: same
+    open(idx_path, "w").write("{not json")
+    assert SNAP.main_versions(table) == want_main
+    _os.remove(idx_path)
+
+    # next commit rebuilds nothing retroactively but the tail logic
+    # still answers correctly, and vacuum'd versions drop out
+    SNAP.write_version(_df(spark, 300, 310), table)
+    SNAP.vacuum(table, keep_last=2)
+    live_main = [v for v in SNAP.versions(table)
+                 if "branch" not in SNAP._load_manifest(table, v)]
+    assert SNAP.main_versions(table) == live_main
