@@ -75,24 +75,51 @@ def _load_main_idx(table_dir: str) -> dict | None:
         return None
 
 
-def _update_main_idx(table_dir: str, v: int, is_main: bool) -> None:
+def _update_main_idx(
+    table_dir: str, v: int, is_main: bool, batch_id: int | None = None
+) -> None:
     """Advance the main-line index through version ``v`` — called from
     _commit_manifest while the committer still holds its claim, so
     updates are strictly serialized (commit order == claim order).
     Atomic replace; a crash between the manifest publish and this
     update only leaves the idx one version behind, which the tail scan
-    in main_versions heals on the next read."""
+    in main_versions heals on the next read. Streaming replay tokens
+    ride along in ``batch_ids`` so the exactly-once check is an idx
+    lookup, not a manifest sweep — and the memory SURVIVES vacuum,
+    closing the window where a replay of a long-expired batch could
+    re-append rows compaction already folded forward."""
     idx = _load_main_idx(table_dir) or {"last": 0, "main": []}
     if v <= idx["last"]:
         return  # replayed/old update: the idx already covers v
     if is_main:
         idx["main"].append(v)
+    if batch_id is not None:
+        idx.setdefault("batch_ids", {})[str(batch_id)] = v
     idx["last"] = v
     mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-{_MAIN_IDX}")
     with open(tmp, "w") as f:
         json.dump(idx, f)
     os.replace(tmp, os.path.join(mdir, _MAIN_IDX))
+
+
+def _find_batch_commit(table_dir: str, batch_id: int) -> int | None:
+    """The version that already committed streaming batch ``batch_id``,
+    or None — idx lookup plus a tail scan of manifests newer than the
+    idx's coverage (same healing contract as main_versions)."""
+    idx = _load_main_idx(table_dir)
+    vs = versions(table_dir)
+    if idx is not None:
+        hit = idx.get("batch_ids", {}).get(str(batch_id))
+        if hit is not None:
+            return int(hit)
+        tail = [v for v in vs if v > idx["last"]]
+    else:
+        tail = vs
+    for pv in tail:
+        if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
+            return pv
+    return None
 
 
 def main_versions(table_dir: str) -> list[int]:
@@ -324,11 +351,10 @@ def write_version(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
-    all_vs = versions(table_dir)
     if batch_id is not None:
-        for pv in all_vs:
-            if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
-                return pv  # replayed micro-batch: already committed
+        pv = _find_batch_commit(table_dir, batch_id)
+        if pv is not None:
+            return pv  # replayed micro-batch: already committed
     if partition_by is None:
         # The partition spec is TABLE metadata (the Iceberg model):
         # once declared it is INHERITED by every later commit until a
@@ -537,7 +563,12 @@ def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
     # advance the main-line checkpoint BEFORE releasing the claim:
     # claims serialize committers, so idx writes never interleave
-    _update_main_idx(table_dir, v, is_main="branch" not in manifest)
+    _update_main_idx(
+        table_dir,
+        v,
+        is_main="branch" not in manifest,
+        batch_id=manifest.get("batch_id"),
+    )
     os.remove(os.path.join(mdir, f".claim-v{v}"))
 
 
@@ -1539,9 +1570,9 @@ def merge_into(
     micro-batch finds its id in a committed manifest and no-ops."""
     root = os.path.abspath(table_dir)
     if batch_id is not None:
-        for pv in versions(table_dir):
-            if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
-                return pv  # replayed micro-batch: already applied
+        pv = _find_batch_commit(table_dir, batch_id)
+        if pv is not None:
+            return pv  # replayed micro-batch: already applied
     key_struct = F.struct(*[F.col(c) for c in key_cols])
     dup = (
         source.groupBy(*key_cols)

@@ -1236,3 +1236,20 @@ def test_main_idx_checkpoint_heals_and_filters(spark, tmp_path):
     live_main = [v for v in SNAP.versions(table)
                  if "branch" not in SNAP._load_manifest(table, v)]
     assert SNAP.main_versions(table) == live_main
+
+
+def test_batch_replay_memory_survives_vacuum(spark, tmp_path):
+    """The idx's batch_ids memory outlives retention: a replay of a
+    batch whose ORIGINAL commit was vacuumed must still no-op instead
+    of re-appending rows a later compaction already folded forward."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "bidx")
+    body = SNAP.foreach_batch_snapshot(table)
+    body(_df(spark, 0, 10), 0)
+    body(_df(spark, 10, 20), 1)
+    SNAP.compact(spark, table, target_files=1)
+    SNAP.vacuum(table, keep_last=1)  # the batch-0/1 manifests expire
+    n = SNAP.read_version(spark, table).count()
+    body(_df(spark, 0, 10), 0)  # replay of the long-expired batch
+    assert SNAP.read_version(spark, table).count() == n  # no double rows
