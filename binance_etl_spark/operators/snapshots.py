@@ -2869,6 +2869,8 @@ def describe_detail(table_dir: str) -> dict:
         "columns": [f.name for f in schema.fields] if schema else None,
         "expectations": sorted(head.get("expectations", {})),
         "bloom_cols": head.get("bloom_cols", []),
+        "partition_by": head.get("partition_by", []),
+        "unique_keys": head.get("unique_keys", []),
         "dv_rows": head.get("dv_rows", 0),
         "refs": {n: r["version"] for n, r in refs(table_dir).items()},
         "commit_modes": modes,
