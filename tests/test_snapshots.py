@@ -1253,3 +1253,20 @@ def test_batch_replay_memory_survives_vacuum(spark, tmp_path):
     n = SNAP.read_version(spark, table).count()
     body(_df(spark, 0, 10), 0)  # replay of the long-expired batch
     assert SNAP.read_version(spark, table).count() == n  # no double rows
+
+
+def test_batch_replay_check_heals_without_idx(spark, tmp_path):
+    """_find_batch_commit's tail-scan fallback: with the idx missing
+    or stale, a replayed batch id is still found in the manifests."""
+    import os as _os
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "bheal")
+    body = SNAP.foreach_batch_snapshot(table)
+    body(_df(spark, 0, 10), 0)
+    idx_path = _os.path.join(table, "_manifests", "main.idx.json")
+    _os.remove(idx_path)
+    body(_df(spark, 0, 10), 0)  # replay with no idx: manifest scan
+    assert SNAP.read_version(spark, table).count() == 10
+    assert len(SNAP.versions(table)) == 1
