@@ -72,6 +72,8 @@ def test_without_sequence_col_multirow_key_raises(spark, table):
 
 
 def test_real_writestream_cdc_apply(spark, table, tmp_path):
+    import time
+
     src = str(tmp_path / "src")
     _rows(spark, [(1, "s1", 1, "u"), (5, "s5", 1, "i")]).coalesce(1).write.parquet(
         os.path.join(src, "f0")
@@ -79,6 +81,13 @@ def test_real_writestream_cdc_apply(spark, table, tmp_path):
     _rows(spark, [(5, "s5b", 2, "u"), (2, "b", 2, "d")]).coalesce(1).write.parquet(
         os.path.join(src, "f1")
     )
+    # the file source admits files in mtime order; both dirs were just
+    # written within the same tick, so pin the intended batch order
+    # explicitly (f0 strictly older than f1)
+    now = time.time()
+    for i, d in enumerate(("f0", "f1")):
+        for name in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, name), (now - 20 + i * 10,) * 2)
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", "1")
