@@ -117,7 +117,7 @@ def _pq_setup(e: DataFrame):
       FROM cb JOIN q ON q.m = cb.m AND q.j = cb.j
       GROUP BY cb.m, cb.k
     ), scored AS (
-      SELECT e2.vec_id, SUM(ad) AS adc_dist
+      SELECT e2.vec_id, CAST(SUM(ad) AS BIGINT) AS adc_dist
       FROM enc e2 JOIN adc ON adc.m = e2.m AND adc.code = e2.code
       GROUP BY e2.vec_id
     )
@@ -251,7 +251,7 @@ def _pq_adc_col(codebook, adc) -> Column:
       FROM cb JOIN qsub ON qsub.m = cb.m AND qsub.j = cb.j
       GROUP BY cb.m, cb.k
     ), scored AS (
-      SELECT e2.vec_id, SUM(ad) AS adc_dist
+      SELECT e2.vec_id, CAST(SUM(ad) AS BIGINT) AS adc_dist
       FROM enc e2 JOIN adc ON adc.m = e2.m AND adc.code = e2.code
       GROUP BY e2.vec_id
     )

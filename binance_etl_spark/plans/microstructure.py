@@ -204,8 +204,8 @@ def ms_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ), agg AS (
       SELECT sym, bucket,
-             SUM(CASE WHEN side = 1 THEN qty ELSE 0 END) AS buy_qty,
-             SUM(CASE WHEN side = -1 THEN qty ELSE 0 END) AS sell_qty
+             CAST(SUM(CASE WHEN side = 1 THEN qty ELSE 0 END) AS BIGINT) AS buy_qty,
+             CAST(SUM(CASE WHEN side = -1 THEN qty ELSE 0 END) AS BIGINT) AS sell_qty
       FROM b GROUP BY sym, bucket
     ), closes AS (
       SELECT sym, bucket, price AS close FROM (
@@ -392,7 +392,7 @@ def ms_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(floor(x * y * 1000000000) AS BIGINT)) AS sxy_e9
       FROM xy GROUP BY sym
     )
-    SELECT sym, n AS n_buckets, sx AS net_signed_volume,
+    SELECT sym, n AS n_buckets, CAST(sx AS BIGINT) AS net_signed_volume,
            (n * (CAST(sxy_e9 AS DOUBLE) / 1000000000)
              - sx * (CAST(sy_e9 AS DOUBLE) / 1000000000))
            / nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0) AS kyle_lambda
@@ -479,7 +479,7 @@ def ms_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sym,
            COUNT(*) AS n_pairs,
-           SUM(CAST(s * ps AS BIGINT)) AS sum_prod,
+           CAST(SUM(CAST(s * ps AS BIGINT)) AS BIGINT) AS sum_prod,
            CAST(SUM(CAST(s * ps AS BIGINT)) AS DOUBLE) / COUNT(*) AS autocorr,
            CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS buy_fraction
@@ -556,8 +556,8 @@ _QUOTES_SQL = """
       FROM q
     )
     SELECT sym, COUNT(*) AS n_quotes,
-           SUM(prem_e9) AS sum_premium_e9,
-           SUM(imb_e9) AS sum_imbalance_e9
+           CAST(SUM(prem_e9) AS BIGINT) AS sum_premium_e9,
+           CAST(SUM(imb_e9) AS BIGINT) AS sum_imbalance_e9
     FROM per GROUP BY sym ORDER BY sym
     """,
     doc="Stoikov microprice + depth imbalance over the synthetic quote "

@@ -28,12 +28,23 @@ ALLOWED = {
 }
 
 
+# ent.fn can be eager (index/lifecycle queries do real commits), so the
+# per-query Spark dtypes are computed once and shared by both the
+# primitives lint and the DuckDB-kind cross-check below.
+_SPARK_DTYPES: dict[str, dict[str, str]] = {}
+
+
+def _spark_dtypes(spark, name: str) -> dict[str, str]:
+    if name not in _SPARK_DTYPES:
+        _SPARK_DTYPES[name] = dict(REGISTRY[name].fn(spark, SF_DIR).dtypes)
+    return _SPARK_DTYPES[name]
+
+
 def test_every_registered_query_outputs_hashable_primitives(spark):
     _ensure_loaded()
     offenders: dict[str, list[tuple[str, str]]] = {}
     for name, ent in sorted(REGISTRY.items()):
-        df = ent.fn(spark, SF_DIR)
-        bad = [(c, t) for c, t in df.dtypes if t not in ALLOWED]
+        bad = [(c, t) for c, t in _spark_dtypes(spark, name).items() if t not in ALLOWED]
         if bad:
             offenders[name] = bad
     assert not offenders, (
@@ -98,4 +109,68 @@ def test_llm_and_join_queries_carry_plan_pin_or_scale_note():
     assert not offenders, (
         "every llm/join-tagged query needs a plan pin in "
         f"test_plan_pins.py or a scale note in its doc; missing: {offenders}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side dtype lint (VERDICT r6 items 1+3). Round 6's only red
+# rows were HUGEINT: an uncasted SUM(BIGINT) types as int128 in DuckDB,
+# the Python client hands it back as a plain `int` (so value-level
+# parity is blind to it), but the driver hashes TYPED values and
+# mismatches Spark's int64. DESCRIBE exposes the logical type without
+# executing the query, so this walks all 260+ oracles in seconds and
+# bans every type outside the driver-hash-safe set — and cross-checks
+# each DuckDB column's type KIND against the Spark plan's dtype kind.
+# ---------------------------------------------------------------------------
+
+_DUCK_KIND = {
+    "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+    "DOUBLE": "f", "FLOAT": "f",
+    "VARCHAR": "s",
+    "BOOLEAN": "b",
+}
+
+_SPARK_KIND = {
+    "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+    "double": "f", "float": "f",
+    "string": "s",
+    "boolean": "b",
+}
+
+
+def test_every_oracle_types_hash_safe_and_matches_spark(spark):
+    from tests.parity import duckdb_conn
+
+    _ensure_loaded()
+    con = duckdb_conn(SF_DIR)
+    type_offenders: dict[str, list[tuple[str, str]]] = {}
+    kind_offenders: dict[str, list[tuple[str, str, str]]] = {}
+    try:
+        for name, ent in sorted(REGISTRY.items()):
+            if ent.oracle is None:
+                continue
+            desc = con.execute(f"DESCRIBE {ent.oracle}").fetchall()
+            duck = {row[0]: row[1] for row in desc}
+            bad = [(c, t) for c, t in duck.items() if t not in _DUCK_KIND]
+            if bad:
+                type_offenders[name] = bad
+                continue
+            sdtypes = _spark_dtypes(spark, name)
+            drift = [
+                (c, t, sdtypes.get(c, "<missing>"))
+                for c, t in duck.items()
+                if _DUCK_KIND[t] != _SPARK_KIND.get(sdtypes.get(c, ""), "?")
+            ]
+            if drift:
+                kind_offenders[name] = drift
+    finally:
+        con.close()
+    assert not type_offenders, (
+        "oracle result columns must type as BIGINT/INTEGER/DOUBLE/"
+        "VARCHAR/BOOLEAN in DuckDB (HUGEINT and friends break the "
+        f"driver's typed value-hash — CAST the final column): {type_offenders}"
+    )
+    assert not kind_offenders, (
+        "oracle column type-kind must match the Spark plan's dtype "
+        f"(col, duckdb_type, spark_dtype): {kind_offenders}"
     )
