@@ -579,8 +579,27 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
     }
-    print(json.dumps(out))
+    # Full per-query map to a detail file + stderr; the stdout line must
+    # stay under the driver's 2,000-char tail capture (round 6's 100-entry
+    # line hit 3,027 chars and BENCH_r06 recorded `parsed: null`), so the
+    # inline `queries` map keeps only the slowest entries that fit a
+    # 1,500-char line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print("# full per-query timings -> " + detail_path, file=sys.stderr)
+    print("# " + json.dumps(timings, sort_keys=True), file=sys.stderr)
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    inline: dict[str, float] = {}
+    for name in slowest:
+        inline[name] = timings[name]
+        if len(json.dumps({**out, "queries": inline})) > 1500:
+            del inline[name]
+            break
+    print(json.dumps({**out, "queries": inline}))
     spark.stop()
 
 

@@ -22,9 +22,36 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import signal
 import sys
 import time
+
+
+def _load_dotenv(path: str = ".env") -> None:
+    """Tiny dotenv: KEY=VALUE lines into os.environ (existing vars
+    win, matching python-dotenv's default). The reference boots with
+    `load_dotenv()` before anything else (main.py:3-4) so deployments
+    keep CONFIG_PATH and credentials out of the unit file; no new
+    dependency — comments/blank lines skipped, optional quotes and an
+    `export ` prefix stripped."""
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):]
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip()
+        if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
+            val = val[1:-1]
+        if key and key not in os.environ:
+            os.environ[key] = val
 
 
 def _run_query_mode(args) -> int:
@@ -61,7 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         description="Run configured market-data ETL streams until "
         "stopped (SIGINT/SIGTERM) or --duration elapses.",
     )
-    ap.add_argument("--config", default="config.json", help="config JSON path")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="config JSON path (default: $CONFIG_PATH, else config.json "
+        "— the reference's resolution order, utils.py:5-8)",
+    )
     ap.add_argument(
         "--duration",
         type=float,
@@ -96,7 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.list_queries or args.run_query:
         return _run_query_mode(args)
 
-    with open(args.config) as f:
+    _load_dotenv()  # may define CONFIG_PATH (reference main.py:3-4)
+    config_path = args.config or os.getenv("CONFIG_PATH", "config.json")
+    with open(config_path) as f:
         config = json.load(f)
 
     from binance_etl_spark.runner import start_jobs

@@ -70,12 +70,66 @@ def _with_cents(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return df.crossJoin(F.broadcast(cent_df))
 
 
+def _iter_partials_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """One Lloyd iteration's assign + update PARTIALS as a single
+    vectorized Arrow pass: each batch assigns its rows to the nearest
+    centroid (floor-e12 int64 distance, argmin ties to the lower cid —
+    bit-identical to _best_struct) and emits per-(cluster, dim) integer
+    partial sums, <= k x dim tiny rows per batch. Numerically exact
+    twin of the zip_with/aggregate path: float32 -> float64 widening,
+    (a-b)*(a-b)*1e12 double ops, floor, int64 order-free sums are the
+    same IEEE operations numpy performs.
+
+    Why it exists: Spark's higher-order array functions are
+    CodegenFallback — evaluated interpreted, per row, per centroid —
+    so the built-in expression is the slow path here at ANY scale;
+    one Arrow batch of n rows does the same math as n*k vectorized
+    numpy ops. Data never shuffles: partials reduce map-side to
+    k x dim rows regardless of corpus size."""
+    import pandas as pd  # noqa: F401 — worker-side import check
+
+    cents = [[float(x) for x in c] for c in centroids]
+    k = len(cents)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cents, dtype=np.float64)  # k x dim
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (x[:, None, :] - cm[None, :, :])
+            dist = np.floor(d * d * 1e12).astype(np.int64).sum(axis=2)
+            cl = dist.argmin(axis=1)  # first min == lowest cid
+            u = np.floor(x * 1e12).astype(np.int64)  # n x dim
+            rows = []
+            for cid in range(k):
+                m = cl == cid
+                if not m.any():
+                    continue
+                su = u[m].sum(axis=0)
+                n = int(m.sum())
+                rows.extend(
+                    (cid, pos, int(s), n) for pos, s in enumerate(su)
+                )
+            yield pd.DataFrame(rows, columns=["cluster", "pos", "su", "n"])
+
+    return df.select(vec_col).mapInPandas(
+        gen, "cluster int, pos int, su bigint, n bigint"
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 3,
+    impl: str = "arrow",
 ) -> tuple[list[list[float]], DataFrame]:
     """Fit k-means and return BOTH the fitted centroids (driver-side
     k x dim doubles — the coarse quantizer a learned-list IVF probes)
@@ -94,21 +148,29 @@ def kmeans_fit(
     centroids: list[list[float]] = [[float(x) for x in r[1]] for r in first]
 
     for _ in range(n_iter):
-        assigned = _with_cents(df, centroids).select(
-            F.col(id_col),
-            F.col(vec_col),
-            _best_struct(vec_col, F.col("cents"))["cid"].alias("cluster"),
-        )
-        # Update: exact integer-unit means per (cluster, dimension).
-        exploded = assigned.select(
-            "cluster", F.posexplode(vec_col).alias("pos", "x")
-        )
-        units = F.floor(F.col("x").cast("double") * _UNIT).cast("bigint")
-        stats = (
-            exploded.groupBy("cluster", "pos")
-            .agg(F.sum(units).alias("su"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if impl == "arrow":
+            stats = (
+                _iter_partials_arrow(df, vec_col, centroids)
+                .groupBy("cluster", "pos")
+                .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+                .collect()
+            )
+        else:  # impl == "sql": the pure-expression reference path
+            assigned = _with_cents(df, centroids).select(
+                F.col(id_col),
+                F.col(vec_col),
+                _best_struct(vec_col, F.col("cents"))["cid"].alias("cluster"),
+            )
+            # Update: exact integer-unit means per (cluster, dimension).
+            exploded = assigned.select(
+                "cluster", F.posexplode(vec_col).alias("pos", "x")
+            )
+            units = F.floor(F.col("x").cast("double") * _UNIT).cast("bigint")
+            stats = (
+                exploded.groupBy("cluster", "pos")
+                .agg(F.sum(units).alias("su"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         new = [list(c) for c in centroids]  # empty clusters keep position
         dims: dict[int, dict[int, float]] = {}
         for r in stats:
@@ -117,13 +179,52 @@ def kmeans_fit(
             new[cid] = [by_pos[p] for p in sorted(by_pos)]
         centroids = new
 
-    best = _best_struct(vec_col, F.col("cents"))
-    assign = _with_cents(df, centroids).select(
-        F.col(id_col),
-        best["cid"].alias("cluster"),
-        (best["dist"].cast("double") / _UNIT).alias("dist"),
-    )
+    if impl == "arrow":
+        assign = kmeans_assign_arrow(df, vec_col, id_col, centroids)
+    else:
+        best = _best_struct(vec_col, F.col("cents"))
+        assign = _with_cents(df, centroids).select(
+            F.col(id_col),
+            best["cid"].alias("cluster"),
+            (best["dist"].cast("double") / _UNIT).alias("dist"),
+        )
     return centroids, assign
+
+
+def kmeans_assign_arrow(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment (id, cluster, dist) as one
+    vectorized Arrow pass — output semantics identical to the
+    _best_struct expression (floor-e12 int64 distance, dist/1e12 as
+    double, argmin ties to the lower cid). Narrow: no shuffle, no
+    broadcast join — the k x dim matrix ships inside the function."""
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cents, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (x[:, None, :] - cm[None, :, :])
+            dist = np.floor(d * d * 1e12).astype(np.int64).sum(axis=2)
+            cl = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cl.astype("int32"),
+                    "dist": dist[np.arange(len(cl)), cl] / _UNIT,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} {id_type}, cluster int, dist double"
+    )
 
 
 def kmeans_fit_assign(

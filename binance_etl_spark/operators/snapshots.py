@@ -76,7 +76,7 @@ def _load_main_idx(table_dir: str) -> dict | None:
 
 
 def _update_main_idx(
-    table_dir: str, v: int, is_main: bool, batch_id: int | None = None
+    table_dir: str, v: int, is_main: bool, batch_key: str | None = None
 ) -> None:
     """Advance the main-line index through version ``v`` — called from
     _commit_manifest while the committer still holds its claim, so
@@ -87,15 +87,32 @@ def _update_main_idx(
     ride along in ``batch_ids`` so the exactly-once check is an idx
     lookup, not a manifest sweep — and the memory SURVIVES vacuum,
     closing the window where a replay of a long-expired batch could
-    re-append rows compaction already folded forward."""
+    re-append rows compaction already folded forward.
+
+    ``v <= last`` does NOT mean a replay: a branch commit (which skips
+    data-write serialization against main committers) can publish a
+    HIGHER version while a main committer is mid data-write, so the
+    lower main version lands here with the checkpoint already advanced
+    past it. It must still be inserted — an early return would drop a
+    committed main version (a delete, say) from idx["main"] forever,
+    while main_versions' tail scan only covers v > last."""
     idx = _load_main_idx(table_dir) or {"last": 0, "main": []}
-    if v <= idx["last"]:
-        return  # replayed/old update: the idx already covers v
-    if is_main:
-        idx["main"].append(v)
-    if batch_id is not None:
-        idx.setdefault("batch_ids", {})[str(batch_id)] = v
-    idx["last"] = v
+    if v > idx["last"]:
+        if is_main:
+            idx["main"].append(v)
+        if batch_key is not None:
+            idx.setdefault("batch_ids", {})[batch_key] = v
+        idx["last"] = v
+    else:
+        changed = False
+        if is_main and v not in idx["main"]:
+            idx["main"] = sorted(idx["main"] + [v])
+            changed = True
+        if batch_key is not None and batch_key not in idx.get("batch_ids", {}):
+            idx.setdefault("batch_ids", {})[batch_key] = v
+            changed = True
+        if not changed:
+            return  # true replay: the idx already records v
     mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-{_MAIN_IDX}")
     with open(tmp, "w") as f:
@@ -104,9 +121,14 @@ def _update_main_idx(
 
 
 def _find_batch_commit(table_dir: str, batch_id: int) -> int | None:
-    """The version that already committed streaming batch ``batch_id``,
-    or None — idx lookup plus a tail scan of manifests newer than the
-    idx's coverage (same healing contract as main_versions)."""
+    """The MAIN-LINE version that already committed streaming batch
+    ``batch_id``, or None — idx lookup plus a tail scan of manifests
+    newer than the idx's coverage (same healing contract as
+    main_versions). Batch ids are namespaced by lane: branch commits
+    keep their own counters (both start at 0), so a main sink sharing
+    a table with a foreach_batch_branch sink must never treat the
+    branch's ids as its own replays — branch manifests are skipped
+    here and their idx keys carry a `branch:` prefix."""
     idx = _load_main_idx(table_dir)
     vs = versions(table_dir)
     if idx is not None:
@@ -117,7 +139,8 @@ def _find_batch_commit(table_dir: str, batch_id: int) -> int | None:
     else:
         tail = vs
     for pv in tail:
-        if _load_manifest(table_dir, pv).get("batch_id") == batch_id:
+        m = _load_manifest(table_dir, pv)
+        if "branch" not in m and m.get("batch_id") == batch_id:
             return pv
     return None
 
@@ -562,12 +585,19 @@ def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
     # advance the main-line checkpoint BEFORE releasing the claim:
-    # claims serialize committers, so idx writes never interleave
+    # claims serialize committers, so idx writes never interleave.
+    # Batch-id keys are lane-namespaced: branch sinks run their own
+    # batch counters, so their replay tokens must never shadow main's.
+    bid = manifest.get("batch_id")
+    batch_key = None
+    if bid is not None:
+        branch = manifest.get("branch")
+        batch_key = f"branch:{branch}:{bid}" if branch else str(bid)
     _update_main_idx(
         table_dir,
         v,
         is_main="branch" not in manifest,
-        batch_id=manifest.get("batch_id"),
+        batch_key=batch_key,
     )
     os.remove(os.path.join(mdir, f".claim-v{v}"))
 
@@ -1926,10 +1956,12 @@ def select_files(
     skipping move, decided driver-side from the manifest with ZERO
     file opens. Files without stats for ``col`` are always kept
     (skipping is an I/O optimization, never a correctness filter —
-    callers still apply the real predicate to the scanned rows)."""
-    vs = versions(table_dir)
+    callers still apply the real predicate to the scanned rows).
+    ``version=None`` resolves to the MAIN-LINE head — the snapshot
+    default readers see — never a staged branch commit mid-WAP
+    (consistent with read_version / select_files_point)."""
     if version is None:
-        version = vs[-1]
+        version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
     stats = manifest.get("stats", {})
     kept, skipped = [], []
@@ -2510,7 +2542,14 @@ def write_branch(
     if r is None or r.get("type") != "branch":
         raise FileNotFoundError(f"no branch {branch!r} in {table_dir}")
     if batch_id is not None:
-        for pv in versions(table_dir):
+        idx = _load_main_idx(table_dir)
+        hit = (idx or {}).get("batch_ids", {}).get(f"branch:{branch}:{batch_id}")
+        if hit is not None:
+            return int(hit)  # replayed micro-batch: already staged
+        tail = versions(table_dir)
+        if idx is not None:
+            tail = [pv for pv in tail if pv > idx["last"]]
+        for pv in tail:
             m = _load_manifest(table_dir, pv)
             if m.get("branch") == branch and m.get("batch_id") == batch_id:
                 return pv  # replayed micro-batch: already staged
@@ -2572,6 +2611,12 @@ def write_branch(
         manifest["dv_rows"] = head.get("dv_rows", 0)
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    # Serialize behind in-flight lower claims before publishing: a
+    # branch commit that publishes ahead of a mid-write main committer
+    # would advance the idx checkpoint past the main version while it
+    # is still unindexed (the late-insert path in _update_main_idx is
+    # the backstop; this wait keeps commit order == claim order).
+    _await_predecessors(table_dir, v)
     _commit_manifest(table_dir, v, manifest)
     _write_ref(table_dir, branch, {**r, "version": v}, create=False)
     return v

@@ -662,8 +662,11 @@ def sim_ann_recall_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist for the fit's 4 driver actions + the 3 downstream scans
     # (2000 rows x 64 floats at sf1 — bounded by the corpus, and the
-    # fit re-reads it every Lloyd iteration otherwise)
-    e = fanout(load(spark, sf_dir, "embeddings")).persist()
+    # fit re-reads it every Lloyd iteration otherwise). Width 8: the
+    # per-iteration actions pay per-task scheduling overhead, so a
+    # small corpus should not fan to every core (at real scale the
+    # source arrives already partitioned and fanout is a no-op cap)
+    e = fanout(load(spark, sf_dir, "embeddings"), 8).persist()
     centroids, assign = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=3)
 
     # single bounded collect: THE query vector (1 row, 64 floats)

@@ -235,7 +235,10 @@ _KMEANS_ORACLE = f"""
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_spark.operators.kmeans import kmeans_fit_assign
 
-    e = fanout(load(spark, sf_dir, "embeddings"))
+    # persist: the fit's per-iteration actions otherwise re-scan AND
+    # re-shuffle (fanout is a repartition) the corpus every pass;
+    # width 8 keeps per-task scheduling overhead off the tiny table
+    e = fanout(load(spark, sf_dir, "embeddings"), 8).persist()
     assign = kmeans_fit_assign(e, "embedding", "vec_id", k=8, n_iter=3)
     return assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),

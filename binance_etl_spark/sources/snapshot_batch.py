@@ -60,9 +60,16 @@ from binance_etl_spark.operators.snapshots import (
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str, dv_key: str, dv_dir: str | None):
+    def __init__(self, path: str, dv_keys: list[str], dv_dir: str | None):
         self.path = path
-        self.dv_key = dv_key  # the manifest's spelling — matches DV `f`
+        # Every spelling of this file the DV sidecar may record in `f`:
+        # the manifest's own, plus — for a sidecar borrowed from a
+        # shallow clone's source table — the source-relative form
+        # (borrowed sidecars keep source-relative `f` entries while the
+        # clone manifest lists the same files absolutely; matching only
+        # the clone spelling would silently serve deleted rows). Mirrors
+        # operators/snapshots._dv_df's canonicalization.
+        self.dv_keys = dv_keys
         self.dv_dir = dv_dir
 
 
@@ -140,11 +147,20 @@ class SnapshotBatchReader(DataSourceReader):
             if dv_rel
             else None
         )
+        # borrowed (absolute) sidecar => also match source-relative `f`
+        src_root = (
+            os.path.dirname(os.path.dirname(dv_rel))
+            if dv_rel and os.path.isabs(dv_rel)
+            else None
+        )
         parts = []
         for rel in self._kept_files():
             path = rel if os.path.isabs(rel) else os.path.join(self.table_dir, rel)
-            parts.append(_FilePart(path, rel, dv_dir))
-        return parts or [_FilePart("", "", None)]
+            keys = [rel]
+            if src_root and rel.startswith(src_root + "/"):
+                keys.append(rel[len(src_root) + 1 :])
+            parts.append(_FilePart(path, keys, dv_dir))
+        return parts or [_FilePart("", [], None)]
 
     def read(self, partition: _FilePart):
         if not partition.path:
@@ -160,7 +176,7 @@ class SnapshotBatchReader(DataSourceReader):
             # each task loads only ITS file's positions
             dv = pq.read_table(
                 partition.dv_dir,
-                filters=[("f", "=", partition.dv_key)],
+                filters=[("f", "in", partition.dv_keys)],
                 columns=["pos"],
             )
             deleted = set(dv.column("pos").to_pylist())

@@ -131,3 +131,41 @@ def test_cli_list_queries_and_unknown_name():
         cwd=REPO, capture_output=True, text=True, timeout=120,
     )
     assert bad.returncode == 2 and "unknown query" in bad.stdout
+
+
+def test_cli_config_path_env_var_and_dotenv(spark):
+    """Reference parity (utils.py:5-8 + main.py:3-4): with no --config
+    flag, CONFIG_PATH resolves the config; and a `.env` in the working
+    directory can define CONFIG_PATH itself. Explicit env wins over
+    .env (python-dotenv default)."""
+    # leg 1: CONFIG_PATH in the environment, no --config
+    d = tempfile.mkdtemp(prefix="besk_cli_env_")
+    cpath = _config(d)
+    proc = subprocess.run(
+        [sys.executable, "-m", "binance_etl_spark", "--drain"],
+        cwd=REPO,
+        env={**os.environ, "CONFIG_PATH": cpath},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "started 2 streaming queries" in proc.stdout
+    assert _read_counts(spark, d) == (10, 16)
+
+    # leg 2: CONFIG_PATH comes from a .env file next to the process cwd
+    d2 = tempfile.mkdtemp(prefix="besk_cli_dotenv_")
+    cpath2 = _config(d2)
+    with open(os.path.join(d2, ".env"), "w") as f:
+        f.write(f"# deployment env\nexport CONFIG_PATH='{cpath2}'\n")
+    env2 = {k: v for k, v in os.environ.items() if k != "CONFIG_PATH"}
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "binance_etl_spark", "--drain"],
+        cwd=d2,
+        env={**env2, "PYTHONPATH": REPO},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert _read_counts(spark, d2) == (10, 16)

@@ -179,3 +179,27 @@ def test_sql_time_travel_via_view_options(spark, table):
     # v1 predates the evolution: the pinned view has no quality column
     cols = [f.name for f in spark.table("snap_docs_v1").schema.fields]
     assert "quality" not in cols
+
+
+def test_clone_of_mor_table_applies_borrowed_dv_through_batch_source(
+    spark, tmp_path
+):
+    """A shallow clone's manifest lists borrowed files ABSOLUTELY while
+    the borrowed DV sidecar's `f` entries stay source-relative; the
+    reader must match both spellings or it silently serves deleted rows
+    (round-6 advisor finding — untested combination)."""
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    d = load(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    SNAP.write_version(d.repartitionByRange(4, "doc_id"), src)
+    SNAP.delete_where_mor(spark, src, "doc_id % 5 = 2")
+    SNAP.shallow_clone(src, clone)
+    got = read_snapshot(spark, clone)
+    want = SNAP.read_version(spark, clone)
+    assert got.count() == want.count()
+    assert got.where("doc_id % 5 = 2").count() == 0
+    # a clone-local MOR delete (mixed-spelling sidecar) composes too
+    SNAP.delete_where_mor(spark, clone, "doc_id % 5 = 3")
+    got2 = read_snapshot(spark, clone)
+    assert got2.where("doc_id % 5 = 3").count() == 0
+    assert got2.count() == SNAP.read_version(spark, clone).count()

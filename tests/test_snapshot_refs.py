@@ -357,3 +357,50 @@ def test_where_scoped_zorder_compact_composes(spark, table):
     assert all(
         {"a", "b"} <= set(m["stats"][f]) for f in new_files
     )
+
+
+# --- round-7 advisor fixes: idx late-insert + batch-id lanes ----------
+
+
+def test_branch_and_main_batch_counters_do_not_collide(spark, table):
+    """A main foreachBatch sink and a branch sink share a table; both
+    batch counters start at 0. The branch's batch 0 must NOT read as a
+    main-line replay of batch 0 (round-6 advisor: _find_batch_commit
+    matched branch manifests and main batches were silently dropped)."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.create_branch(table, "ingest")
+    bv = SNAP.write_branch(
+        _df(spark, 100, 110), table, "ingest", batch_id=0
+    )
+    # main-line batch 0 arrives after the branch's batch 0: must commit
+    mv = SNAP.write_version(
+        _df(spark, 10, 20), table, mode="append", batch_id=0
+    )
+    assert mv != bv
+    assert mv in SNAP.main_versions(table)
+    assert SNAP.read_version(spark, table).count() == 20
+    # replay of each lane's batch 0 is a no-op returning its own version
+    assert SNAP.write_version(
+        _df(spark, 10, 20), table, mode="append", batch_id=0
+    ) == mv
+    assert SNAP.write_branch(
+        _df(spark, 100, 110), table, "ingest", batch_id=0
+    ) == bv
+
+
+def test_idx_late_insert_keeps_lower_main_commit_visible(spark, table):
+    """A branch commit can publish a HIGHER version while a main
+    committer is mid data-write; the main commit then updates the idx
+    with v <= last. The old early-return dropped it from idx["main"]
+    forever (the tail scan only covers v > last) — e.g. a GDPR delete
+    vanishing from forward history."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    # simulate the interleave directly at the idx layer: a branch
+    # commit advanced the checkpoint to v=3 while main v=2 was in flight
+    SNAP._update_main_idx(table, 3, is_main=False)
+    SNAP._update_main_idx(table, 2, is_main=True, batch_key="7")
+    idx = SNAP._load_main_idx(table)
+    assert 2 in idx["main"]
+    assert idx["main"] == sorted(idx["main"])
+    assert idx["batch_ids"]["7"] == 2
+    assert idx["last"] == 3
