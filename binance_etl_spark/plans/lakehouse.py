@@ -557,3 +557,104 @@ def sink_unique_key_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_distinct_keys"),
         F.lit(len(SNAP.main_versions(table))).cast("int").alias("n_versions"),
     )
+
+
+# --- sink_sql_dml: the ANSI-text DML front door -----------------------
+#
+# The DML rows above run through Python APIs; this one is driven by
+# SHARED SQL TEXT (operators/sql_dml.py): the DELETE and UPDATE
+# statements below execute VERBATIM on this engine (parsed to
+# delete_where / update_where) and on the DuckDB oracle (executed as
+# DuckDB DML on a temp copy); the MERGE executes here through the real
+# parser (lowered to merge_into) and on the oracle via its standard
+# DELETE+INSERT rewrite (DuckDB 1.0 has no MERGE). The TPC-H treatment
+# for table maintenance.
+
+_DML_BASE_SQL = (
+    "SELECT event_id, user_id, event_type, value FROM events"
+)
+
+# source view: whole-row updates, CDC tombstones, and fresh inserts —
+# disjoint deterministic slices of the base, keys unique by design
+_DML_SOURCE_SQL = """
+    SELECT event_id, user_id, 'merged' AS event_type, value * 3 AS value
+    FROM events_dml_base WHERE event_id % 13 = 1
+    UNION ALL
+    SELECT event_id, user_id, 'tombstone' AS event_type, value
+    FROM events_dml_base WHERE event_id % 13 = 5
+    UNION ALL
+    SELECT event_id + 1000000000 AS event_id, user_id,
+           'inserted' AS event_type, value
+    FROM events_dml_base WHERE event_id % 13 = 8
+"""
+
+_DML_DELETE = (
+    "DELETE FROM events_dml WHERE event_type = 'click' AND event_id % 7 = 3"
+)
+_DML_UPDATE = (
+    "UPDATE events_dml SET value = value + 1000, event_type = 'boosted' "
+    "WHERE event_type = 'view' AND event_id % 11 = 0"
+)
+_DML_MERGE = (
+    "MERGE INTO events_dml AS t USING events_dml_updates AS s "
+    "ON t.event_id = s.event_id "
+    "WHEN MATCHED AND s.event_type = 'tombstone' THEN DELETE "
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+_DML_FINAL_SQL = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_e2,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events_dml GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "sink_sql_dml",
+    oracle=f"""
+    CREATE TEMP TABLE events_dml_base AS {_DML_BASE_SQL};
+    CREATE TEMP TABLE events_dml AS SELECT * FROM events_dml_base;
+    CREATE TEMP TABLE events_dml_updates AS {_DML_SOURCE_SQL};
+    {_DML_DELETE};
+    {_DML_UPDATE};
+    DELETE FROM events_dml
+      WHERE event_id IN (SELECT event_id FROM events_dml_updates);
+    INSERT INTO events_dml
+      SELECT * FROM events_dml_updates WHERE event_type <> 'tombstone';
+    {_DML_FINAL_SQL}
+    """,
+    doc="ANSI-text DML chain over one snapshot table "
+    "(operators/sql_dml.py): DELETE, UPDATE and a CDC-shape MERGE "
+    "(tombstone/replace/insert) execute from shared SQL strings — the "
+    "DELETE/UPDATE text runs verbatim on both engines; the MERGE "
+    "lowers to merge_into here and to its DELETE+INSERT rewrite on "
+    "the oracle. Scale posture is the underlying operators': "
+    "affected-file-only copy-on-write rewrites, broadcast key "
+    "semi-joins, untouched files carried by name — the text front end "
+    "adds zero plan weight.",
+    tags=("sink", "dml", "sql", "versioning"),
+)
+def sink_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.operators.sql_dml import execute_dml
+
+    base = spark.sql(
+        _DML_BASE_SQL.replace("FROM events", "FROM {e}"),
+        e=load(spark, sf_dir, "events"),
+    )
+    table = tempfile.mkdtemp(prefix="besk_sqldml_") + "/events_dml"
+    SNAP.write_version(base.repartition(4), table)
+
+    base.createOrReplaceTempView("events_dml_base")
+    spark.sql(_DML_SOURCE_SQL).createOrReplaceTempView("events_dml_updates")
+
+    for stmt in (_DML_DELETE, _DML_UPDATE, _DML_MERGE):
+        execute_dml(spark, stmt, {"events_dml": table})
+
+    SNAP.read_version(spark, table).createOrReplaceTempView("events_dml")
+    return spark.sql(_DML_FINAL_SQL)

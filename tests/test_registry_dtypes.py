@@ -138,6 +138,38 @@ _SPARK_KIND = {
 }
 
 
+def _split_top_level(sql: str) -> list[str]:
+    """Split a multi-statement oracle on top-level semicolons (quotes
+    and `--` line comments protected) — DML-chain oracles stage temp
+    tables before their final SELECT, and only that SELECT can be
+    DESCRIBEd."""
+    parts, part, quote = [], "", None
+    comment = False
+    prev = ""
+    for ch in sql:
+        if comment:
+            if ch == "\n":
+                comment = False
+        elif quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "-" and prev == "-":
+            comment = True
+        elif ch == ";":
+            if part.strip():
+                parts.append(part)
+            part = ""
+            prev = ""
+            continue
+        part += ch
+        prev = ch
+    if part.strip():
+        parts.append(part)
+    return parts
+
+
 def test_every_oracle_types_hash_safe_and_matches_spark(spark):
     from tests.parity import duckdb_conn
 
@@ -149,7 +181,10 @@ def test_every_oracle_types_hash_safe_and_matches_spark(spark):
         for name, ent in sorted(REGISTRY.items()):
             if ent.oracle is None:
                 continue
-            desc = con.execute(f"DESCRIBE {ent.oracle}").fetchall()
+            stmts = _split_top_level(ent.oracle)
+            for prep in stmts[:-1]:
+                con.execute(prep)
+            desc = con.execute(f"DESCRIBE {stmts[-1]}").fetchall()
             duck = {row[0]: row[1] for row in desc}
             bad = [(c, t) for c, t in duck.items() if t not in _DUCK_KIND]
             if bad:
