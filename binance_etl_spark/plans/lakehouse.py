@@ -615,9 +615,9 @@ _DML_FINAL_SQL = """
 @register(
     "sink_sql_dml",
     oracle=f"""
-    CREATE TEMP TABLE events_dml_base AS {_DML_BASE_SQL};
-    CREATE TEMP TABLE events_dml AS SELECT * FROM events_dml_base;
-    CREATE TEMP TABLE events_dml_updates AS {_DML_SOURCE_SQL};
+    CREATE OR REPLACE TEMP TABLE events_dml_base AS {_DML_BASE_SQL};
+    CREATE OR REPLACE TEMP TABLE events_dml AS SELECT * FROM events_dml_base;
+    CREATE OR REPLACE TEMP TABLE events_dml_updates AS {_DML_SOURCE_SQL};
     {_DML_DELETE};
     {_DML_UPDATE};
     DELETE FROM events_dml
