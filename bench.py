@@ -185,6 +185,10 @@ HEADLINE_LLM = [
     # round-6: PRIMARY-KEY enforcement lifecycle (structural sibling:
     # sink_delete_mor's build + one key-projected probe scan).
     "sink_unique_key_guard",
+    # round-7: ANSI-text DML chain (DELETE + UPDATE + CDC MERGE from
+    # shared SQL strings; structural siblings: sink_delete_propagation,
+    # sink_update_where, sink_snapshot_merge).
+    "sink_sql_dml",
 ]
 
 

@@ -662,6 +662,43 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_disc(value, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_disc(value, 0.99) AS DOUBLE) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="DISCRETE percentiles (percentile_disc / SQL-standard WITHIN "
+    "GROUP): selects an actual element (smallest value with cume_dist "
+    ">= p), so unlike interpolated percentile there is NO cross-engine "
+    "float arithmetic to drift — the exact-oracle companion to the "
+    "rows-only agg_percentile. Scale: per-group sort-based selection; "
+    "at 100 TB the approx sketch path (percentile_approx, map-side "
+    "combinable) remains the production default and agg_percentile's "
+    "error-bound tests cover it.",
+    tags=("agg",),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_pdisc")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               COUNT(*) AS n
+        FROM events_pdisc GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@register(
     "agg_min_by",
     oracle="""
     SELECT event_type,
