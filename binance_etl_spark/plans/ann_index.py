@@ -118,9 +118,11 @@ def adc_lookup_col(adc) -> Column:
     pure table lookup against the query's precomputed M x K ADC matrix
     (a ~KB literal/broadcast constant) — the serve path never touches
     raw floats and never re-runs the encode argmin."""
+    from binance_etl_spark.plans.llm_ops11 import _sql_long_array
+
     total: Column = F.lit(0).cast("long")
     for m in range(_M):
-        row = F.array(*[F.lit(int(v)) for v in adc[m]])
+        row = F.expr(_sql_long_array(adc[m]))
         total = total + F.element_at(row, (F.col(f"c{m}") + 1).cast("int"))
     return total
 
