@@ -15,18 +15,23 @@ to Spark SQL / the snapshot operators unparsed):
     UPDATE <table> SET col = expr [, ...] [WHERE <condition>]
     MERGE INTO <table> [AS] [t] USING <view> [AS] [s]
       ON t.k = s.k [AND t.k2 = s.k2 ...]
+      -- star mode (the Delta/DLT CDC-apply shape):
       [WHEN MATCHED AND <cond> THEN DELETE]
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *
+      -- or column mode (the warehouse shape; source schema is free):
+      WHEN MATCHED THEN UPDATE SET col = expr [, ...]
+      WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
 
-MERGE is the Delta/DLT CDC-apply shape (`SET *` / `INSERT *` whole-row
-semantics): the ON clause must be a conjunction of `t.col = s.col`
-equalities (the merge keys), the optional MATCHED-AND-DELETE branch's
-condition is evaluated against SOURCE columns (CDC tombstones), and
-the source is a registered temp view carrying exactly the target's
-columns. That is precisely `snapshots.merge_into`'s contract, so the
-text lowers losslessly; anything outside the grammar raises rather
-than guessing.
+STAR mode (`SET *` / `INSERT *` whole-row semantics): the ON clause
+must be a conjunction of `t.col = s.col` equalities (the merge keys),
+the optional MATCHED-AND-DELETE branch's condition is evaluated
+against SOURCE columns (CDC tombstones), and the source is a
+registered temp view carrying exactly the target's columns — exactly
+`snapshots.merge_into`'s contract, so the text lowers losslessly.
+COLUMN mode lets assignments and insert values reference t.<col> /
+s.<col> with any source schema; see _execute_merge for the lowering.
+Anything outside the grammar raises rather than guessing.
 
 Reference parity note: the reference (anselumana/binance-etl) has no
 SQL surface at all — this front door exists so a user can drive the
@@ -39,6 +44,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from binance_etl_spark.operators import snapshots as SNAP
 
@@ -63,7 +69,9 @@ _MERGE_RE = re.compile(
 
 _WHEN_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE"
+    r"|UPDATE\s+SET\s+.+?|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
+    r"(?=\s+WHEN\s|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -120,6 +128,166 @@ def _merge_keys(on: str, talias: str, salias: str) -> list[str]:
     return keys
 
 
+def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
+    """Lower a parsed MERGE. Two modes:
+
+    STAR mode (`UPDATE SET *` / `INSERT *`, optional guarded DELETE) —
+    the CDC-apply shape — maps 1:1 onto snapshots.merge_into (whole-row
+    replace / insert / tombstone).
+
+    COLUMN mode (`UPDATE SET col = expr` and/or `INSERT (cols) VALUES
+    (exprs)`, expressions free to reference t.<col> and s.<col>) lowers
+    by CONSTRUCTING the effective whole-row source: matched rows
+    evaluate each target column as its assignment (unassigned columns
+    keep the target value — SQL UPDATE semantics), unmatched source
+    rows evaluate the INSERT list (unlisted columns NULL), and the
+    union feeds the same whole-row merge_into. One extra key join
+    against the current snapshot — broadcast when the source is small,
+    the same shape merge_into's own affected-file scan uses. The
+    guarded DELETE branch is star-mode only (a column-mode tombstone
+    would need the merge commit to see the guard, not a precomputed
+    row)."""
+    talias = mm.group("talias") or mm.group("table")
+    salias = mm.group("salias") or mm.group("source")
+    keys = _merge_keys(mm.group("on"), talias, salias)
+    table_dir = tables[mm.group("table")]
+
+    delete_condition = None
+    upd_sets: dict[str, str] | None = None
+    ins_cols: list[str] | None = None
+    ins_vals: list[str] | None = None
+    saw_star_update = saw_star_insert = False
+    for w in _WHEN_RE.finditer(mm.group("whens")):
+        action = w.group("action").strip()
+        action_norm = re.sub(r"\s+", " ", action).upper()
+        if w.group("not"):
+            if action_norm == "INSERT *":
+                saw_star_insert = True
+            elif action_norm.startswith("INSERT"):
+                am = re.match(
+                    r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not am:
+                    raise ValueError(f"cannot parse INSERT clause: {action!r}")
+                ins_cols = [c.strip() for c in am.group("cols").split(",")]
+                ins_vals = [
+                    v.strip() for v in _split_top_level_commas(am.group("vals"))
+                ]
+                if len(ins_cols) != len(ins_vals):
+                    raise ValueError("INSERT column/value count mismatch")
+            else:
+                raise ValueError("WHEN NOT MATCHED supports INSERT only")
+        elif action_norm == "DELETE":
+            delete_condition = w.group("cond") or "TRUE"
+        elif action_norm == "UPDATE SET *":
+            if w.group("cond"):
+                raise ValueError(
+                    "WHEN MATCHED AND <cond> THEN UPDATE is not "
+                    "supported — only the DELETE branch takes a guard"
+                )
+            saw_star_update = True
+        elif action_norm.startswith("UPDATE SET "):
+            if w.group("cond"):
+                raise ValueError(
+                    "WHEN MATCHED AND <cond> THEN UPDATE is not "
+                    "supported — only the DELETE branch takes a guard"
+                )
+            upd_sets = _split_assignments(action[len("UPDATE SET ") :])
+
+    star_mode = saw_star_update or saw_star_insert
+    if star_mode and (upd_sets or ins_cols):
+        raise ValueError("cannot mix SET */INSERT * with column-level clauses")
+
+    if star_mode:
+        if not (saw_star_update and saw_star_insert):
+            raise ValueError(
+                "star-mode MERGE must carry WHEN MATCHED THEN UPDATE SET * "
+                "and WHEN NOT MATCHED THEN INSERT * (the CDC-apply shape)"
+            )
+        if delete_condition:
+            delete_condition = re.sub(
+                rf"\b{salias}\.", "", delete_condition, flags=re.IGNORECASE
+            )
+        return SNAP.merge_into(
+            spark, table_dir, spark.table(mm.group("source")), key_cols=keys,
+            delete_condition=delete_condition,
+        )
+
+    if upd_sets is None and ins_cols is None:
+        raise ValueError(
+            "MERGE needs UPDATE SET and/or INSERT clauses"
+        )
+    if delete_condition:
+        raise ValueError("guarded DELETE is star-mode only")
+    source = spark.table(mm.group("source"))
+    tgt = SNAP.read_version(spark, table_dir)
+    target_cols = tgt.columns
+    unknown = sorted(
+        {re.sub(rf"^{talias}\.", "", c, flags=re.IGNORECASE) for c in (upd_sets or {})}
+        - set(target_cols)
+    )
+    if unknown:
+        raise ValueError(f"UPDATE SET references unknown columns: {unknown}")
+    t = tgt.alias(talias)
+    s = source.alias(salias)
+    on = [F.col(f"{talias}.{k}") == F.col(f"{salias}.{k}") for k in keys]
+    sets = {
+        re.sub(rf"^{talias}\.", "", c, flags=re.IGNORECASE): e
+        for c, e in (upd_sets or {}).items()
+    }
+    upd_rows = s.join(t, on, "inner").select(
+        *[F.expr(sets.get(c, f"{talias}.{c}")).alias(c) for c in target_cols]
+    )
+    if ins_cols is not None:
+        ins_map = dict(zip(ins_cols, ins_vals))
+        bad = sorted(set(ins_map) - set(target_cols))
+        if bad:
+            raise ValueError(f"INSERT references unknown columns: {bad}")
+        ins_rows = (
+            s.join(t, on, "left_anti")
+            .select(
+                *[
+                    F.expr(ins_map[c]).alias(c)
+                    if c in ins_map
+                    else F.lit(None).alias(c)
+                    for c in target_cols
+                ]
+            )
+        )
+    else:  # no INSERT branch: unmatched source rows are ignored
+        ins_rows = None
+    eff = upd_rows if ins_rows is None else upd_rows.unionByName(ins_rows)
+    # cast each column to the target's dtype so the whole-row merge
+    # appends schema-identical rows (expressions may widen types)
+    eff = eff.select(
+        *[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in target_cols]
+    )
+    return SNAP.merge_into(spark, table_dir, eff, key_cols=keys)
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    parts, part, depth, quote = [], "", 0, None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(part)
+            part = ""
+            continue
+        part += ch
+    parts.append(part)
+    return parts
+
+
 def execute_dml(
     spark: SparkSession, sql_text: str, tables: dict[str, str]
 ) -> int:
@@ -136,43 +304,7 @@ def execute_dml(
 
     mm = _MERGE_RE.match(sql_text)
     if mm:
-        talias = mm.group("talias") or mm.group("table")
-        salias = mm.group("salias") or mm.group("source")
-        keys = _merge_keys(mm.group("on"), talias, salias)
-        delete_condition = None
-        saw_update = saw_insert = False
-        for w in _WHEN_RE.finditer(mm.group("whens")):
-            action = re.sub(r"\s+", " ", w.group("action")).upper()
-            if w.group("not"):
-                if action != "INSERT *":
-                    raise ValueError("WHEN NOT MATCHED supports INSERT * only")
-                saw_insert = True
-            elif action == "DELETE":
-                delete_condition = w.group("cond") or "TRUE"
-            elif action == "UPDATE SET *":
-                if w.group("cond"):
-                    raise ValueError(
-                        "WHEN MATCHED AND <cond> THEN UPDATE is not "
-                        "supported — only the DELETE branch takes a guard"
-                    )
-                saw_update = True
-        if not (saw_update and saw_insert):
-            raise ValueError(
-                "MERGE must carry WHEN MATCHED THEN UPDATE SET * and "
-                "WHEN NOT MATCHED THEN INSERT * (the CDC-apply shape)"
-            )
-        # delete guard references source columns, optionally qualified
-        if delete_condition:
-            delete_condition = re.sub(
-                rf"\b{salias}\.", "", delete_condition, flags=re.IGNORECASE
-            )
-        return SNAP.merge_into(
-            spark,
-            tables[mm.group("table")],
-            spark.table(mm.group("source")),
-            key_cols=keys,
-            delete_condition=delete_condition,
-        )
+        return _execute_merge(spark, mm, tables)
 
     mu = _UPDATE_RE.match(sql_text)
     if mu:

@@ -658,3 +658,89 @@ def sink_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SNAP.read_version(spark, table).createOrReplaceTempView("events_dml")
     return spark.sql(_DML_FINAL_SQL)
+
+
+# --- sink_sql_merge_cols: column-level ANSI MERGE -------------------
+#
+# The star-mode chain above is the CDC shape; this is the WAREHOUSE
+# shape — MERGE with column assignments and an explicit INSERT list,
+# where the source carries a DIFFERENT schema than the target (a
+# (key, delta) feed). The engine lowers it by constructing the
+# effective whole-row source (operators/sql_dml.py COLUMN mode); the
+# oracle runs DuckDB's UPDATE..FROM + anti-join INSERT rewrite.
+
+_MC_SOURCE_SQL = """
+    SELECT event_id, value * 0.5 AS delta
+    FROM events_dml_base WHERE event_id % 9 = 2
+    UNION ALL
+    SELECT event_id + 2000000000 AS event_id, 42.0 AS delta
+    FROM events_dml_base WHERE event_id % 9 = 4
+"""
+
+_MC_MERGE = (
+    "MERGE INTO events_cols AS t USING events_cols_updates AS s "
+    "ON t.event_id = s.event_id "
+    "WHEN MATCHED THEN UPDATE SET value = t.value + s.delta, "
+    "event_type = 'adjusted' "
+    "WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value) "
+    "VALUES (s.event_id, -1, 'inserted', s.delta)"
+)
+
+_MC_FINAL_SQL = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_e2,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events_cols GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "sink_sql_merge_cols",
+    oracle=f"""
+    CREATE OR REPLACE TEMP TABLE events_dml_base AS {_DML_BASE_SQL};
+    CREATE OR REPLACE TEMP TABLE events_cols AS
+      SELECT * FROM events_dml_base;
+    CREATE OR REPLACE TEMP TABLE events_cols_updates AS {_MC_SOURCE_SQL};
+    INSERT INTO events_cols
+      SELECT s.event_id, -1, 'inserted', s.delta
+      FROM events_cols_updates s LEFT JOIN events_dml_base t
+        ON t.event_id = s.event_id
+      WHERE t.event_id IS NULL;
+    UPDATE events_cols
+      SET value = events_cols.value + s.delta, event_type = 'adjusted'
+      FROM events_cols_updates s
+      WHERE events_cols.event_id = s.event_id
+        AND events_cols.event_type <> 'inserted';
+    {_MC_FINAL_SQL}
+    """,
+    doc="Column-level ANSI MERGE (UPDATE SET col = expr referencing "
+    "t./s., INSERT (cols) VALUES (exprs)) over a source whose schema "
+    "differs from the target's — lowered by constructing the "
+    "effective whole-row source (one key join, broadcast for small "
+    "feeds) into the same affected-file-only copy-on-write merge "
+    "commit. Oracle = the UPDATE..FROM + anti-join INSERT rewrite. "
+    "Scale posture: merge_into's (only files holding matched keys "
+    "rewrite; untouched files carry by name).",
+    tags=("sink", "dml", "sql", "versioning"),
+)
+def sink_sql_merge_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.operators.sql_dml import execute_dml
+
+    base = spark.sql(
+        _DML_BASE_SQL.replace("FROM events", "FROM {e}"),
+        e=load(spark, sf_dir, "events"),
+    )
+    table = tempfile.mkdtemp(prefix="besk_sqlmc_") + "/events_cols"
+    SNAP.write_version(base.repartition(4), table)
+
+    base.createOrReplaceTempView("events_dml_base")
+    spark.sql(_MC_SOURCE_SQL).createOrReplaceTempView("events_cols_updates")
+
+    execute_dml(spark, _MC_MERGE, {"events_cols": table})
+
+    SNAP.read_version(spark, table).createOrReplaceTempView("events_cols")
+    return spark.sql(_MC_FINAL_SQL)

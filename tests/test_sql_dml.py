@@ -95,3 +95,74 @@ def test_delete_update_merge_chain(spark, table):
     assert final.where("id IN (0, 4)").count() == 0  # tombstoned
     assert final.where("grp = 9").count() == 3  # inserted
     assert final.count() == 75 - 2 + 3
+
+
+def test_column_mode_merge(spark, tmp_path):
+    """UPDATE SET col = expr referencing t./s. with a source whose
+    schema differs from the target's, plus an explicit INSERT list —
+    unassigned columns keep target values, unlisted INSERT columns
+    are NULL, unmatched-source-only rows insert, matched rows update."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 20).selectExpr(
+            "id", "CAST(id * 10 AS DOUBLE) AS v", "'old' AS tag"
+        ),
+        t,
+    )
+    spark.createDataFrame(
+        [(5, 1.5), (7, 2.5), (100, 9.0)], "id BIGINT, delta DOUBLE"
+    ).createOrReplaceTempView("feed")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING feed s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.delta "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.delta * 2)",
+        {"tbl": t},
+    )
+    rows = {r["id"]: r for r in SNAP.read_version(spark, t).collect()}
+    assert rows[5]["v"] == 51.5 and rows[5]["tag"] == "old"
+    assert rows[7]["v"] == 72.5
+    assert rows[100]["v"] == 18.0 and rows[100]["tag"] is None
+    assert rows[3]["v"] == 30.0  # untouched
+    assert len(rows) == 21
+
+
+def test_column_mode_update_only_ignores_unmatched(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "CAST(0 AS DOUBLE) AS v"), t
+    )
+    spark.createDataFrame(
+        [(2, 5.0), (99, 5.0)], "id BIGINT, delta DOUBLE"
+    ).createOrReplaceTempView("feed2")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING feed2 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.delta",
+        {"tbl": t},
+    )
+    got = SNAP.read_version(spark, t)
+    assert got.count() == 10  # no INSERT branch: 99 ignored
+    assert got.where("id = 2").first()["v"] == 5.0
+
+
+def test_column_mode_rejects_mixing_and_unknowns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(spark.range(0, 3).selectExpr("id", "id AS v"), t)
+    spark.range(1).selectExpr("id", "id AS delta").createOrReplaceTempView("f3")
+    with pytest.raises(ValueError):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING f3 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING f3 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET nope = 1 "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+            {"tbl": t},
+        )
