@@ -12,6 +12,8 @@ Supported grammar (case-insensitive keywords; expressions pass through
 to Spark SQL / the snapshot operators unparsed):
 
     DELETE FROM <table> WHERE <condition>
+    TRUNCATE TABLE <table>
+    INSERT INTO <table> SELECT ... | VALUES (...), (...)
     UPDATE <table> SET col = expr [, ...] [WHERE <condition>]
     MERGE INTO <table> [AS] [t] USING <view> [AS] [s]
       ON t.k = s.k [AND t.k2 = s.k2 ...]
@@ -50,6 +52,15 @@ from binance_etl_spark.operators import snapshots as SNAP
 
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<table>[\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[\w.]+)\s+(?P<body>(?:SELECT|VALUES)\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -300,6 +311,33 @@ def execute_dml(
     if m:
         return SNAP.delete_where(
             spark, tables[m.group("table")], m.group("cond")
+        )
+
+    mt = _TRUNCATE_RE.match(sql_text)
+    if mt:
+        # SQL TRUNCATE: all rows gone, schema and table history kept —
+        # one zero-row overwrite commit (prior versions still
+        # time-travel; no file rewrite of the old data)
+        table_dir = tables[mt.group("table")]
+        empty = SNAP.read_version(spark, table_dir).limit(0)
+        return SNAP.write_version(empty, table_dir, mode="overwrite")
+
+    mi = _INSERT_RE.match(sql_text)
+    if mi:
+        df = spark.sql(mi.group("body"))
+        tgt = SNAP.read_version(spark, tables[mi.group("table")])
+        if len(df.columns) != len(tgt.columns):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(df.columns)} values for "
+                f"{len(tgt.columns)} target columns"
+            )
+        # SQL INSERT binds by POSITION: rename to the target's columns
+        # and cast to its dtypes (VALUES literals type narrowly)
+        df = df.toDF(*tgt.columns).select(
+            *[F.col(c).cast(t).alias(c) for c, t in tgt.dtypes]
+        )
+        return SNAP.write_version(
+            df, tables[mi.group("table")], mode="append"
         )
 
     mm = _MERGE_RE.match(sql_text)

@@ -42,7 +42,7 @@ def test_unsupported_statements_raise(spark):
     for bad in (
         "SELECT 1",
         "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
-        "TRUNCATE TABLE t",
+        "CREATE TABLE t (a INT)",
     ):
         with pytest.raises(ValueError):
             execute_dml(spark, bad, {"t": "/nonexistent"})
@@ -166,3 +166,33 @@ def test_column_mode_rejects_mixing_and_unknowns(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
             {"tbl": t},
         )
+
+
+def test_insert_into_and_truncate(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 5).selectExpr("id", "CAST(id AS DOUBLE) AS v"), t
+    )
+    execute_dml(
+        spark,
+        "INSERT INTO tbl SELECT id + 100, CAST(-1.0 AS DOUBLE) "
+        "FROM range(3)",
+        {"tbl": t},
+    )
+    got = SNAP.read_version(spark, t)
+    assert got.count() == 8
+    assert got.where("id >= 100").count() == 3
+    assert got.columns == ["id", "v"]  # positional bind renames
+
+    execute_dml(
+        spark, "INSERT INTO tbl VALUES (200, 9.0), (201, 9.5)", {"tbl": t}
+    )
+    assert SNAP.read_version(spark, t).count() == 10
+    with pytest.raises(ValueError):
+        execute_dml(spark, "INSERT INTO tbl SELECT 1", {"tbl": t})
+
+    execute_dml(spark, "TRUNCATE TABLE tbl", {"tbl": t})
+    final = SNAP.read_version(spark, t)
+    assert final.count() == 0
+    assert final.columns == ["id", "v"]  # schema survives
+    assert len(SNAP.main_versions(t)) >= 4  # history survives
