@@ -189,6 +189,13 @@ HEADLINE_LLM = [
     # shared SQL strings; structural siblings: sink_delete_propagation,
     # sink_update_where, sink_snapshot_merge).
     "sink_sql_dml",
+    # round-7: full BPE trainer (16 pair-count rounds over the
+    # Zipf-compressed word table; inner loop = text_bpe_pair_counts).
+    "text_bpe_learn",
+    # round-7: bar-level market analytics (OHLC range estimators +
+    # VWAP shortfall; structural siblings: the ms_* keyed-window tier).
+    "ms_ohlc_vol_estimators",
+    "ms_vwap_execution",
 ]
 
 

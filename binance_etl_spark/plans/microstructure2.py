@@ -1,0 +1,248 @@
+"""Bar-level market analytics: OHLC volatility estimators and VWAP
+execution benchmarks over the deterministic tape (see microstructure.py
+— the analysis layer the reference's trade CSVs exist to feed,
+reference README.md:70-84).
+
+Cross-engine float discipline (same rules as microstructure.py): every
+per-bar/per-trade term is an IEEE-exact expression tree (subtract,
+multiply, divide by literals — no ln(): the classic log-range
+estimators are computed on ARITHMETIC ranges (high-low)/high — the
+small-return substitution with a bounded denominator, keeping every
+per-bar term in [-3, 1] so floor-e12 integers can never overflow a
+BIGINT sum — and no libm call whose last ulp varies across builds can
+enter the hash); terms are floored to integer
+e12/e6 units before any cross-row SUM, making aggregates order-free
+across partitionings AND engines.
+
+Scale notes: both queries are scan -> one shuffle keyed on
+(sym, bucket) -> map-side-combinable per-sym aggregate. Bars compress
+the tape ~3600x before the estimator math; the VWAP pass attaches the
+bar VWAP with a partition window (no join) so the 100 TB shape is a
+single keyed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.plans.microstructure import _TAPE_SQL, _tape
+from binance_etl_spark.plans.registry import register
+
+# 4*ln2 and (2*ln2 - 1) as literals: constants fold identically in both
+# engines; only the per-bar arithmetic must be IEEE-exact.
+_FOUR_LN2 = 2.772588722239781
+_GK_CO = 0.3862943611198906
+
+
+def _bars_sql() -> str:
+    return f"""
+    t AS ({_TAPE_SQL}),
+    bars AS (
+      SELECT sym, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+             first(price ORDER BY ts, tid) AS open,
+             max(price) AS high,
+             min(price) AS low,
+             last(price ORDER BY ts, tid) AS close,
+             COUNT(*) AS n_trades
+      FROM t GROUP BY sym, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+    )"""
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    b = t.select(
+        "sym",
+        F.floor(F.col("ts").cast("double").cast("long") / 3600)
+        .cast("bigint")
+        .alias("bucket"),
+        "ts",
+        "tid",
+        "price",
+        "qty",
+        "side",
+    )
+    return b.groupBy("sym", "bucket").agg(
+        F.min_by("price", F.struct("ts", "tid")).alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", F.struct("ts", "tid")).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+# --- ms_ohlc_vol_estimators --------------------------------------------
+
+
+@register(
+    "ms_ohlc_vol_estimators",
+    oracle=f"""
+    WITH {_bars_sql()},
+    terms AS (
+      SELECT sym,
+             CAST(floor((high - low) / high * ((high - low) / high)
+                        * 1000000000000) AS BIGINT) AS park_e12,
+             CAST(floor((0.5 * ((high - low) / high) * ((high - low) / high)
+                         - {_GK_CO} * ((close - open) / high)
+                                    * ((close - open) / high))
+                        * 1000000000000) AS BIGINT) AS gk_e12,
+             CAST(floor(((high - close) * (high - open)
+                         + (low - close) * (low - open)) / (high * high)
+                        * 1000000000000) AS BIGINT) AS rs_e12
+      FROM bars
+    )
+    SELECT sym,
+           COUNT(*) AS n_bars,
+           CAST(SUM(park_e12) AS DOUBLE) / 1000000000000 / COUNT(*)
+             / {_FOUR_LN2} AS parkinson,
+           CAST(SUM(gk_e12) AS DOUBLE) / 1000000000000 / COUNT(*)
+             AS garman_klass,
+           CAST(SUM(rs_e12) AS DOUBLE) / 1000000000000 / COUNT(*)
+             AS rogers_satchell
+    FROM terms GROUP BY sym ORDER BY sym
+    """,
+    doc="Range-based volatility estimators on hourly OHLC bars: "
+    "Parkinson (1980), Garman-Klass (1980) and Rogers-Satchell (1991) "
+    "per symbol, computed on arithmetic ranges (high-low)/high — the "
+    "small-return substitution for the log ranges with a BOUNDED "
+    "denominator (terms stay in [-3, 1]; floor-e12 sums can't overflow "
+    "BIGINT on a synthetic tape whose bar open can sit 4 decades below "
+    "its high), keeping every per-bar term an IEEE-exact expression "
+    "(no libm ln whose last ulp differs across engines). Bars come "
+    "from ONE groupBy on "
+    "(sym, hour) using min_by/max_by over (ts, tid) for open/close "
+    "(oracle: DuckDB ordered first/last aggregates); per-bar terms "
+    "are floor-e12 integers before the per-sym sum, so results are "
+    "bit-identical across engines and partitionings. 100 TB shape: "
+    "scan -> keyed shuffle -> ~3600x bar compression -> tiny per-sym "
+    "agg; no joins, no windows over the raw tape.",
+    tags=("market", "risk", "agg"),
+)
+def ms_ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir)
+    rng = (F.col("high") - F.col("low")) / F.col("high")
+    co = (F.col("close") - F.col("open")) / F.col("high")
+    rs = (
+        (F.col("high") - F.col("close")) * (F.col("high") - F.col("open"))
+        + (F.col("low") - F.col("close")) * (F.col("low") - F.col("open"))
+    ) / (F.col("high") * F.col("high"))
+    terms = bars.select(
+        "sym",
+        F.floor(rng * rng * 1000000000000).cast("bigint").alias("park_e12"),
+        F.floor((F.lit(0.5) * rng * rng - F.lit(_GK_CO) * co * co) * 1000000000000)
+        .cast("bigint")
+        .alias("gk_e12"),
+        F.floor(rs * 1000000000000).cast("bigint").alias("rs_e12"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        terms.groupBy("sym")
+        .agg(
+            n.alias("n_bars"),
+            (
+                F.sum("park_e12").cast("double") / 1000000000000 / n / _FOUR_LN2
+            ).alias("parkinson"),
+            (F.sum("gk_e12").cast("double") / 1000000000000 / n).alias(
+                "garman_klass"
+            ),
+            (F.sum("rs_e12").cast("double") / 1000000000000 / n).alias(
+                "rogers_satchell"
+            ),
+        )
+        .orderBy("sym")
+    )
+
+
+# --- ms_vwap_execution -------------------------------------------------
+
+
+@register(
+    "ms_vwap_execution",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    b AS (
+      SELECT sym, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+             price, qty, side,
+             CAST(floor(price * 100) AS BIGINT) * qty AS pq_e2
+      FROM t
+    ), w AS (
+      SELECT sym, bucket, price, qty, side,
+             CAST(SUM(pq_e2) OVER (PARTITION BY sym, bucket) AS DOUBLE)
+               / 100
+               / SUM(qty) OVER (PARTITION BY sym, bucket) AS vwap
+      FROM b
+    ), c AS (
+      SELECT sym, qty,
+             CAST(floor(side * (price - vwap) * qty * 1000000) AS BIGINT)
+               AS cost_e6,
+             CASE WHEN side * (price - vwap) < 0 THEN 1 ELSE 0 END AS better
+      FROM w
+    )
+    SELECT sym,
+           COUNT(*) AS n_trades,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           CAST(SUM(cost_e6) AS BIGINT) AS shortfall_e6,
+           CAST(SUM(better) AS BIGINT) AS n_beat_vwap
+    FROM c GROUP BY sym ORDER BY sym
+    """,
+    doc="VWAP execution benchmark: per (symbol, hour) volume-weighted "
+    "average price (integer e2 price-volume partials -> exact across "
+    "partitionings), attached to every trade with a PARTITION window "
+    "(no join), then per-symbol implementation shortfall "
+    "side*(price-vwap)*qty — positive = paid through the benchmark — "
+    "and the count of trades that beat it. Per-trade costs are "
+    "floor-e6 integers before the sum. 100 TB shape: one keyed "
+    "exchange on (sym, bucket) feeds both the window and the final "
+    "map-side-combinable per-sym aggregate.",
+    tags=("market", "window", "agg"),
+)
+def ms_vwap_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    b = t.select(
+        "sym",
+        F.floor(F.col("ts").cast("double").cast("long") / 3600)
+        .cast("bigint")
+        .alias("bucket"),
+        "price",
+        "qty",
+        "side",
+        (F.floor(F.col("price") * 100).cast("bigint") * F.col("qty")).alias(
+            "pq_e2"
+        ),
+    )
+    wb = W.partitionBy("sym", "bucket")
+    w = b.select(
+        "sym",
+        "bucket",
+        "price",
+        "qty",
+        "side",
+        (
+            F.sum("pq_e2").over(wb).cast("double")
+            / 100
+            / F.sum("qty").over(wb)
+        ).alias("vwap"),
+    )
+    c = w.select(
+        "sym",
+        "qty",
+        F.floor(
+            F.col("side") * (F.col("price") - F.col("vwap")) * F.col("qty") * 1000000
+        )
+        .cast("bigint")
+        .alias("cost_e6"),
+        F.when(F.col("side") * (F.col("price") - F.col("vwap")) < 0, 1)
+        .otherwise(0)
+        .alias("better"),
+    )
+    return (
+        c.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum("qty").alias("volume"),
+            F.sum("cost_e6").cast("bigint").alias("shortfall_e6"),
+            F.sum("better").cast("bigint").alias("n_beat_vwap"),
+        )
+        .orderBy("sym")
+    )

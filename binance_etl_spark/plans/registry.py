@@ -107,7 +107,9 @@ def _ensure_loaded() -> None:
         llm_ops11,
         llm_ops12,
         llm_ops13,
+        llm_ops14,
         microstructure,
+        microstructure2,
         relational,
         relational2,
         relational3,
