@@ -148,12 +148,13 @@ def build(spark) -> None:
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * shift))
             if t == "documents":
-                # doc_id is a numeric string compared as int downstream;
-                # shift numerically and re-stringify.
+                # shift numerically, then restore the SOURCE dtype —
+                # downstream snapshot/DML probes key on doc_id and a
+                # dtype flip vs sf0.1 breaks their key joins.
                 d = d.withColumn(
                     "doc_id",
                     (F.col("doc_id").cast("bigint") + F.lit(i * shift)).cast(
-                        "string"
+                        dict(base.dtypes)["doc_id"]
                     ),
                 )
             parts.append(d)
@@ -182,7 +183,9 @@ def build_x100(spark) -> None:
             if t == "documents":
                 d = d.withColumn(
                     "doc_id",
-                    (F.col("doc_id").cast("bigint") + F.lit(j * shift2)).cast("string"),
+                    (F.col("doc_id").cast("bigint") + F.lit(j * shift2)).cast(
+                        dict(base.dtypes)["doc_id"]
+                    ),
                 )
             d.write.mode("append").parquet(f"{DST100}/{t}.parquet")
         n = spark.read.parquet(f"{DST100}/{t}.parquet").count()
@@ -464,6 +467,38 @@ def lake_main(spark) -> None:
 # --- multi-symbol key-parallelism probe (--sync) -------------------------
 
 
+DML = [
+    "sink_sql_dml",
+    "sink_sql_merge_cols",
+    "sink_update_where",
+    "sink_delete_mor",
+    "sink_snapshot_merge",
+]
+
+
+def dml_main(spark) -> None:
+    """DML-tier slope probe: the ANSI-text chain and the underlying
+    copy-on-write/MOR committers at sf0.1 vs 10x events. Healthy =
+    near-linear or better: every op rewrites only AFFECTED files (or
+    writes O(matches) deletion vectors), carries untouched files by
+    name, and pays a fixed commit cost that amortizes at 10x."""
+    out = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
+        for name in DML:
+            fn = REGISTRY[name].fn
+            rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            out[(name, label)] = (round(best, 2), rows)
+    print(f"\n{'query':24s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
+    for name in DML:
+        (t0, _), (t1, _) = out[(name, "sf0.1")], out[(name, "sf~1")]
+        print(f"{name:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+
+
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
     """One interleaved replay log with n_syms independent u-chained
     depth streams + one snapshot per symbol — the same wire shape as
@@ -556,6 +591,9 @@ def main() -> None:
         return
     if "--ann" in sys.argv:
         ann_main(spark)
+        return
+    if "--dml" in sys.argv:
+        dml_main(spark)
         return
     if "--lake" in sys.argv:
         lake_main(spark)
