@@ -196,6 +196,9 @@ HEADLINE_LLM = [
     # VWAP shortfall; structural siblings: the ms_* keyed-window tier).
     "ms_ohlc_vol_estimators",
     "ms_vwap_execution",
+    # round-7: bilinear join-view maintenance (structural sibling:
+    # sink_cdc_incremental_agg, plus two delta-vs-snapshot joins).
+    "sink_cdc_incremental_join",
 ]
 
 

@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         dq,
         formats,
         graph,
+        ivm,
         lakehouse,
         llm_ops,
         llm_ops2,
