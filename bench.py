@@ -199,6 +199,9 @@ HEADLINE_LLM = [
     # round-7: bilinear join-view maintenance (structural sibling:
     # sink_cdc_incremental_agg, plus two delta-vs-snapshot joins).
     "sink_cdc_incremental_join",
+    # round-7: product analytics (ordered funnel fold, cohort matrix).
+    "win_funnel_steps",
+    "agg_cohort_retention",
 ]
 
 

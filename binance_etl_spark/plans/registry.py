@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
     from binance_etl_spark.plans import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         ann_index,
         dq,
         formats,
