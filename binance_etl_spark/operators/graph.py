@@ -107,3 +107,51 @@ def label_propagation(und_edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_distances(
+    und_edges: DataFrame, seed_expr: str, n_iters: int = 4
+) -> DataFrame:
+    """Multi-source BFS over `und_edges(u, v)` (undirected): hop
+    distance from the nearest seed node (rows where `seed_expr` holds
+    on the node id), bounded to `n_iters` relaxation rounds — the
+    frontier-expansion layer under shortest-path / k-hop-neighborhood
+    queries. Returns (node, dist) for REACHED nodes only.
+
+    Per iteration: one dist ⋈ edges equi-join + one min-combine per
+    node — map-side combinable, O(iterations) shuffles, eager
+    localCheckpoint keeping lineage flat (same discipline as the
+    PageRank/LPA loops above). Fixed iteration count keeps the DuckDB
+    oracle an exact unroll; distances are BIGINT so min() is
+    order-free on every engine."""
+    nb = (
+        und_edges.select(F.col("u").alias("node"), F.col("v").alias("neigh"))
+        .unionByName(
+            und_edges.select(
+                F.col("v").alias("node"), F.col("u").alias("neigh")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        nb.select("node")
+        .distinct()
+        .where(F.expr(seed_expr))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        dist = (
+            dist.unionByName(
+                dist.join(nb, "node")
+                .select(
+                    F.col("neigh").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -217,3 +217,59 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(und, n_iters=3).orderBy("node")
+
+
+_BFS_ITER = """
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT nb.neigh AS node, r.dist + 1 AS dist
+    FROM nb JOIN {prev} r ON r.node = nb.node
+  ) GROUP BY node
+"""
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(user_id, {_DST}) AS u,
+             greatest(user_id, {_DST}) AS v
+      FROM events WHERE user_id <> {_DST}
+    ), nb AS (
+      SELECT u AS node, v AS neigh FROM und
+      UNION
+      SELECT v AS node, u AS neigh FROM und
+    ), d0 AS (
+      SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+      FROM nb WHERE node % 50 = 0
+    ), it1 AS ({_BFS_ITER.format(prev="d0")}
+    ), it2 AS ({_BFS_ITER.format(prev="it1")}
+    ), it3 AS ({_BFS_ITER.format(prev="it2")}
+    ), it4 AS ({_BFS_ITER.format(prev="it3")})
+    SELECT node, dist FROM it4 ORDER BY node
+    """,
+    doc="Multi-source BFS hop distances (4 relaxation rounds) from "
+    "the seed set node%50=0 over the undirected event link graph — "
+    "the frontier layer under shortest-path / k-hop-neighborhood "
+    "queries (operators/graph.py::bfs_distances). Per iteration one "
+    "dist-to-edges equi-join plus a map-side-combinable MIN per node "
+    "— O(iters) shuffles, eager localCheckpoint per round; BIGINT "
+    "distances make MIN order-free, so the DuckDB oracle is an exact "
+    "4-step unroll. Unreached nodes stay absent (no sentinel rows).",
+    tags=("graph", "iterative", "join"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.graph import bfs_distances
+
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    und = (
+        e.select(
+            F.least(F.col("user_id"), dst).alias("u"),
+            F.greatest(F.col("user_id"), dst).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return bfs_distances(und, "node % 50 = 0", n_iters=4).orderBy("node")
