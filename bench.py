@@ -429,93 +429,85 @@ def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int
         spark.conf.set(shuffle_key, prior_shuffle)
 
 
-def bench_ann_index_refresh(
-    spark, sf_dir: str, copies: int = 40, shards: int = 4
-) -> tuple[float, int]:
-    """Streaming refresh throughput of the persistent PQ ANN index
-    (plans/ann_index.py): a real file-source stream delivers the
-    corpus in `shards` micro-batches; each batch is encoded (O(batch))
-    and committed as one snapshot version via the exactly-once
-    foreachBatch body. Measures sustained vectors/s of the
-    build-current path — the lifecycle bench covers batch
-    build+serve; this leg covers the growing-segment ingest."""
+def bench_index_refresh_dual(
+    spark, sf_dir: str
+) -> tuple[float, int, int]:
+    """BOTH persistent-index refresh streams concurrently in one
+    engine (the multi-index deployment shape, and the same
+    fixed-cost-overlap trick as bench_book_sync_tws_dual): the ANN
+    PQ-index ingest (40x embeddings in 4 micro-batches) and the
+    inverted-index ingest (8x documents in 4 micro-batches) share the
+    engine; each batch still encodes/tokenizes O(batch) and commits
+    its own exactly-once snapshot version. One wall-clock covers both
+    — sequential legs paid the ~1s/batch micro-batch machinery twice
+    over disjoint wall time."""
     import tempfile
 
     from binance_etl_spark.catalog import load
     from binance_etl_spark.plans.ann_index import foreach_batch_ann_index
     from binance_etl_spark.plans.llm_ops11 import _pq_setup
+    from binance_etl_spark.plans.text_index import foreach_batch_text_index
+
+    root = tempfile.mkdtemp(prefix="besk_bench_idxdual_")
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     codebook, _adc = _pq_setup(e)
-    root = tempfile.mkdtemp(prefix="besk_bench_annidx_")
-    src = os.path.join(root, "src")
-    big = (
-        e.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+    asrc = os.path.join(root, "asrc")
+    (
+        e.crossJoin(spark.range(40).withColumnRenamed("id", "copy"))
         .select(
             (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
             "embedding",
             "label",
         )
+        .repartition(4)
+        .write.parquet(asrc)
     )
-    big.repartition(shards).write.parquet(src)
-    n = spark.read.parquet(src).count()
-    table = os.path.join(root, "pq")
-    stream = (
-        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    t0 = time.perf_counter()
-    q = (
-        stream.writeStream.foreachBatch(foreach_batch_ann_index(codebook, table))
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return time.perf_counter() - t0, n
-
-
-def bench_text_index_refresh(
-    spark, sf_dir: str, copies: int = 8, shards: int = 4
-) -> tuple[float, int]:
-    """Streaming refresh throughput of the persistent inverted index
-    (plans/text_index.py): micro-batches of documents tokenize and
-    commit posting segments exactly-once. Docs/s of the keyword
-    modality's growing-segment ingest (tokenize + posting groupBy per
-    batch — heavier per row than the ANN encode by design)."""
-    import tempfile
-
-    from binance_etl_spark.catalog import load
-    from binance_etl_spark.plans.text_index import foreach_batch_text_index
+    n_vec = spark.read.parquet(asrc).count()
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="besk_bench_txtidx_")
-    src = os.path.join(root, "src")
-    big = (
-        d.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+    tsrc = os.path.join(root, "tsrc")
+    (
+        d.crossJoin(spark.range(8).withColumnRenamed("id", "copy"))
         .select(
             (F.col("doc_id") + F.col("copy") * 100_000_000).alias("doc_id"),
             "text",
         )
+        .repartition(4)
+        .write.parquet(tsrc)
     )
-    big.repartition(shards).write.parquet(src)
-    n = spark.read.parquet(src).count()
-    table = os.path.join(root, "inv")
-    stream = (
+    n_doc = spark.read.parquet(tsrc).count()
+
+    astream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(asrc)
+    )
+    tstream = (
         spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+        .parquet(tsrc)
     )
     t0 = time.perf_counter()
-    q = (
-        stream.writeStream.foreachBatch(foreach_batch_text_index(table))
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
+    qa = (
+        astream.writeStream.foreachBatch(
+            foreach_batch_ann_index(codebook, os.path.join(root, "pq"))
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt_a"))
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    return time.perf_counter() - t0, n
+    qt = (
+        tstream.writeStream.foreachBatch(
+            foreach_batch_text_index(os.path.join(root, "inv"))
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt_t"))
+        .start()
+    )
+    qa.processAllAvailable()
+    qt.processAllAvailable()
+    qa.stop()
+    qt.stop()
+    return time.perf_counter() - t0, n_vec, n_doc
 
 
 def main() -> None:
@@ -639,18 +631,12 @@ def main() -> None:
         f"{bsf_rows / bsf_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
-    air_sec, air_rows = bench_ann_index_refresh(spark, sf_dir)
-    timings["ann_index_refresh_stream"] = round(air_sec, 4)
+    idx_sec, idx_vec, idx_doc = bench_index_refresh_dual(spark, sf_dir)
+    timings["index_refresh_dual"] = round(idx_sec, 4)
     print(
-        f"# ann_index_refresh_stream: {air_sec:.3f}s ({air_rows} vectors, "
-        f"{air_rows / air_sec:,.0f} vectors/s)",
-        file=sys.stderr,
-    )
-    tir_sec, tir_rows = bench_text_index_refresh(spark, sf_dir)
-    timings["text_index_refresh_stream"] = round(tir_sec, 4)
-    print(
-        f"# text_index_refresh_stream: {tir_sec:.3f}s ({tir_rows} docs, "
-        f"{tir_rows / tir_sec:,.0f} docs/s)",
+        f"# index_refresh_dual (ann+text concurrent): {idx_sec:.3f}s "
+        f"({idx_vec} vectors ~{idx_vec / idx_sec:,.0f}/s AND "
+        f"{idx_doc} docs ~{idx_doc / idx_sec:,.0f}/s over the shared wall)",
         file=sys.stderr,
     )
     tws_sec, tws_rows = bench_book_sync_tws_dual(spark)
