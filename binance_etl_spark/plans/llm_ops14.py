@@ -133,7 +133,13 @@ def bpe_learn(
 )
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, seqs = bpe_learn(spark, sf_dir)
-    merge_rows = [(a + b, r) for r, a, b, _ in merges] or [("", -1)]
+    # first-creation rank per symbol: two merges CAN produce the same
+    # string (("a","bc") and ("ab","c") -> "abc"); keeping only the
+    # earliest keeps the join 1:1 with the vocab.
+    created: dict[str, int] = {}
+    for r, a, b, _ in merges:
+        created.setdefault(a + b, r)
+    merge_rows = list(created.items()) or [("", -1)]
     ranks = spark.createDataFrame(
         merge_rows, "symbol string, created_rank int"
     ).where(F.col("created_rank") >= 0)

@@ -68,8 +68,11 @@ def test_merge_table_matches_textbook(spark, py_ref):
 def test_segmented_vocab_matches_textbook(spark, py_ref):
     py_merges, py_vocab = py_ref
     rows = text_bpe_learn(spark, SF).collect()
+    assert len(rows) == len({r["symbol"] for r in rows})  # 1:1 vocab join
     got = {r["symbol"]: (r["n_tokens"], r["created_rank"]) for r in rows}
-    created = {a + b: rank for rank, a, b, _ in py_merges}
+    created: dict = {}
+    for rank, a, b, _ in py_merges:  # first-creation rank on collisions
+        created.setdefault(a + b, rank)
     want = {
         sym: (n, created.get(sym)) for sym, n in py_vocab.items() if n > 0
     }
