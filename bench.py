@@ -202,6 +202,9 @@ HEADLINE_LLM = [
     # round-7: product analytics (ordered funnel fold, cohort matrix).
     "win_funnel_steps",
     "agg_cohort_retention",
+    # round-7: MMR diversified retrieval (candidate stage = the
+    # sim_topk_cosine plan + a broadcast 20x20 pair matrix).
+    "sim_mmr_topk",
 ]
 
 

@@ -117,6 +117,7 @@ def _ensure_loaded() -> None:
         relational3,
         relational4,
         relational5,
+        retrieval,
         risk,
         scalar,
         scalar2,
