@@ -246,3 +246,85 @@ def ms_vwap_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym")
     )
+
+
+# --- ms_var_cvar -------------------------------------------------------
+
+
+@register(
+    "ms_var_cvar",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    r AS (
+      SELECT sym,
+             CAST(floor((price - lag(price) OVER w) / lag(price) OVER w
+                        * 1000000) AS BIGINT) AS r_e6
+      FROM t WINDOW w AS (PARTITION BY sym ORDER BY ts, tid)
+    ), rr AS (SELECT sym, r_e6 FROM r WHERE r_e6 IS NOT NULL),
+    v AS (
+      SELECT sym,
+             COUNT(*) AS n_returns,
+             CAST(quantile_disc(r_e6, 0.05) AS DOUBLE) AS var95_e6,
+             CAST(quantile_disc(r_e6, 0.01) AS DOUBLE) AS var99_e6
+      FROM rr GROUP BY sym
+    )
+    SELECT v.sym, v.n_returns, v.var95_e6, v.var99_e6,
+           CAST(SUM(CASE WHEN rr.r_e6 <= v.var95_e6 THEN rr.r_e6 END)
+                AS DOUBLE)
+             / SUM(CASE WHEN rr.r_e6 <= v.var95_e6 THEN 1 ELSE 0 END)
+             AS cvar95_e6
+    FROM rr JOIN v ON rr.sym = v.sym
+    GROUP BY v.sym, v.n_returns, v.var95_e6, v.var99_e6
+    ORDER BY v.sym
+    """,
+    doc="Historical VaR and CVaR (expected shortfall) per symbol: "
+    "returns floored to e6 integers (order-free), 95%/99% VaR as the "
+    "DISCRETE 5%/1% quantile (percentile_disc selects an actual "
+    "element — no interpolation arithmetic to drift, the "
+    "agg_percentile_exact pairing), CVaR as the exact integer mean of "
+    "the tail at-or-beyond VaR95. Shape: one keyed window pass for "
+    "returns, a per-sym sort-based quantile, and a broadcast join of "
+    "the 5-row VaR table back onto the returns for the tail mean — "
+    "the returns shuffle once on sym and nothing else is data-sized.",
+    tags=("market", "risk", "agg"),
+)
+def ms_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    r = t.select(
+        "sym",
+        F.floor(
+            (F.col("price") - F.lag("price").over(w))
+            / F.lag("price").over(w)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("r_e6"),
+    ).where(F.col("r_e6").isNotNull())
+    r.createOrReplaceTempView("ms_var_returns")
+    v = spark.sql(
+        """
+        SELECT sym,
+               COUNT(*) AS n_returns,
+               CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY r_e6)
+                    AS DOUBLE) AS var95_e6,
+               CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY r_e6)
+                    AS DOUBLE) AS var99_e6
+        FROM ms_var_returns GROUP BY sym
+        """
+    )
+    tail = r.join(F.broadcast(v), "sym")
+    return (
+        tail.groupBy("sym", "n_returns", "var95_e6", "var99_e6")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("r_e6") <= F.col("var95_e6"), F.col("r_e6"))
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("r_e6") <= F.col("var95_e6"), 1).otherwise(0)
+                )
+            ).alias("cvar95_e6")
+        )
+        .orderBy("sym")
+    )
