@@ -205,6 +205,9 @@ HEADLINE_LLM = [
     # round-7: MMR diversified retrieval (candidate stage = the
     # sim_topk_cosine plan + a broadcast 20x20 pair matrix).
     "sim_mmr_topk",
+    # round-7: discrete-quantile VaR/CVaR and multi-source BFS.
+    "ms_var_cvar",
+    "graph_bfs_distances",
 ]
 
 
