@@ -208,6 +208,8 @@ HEADLINE_LLM = [
     # round-7: discrete-quantile VaR/CVaR and multi-source BFS.
     "ms_var_cvar",
     "graph_bfs_distances",
+    # round-7: single-pass Poisson bootstrap (64-replica fanout).
+    "stats_bootstrap_ci",
 ]
 
 

@@ -122,6 +122,7 @@ def _ensure_loaded() -> None:
         scalar,
         scalar2,
         scalar3,
+        stats2,
         streaming_analog,
         subqueries,
         text_index,
