@@ -210,6 +210,8 @@ HEADLINE_LLM = [
     "graph_bfs_distances",
     # round-7: single-pass Poisson bootstrap (64-replica fanout).
     "stats_bootstrap_ci",
+    # round-7: CUSUM change detection (two frames on one keyed sort).
+    "ms_cusum_alarms",
 ]
 
 

@@ -328,3 +328,104 @@ def ms_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym")
     )
+
+
+# --- ms_cusum_alarms ---------------------------------------------------
+
+
+@register(
+    "ms_cusum_alarms",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    r AS (
+      SELECT sym, ts, tid,
+             CAST(floor((price - lag(price) OVER w) / lag(price) OVER w
+                        * 1000000) AS BIGINT) AS y
+      FROM t WINDOW w AS (PARTITION BY sym ORDER BY ts, tid)
+    ), rr AS (SELECT * FROM r WHERE y IS NOT NULL),
+    k AS (
+      SELECT sym, CAST(floor(CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS drift
+      FROM rr GROUP BY sym
+    ), p AS (
+      SELECT rr.sym, ts, tid,
+             SUM(y - drift) OVER (PARTITION BY rr.sym ORDER BY ts, tid
+                                  ROWS UNBOUNDED PRECEDING) AS pp
+      FROM rr JOIN k ON rr.sym = k.sym
+    ), s AS (
+      SELECT sym, ts, tid,
+             pp - least(CAST(0 AS BIGINT),
+                        MIN(pp) OVER (PARTITION BY sym ORDER BY ts, tid
+                                      ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM p
+    )
+    SELECT sym,
+           COUNT(*) AS n_points,
+           CAST(SUM(CASE WHEN cusum > 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           MIN(CASE WHEN cusum > 500000000 THEN epoch_us(ts) END)
+             AS first_alarm_us
+    FROM s GROUP BY sym ORDER BY sym
+    """,
+    doc="One-sided CUSUM change detection on the centered return "
+    "stream: S_t = max(0, S_(t-1) + y_t - drift) computed WITHOUT a "
+    "stateful fold via the drawdown duality S_t = P_t - min(0, "
+    "min_(j<=t) P_j) — two running-window passes over the same "
+    "(sym, ts, tid) sort, all integer e6 units, drift = the floored "
+    "per-symbol mean return. Alarms where S exceeds 5e8 e6-units; "
+    "output = alarm count + first alarm time per symbol. Shape: one "
+    "keyed shuffle, two frames on one sort, a 5-row drift broadcast "
+    "join — the same 100 TB posture as the other tape windows, and "
+    "the duality is what makes CUSUM expressible as a plain window "
+    "instead of a sequential state machine.",
+    tags=("market", "window", "timeseries"),
+)
+def ms_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    r = t.select(
+        "sym",
+        "ts",
+        "tid",
+        F.floor(
+            (F.col("price") - F.lag("price").over(w))
+            / F.lag("price").over(w)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).where(F.col("y").isNotNull())
+    k = r.groupBy("sym").agg(
+        F.floor(F.sum("y").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("drift")
+    )
+    wrun = (
+        W.partitionBy("sym")
+        .orderBy("ts", "tid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = r.join(F.broadcast(k), "sym").select(
+        "sym",
+        "ts",
+        "tid",
+        F.sum(F.col("y") - F.col("drift")).over(wrun).alias("pp"),
+    )
+    s = p.select(
+        "sym",
+        "ts",
+        (
+            F.col("pp")
+            - F.least(F.lit(0).cast("bigint"), F.min("pp").over(wrun))
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 500000000
+    return (
+        s.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.when(alarm, 1).otherwise(0)).cast("bigint").alias("n_alarms"),
+            F.min(F.when(alarm, F.unix_micros("ts"))).alias("first_alarm_us"),
+        )
+        .orderBy("sym")
+    )
