@@ -89,23 +89,13 @@ _MMR_ORACLE = (
 )
 
 
-@register(
-    "sim_mmr_topk",
-    oracle=_MMR_ORACLE,
-    doc="Maximal-marginal-relevance diversified retrieval: exact "
-    "cosine top-20 candidates (one scan, broadcast query, "
-    "TakeOrderedAndProject — the sim_topk_cosine plan), a distributed "
-    "20x20 candidate pairwise-cosine matrix, then the greedy "
-    "lambda=0.5 MMR walk selecting 5 results (relevance minus max "
-    "similarity to the already-picked set; ties to the smaller "
-    "vec_id). The re-rank runs over the BOUNDED candidate set — 20 "
-    "rows by contract regardless of corpus size — so the collect is "
-    "k'-bounded like the k-means centroid collects; all scores "
-    "derive from e-12 integer dots and the oracle unrolls the exact "
-    "5 picks.",
-    tags=("similarity", "rag", "llm"),
-)
-def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mmr_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The distributed stage: (top-k candidates with sims, pairwise
+    candidate similarity matrix). Split out so the plan shape is
+    pinnable (tests/test_plan_pins.py) — the registered query collects
+    these bounded frames and runs the greedy walk."""
     e = fanout(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
@@ -137,6 +127,27 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_e12("ea", "eb"), sq_norm_e12("ea"), sq_norm_e12("eb")
         ).alias("pairsim"),
     )
+    return cand, pairs
+
+
+@register(
+    "sim_mmr_topk",
+    oracle=_MMR_ORACLE,
+    doc="Maximal-marginal-relevance diversified retrieval: exact "
+    "cosine top-20 candidates (one scan, broadcast query, "
+    "TakeOrderedAndProject — the sim_topk_cosine plan), a distributed "
+    "20x20 candidate pairwise-cosine matrix, then the greedy "
+    "lambda=0.5 MMR walk selecting 5 results (relevance minus max "
+    "similarity to the already-picked set; ties to the smaller "
+    "vec_id). The re-rank runs over the BOUNDED candidate set — 20 "
+    "rows by contract regardless of corpus size — so the collect is "
+    "k'-bounded like the k-means centroid collects; all scores "
+    "derive from e-12 integer dots and the oracle unrolls the exact "
+    "5 picks.",
+    tags=("similarity", "rag", "llm"),
+)
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, pairs = mmr_candidates(spark, sf_dir)
     sims = {r["vec_id"]: r["sim"] for r in cand.select("vec_id", "sim").collect()}
     psim = {(r["i"], r["j"]): r["pairsim"] for r in pairs.collect()}
 

@@ -489,3 +489,42 @@ def test_assembly_quota_join_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_exchange_pure_codegen(spark):
+    """win_funnel_steps: ONE user-keyed exchange feeds the sorted
+    collect + JVM fold; no Python eval, no join anywhere."""
+    plan = _plan(spark, "win_funnel_steps")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_mmr_candidates_take_ordered_and_broadcast_pairs(spark):
+    """sim_mmr_topk's DISTRIBUTED stage (the registered query then
+    greedy-walks the collected 20-row result): candidates come from
+    TakeOrderedAndProject (never a global sort of the corpus) and the
+    pair matrix builds from a broadcast join over the tiny candidate
+    set."""
+    from binance_etl_spark.plans.retrieval import mmr_candidates
+
+    _ensure_loaded()
+    cand, pairs = mmr_candidates(spark, SF_DIR)
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cplan
+    for plan in (cplan, pplan):
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in pplan
+
+
+def test_bootstrap_fanout_map_side_combine(spark):
+    """stats_bootstrap_ci: the 64x replica fanout feeds a partial
+    (map-side) aggregate BEFORE its exchange — the explode never
+    crosses the network raw — and the whole pass is JVM expression
+    work."""
+    plan = _plan(spark, "stats_bootstrap_ci")
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
