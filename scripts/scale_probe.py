@@ -499,6 +499,41 @@ def dml_main(spark) -> None:
         print(f"{name:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
 
 
+R7 = [
+    "text_bpe_learn",
+    "win_funnel_steps",
+    "agg_cohort_retention",
+    "sink_cdc_incremental_join",
+    "graph_bfs_distances",
+    "ms_ohlc_vol_estimators",
+    "ms_vwap_execution",
+]
+
+
+def r7_main(spark) -> None:
+    """Round-7 operator slope probe at sf0.1 vs 10x. Healthy shapes:
+    BPE's per-merge work rides the Zipf-compressed word table (the
+    corpus is shuffled once, so the slope tracks the initial word
+    count); funnel/cohort/estimators are one keyed exchange each; the
+    join-IVM slope tracks delta sizes, not table size; BFS is bounded
+    by the (fixed-size) node id universe."""
+    out = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
+        for name in R7:
+            fn = REGISTRY[name].fn
+            rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            out[(name, label)] = (round(best, 2), rows)
+    print(f"\n{'query':28s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
+    for name in R7:
+        (t0, _), (t1, _) = out[(name, "sf0.1")], out[(name, "sf~1")]
+        print(f"{name:28s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+
+
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
     """One interleaved replay log with n_syms independent u-chained
     depth streams + one snapshot per symbol — the same wire shape as
@@ -594,6 +629,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r7" in sys.argv:
+        r7_main(spark)
         return
     if "--lake" in sys.argv:
         lake_main(spark)
