@@ -78,11 +78,13 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# the clause boundary is `WHEN [NOT] MATCHED`, not bare WHEN — SET
+# expressions are free to contain CASE WHEN ... THEN ... END
 _WHEN_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE"
     r"|UPDATE\s+SET\s+.+?|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
-    r"(?=\s+WHEN\s|\s*;?\s*$)",
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -91,27 +93,7 @@ def _split_assignments(sets: str) -> dict[str, str]:
     """`a = x + 1, b = 'v'` -> {a: 'x + 1', b: "'v'"} — splits on
     top-level commas only (parens and quotes protected)."""
     out: dict[str, str] = {}
-    depth = 0
-    quote: str | None = None
-    part = ""
-    parts = []
-    for ch in sets:
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(part)
-            part = ""
-            continue
-        part += ch
-    parts.append(part)
-    for p in parts:
+    for p in _split_top_level_commas(sets):
         col, eq, rhs = p.partition("=")
         if not eq or not col.strip().replace(".", "").isidentifier():
             raise ValueError(f"cannot parse SET assignment: {p.strip()!r}")
@@ -121,21 +103,27 @@ def _split_assignments(sets: str) -> dict[str, str]:
 
 def _merge_keys(on: str, talias: str, salias: str) -> list[str]:
     """ON must be `t.k = s.k [AND ...]` equality pairs on the SAME
-    column name each side — the merge keys."""
+    column name each side, one alias per side (either order) — the
+    merge keys. Same-alias comparisons like `t.k = t.k` are rejected:
+    in SQL that is an always-true predicate (a cross join), not a key."""
     keys = []
     for clause in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
         m = re.match(
-            rf"^\s*(?:{talias}|{salias})\.(\w+)\s*=\s*"
-            rf"(?:{talias}|{salias})\.(\w+)\s*$",
+            rf"^\s*({talias}|{salias})\.(\w+)\s*=\s*"
+            rf"({talias}|{salias})\.(\w+)\s*$",
             clause,
             re.IGNORECASE,
         )
-        if not m or m.group(1).lower() != m.group(2).lower():
+        if (
+            not m
+            or m.group(2).lower() != m.group(4).lower()
+            or m.group(1).lower() == m.group(3).lower()
+        ):
             raise ValueError(
-                f"MERGE ON clause must be t.col = s.col equality pairs; "
-                f"got {clause.strip()!r}"
+                f"MERGE ON clause must be t.col = s.col equality pairs "
+                f"(one alias per side); got {clause.strip()!r}"
             )
-        keys.append(m.group(1))
+        keys.append(m.group(2))
     return keys
 
 
@@ -167,14 +155,29 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
     upd_sets: dict[str, str] | None = None
     ins_cols: list[str] | None = None
     ins_vals: list[str] | None = None
+    ins_cond: str | None = None
     saw_star_update = saw_star_insert = False
-    for w in _WHEN_RE.finditer(mm.group("whens")):
+    whens_text = mm.group("whens")
+    cursor = 0
+    for w in _WHEN_RE.finditer(whens_text):
+        if whens_text[cursor : w.start()].strip():
+            raise ValueError(
+                "cannot parse MERGE clause fragment: "
+                f"{whens_text[cursor : w.start()].strip()!r}"
+            )
+        cursor = w.end()
         action = w.group("action").strip()
         action_norm = re.sub(r"\s+", " ", action).upper()
         if w.group("not"):
             if action_norm == "INSERT *":
+                if w.group("cond"):
+                    raise ValueError(
+                        "WHEN NOT MATCHED AND <cond> THEN INSERT * is not "
+                        "supported in star mode — guards are column-mode only"
+                    )
                 saw_star_insert = True
             elif action_norm.startswith("INSERT"):
+                ins_cond = w.group("cond")
                 am = re.match(
                     r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
                     action,
@@ -207,6 +210,11 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                 )
             upd_sets = _split_assignments(action[len("UPDATE SET ") :])
 
+    if whens_text[cursor:].strip(" \t\n;"):
+        raise ValueError(
+            "cannot parse MERGE clause fragment: "
+            f"{whens_text[cursor:].strip()!r}"
+        )
     star_mode = saw_star_update or saw_star_insert
     if star_mode and (upd_sets or ins_cols):
         raise ValueError("cannot mix SET */INSERT * with column-level clauses")
@@ -241,6 +249,20 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
     )
     if unknown:
         raise ValueError(f"UPDATE SET references unknown columns: {unknown}")
+    key_set = {k.lower() for k in keys}
+    key_updates = sorted(
+        c
+        for c in (upd_sets or {})
+        if re.sub(rf"^{talias}\.", "", c, flags=re.IGNORECASE).lower()
+        in key_set
+    )
+    if key_updates:
+        # the whole-row lowering matches on the NEW key, so a key
+        # rewrite would leave the old row AND append a new one —
+        # reject, as warehouses do (merge keys are immutable in MERGE)
+        raise ValueError(
+            f"UPDATE SET cannot assign merge-key columns: {key_updates}"
+        )
     t = tgt.alias(talias)
     s = source.alias(salias)
     on = [F.col(f"{talias}.{k}") == F.col(f"{salias}.{k}") for k in keys]
@@ -256,8 +278,12 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         bad = sorted(set(ins_map) - set(target_cols))
         if bad:
             raise ValueError(f"INSERT references unknown columns: {bad}")
+        unmatched = s.join(t, on, "left_anti")
+        if ins_cond:
+            # the NOT MATCHED guard sees source columns (s.<col>)
+            unmatched = unmatched.where(F.expr(ins_cond))
         ins_rows = (
-            s.join(t, on, "left_anti")
+            unmatched
             .select(
                 *[
                     F.expr(ins_map[c]).alias(c)

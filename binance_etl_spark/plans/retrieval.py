@@ -91,16 +91,19 @@ _MMR_ORACLE = (
 
 def mmr_candidates(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The distributed stage: (top-k candidates with sims, pairwise
-    candidate similarity matrix). Split out so the plan shape is
-    pinnable (tests/test_plan_pins.py) — the registered query collects
-    these bounded frames and runs the greedy walk."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The distributed stage: (lazy candidate plan, materialized
+    candidates, pairwise candidate similarity matrix). The lazy plan
+    exists so the shape is pinnable (tests/test_plan_pins.py); the
+    20-row result is eagerly localCheckpointed so the corpus is
+    scanned exactly ONCE — the candidate collect and both sides of
+    the pair matrix reuse the checkpointed rows instead of
+    re-running the scan."""
     e = fanout(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
-    cand = (
+    cand_plan = (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -114,6 +117,7 @@ def mmr_candidates(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(_K_CAND)
     )
+    cand = cand_plan.localCheckpoint(eager=True)  # 20 rows, one scan
     a = cand.select(
         F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
     )
@@ -127,7 +131,7 @@ def mmr_candidates(
             dot_e12("ea", "eb"), sq_norm_e12("ea"), sq_norm_e12("eb")
         ).alias("pairsim"),
     )
-    return cand, pairs
+    return cand_plan, cand, pairs
 
 
 @register(
@@ -147,7 +151,7 @@ def mmr_candidates(
     tags=("similarity", "rag", "llm"),
 )
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand, pairs = mmr_candidates(spark, sf_dir)
+    _, cand, pairs = mmr_candidates(spark, sf_dir)
     sims = {r["vec_id"]: r["sim"] for r in cand.select("vec_id", "sim").collect()}
     psim = {(r["i"], r["j"]): r["pairsim"] for r in pairs.collect()}
 

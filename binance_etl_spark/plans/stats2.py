@@ -39,11 +39,13 @@ _U = (
     " + (instr('0123456789abcdef', substr({hk}, 4, 1)) - 1))"
 )
 _HK = "md5(concat('bsci_', CAST(event_id AS STRING), '_', CAST(b AS STRING)))"
+# the hash and the uniform are each computed ONCE per (row, replica)
+# (hk -> u -> CASE) — inlining _U into every CASE branch would re-run
+# md5 up to 28x per row-replica, and Spark's subexpression elimination
+# does not reliably hoist duplicates out of conditional CASE branches
 _MULT = (
     "CASE"
-    + "".join(
-        f" WHEN {_U.format(hk=_HK)} < {t} THEN {k}" for k, t in enumerate(_TH)
-    )
+    + "".join(f" WHEN u < {t} THEN {k}" for k, t in enumerate(_TH))
     + " ELSE 7 END"
 )
 
@@ -56,9 +58,16 @@ _MULT = (
              CAST(floor(value * 100) AS BIGINT) AS v_e2
       FROM events
     ), rep AS (
-      SELECT event_type, v_e2, b,
-             {_MULT.replace("AS STRING", "AS VARCHAR")} AS mult
-      FROM base CROSS JOIN (SELECT UNNEST(generate_series(0, {_B - 1})) AS b)
+      SELECT event_type, v_e2, b, {_MULT} AS mult
+      FROM (
+        SELECT event_type, v_e2, b, {_U.format(hk="hk")} AS u
+        FROM (
+          SELECT event_type, v_e2, b,
+                 {_HK.replace("AS STRING", "AS VARCHAR")} AS hk
+          FROM base
+          CROSS JOIN (SELECT UNNEST(generate_series(0, {_B - 1})) AS b)
+        )
+      )
     ), means AS (
       SELECT event_type, b,
              CAST(SUM(mult * v_e2) AS DOUBLE) / 100 / SUM(mult) AS m
@@ -95,10 +104,16 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
     )
-    rep = base.withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(_B - 1)))
-    ).select(
-        "event_type", "v_e2", "b", F.expr(_MULT).cast("bigint").alias("mult")
+    rep = (
+        base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))))
+        .withColumn("hk", F.expr(_HK))
+        .withColumn("u", F.expr(_U.format(hk="hk")))
+        .select(
+            "event_type",
+            "v_e2",
+            "b",
+            F.expr(_MULT).cast("bigint").alias("mult"),
+        )
     )
     means = rep.groupBy("event_type", "b").agg(
         (

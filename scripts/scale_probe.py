@@ -476,15 +476,13 @@ DML = [
 ]
 
 
-def dml_main(spark) -> None:
-    """DML-tier slope probe: the ANSI-text chain and the underlying
-    copy-on-write/MOR committers at sf0.1 vs 10x events. Healthy =
-    near-linear or better: every op rewrites only AFFECTED files (or
-    writes O(matches) deletion vectors), carries untouched files by
-    name, and pays a fixed commit cost that amortizes at 10x."""
+def _slope_probe(spark, names: list[str], width: int = 24) -> None:
+    """Shared registry-query slope harness: warm run (plan + page
+    cache) then best-of-2 timed runs at sf0.1 vs the 10x dir, printed
+    as per-query slopes."""
     out = {}
     for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
-        for name in DML:
+        for name in names:
             fn = REGISTRY[name].fn
             rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
             best = float("inf")
@@ -493,10 +491,19 @@ def dml_main(spark) -> None:
                 fn(spark, sf_dir).count()
                 best = min(best, time.time() - t0)
             out[(name, label)] = (round(best, 2), rows)
-    print(f"\n{'query':24s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
-    for name in DML:
+    print(f"\n{'query':{width}s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
+    for name in names:
         (t0, _), (t1, _) = out[(name, "sf0.1")], out[(name, "sf~1")]
-        print(f"{name:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+        print(f"{name:{width}s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+
+
+def dml_main(spark) -> None:
+    """DML-tier slope probe: the ANSI-text chain and the underlying
+    copy-on-write/MOR committers at sf0.1 vs 10x events. Healthy =
+    near-linear or better: every op rewrites only AFFECTED files (or
+    writes O(matches) deletion vectors), carries untouched files by
+    name, and pays a fixed commit cost that amortizes at 10x."""
+    _slope_probe(spark, DML, width=24)
 
 
 R7 = [
@@ -517,21 +524,7 @@ def r7_main(spark) -> None:
     count); funnel/cohort/estimators are one keyed exchange each; the
     join-IVM slope tracks delta sizes, not table size; BFS is bounded
     by the (fixed-size) node id universe."""
-    out = {}
-    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
-        for name in R7:
-            fn = REGISTRY[name].fn
-            rows = fn(spark, sf_dir).count()  # warm (plan + page cache)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                best = min(best, time.time() - t0)
-            out[(name, label)] = (round(best, 2), rows)
-    print(f"\n{'query':28s} {'sf0.1':>7s} {'sf~1':>7s} {'slope':>6s}")
-    for name in R7:
-        (t0, _), (t1, _) = out[(name, "sf0.1")], out[(name, "sf~1")]
-        print(f"{name:28s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x")
+    _slope_probe(spark, R7, width=28)
 
 
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:

@@ -509,14 +509,19 @@ def test_mmr_candidates_take_ordered_and_broadcast_pairs(spark):
     from binance_etl_spark.plans.retrieval import mmr_candidates
 
     _ensure_loaded()
-    cand, pairs = mmr_candidates(spark, SF_DIR)
-    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    cand_plan, cand, pairs = mmr_candidates(spark, SF_DIR)
+    cplan = cand_plan._jdf.queryExecution().executedPlan().toString()
     pplan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in cplan
     for plan in (cplan, pplan):
         assert "SortMergeJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Broadcast" in pplan
+    # the materialized candidates are a checkpointed 20-row relation —
+    # the collect and the pair matrix never re-scan the corpus
+    mplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in mplan or "ExistingRDD" in mplan
+    assert "parquet" not in mplan.lower()
 
 
 def test_bootstrap_fanout_map_side_combine(spark):

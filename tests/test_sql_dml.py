@@ -32,10 +32,17 @@ def test_split_assignments_rejects_garbage():
 
 def test_merge_keys_requires_same_column_equalities():
     assert _merge_keys("t.k = s.k AND t.j = s.j", "t", "s") == ["k", "j"]
+    assert _merge_keys("s.k = t.k", "t", "s") == ["k"]  # either order
     with pytest.raises(ValueError):
         _merge_keys("t.k = s.other", "t", "s")
     with pytest.raises(ValueError):
         _merge_keys("t.k < s.k", "t", "s")
+    # same-alias "equality" is an always-true predicate in SQL (a cross
+    # join), not a merge key — must not be silently reinterpreted
+    with pytest.raises(ValueError):
+        _merge_keys("t.k = t.k", "t", "s")
+    with pytest.raises(ValueError):
+        _merge_keys("s.k = s.k", "t", "s")
 
 
 def test_unsupported_statements_raise(spark):
@@ -164,6 +171,91 @@ def test_column_mode_rejects_mixing_and_unknowns(spark, tmp_path):
             "MERGE INTO tbl t USING f3 s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET nope = 1 "
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+            {"tbl": t},
+        )
+
+
+def test_not_matched_guard_filters_inserts(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT — the guard filters
+    unmatched source rows (column mode); star mode rejects guards."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 5).selectExpr("id", "CAST(0 AS DOUBLE) AS v"), t
+    )
+    spark.createDataFrame(
+        [(2, 1.0), (50, 2.0), (60, -1.0)], "id BIGINT, delta DOUBLE"
+    ).createOrReplaceTempView("g_feed")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING g_feed s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.delta "
+        "WHEN NOT MATCHED AND s.delta >= 0 THEN INSERT (id, v) "
+        "VALUES (s.id, s.delta)",
+        {"tbl": t},
+    )
+    got = SNAP.read_version(spark, t)
+    assert got.where("id = 50").count() == 1  # guard passes
+    assert got.where("id = 60").count() == 0  # guard filters
+    assert got.where("id = 2").first()["v"] == 1.0
+    with pytest.raises(ValueError):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING g_feed s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.delta >= 0 THEN INSERT *",
+            {"tbl": t},
+        )
+
+
+def test_update_set_cannot_touch_merge_key(spark, tmp_path):
+    """Assigning a merge-key column in UPDATE SET would make the
+    whole-row lowering insert a second row instead of updating —
+    rejected, as warehouses reject it."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(spark.range(0, 3).selectExpr("id", "id AS v"), t)
+    spark.range(1).selectExpr("id", "id AS d").createOrReplaceTempView("k_feed")
+    with pytest.raises(ValueError, match="merge-key"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING k_feed s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = t.id + 1000",
+            {"tbl": t},
+        )
+
+
+def test_case_when_inside_set_expression(spark, tmp_path):
+    """CASE WHEN ... THEN ... END inside a SET expression must not be
+    mistaken for a MERGE clause boundary, and trailing assignments
+    after the CASE must survive."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 6).selectExpr(
+            "id", "CAST(0 AS DOUBLE) AS v", "CAST(0 AS BIGINT) AS w"
+        ),
+        t,
+    )
+    spark.createDataFrame(
+        [(1, 5.0), (2, -5.0), (50, 3.0)], "id BIGINT, d DOUBLE"
+    ).createOrReplaceTempView("c_feed")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING c_feed s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.d > 0 THEN s.d ELSE 0 END, w = 2 "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.d)",
+        {"tbl": t},
+    )
+    rows = {r["id"]: r for r in SNAP.read_version(spark, t).collect()}
+    assert rows[1]["v"] == 5.0 and rows[1]["w"] == 2
+    assert rows[2]["v"] == 0.0 and rows[2]["w"] == 2
+    assert rows[50]["v"] == 3.0
+    # unparseable clause fragments raise instead of being dropped
+    with pytest.raises(ValueError, match="fragment"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING c_feed s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN MATCHED OOPS garbage",
             {"tbl": t},
         )
 
