@@ -212,6 +212,11 @@ HEADLINE_LLM = [
     "stats_bootstrap_ci",
     # round-7: CUSUM change detection (two frames on one keyed sort).
     "ms_cusum_alarms",
+    # round-7: multi-touch attribution (three window passes on one
+    # user-keyed exchange), sufficient-statistics OLS, Benford DQ.
+    "win_attribution",
+    "stats_ols_group",
+    "dq_benford",
 ]
 
 

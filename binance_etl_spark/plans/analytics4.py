@@ -1,0 +1,281 @@
+"""Product-analytics wave 2 over the events stream: multi-touch
+attribution, grouped OLS via sufficient statistics, and a Benford
+first-digit DQ battery.
+
+Cross-engine discipline (the registry rules): event ordering is
+(ts, event_id); timestamps enter the math as integer epoch units
+only; every credit/statistic is carried as exact BIGINT partial sums
+(ppm-scaled where fractional) with at most one final double division
+per output column, so the DuckDB oracle hash-matches exactly.
+
+Reference parity note: the reference (anselumana/binance-etl) ships
+no analytics — these are engine extensions in the
+events-warehouse tier (reference scope: websocket->CSV,
+storage/csv_storage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+_CHANNELS = ["click", "signup", "view"]
+_DAY0 = 19723  # floor(epoch('2024-01-01') / 86400) — the data's day 0
+
+
+# --- win_attribution ----------------------------------------------------
+
+
+@register(
+    "win_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id AS eid
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_type, tu, eid,
+             MIN(CASE WHEN event_type = 'purchase' THEN tu END) OVER (
+               PARTITION BY user_id ORDER BY tu, eid
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS nc
+      FROM ev
+    ), touches AS (
+      SELECT user_id, event_type, tu, eid, nc
+      FROM marked
+      WHERE event_type IN ('click', 'signup', 'view') AND nc IS NOT NULL
+    ), ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, nc ORDER BY tu, eid
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, nc) AS n
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           CAST(SUM(1000000 // n) AS BIGINT) AS linear_ppm
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Multi-touch conversion attribution: every click/signup/view "
+    "touch is assigned to the user's NEXT purchase (strictly later in "
+    "(ts, event_id) order; touches after the last purchase are "
+    "unattributed), then each conversion's touch path is credited "
+    "under three models at once — first-touch, last-touch, and linear "
+    "(equal split, carried as exact floor-ppm integers so the sums "
+    "hash-match across engines). Purchases sharing one (user, "
+    "microsecond) merge into one conversion group by construction — "
+    "the same rule on both engines. Shape: ONE user-keyed exchange "
+    "serves the next-conversion window, the per-conversion "
+    "rank/count windows, and the group — the three window passes "
+    "reuse the same partitioning, then a 3-row channel aggregate. "
+    "At 100 TB: O(events/user) per-partition window state, nothing "
+    "data-sized crosses the network after the single exchange.",
+    tags=("window", "analytics", "attribution"),
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id").alias("eid"),
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "eid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = ev.withColumn(
+        "nc",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("tu"))
+        ).over(w_next),
+    )
+    touches = marked.where(
+        F.col("event_type").isin(_CHANNELS) & F.col("nc").isNotNull()
+    )
+    w_conv = Window.partitionBy("user_id", "nc")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w_conv.orderBy("tu", "eid")).alias("rn"),
+        F.count(F.lit(1))
+        .over(w_conv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    return (
+        ranked.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.sum(F.expr("1000000 div n")).cast("bigint").alias("linear_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- stats_ols_group ----------------------------------------------------
+
+
+@register(
+    "stats_ols_group",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) - {_DAY0} AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100 AS slope,
+           (CAST(sy AS DOUBLE) / 100
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100)
+              * CAST(sx AS DOUBLE)) / n AS intercept
+    FROM s ORDER BY event_type
+    """,
+    doc="Grouped least-squares trend (value vs day index, per event "
+    "type) from EXACT integer sufficient statistics: one scan "
+    "accumulates n, sum(x), sum(y_e2), sum(x*y_e2), sum(x*x) as "
+    "map-side-combinable BIGINT partials — the classic single-pass "
+    "OLS normal-equations shape — then slope and intercept are "
+    "derived per group with one fixed IEEE expression over the five "
+    "integers (deterministic on both engines; the sums are also "
+    "emitted so the hash covers the exact partials, not just the "
+    "doubles). Overflow audit: x <= 29 days, y_e2 <= 5.7e4 on this "
+    "tape, so n*sxy stays under 2^63 up to ~1e7 rows per group; "
+    "beyond that the same pattern widens the partials to decimal. "
+    "At 100 TB this is the canonical sufficient-statistics "
+    "aggregation: no second pass, no joins, a K-row result.",
+    tags=("stats", "agg", "scale-note:sufficient-statistics"),
+)
+def stats_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.col("ts").cast("double").cast("long") / 86400).cast(
+                "bigint"
+            )
+            - _DAY0
+        ).alias("x"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / 100
+    )
+    intercept = (
+        F.col("sy").cast("double") / 100 - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+# --- dq_benford ---------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — hard-coded so no engine
+# evaluates a logarithm (libm last-ulp drift would break parity)
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v_e2
+      FROM events WHERE floor(value * 100) >= 1
+    ), digits AS (
+      SELECT CAST(substr(CAST(v_e2 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM pos GROUP BY 1
+    ), expected(digit, exp_ppm) AS (
+      VALUES {", ".join(f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, 1))}
+    )
+    SELECT e.digit, COALESCE(d.n, 0) AS n,
+           CAST(COALESCE(d.n, 0) * 1000000
+                // (SELECT SUM(n) FROM digits) AS BIGINT) AS obs_ppm,
+           e.exp_ppm,
+           ABS(CAST(COALESCE(d.n, 0) * 1000000
+                    // (SELECT SUM(n) FROM digits) AS BIGINT) - e.exp_ppm)
+             AS dev_ppm
+    FROM expected e LEFT JOIN digits d ON d.digit = e.digit
+    ORDER BY e.digit
+    """,
+    doc="Benford's-law first-digit screen — the classic fabricated- "
+    "data / unit-mixup detector for a numeric column: the first "
+    "significant digit of each positive value (extracted from the "
+    "floor-e2 integer's decimal string — NO logarithms, so no libm "
+    "drift), its observed frequency in exact floor-ppm, and the "
+    "deviation from the hard-coded Benford expectation. All nine "
+    "digits always present (expected-side left join). Shape: one "
+    "scan into a 9-row map-side-combinable count, a 1-row total, "
+    "and a broadcast join against a 9-row literal table — "
+    "scan-bound at any scale.",
+    tags=("dq", "stats"),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"))
+        .where(F.col("v_e2") >= 1)
+    )
+    digits = pos.groupBy(
+        F.substring(F.col("v_e2").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.sum("n").alias("tot"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_PPM, 1)],
+        "digit bigint, exp_ppm bigint",
+    )
+    obs_ppm = F.expr("coalesce(n, 0) * 1000000 div tot").cast("bigint")
+    return (
+        expected.join(F.broadcast(digits), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            obs_ppm.alias("obs_ppm"),
+            "exp_ppm",
+            F.abs(obs_ppm - F.col("exp_ppm")).cast("bigint").alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

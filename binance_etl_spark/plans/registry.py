@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         ann_index,
         dq,
         formats,

@@ -533,3 +533,38 @@ def test_bootstrap_fanout_map_side_combine(spark):
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_windows_share_one_user_exchange(spark):
+    """win_attribution: the next-conversion window (user) and the two
+    per-conversion windows (user, nc) all ride ONE user-keyed
+    exchange — HashPartitioning(user_id) satisfies the (user_id, nc)
+    clustering, so only the tiny channel groupBy adds a second hash
+    exchange. Pure JVM window/agg work, no joins."""
+    plan = _plan(spark, "win_attribution")
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ols_single_pass_sufficient_statistics(spark):
+    """stats_ols_group: one scan, one keyed exchange, map-side
+    partial sums — the normal-equations shape; slope/intercept are
+    projections over the five integer sums, never a second pass."""
+    plan = _plan(spark, "stats_ols_group")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_benford_broadcast_literal_join(spark):
+    """dq_benford: the 9-digit observed counts join the 9-row literal
+    expectation table via broadcast — never a shuffle join — and the
+    digit count aggregate is map-side combinable."""
+    plan = _plan(spark, "dq_benford")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
