@@ -217,6 +217,10 @@ HEADLINE_LLM = [
     "win_attribution",
     "stats_ols_group",
     "dq_benford",
+    # round-7: rank-formula Gini and NTILE RFM segmentation (the
+    # dimension-window pattern: heavy scan agg, tiny user-table sort).
+    "stats_gini",
+    "agg_rfm_segments",
 ]
 
 

@@ -279,3 +279,138 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- stats_gini ---------------------------------------------------------
+
+
+@register(
+    "stats_gini",
+    oracle="""
+    WITH y AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS y_e2,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY floor(value * 100), event_id
+             ) AS i
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(y_e2) AS BIGINT) AS sy,
+             CAST(SUM(i * y_e2) AS BIGINT) AS siy
+      FROM y GROUP BY event_type
+    )
+    SELECT event_type, n, sy,
+           CAST(2 * siy - (n + 1) * sy AS DOUBLE)
+             / CAST(n * sy AS DOUBLE) AS gini
+    FROM s ORDER BY event_type
+    """,
+    doc="Gini inequality coefficient of value per event type via the "
+    "exact rank formula G = (2*sum(i*y_i) - (n+1)*sum(y)) / "
+    "(n*sum(y)) over ascending-sorted floor-e2 integers (ties broken "
+    "by event_id — a total order, so both engines rank identically). "
+    "One type-keyed exchange serves the ranking window AND the "
+    "aggregate (same partitioning, no second shuffle); the two "
+    "products stay in int64 to ~1e6 rows per group at this tape's "
+    "value range, with decimal partials as the documented widening "
+    "beyond. The inequality screen a curation pipeline runs on "
+    "domain/token distributions before fixing mixture weights.",
+    tags=("stats", "window", "scale-note:sufficient-statistics"),
+)
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("y_e2"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("y_e2", "event_id")
+    ranked = y.withColumn("i", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y_e2").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("y_e2")).cast("bigint").alias("siy"),
+    )
+    gini = (
+        (2 * F.col("siy") - (F.col("n") + 1) * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sy")).cast("double")
+    )
+    return s.select("event_type", "n", "sy", gini.alias("gini")).orderBy(
+        "event_type"
+    )
+
+
+# --- agg_rfm_segments ---------------------------------------------------
+
+
+@register(
+    "agg_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CAST(floor(epoch(ts) / 86400) AS BIGINT) - {_DAY0})
+               AS last_day,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS m_e2
+      FROM events GROUP BY user_id
+    ), q AS (
+      SELECT user_id, m_e2,
+             NTILE(4) OVER (ORDER BY last_day, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY freq, user_id) AS f_q,
+             NTILE(4) OVER (ORDER BY m_e2, user_id) AS m_q
+      FROM u
+    )
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+           COUNT(*) AS n_users,
+           CAST(SUM(m_e2) AS BIGINT) AS sum_m_e2,
+           CAST(SUM(m_e2) AS DOUBLE) / 100 / COUNT(*) AS avg_monetary
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: one "
+    "user-keyed aggregate computes last-active day, event count, and "
+    "floor-e2 monetary sum, then three NTILE(4) quartile windows "
+    "(each with a (metric, user_id) total order, so both engines "
+    "assign identical buckets) produce the classic 4x4x4 segment "
+    "code. Shape: the heavy pass is the map-side-combinable user "
+    "aggregate over the events scan; the quartile windows run on the "
+    "USER table — the ~2000x-smaller dimension — and the result is a "
+    "<=64-row segment rollup. At 100 TB of events the user table is "
+    "GB-scale; if users themselves outgrow a sort partition, the "
+    "documented swap is percentile_disc cut points instead of NTILE.",
+    tags=("agg", "analytics", "window", "scale-note:dimension-window"),
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.floor(F.col("ts").cast("double").cast("long") / 86400).cast(
+                "bigint"
+            )
+            - _DAY0
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m_e2"),
+    )
+    q = u.select(
+        "m_e2",
+        F.ntile(4).over(Window.orderBy("last_day", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("m_e2", "user_id")).alias("m_q"),
+    )
+    return (
+        q.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("bigint")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("m_e2").cast("bigint").alias("sum_m_e2"),
+            (F.sum("m_e2").cast("double") / 100 / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -568,3 +568,27 @@ def test_benford_broadcast_literal_join(spark):
     assert "SortMergeJoin" not in plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_window_and_agg_share_exchange(spark):
+    """stats_gini: the ranking window and the per-type aggregate ride
+    ONE type-keyed exchange; products are JVM integer expressions."""
+    plan = _plan(spark, "stats_gini")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_heavy_pass_is_user_agg(spark):
+    """agg_rfm_segments: the events-scale work is the map-side-
+    combinable user aggregate; the NTILE windows sort only the user
+    DIMENSION (their single-partition exchanges sit above the user
+    agg, never above the raw scan)."""
+    plan = _plan(spark, "agg_rfm_segments")
+    assert "partial" in plan.lower()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the user-keyed exchange is the ONLY hash exchange: the segment
+    # rollup rides the windows' single partition with no re-shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("Exchange hashpartitioning") > plan.index("Window")
