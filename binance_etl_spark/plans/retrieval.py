@@ -6,14 +6,16 @@ query but dissimilar to what is already selected.
 Two-stage shape (the production retrieval contract): a DISTRIBUTED
 candidate stage — brute-force exact cosine top-20 via the e-12
 integer dot products of operators/similarity.py (one scan, broadcast
-query, TakeOrderedAndProject; identical at any corpus size) and a
-distributed 20x20 pairwise-similarity matrix over the broadcast-tiny
-candidate set — then a BOUNDED greedy re-rank over those 20 rows
-(the candidate count is the contract, never the corpus; every real
-reranker is in-memory at this stage). All similarity doubles derive
-from exact integer dots, 0.5 is a power of two, and max() over
-doubles is order-free — so the greedy walk picks identical ids on
-every engine and the DuckDB oracle unrolls the exact 5 selections.
+query, TakeOrderedAndProject; identical at any corpus size) — then a
+BOUNDED driver-side re-rank over those 20 rows: the k*k pair-cosine
+matrix (400 dots by contract, never corpus-sized) and the greedy MMR
+walk both run in-process, because at that size a Spark job's fixed
+costs dwarf the arithmetic (every real reranker is in-memory at this
+stage). All similarity doubles derive from exact integer dots whose
+Python twin is bit-identical (IEEE binary64 everywhere), 0.5 is a
+power of two, and max() over doubles is order-free — so the greedy
+walk picks identical ids on every engine and the DuckDB oracle
+unrolls the exact 5 selections.
 """
 
 from __future__ import annotations
@@ -89,21 +91,17 @@ _MMR_ORACLE = (
 )
 
 
-def mmr_candidates(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The distributed stage: (lazy candidate plan, materialized
-    candidates, pairwise candidate similarity matrix). The lazy plan
-    exists so the shape is pinnable (tests/test_plan_pins.py); the
-    20-row result is eagerly localCheckpointed so the corpus is
-    scanned exactly ONCE — the candidate collect and both sides of
-    the pair matrix reuse the checkpointed rows instead of
-    re-running the scan."""
+def mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed candidate stage: exact-cosine top-k via one
+    corpus scan, broadcast query row, TakeOrderedAndProject (shape
+    pinned in tests/test_plan_pins.py). The registered query collects
+    this ONCE and derives the pair matrix from the collected rows —
+    the corpus is never re-scanned."""
     e = fanout(load(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
-    cand_plan = (
+    return (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -117,43 +115,47 @@ def mmr_candidates(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(_K_CAND)
     )
-    cand = cand_plan.localCheckpoint(eager=True)  # 20 rows, one scan
-    a = cand.select(
-        F.col("vec_id").alias("i"), F.col("embedding").alias("ea")
-    )
-    b = cand.select(
-        F.col("vec_id").alias("j"), F.col("embedding").alias("eb")
-    )
-    pairs = a.crossJoin(F.broadcast(b)).select(
-        "i",
-        "j",
-        cosine_from_e12(
-            dot_e12("ea", "eb"), sq_norm_e12("ea"), sq_norm_e12("eb")
-        ).alias("pairsim"),
-    )
-    return cand_plan, cand, pairs
+
+
+def _cosine_e12_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of cosine_from_e12(dot_e12(...)) — bit-exact:
+    Python floats ARE IEEE binary64, floor(x*y*1e12) and the final
+    sqrt/divide round identically to the JVM expressions, and the
+    integer partial sums are order-free. Used only on the BOUNDED
+    k-candidate set (k*k = 400 dots by contract, never corpus-sized),
+    where a Spark job's fixed costs dwarf the arithmetic."""
+    import math
+
+    dot = sum(math.floor(x * y * 1e12) for x, y in zip(a, b))
+    na = sum(math.floor(x * x * 1e12) for x in a)
+    nb = sum(math.floor(y * y * 1e12) for y in b)
+    return dot / math.sqrt(float(na) * float(nb))
 
 
 @register(
     "sim_mmr_topk",
     oracle=_MMR_ORACLE,
     doc="Maximal-marginal-relevance diversified retrieval: exact "
-    "cosine top-20 candidates (one scan, broadcast query, "
-    "TakeOrderedAndProject — the sim_topk_cosine plan), a distributed "
-    "20x20 candidate pairwise-cosine matrix, then the greedy "
-    "lambda=0.5 MMR walk selecting 5 results (relevance minus max "
-    "similarity to the already-picked set; ties to the smaller "
-    "vec_id). The re-rank runs over the BOUNDED candidate set — 20 "
-    "rows by contract regardless of corpus size — so the collect is "
-    "k'-bounded like the k-means centroid collects; all scores "
-    "derive from e-12 integer dots and the oracle unrolls the exact "
-    "5 picks.",
+    "cosine top-20 candidates (ONE corpus scan, broadcast query, "
+    "TakeOrderedAndProject — the sim_topk_cosine plan), then the "
+    "greedy lambda=0.5 MMR walk selecting 5 results (relevance minus "
+    "max similarity to the already-picked set; ties to the smaller "
+    "vec_id). The re-rank — including the k*k pair-cosine matrix — "
+    "runs driver-side over the BOUNDED candidate set (20 rows / 400 "
+    "dots by contract regardless of corpus size, a k-bounded collect "
+    "like the k-means centroid collects) with a bit-identical Python "
+    "twin of the e-12 integer-dot arithmetic; the oracle unrolls the "
+    "exact 5 picks.",
     tags=("similarity", "rag", "llm"),
 )
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, cand, pairs = mmr_candidates(spark, sf_dir)
-    sims = {r["vec_id"]: r["sim"] for r in cand.select("vec_id", "sim").collect()}
-    psim = {(r["i"], r["j"]): r["pairsim"] for r in pairs.collect()}
+    cand = mmr_candidates(spark, sf_dir)
+    rows = cand.collect()  # the ONE corpus-touching job (k rows out)
+    sims = {r["vec_id"]: r["sim"] for r in rows}
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    psim = {
+        (i, j): _cosine_e12_py(emb[i], emb[j]) for i in emb for j in emb
+    }
 
     picks: list[tuple[int, int, float]] = []
     selected: list[int] = []

@@ -500,28 +500,54 @@ def test_funnel_single_exchange_pure_codegen(spark):
     assert "Join" not in plan
 
 
-def test_mmr_candidates_take_ordered_and_broadcast_pairs(spark):
-    """sim_mmr_topk's DISTRIBUTED stage (the registered query then
-    greedy-walks the collected 20-row result): candidates come from
-    TakeOrderedAndProject (never a global sort of the corpus) and the
-    pair matrix builds from a broadcast join over the tiny candidate
-    set."""
-    from binance_etl_spark.plans.retrieval import mmr_candidates
+def test_mmr_candidates_take_ordered_single_scan(spark):
+    """sim_mmr_topk's DISTRIBUTED stage: candidates come from
+    TakeOrderedAndProject over ONE broadcast-query corpus scan (never
+    a global sort, never a second scan — the k*k pair matrix and the
+    greedy walk are driver-side over the bounded collected rows, with
+    a bit-exactness guard on the Python twin of the e-12 cosine)."""
+    from binance_etl_spark.plans.retrieval import (
+        _cosine_e12_py,
+        mmr_candidates,
+    )
+    from binance_etl_spark.operators.similarity import (
+        cosine_from_e12,
+        dot_e12,
+        sq_norm_e12,
+    )
+    from pyspark.sql import functions as F
 
     _ensure_loaded()
-    cand_plan, cand, pairs = mmr_candidates(spark, SF_DIR)
-    cplan = cand_plan._jdf.queryExecution().executedPlan().toString()
-    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    cand = mmr_candidates(spark, SF_DIR)
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in cplan
-    for plan in (cplan, pplan):
-        assert "SortMergeJoin" not in plan
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Broadcast" in pplan
-    # the materialized candidates are a checkpointed 20-row relation —
-    # the collect and the pair matrix never re-scan the corpus
-    mplan = cand._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" in mplan or "ExistingRDD" in mplan
-    assert "parquet" not in mplan.lower()
+    assert "SortMergeJoin" not in cplan
+    # exactly two scans: the corpus pass + the 1-row broadcast query
+    # side (filter pushed to parquet) — never a re-scan for pairs
+    assert cplan.lower().count("filescan parquet") == 2
+    assert "EqualTo(vec_id,0)" in cplan
+    assert "BatchEvalPython" not in cplan and "ArrowEvalPython" not in cplan
+    # the driver-side cosine twin is bit-identical to the JVM e-12 path
+    rows = cand.limit(3).collect()
+    pairs = spark.createDataFrame(rows, cand.schema).alias("a").crossJoin(
+        spark.createDataFrame(rows, cand.schema)
+        .select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    )
+    jvm = {
+        (r["vec_id"], r["j"]): r["c"]
+        for r in pairs.select(
+            "vec_id",
+            "j",
+            cosine_from_e12(
+                dot_e12("embedding", "eb"),
+                sq_norm_e12("embedding"),
+                sq_norm_e12("eb"),
+            ).alias("c"),
+        ).collect()
+    }
+    emb = {r["vec_id"]: r["embedding"] for r in rows}
+    for (i, j), v in jvm.items():
+        assert _cosine_e12_py(emb[i], emb[j]) == v  # exact, not approx
 
 
 def test_bootstrap_fanout_map_side_combine(spark):
