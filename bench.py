@@ -221,6 +221,8 @@ HEADLINE_LLM = [
     # dimension-window pattern: heavy scan agg, tiny user-table sort).
     "stats_gini",
     "agg_rfm_segments",
+    # round-7: top user-journey paths (sessionize + path census).
+    "win_top_paths",
 ]
 
 

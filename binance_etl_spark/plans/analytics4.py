@@ -414,3 +414,99 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- win_top_paths ------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # the win_session 30-min inactivity gap
+
+
+@register(
+    "win_top_paths",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id AS eid
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, tu, eid,
+             CASE WHEN tu - LAG(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, eid
+                  ) >= {_GAP_US}
+                  OR LAG(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, eid
+                  ) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), sess AS (
+      SELECT user_id, event_type, tu, eid,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY tu, eid
+             ) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT array_to_string(
+               (list(event_type ORDER BY tu, eid))[1:5], '>'
+             ) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    doc="Top user journeys: events are sessionized with the "
+    "win_session 30-minute inactivity gap (same lag-flag running-sum "
+    "construction), each session is reduced to the path string of its "
+    "first five event types in (ts, event_id) order, and the 20 most "
+    "common paths win (ties to the lexicographically smaller path — "
+    "a total order, so the LIMIT is stable across engines). Shape: "
+    "the gap window, the running session counter, and the "
+    "per-session path fold all ride ONE user-keyed exchange; the "
+    "path census is a map-side-combinable string aggregate and the "
+    "final top-20 is TakeOrderedAndProject, never a global sort. "
+    "The journey-census query every event warehouse ships; at 100 TB "
+    "nothing after the single user exchange is event-sized.",
+    tags=("window", "analytics", "funnel"),
+)
+def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id").alias("eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "eid")
+    lag_tu = F.lag("tu").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_tu.isNull() | (F.col("tu") - lag_tu >= _GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("tu").alias("tu"),
+                                F.col("eid").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

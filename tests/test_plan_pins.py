@@ -618,3 +618,14 @@ def test_rfm_heavy_pass_is_user_agg(spark):
     # rollup rides the windows' single partition with no re-shuffle
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.index("Exchange hashpartitioning") > plan.index("Window")
+
+
+def test_top_paths_single_user_exchange_take_ordered(spark):
+    """win_top_paths: gap window + session counter + per-session path
+    fold ride ONE user-keyed exchange; the path census adds the only
+    other hash exchange; the top-20 is TakeOrderedAndProject."""
+    plan = _plan(spark, "win_top_paths")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
