@@ -527,6 +527,28 @@ def r7_main(spark) -> None:
     _slope_probe(spark, R7, width=28)
 
 
+R7B = [
+    "win_attribution",
+    "win_top_paths",
+    "stats_ols_group",
+    "stats_gini",
+    "agg_rfm_segments",
+    "dq_benford",
+    "stats_bootstrap_ci",
+    "sim_mmr_topk",
+]
+
+
+def r7b_main(spark) -> None:
+    """Round-7 third-wave slope probe. Healthy shapes: attribution /
+    top-paths / gini are one user- or type-keyed exchange of window
+    work; OLS / Benford are map-side-combinable scan aggregates; RFM's
+    windows sort only the user dimension; the bootstrap is a 64x
+    expression fanout into keyed partials; MMR is one corpus scan +
+    a k-bounded driver re-rank."""
+    _slope_probe(spark, R7B, width=24)
+
+
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
     """One interleaved replay log with n_syms independent u-chained
     depth streams + one snapshot per symbol — the same wire shape as
@@ -622,6 +644,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r7b" in sys.argv:
+        r7b_main(spark)
         return
     if "--r7" in sys.argv:
         r7_main(spark)
