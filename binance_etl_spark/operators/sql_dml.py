@@ -168,7 +168,16 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         cursor = w.end()
         action = w.group("action").strip()
         action_norm = re.sub(r"\s+", " ", action).upper()
+        # one clause per kind: a second INSERT / UPDATE / DELETE branch
+        # would silently overwrite the first (multi-branch same-kind
+        # MERGE is outside the grammar — raise, never guess)
         if w.group("not"):
+            if not action_norm.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports INSERT only")
+            if saw_star_insert or ins_cols is not None:
+                raise ValueError(
+                    "only one WHEN NOT MATCHED ... INSERT clause is supported"
+                )
             if action_norm == "INSERT *":
                 if w.group("cond"):
                     raise ValueError(
@@ -176,7 +185,7 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                         "supported in star mode — guards are column-mode only"
                     )
                 saw_star_insert = True
-            elif action_norm.startswith("INSERT"):
+            else:
                 ins_cond = w.group("cond")
                 am = re.match(
                     r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
@@ -191,15 +200,21 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                 ]
                 if len(ins_cols) != len(ins_vals):
                     raise ValueError("INSERT column/value count mismatch")
-            else:
-                raise ValueError("WHEN NOT MATCHED supports INSERT only")
         elif action_norm == "DELETE":
+            if delete_condition is not None:
+                raise ValueError(
+                    "only one WHEN MATCHED ... DELETE clause is supported"
+                )
             delete_condition = w.group("cond") or "TRUE"
         elif action_norm == "UPDATE SET *":
             if w.group("cond"):
                 raise ValueError(
                     "WHEN MATCHED AND <cond> THEN UPDATE is not "
                     "supported — only the DELETE branch takes a guard"
+                )
+            if saw_star_update or upd_sets is not None:
+                raise ValueError(
+                    "only one WHEN MATCHED ... UPDATE clause is supported"
                 )
             saw_star_update = True
         elif action_norm.startswith("UPDATE SET "):
@@ -208,7 +223,17 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                     "WHEN MATCHED AND <cond> THEN UPDATE is not "
                     "supported — only the DELETE branch takes a guard"
                 )
+            if saw_star_update or upd_sets is not None:
+                raise ValueError(
+                    "only one WHEN MATCHED ... UPDATE clause is supported"
+                )
             upd_sets = _split_assignments(action[len("UPDATE SET ") :])
+        else:
+            # e.g. WHEN MATCHED THEN INSERT — matched by the action
+            # regex but meaningless in the matched branch
+            raise ValueError(
+                f"unsupported WHEN MATCHED action: {action!r}"
+            )
 
     if whens_text[cursor:].strip(" \t\n;"):
         raise ValueError(
@@ -298,8 +323,9 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
     eff = upd_rows if ins_rows is None else upd_rows.unionByName(ins_rows)
     # cast each column to the target's dtype so the whole-row merge
     # appends schema-identical rows (expressions may widen types)
+    dtypes = dict(tgt.dtypes)
     eff = eff.select(
-        *[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in target_cols]
+        *[F.col(c).cast(dtypes[c]).alias(c) for c in target_cols]
     )
     return SNAP.merge_into(spark, table_dir, eff, key_cols=keys)
 

@@ -25,6 +25,19 @@ from binance_etl_spark.plans.registry import register
 _CHANNELS = ["click", "signup", "view"]
 _DAY0 = 19723  # floor(epoch('2024-01-01') / 86400) — the data's day 0
 
+# epoch-day index, one definition per engine so the two consumers
+# (stats_ols_group, agg_rfm_segments) cannot drift
+_DAY_SQL = f"CAST(floor(epoch(ts) / 86400) AS BIGINT) - {_DAY0}"
+
+
+def _day_idx():
+    return (
+        F.floor(F.col("ts").cast("double").cast("long") / 86400).cast(
+            "bigint"
+        )
+        - _DAY0
+    )
+
 
 # --- win_attribution ----------------------------------------------------
 
@@ -132,7 +145,7 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pts AS (
       SELECT event_type,
-             CAST(floor(epoch(ts) / 86400) AS BIGINT) - {_DAY0} AS x,
+             {_DAY_SQL} AS x,
              CAST(floor(value * 100) AS BIGINT) AS y
       FROM events
     ), s AS (
@@ -171,12 +184,7 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_ols_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load(spark, sf_dir, "events").select(
         "event_type",
-        (
-            F.floor(F.col("ts").cast("double").cast("long") / 86400).cast(
-                "bigint"
-            )
-            - _DAY0
-        ).alias("x"),
+        _day_idx().alias("x"),
         F.floor(F.col("value") * 100).cast("bigint").alias("y"),
     )
     s = pts.groupBy("event_type").agg(
@@ -347,8 +355,7 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH u AS (
       SELECT user_id,
-             MAX(CAST(floor(epoch(ts) / 86400) AS BIGINT) - {_DAY0})
-               AS last_day,
+             MAX({_DAY_SQL}) AS last_day,
              COUNT(*) AS freq,
              CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                AS m_e2
@@ -382,12 +389,7 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
-        F.max(
-            F.floor(F.col("ts").cast("double").cast("long") / 86400).cast(
-                "bigint"
-            )
-            - _DAY0
-        ).alias("last_day"),
+        F.max(_day_idx()).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("value") * 100).cast("bigint"))
         .cast("bigint")

@@ -288,3 +288,46 @@ def test_insert_into_and_truncate(spark, tmp_path):
     assert final.count() == 0
     assert final.columns == ["id", "v"]  # schema survives
     assert len(SNAP.main_versions(t)) >= 4  # history survives
+
+
+def test_duplicate_and_misplaced_when_clauses_raise(spark, tmp_path):
+    """A second clause of the same kind would silently overwrite the
+    first, and WHEN MATCHED THEN INSERT is meaningless — both raise
+    instead of guessing."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(spark.range(0, 3).selectExpr("id", "id AS v"), t)
+    spark.range(1).selectExpr("id", "id AS d").createOrReplaceTempView("dup_f")
+    with pytest.raises(ValueError, match="one WHEN NOT MATCHED"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING dup_f s ON t.id = s.id "
+            "WHEN NOT MATCHED AND s.d = 1 THEN INSERT (id) VALUES (s.id) "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.d)",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="one WHEN MATCHED ... UPDATE"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING dup_f s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN MATCHED THEN UPDATE SET v = 2",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="one WHEN MATCHED ... DELETE"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING dup_f s ON t.id = s.id "
+            "WHEN MATCHED AND s.d = 1 THEN DELETE "
+            "WHEN MATCHED AND s.d = 2 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="unsupported WHEN MATCHED"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING dup_f s ON t.id = s.id "
+            "WHEN MATCHED THEN INSERT (id) VALUES (s.id) "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+            {"tbl": t},
+        )
