@@ -1571,6 +1571,7 @@ def merge_into(
     key_cols: list[str],
     delete_condition: str | None = None,
     batch_id: int | None = None,
+    delete_matched_only: bool = False,
 ) -> int:
     """MERGE INTO / CDC-apply over the snapshot log (the Delta MERGE
     upsert and the DLT APPLY CHANGES shape): every target row whose
@@ -1589,6 +1590,17 @@ def merge_into(
     3. untouched files carry into the new manifest by name — zero
        I/O; the atomic manifest replace publishes the merge and prior
        versions still time-travel.
+
+    ``delete_matched_only`` selects the tombstone semantic for
+    ``delete_condition``: False (default) is the CDC-apply rule —
+    delete-marked rows NEVER insert, matched or not (a tombstone for
+    an absent key is a no-op, the DLT APPLY CHANGES contract); True is
+    the ANSI MERGE rule — `WHEN MATCHED AND cond THEN DELETE` only
+    affects matched rows, so an UNMATCHED delete-marked source row
+    falls through to the INSERT branch and is inserted as-is (the SQL
+    front end passes True so shared MERGE text keeps warehouse
+    semantics; found by the DML model fuzzer, tests/
+    test_sql_dml_model.py).
 
     Source must carry exactly the target columns (plus any
     ``delete_condition`` inputs) and at most ONE row per key —
@@ -1658,9 +1670,24 @@ def merge_into(
         if main_versions(table_dir)[-1] != prior[-1]:
             _release_claim(table_dir, v)
             continue
+        eff_upserts = upserts
+        if delete_condition is not None and delete_matched_only:
+            # ANSI rule: an unmatched delete-marked row is not a
+            # tombstone — it reaches the INSERT branch. Revive the
+            # tombstones whose key is absent from the live snapshot.
+            live_keys = tagged.select("_k").distinct()
+            revived = (
+                source.where(
+                    F.coalesce(F.expr(delete_condition), F.lit(False))
+                )
+                .withColumn("_k", key_struct)
+                .join(live_keys, "_k", "left_anti")
+                .drop("_k")
+            )
+            eff_upserts = upserts.unionByName(revived)
         exp = prev.get("expectations", {})
         if exp:
-            _enforce_expectations(upserts, exp)
+            _enforce_expectations(eff_upserts, exp)
         cols = snap.columns
         kept = (
             _live_rows(spark, table_dir, prev, affected)
@@ -1670,7 +1697,7 @@ def merge_into(
             if affected
             else snap.limit(0)
         )
-        new_data = kept.unionByName(upserts.select(*cols))
+        new_data = kept.unionByName(eff_upserts.select(*cols))
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
         new_data.write.mode("overwrite").parquet(staging)

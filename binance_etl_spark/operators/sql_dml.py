@@ -254,9 +254,15 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
             delete_condition = re.sub(
                 rf"\b{salias}\.", "", delete_condition, flags=re.IGNORECASE
             )
+        # ANSI MERGE semantics for the DELETE guard: WHEN MATCHED AND
+        # cond THEN DELETE affects matched rows only — an unmatched
+        # delete-marked source row falls through to INSERT * (the
+        # CDC-apply rule, where tombstones never insert, stays the
+        # default for the Python merge_into / APPLY CHANGES callers)
         return SNAP.merge_into(
             spark, table_dir, spark.table(mm.group("source")), key_cols=keys,
             delete_condition=delete_condition,
+            delete_matched_only=True,
         )
 
     if upd_sets is None and ins_cols is None:

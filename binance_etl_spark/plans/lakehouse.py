@@ -620,18 +620,25 @@ _DML_FINAL_SQL = """
     CREATE OR REPLACE TEMP TABLE events_dml_updates AS {_DML_SOURCE_SQL};
     {_DML_DELETE};
     {_DML_UPDATE};
+    CREATE OR REPLACE TEMP TABLE events_dml_premerge_keys AS
+      SELECT event_id FROM events_dml;
     DELETE FROM events_dml
       WHERE event_id IN (SELECT event_id FROM events_dml_updates);
     INSERT INTO events_dml
-      SELECT * FROM events_dml_updates WHERE event_type <> 'tombstone';
+      SELECT * FROM events_dml_updates
+      WHERE event_type <> 'tombstone'
+         OR event_id NOT IN (SELECT event_id FROM events_dml_premerge_keys);
     {_DML_FINAL_SQL}
     """,
     doc="ANSI-text DML chain over one snapshot table "
-    "(operators/sql_dml.py): DELETE, UPDATE and a CDC-shape MERGE "
+    "(operators/sql_dml.py): DELETE, UPDATE and a guarded-DELETE MERGE "
     "(tombstone/replace/insert) execute from shared SQL strings — the "
     "DELETE/UPDATE text runs verbatim on both engines; the MERGE "
-    "lowers to merge_into here and to its DELETE+INSERT rewrite on "
-    "the oracle. Scale posture is the underlying operators': "
+    "lowers to merge_into here (delete_matched_only=True: ANSI "
+    "semantics, so a tombstone whose key was already deleted INSERTS "
+    "via WHEN NOT MATCHED — the corner the DML model fuzzer caught) "
+    "and to its ANSI DELETE+INSERT rewrite on the oracle, with "
+    "matched-ness evaluated against the pre-merge key set. Scale posture is the underlying operators': "
     "affected-file-only copy-on-write rewrites, broadcast key "
     "semi-joins, untouched files carried by name — the text front end "
     "adds zero plan weight.",
