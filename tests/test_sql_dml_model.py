@@ -47,11 +47,36 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
         got = _read(spark, table)
         assert got == model, f"seed {seed} after: {stmts[-1]!r}"
 
-    for step in range(10):
+    for step in range(12):
         op = rng.choice(
-            ["delete", "update", "insert", "merge_star", "merge_cols"]
+            [
+                "delete",
+                "update",
+                "update_all",
+                "insert",
+                "insert_select",
+                "merge_star",
+                "merge_cols",
+            ]
+            + (["truncate"] if step == 7 else [])
         )
-        if op == "delete":
+        if op == "truncate":
+            stmt = "TRUNCATE TABLE tbl"
+            model = {}
+        elif op == "update_all":
+            add = rng.randrange(1, 9)
+            stmt = f"UPDATE tbl SET a = a + {add}"
+            model = {k: (a + add, b) for k, (a, b) in model.items()}
+        elif op == "insert_select":
+            lo, cnt = next_id, rng.randrange(1, 4)
+            next_id += cnt
+            stmt = (
+                f"INSERT INTO tbl SELECT id + {lo}, id * 7, id % 6 "
+                f"FROM range({cnt})"
+            )
+            for i in range(cnt):
+                model[lo + i] = (i * 7, i % 6)
+        elif op == "delete":
             cut = rng.randrange(0, 6)
             stmt = f"DELETE FROM tbl WHERE b = {cut}"
             model = {k: v for k, v in model.items() if v[1] != cut}
@@ -134,4 +159,4 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     # close with TRUNCATE: rows gone, schema + history survive
     execute_dml(spark, "TRUNCATE TABLE tbl", {"tbl": table})
     assert _read(spark, table) == {}
-    assert len(SNAP.main_versions(table)) >= 11
+    assert len(SNAP.main_versions(table)) >= 13
