@@ -223,6 +223,8 @@ HEADLINE_LLM = [
     "agg_rfm_segments",
     # round-7: top user-journey paths (sessionize + path census).
     "win_top_paths",
+    # round-7: referential-integrity + key-uniqueness DQ census.
+    "dq_referential_integrity",
 ]
 
 

@@ -201,3 +201,97 @@ def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tie-break on every output column to be engine-stable
         .orderBy("l_orderkey", "l_linenumber", "reasons", "n_reasons")
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'customer.c_nationkey -> nation.n_nationkey' AS check_name,
+           (SELECT COUNT(*) FROM customer) AS n_checked,
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'events.event_id unique',
+           (SELECT COUNT(*) FROM events),
+           (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM (
+              SELECT COUNT(*) AS cnt FROM events GROUP BY event_id
+            ) WHERE cnt > 1)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer.c_custkey',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY check_name
+    """,
+    doc="Referential-integrity and key-uniqueness census — the DQ "
+    "gate a warehouse runs before publishing a snapshot: orphan "
+    "counts for the three foreign-key relationships (child rows whose "
+    "key has no parent — each an ANTI JOIN, planned broadcast where "
+    "the parent is dimension-sized) and the duplicate-surplus count "
+    "for the events primary key (a map-side-combinable key census). "
+    "Output is one row per check with checked/violation counts — all "
+    "BIGINT, exact. At 100 TB each check is one scan + one anti-join "
+    "against a parent KEY projection (never the parent's payload); "
+    "the four checks are independent and union into a 4-row result.",
+    tags=("dq", "join", "agg"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+
+    def fk(child, ckey, parent, pkey, name):
+        # ONE pass: left join against the broadcast parent-key
+        # projection yields checked and orphan counts together (no
+        # separate count jobs, no driver-side assembly)
+        parent_keys = parent.select(
+            F.col(pkey).alias(ckey), F.lit(1).alias("__hit")
+        ).distinct()
+        return (
+            child.select(ckey)
+            .join(F.broadcast(parent_keys), ckey, "left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+
+    uniq = (
+        events.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("events.event_id unique").alias("check_name"),
+            F.sum("cnt").cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    out = (
+        fk(cust, "c_nationkey", nat, "n_nationkey",
+           "customer.c_nationkey -> nation.n_nationkey")
+        .unionByName(uniq)
+        .unionByName(
+            fk(li, "l_orderkey", orders, "o_orderkey",
+               "lineitem.l_orderkey -> orders.o_orderkey")
+        )
+        .unionByName(
+            fk(orders, "o_custkey", cust, "c_custkey",
+               "orders.o_custkey -> customer.c_custkey")
+        )
+    )
+    return out.orderBy("check_name")

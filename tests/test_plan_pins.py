@@ -629,3 +629,15 @@ def test_top_paths_single_user_exchange_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_referential_integrity_broadcast_anti_shape(spark):
+    """dq_referential_integrity: every FK check probes a broadcast
+    parent-KEY projection in one pass (checked + orphans from the
+    same left join) — three BroadcastHashJoins, no shuffle joins, no
+    driver-side count assembly (single lazy union plan)."""
+    plan = _plan(spark, "dq_referential_integrity")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
