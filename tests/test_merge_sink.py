@@ -106,3 +106,31 @@ def test_real_writestream_cdc_apply(spark, table, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _state(spark, table) == {1: "s1", 3: "c", 5: "s5b"}
+
+
+def test_delete_matched_only_vs_cdc_default(spark, tmp_path):
+    """The two tombstone semantics of merge_into: the CDC default
+    suppresses an UNMATCHED delete-marked row entirely (a tombstone
+    for an absent key is a no-op); delete_matched_only=True (the ANSI
+    rule the SQL front end uses) lets it fall through to INSERT."""
+    src = _rows(
+        spark,
+        [
+            (2, "B", 1, "d"),   # matched tombstone: deletes either way
+            (9, "Z", 1, "d"),   # UNMATCHED tombstone: the semantic fork
+            (3, "C", 1, "u"),   # matched upsert
+            (8, "H", 1, "i"),   # unmatched insert
+        ],
+    )
+    t_cdc = str(tmp_path / "cdc_mode")
+    t_ansi = str(tmp_path / "ansi_mode")
+    base = [(1, "a", 0, "i"), (2, "b", 0, "i"), (3, "c", 0, "i")]
+    for t in (t_cdc, t_ansi):
+        SNAP.write_version(_rows(spark, base), t)
+    SNAP.merge_into(spark, t_cdc, src, ["k"], delete_condition="op = 'd'")
+    SNAP.merge_into(
+        spark, t_ansi, src, ["k"], delete_condition="op = 'd'",
+        delete_matched_only=True,
+    )
+    assert _state(spark, t_cdc) == {1: "a", 3: "C", 8: "H"}
+    assert _state(spark, t_ansi) == {1: "a", 3: "C", 8: "H", 9: "Z"}
