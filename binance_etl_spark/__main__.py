@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import signal
 import sys
 import time
@@ -50,6 +51,13 @@ def _load_dotenv(path: str = ".env") -> None:
         key, val = key.strip(), val.strip()
         if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
             val = val[1:-1]
+        else:
+            # unquoted values lose inline comments (` # prod`), the
+            # python-dotenv default the docstring promises — quoted
+            # values keep their # characters
+            cut = re.search(r"\s#", val)
+            if cut:
+                val = val[: cut.start()].rstrip()
         if key and key not in os.environ:
             os.environ[key] = val
 

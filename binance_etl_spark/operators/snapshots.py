@@ -96,7 +96,20 @@ def _update_main_idx(
     past it. It must still be inserted — an early return would drop a
     committed main version (a delete, say) from idx["main"] forever,
     while main_versions' tail scan only covers v > last."""
-    idx = _load_main_idx(table_dir) or {"last": 0, "main": []}
+    idx = _load_main_idx(table_dir)
+    if idx is None:
+        # missing/corrupt idx on a table that may already have history:
+        # rebuild from a full manifest scan BEFORE recording v — seeding
+        # {last: 0} and then stamping last=v would hide every earlier
+        # main version from idx-answered reads (readers degrade to the
+        # full scan when the idx is absent, but once we WRITE one it
+        # must be complete up to its own `last`)
+        prior = [
+            u
+            for u in versions(table_dir)
+            if u < v and "branch" not in _load_manifest(table_dir, u)
+        ]
+        idx = {"last": max(prior, default=0), "main": prior}
     if v > idx["last"]:
         if is_main:
             idx["main"].append(v)

@@ -148,6 +148,15 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
     row)."""
     talias = mm.group("talias") or mm.group("table")
     salias = mm.group("salias") or mm.group("source")
+    # a dotted table/source name used as its own implicit alias would
+    # need schema-qualified column resolution (and would break the
+    # alias regexes) — require an explicit alias instead
+    for a in (talias, salias):
+        if "." in a:
+            raise ValueError(
+                f"dotted name {a!r} needs an explicit alias in MERGE "
+                "(e.g. MERGE INTO db.tbl AS t ...)"
+            )
     keys = _merge_keys(mm.group("on"), talias, salias)
     table_dir = tables[mm.group("table")]
 
@@ -251,8 +260,8 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                 "and WHEN NOT MATCHED THEN INSERT * (the CDC-apply shape)"
             )
         if delete_condition:
-            delete_condition = re.sub(
-                rf"\b{salias}\.", "", delete_condition, flags=re.IGNORECASE
+            delete_condition = _strip_alias_outside_quotes(
+                delete_condition, salias
             )
         # ANSI MERGE semantics for the DELETE guard: WHEN MATCHED AND
         # cond THEN DELETE affects matched rows only — an unmatched
@@ -301,9 +310,19 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         re.sub(rf"^{talias}\.", "", c, flags=re.IGNORECASE): e
         for c, e in (upd_sets or {}).items()
     }
-    upd_rows = s.join(t, on, "inner").select(
-        *[F.expr(sets.get(c, f"{talias}.{c}")).alias(c) for c in target_cols]
-    )
+    if upd_sets is not None:
+        upd_rows = s.join(t, on, "inner").select(
+            *[
+                F.expr(sets.get(c, f"{talias}.{c}")).alias(c)
+                for c in target_cols
+            ]
+        )
+    else:
+        # INSERT-only MERGE: matched rows are untouched — feeding them
+        # through the whole-row path would rewrite every file holding
+        # a matched key just to re-emit identical rows; skipping them
+        # makes merge_into a pure append of the unmatched inserts
+        upd_rows = None
     if ins_cols is not None:
         ins_map = dict(zip(ins_cols, ins_vals))
         bad = sorted(set(ins_map) - set(target_cols))
@@ -326,7 +345,12 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         )
     else:  # no INSERT branch: unmatched source rows are ignored
         ins_rows = None
-    eff = upd_rows if ins_rows is None else upd_rows.unionByName(ins_rows)
+    if upd_rows is None:
+        eff = ins_rows  # never None: upd_sets/ins_cols can't both be absent
+    elif ins_rows is None:
+        eff = upd_rows
+    else:
+        eff = upd_rows.unionByName(ins_rows)
     # cast each column to the target's dtype so the whole-row merge
     # appends schema-identical rows (expressions may widen types)
     dtypes = dict(tgt.dtypes)
@@ -334,6 +358,30 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         *[F.col(c).cast(dtypes[c]).alias(c) for c in target_cols]
     )
     return SNAP.merge_into(spark, table_dir, eff, key_cols=keys)
+
+
+def _strip_alias_outside_quotes(cond: str, alias: str) -> str:
+    """Remove `alias.` prefixes from a condition WITHOUT touching the
+    inside of string literals (re.sub would rewrite `'see s.3'`)."""
+    pat = re.compile(rf"\b{alias}\.", re.IGNORECASE)
+    out = []
+    i, n = 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and cond[j] != ch:
+                j += 1
+            out.append(cond[i : j + 1])
+            i = j + 1
+            continue
+        m = pat.match(cond, i)
+        if m and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] in "_.")):
+            i = m.end()  # drop the alias prefix
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _split_top_level_commas(text: str) -> list[str]:

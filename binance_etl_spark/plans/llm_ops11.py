@@ -681,10 +681,21 @@ def sim_ann_recall_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small corpus should not fan to every core (at real scale the
     # source arrives already partitioned and fanout is a no-op cap)
     e = fanout(load(spark, sf_dir, "embeddings"), 8).persist()
-    centroids, assign = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=3)
+    try:
+        centroids, assign = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=3)
 
-    # single bounded collect: THE query vector (1 row, 64 floats)
-    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+        # single bounded collect: THE query vector (1 row, 64 floats)
+        qv = [
+            float(x)
+            for x in e.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        ]
+    finally:
+        # release after the fit's eager actions — a leaked cache entry
+        # per invocation starves the block manager in long sessions;
+        # the returned plan's bounded re-scans are cheaper than that
+        e.unpersist(False)
 
     def _sqd_e12(c: list[float]) -> int:
         return sum(math.floor((a - b) * (a - b) * 1e12) for a, b in zip(qv, c))

@@ -239,7 +239,14 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shuffle (fanout is a repartition) the corpus every pass;
     # width 8 keeps per-task scheduling overhead off the tiny table
     e = fanout(load(spark, sf_dir, "embeddings"), 8).persist()
-    assign = kmeans_fit_assign(e, "embedding", "vec_id", k=8, n_iter=3)
+    try:
+        assign = kmeans_fit_assign(e, "embedding", "vec_id", k=8, n_iter=3)
+    finally:
+        # release the cache once the iterative fit's driver actions are
+        # done — a leaked entry per invocation starves the block
+        # manager in long sessions; the returned single-pass plan
+        # re-reads the bounded table once instead
+        e.unpersist(False)
     return assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("vec_id").alias("exemplar_id"),

@@ -169,3 +169,25 @@ def test_cli_config_path_env_var_and_dotenv(spark):
     )
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert _read_counts(spark, d2) == (10, 16)
+
+
+def test_dotenv_strips_inline_comments_unquoted_only(tmp_path, monkeypatch):
+    """python-dotenv default parity: unquoted values lose ` # ...`
+    inline comments; quoted values keep their # characters."""
+    import os
+
+    from binance_etl_spark.__main__ import _load_dotenv
+
+    env = tmp_path / ".env"
+    env.write_text(
+        'A=/etc/app/config.json  # prod\n'
+        'B="hash # kept"\n'
+        "C=plain#notcomment\n"
+    )
+    for k in ("A", "B", "C"):
+        monkeypatch.delenv(k, raising=False)
+    _load_dotenv(str(env))
+    assert os.environ.pop("A") == "/etc/app/config.json"
+    assert os.environ.pop("B") == "hash # kept"
+    # '#' without preceding whitespace is part of the value
+    assert os.environ.pop("C") == "plain#notcomment"

@@ -331,3 +331,56 @@ def test_duplicate_and_misplaced_when_clauses_raise(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
             {"tbl": t},
         )
+
+
+def test_alias_strip_preserves_string_literals():
+    from binance_etl_spark.operators.sql_dml import (
+        _strip_alias_outside_quotes,
+    )
+
+    assert (
+        _strip_alias_outside_quotes("s.note = 'see s.3' AND s.b = 1", "s")
+        == "note = 'see s.3' AND b = 1"
+    )
+    # a dotted reference like x.s.col is NOT an s.-prefixed column
+    assert _strip_alias_outside_quotes("x.s.col = 2", "s") == "x.s.col = 2"
+
+
+def test_dotted_names_require_explicit_alias(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(spark.range(0, 3).selectExpr("id", "id AS v"), t)
+    spark.range(1).selectExpr("id", "id AS v").createOrReplaceTempView("dsrc")
+    with pytest.raises(ValueError, match="explicit alias"):
+        execute_dml(
+            spark,
+            "MERGE INTO db.tbl USING dsrc s ON db.tbl.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"db.tbl": t},
+        )
+
+
+def test_insert_only_merge_is_pure_append(spark, tmp_path):
+    """An INSERT-only column MERGE must not rewrite files holding
+    matched keys — matched rows are untouched, so the commit carries
+    every prior file by name and only appends the unmatched rows."""
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 20).selectExpr("id", "CAST(id AS DOUBLE) AS v"), t
+    )
+    before = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])["files"]
+    spark.createDataFrame(
+        [(5, 1.0), (50, 2.0)], "id BIGINT, delta DOUBLE"
+    ).createOrReplaceTempView("io_feed")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING io_feed s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.delta)",
+        {"tbl": t},
+    )
+    after = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])["files"]
+    assert set(before) <= set(after)  # zero rewrites of matched files
+    got = {r["id"]: r["v"] for r in SNAP.read_version(spark, t).collect()}
+    assert got[5] == 5.0  # matched row untouched
+    assert got[50] == 2.0  # unmatched row inserted
+    assert len(got) == 21
