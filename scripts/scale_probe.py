@@ -528,6 +528,7 @@ def r7_main(spark) -> None:
 
 
 R7B = [
+    "dq_referential_integrity",
     "win_attribution",
     "win_top_paths",
     "stats_ols_group",
