@@ -225,6 +225,8 @@ HEADLINE_LLM = [
     "win_top_paths",
     # round-7: referential-integrity + key-uniqueness DQ census.
     "dq_referential_integrity",
+    # round-7: market-basket support/lift over sessionized events.
+    "agg_market_basket",
 ]
 
 

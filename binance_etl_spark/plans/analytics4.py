@@ -512,3 +512,134 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# --- agg_market_basket ---------------------------------------------------
+
+
+@register(
+    "agg_market_basket",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id AS eid
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, tu, eid,
+             CASE WHEN tu - LAG(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, eid
+                  ) >= {_GAP_US}
+                  OR LAG(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, eid
+                  ) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), sess AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY tu, eid
+             ) AS session_id
+      FROM flagged
+    ), items AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ), tot AS (
+      SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM items
+    ), marg AS (
+      SELECT event_type, COUNT(*) AS n FROM items GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.n_pair, ma.n AS n_a, mb.n AS n_b,
+           t.n_sessions,
+           CAST(p.n_pair * 1000000 // t.n_sessions AS BIGINT)
+             AS support_ppm,
+           CAST(p.n_pair AS DOUBLE) * t.n_sessions / ma.n / mb.n AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.item_a
+    JOIN marg mb ON mb.event_type = p.item_b
+    CROSS JOIN tot t
+    ORDER BY p.item_a, p.item_b
+    """,
+    doc="Market-basket co-occurrence over sessionized events (the "
+    "association-rules support/lift census): sessions via the "
+    "win_session 30-minute gap, per-session DISTINCT item sets, pair "
+    "counts from a session-keyed self-join with a lexicographic "
+    "a < b dedup, and exact floor-ppm support plus lift = "
+    "P(a,b)/(P(a)P(b)) as one fixed IEEE expression over four exact "
+    "integers. Shape: the sessionize windows and the per-session "
+    "distinct ride ONE user-keyed exchange; the self-join keys on "
+    "(user, session) so both sides hang off co-partitioned item "
+    "sets (items/session is bounded by the event-type vocabulary, "
+    "never event-sized); marginals and the session total are "
+    "broadcast-sized. At 100 TB the only data-sized move is the one "
+    "user exchange.",
+    tags=("agg", "analytics", "join"),
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id").alias("eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "eid")
+    lag_tu = F.lag("tu").over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_tu.isNull() | (F.col("tu") - lag_tu >= _GAP_US), 1
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    items = sess.select("user_id", "session_id", "event_type").distinct()
+    tot = items.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    marg = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("item_a"), F.col("n").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("item_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.expr("n_pair * 1000000 div n_sessions")
+            .cast("bigint")
+            .alias("support_ppm"),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_sessions")
+                / F.col("n_a")
+                / F.col("n_b")
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )

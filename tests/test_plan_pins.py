@@ -641,3 +641,15 @@ def test_referential_integrity_broadcast_anti_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_market_basket_no_cartesian_codegen_only(spark):
+    """agg_market_basket: the pair join is keyed on (user, session)
+    with an inequality residual — never a cartesian of the item sets —
+    and everything is JVM expression work with map-side partials; the
+    marginal/total joins are broadcast."""
+    plan = _plan(spark, "agg_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
