@@ -529,6 +529,7 @@ def r7_main(spark) -> None:
 
 R7B = [
     "dq_referential_integrity",
+    "agg_market_basket",
     "win_attribution",
     "win_top_paths",
     "stats_ols_group",
