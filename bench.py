@@ -227,6 +227,8 @@ HEADLINE_LLM = [
     "dq_referential_integrity",
     # round-7: market-basket support/lift over sessionized events.
     "agg_market_basket",
+    # round-7: time-to-convert discrete-quartile latency report.
+    "win_time_to_convert",
 ]
 
 

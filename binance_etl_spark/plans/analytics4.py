@@ -643,3 +643,75 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+# --- win_time_to_convert --------------------------------------------------
+
+
+@register(
+    "win_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ), durations AS (
+      SELECT (first_purchase - first_signup) // 1000000 AS sec
+      FROM firsts
+      WHERE first_signup IS NOT NULL
+        AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(quantile_disc(sec, 0.25) AS BIGINT) AS p25_sec,
+           CAST(quantile_disc(sec, 0.50) AS BIGINT) AS p50_sec,
+           CAST(quantile_disc(sec, 0.75) AS BIGINT) AS p75_sec,
+           CAST(MAX(sec) AS BIGINT) AS max_sec
+    FROM durations
+    """,
+    doc="Time-to-convert distribution: per user, seconds from FIRST "
+    "signup to FIRST purchase (users whose first purchase precedes "
+    "their first signup, or who never did both, are excluded), "
+    "summarized as exact DISCRETE quartiles — percentile_disc selects "
+    "an element, so no interpolation arithmetic can drift across "
+    "engines; durations are integer epoch-second floors. Shape: one "
+    "map-side-combinable user aggregate (two conditional MINs in one "
+    "pass) then a single bounded quantile over the user-dimension "
+    "durations — the conversion-latency report every growth team "
+    "pairs with the funnel, at one user-keyed exchange.",
+    tags=("window", "analytics", "stats"),
+)
+def win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase"),
+    )
+    durations = firsts.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.expr("(first_purchase - first_signup) div 1000000").alias("sec")
+    )
+    durations.createOrReplaceTempView("ttc_durations")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_converted,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY sec)
+                    AS BIGINT) AS p25_sec,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY sec)
+                    AS BIGINT) AS p50_sec,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY sec)
+                    AS BIGINT) AS p75_sec,
+               CAST(MAX(sec) AS BIGINT) AS max_sec
+        FROM ttc_durations
+        """
+    )
