@@ -143,3 +143,35 @@ def test_mmr_picks_distinct_and_first_is_top_sim(spark):
     assert [r["pick_rank"] for r in rows] == [1, 2, 3, 4, 5]
     # the query vector itself (vec_id 0, sim 1.0) must be pick 1
     assert rows[0]["vec_id"] == 0
+
+
+def test_referential_integrity_counts(spark):
+    rows = {r["check_name"]: r for r in _rows(spark, "dq_referential_integrity")}
+    assert len(rows) == 4
+    con = duckdb.connect()
+    [(n_li,)] = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    r = rows["lineitem.l_orderkey -> orders.o_orderkey"]
+    assert r["n_checked"] == n_li
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+
+
+def test_market_basket_bounds(spark):
+    """Pair count never exceeds either marginal; support <= 1e6 ppm;
+    the item pair is lexicographically ordered; lift reproduces from
+    the emitted integers exactly."""
+    rows = _rows(spark, "agg_market_basket")
+    assert rows
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert 0 < r["n_pair"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["support_ppm"] <= 1_000_000
+        assert r["lift"] == float(r["n_pair"]) * r["n_sessions"] / r["n_a"] / r["n_b"]
+
+
+def test_time_to_convert_quartiles_ordered(spark):
+    [r] = _rows(spark, "win_time_to_convert")
+    assert r["n_converted"] > 0
+    assert 0 <= r["p25_sec"] <= r["p50_sec"] <= r["p75_sec"] <= r["max_sec"]
