@@ -229,6 +229,9 @@ HEADLINE_LLM = [
     "agg_market_basket",
     # round-7: time-to-convert discrete-quartile latency report.
     "win_time_to_convert",
+    # round-7: Hayashi-Yoshida asynchronous cross-covariance
+    # (bucketed interval-overlap join).
+    "ms_hayashi_yoshida",
 ]
 
 

@@ -653,3 +653,15 @@ def test_market_basket_no_cartesian_codegen_only(spark):
     assert "partial" in plan.lower()
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hayashi_yoshida_bucketed_never_cross(spark):
+    """ms_hayashi_yoshida: the interval-overlap pairing is an
+    equi-join on the hour bucket with the overlap predicate as a
+    residual — never a cartesian/BNLJ cross of the two tapes — and
+    the product sum partial-combines."""
+    plan = _plan(spark, "ms_hayashi_yoshida")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
