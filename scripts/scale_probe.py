@@ -528,6 +528,7 @@ def r7_main(spark) -> None:
 
 
 R7B = [
+    "ms_hayashi_yoshida",
     "dq_referential_integrity",
     "agg_market_basket",
     "win_attribution",
