@@ -230,8 +230,9 @@ HEADLINE_LLM = [
     # round-7: time-to-convert discrete-quartile latency report.
     "win_time_to_convert",
     # round-7: Hayashi-Yoshida asynchronous cross-covariance
-    # (bucketed interval-overlap join).
+    # (bucketed interval-overlap join) + the HRY lead-lag scan.
     "ms_hayashi_yoshida",
+    "ms_hy_lead_lag",
 ]
 
 

@@ -530,3 +530,128 @@ def ms_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(e6).cast("bigint").alias("sum_e6"),
         (F.sum(e6).cast("double") / 1_000_000).alias("hy_cov"),
     )
+
+
+# --- ms_hy_lead_lag --------------------------------------------------------
+
+_HY_LAGS_US = [-600_000_000, 0, 600_000_000]  # -10min, 0, +10min
+
+
+@register(
+    "ms_hy_lead_lag",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    r AS (
+      SELECT sym, tid,
+             epoch_us(ts) AS tu,
+             LAG(epoch_us(ts)) OVER w AS prev_tu,
+             (price - LAG(price) OVER w) / LAG(price) OVER w AS ret
+      FROM t WHERE sym IN (0, 1)
+      WINDOW w AS (PARTITION BY sym ORDER BY ts, tid)
+    ), ra AS (
+      SELECT tu, prev_tu, ret FROM r
+      WHERE sym = 0 AND prev_tu IS NOT NULL
+    ), rb AS (
+      SELECT tu, prev_tu, ret FROM r
+      WHERE sym = 1 AND prev_tu IS NOT NULL
+    ), lags(lag_us) AS (
+      VALUES {", ".join(f"({u})" for u in _HY_LAGS_US)}
+    ), pairs AS (
+      SELECT l.lag_us, ra.ret AS reta, rb.ret AS retb
+      FROM lags l, ra
+      JOIN rb ON ra.prev_tu < rb.tu + l.lag_us
+             AND rb.prev_tu + l.lag_us < ra.tu
+    )
+    SELECT CAST(lag_us // 1000000 AS BIGINT) AS lag_sec,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(floor(reta * retb * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_e6,
+           CAST(SUM(CAST(floor(reta * retb * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS hy_cov
+    FROM pairs
+    GROUP BY lag_us ORDER BY lag_sec
+    """,
+    doc="Hayashi-Yoshida LEAD-LAG scan (the Hoffmann-Rosenbaum-"
+    "Yoshida construction): the HY cross-covariance of symbols 0 and "
+    "1 recomputed with symbol 1's tick intervals time-shifted by "
+    "-10min/0/+10min — the lag whose covariance dominates tells which "
+    "symbol leads. Same exactness and scale shape as "
+    "ms_hayashi_yoshida: e6-floored integer product sums, and the "
+    "shifted pairing still explodes intervals to hour buckets and "
+    "equi-joins on (lag, bucket) with the shifted overlap predicate "
+    "as a residual — the lag grid multiplies work by |lags|, never "
+    "by data size, and pairs spanning shared buckets dedupe by "
+    "(lag, tick-id pair).",
+    tags=("market", "join", "stats", "scale-note:interval-bucketed"),
+)
+def ms_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    r = t.select(
+        "sym",
+        "tid",
+        F.unix_micros("ts").alias("tu"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_tu"),
+        (
+            (F.col("price") - F.lag("price").over(w))
+            / F.lag("price").over(w)
+        ).alias("ret"),
+    ).where(F.col("prev_tu").isNotNull())
+    lags = spark.createDataFrame(
+        [(u,) for u in _HY_LAGS_US], "lag_us bigint"
+    )
+    a = r.where(F.col("sym") == 0).select(
+        F.col("tid").alias("tid_a"),
+        F.col("tu").alias("tu_a"),
+        F.col("prev_tu").alias("prev_a"),
+        F.col("ret").alias("ret_a"),
+        F.explode(
+            F.sequence(
+                F.expr(f"prev_tu div {_HY_H_US}"),
+                F.expr(f"tu div {_HY_H_US}"),
+            )
+        ).alias("bucket"),
+    )
+    # shift B's intervals by each lag BEFORE bucketing so the bucket
+    # cover matches the shifted overlap predicate
+    b = (
+        r.where(F.col("sym") == 1)
+        .crossJoin(F.broadcast(lags))
+        .select(
+            "lag_us",
+            F.col("tid").alias("tid_b"),
+            (F.col("tu") + F.col("lag_us")).alias("tu_b"),
+            (F.col("prev_tu") + F.col("lag_us")).alias("prev_b"),
+            F.col("ret").alias("ret_b"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"prev_b div {_HY_H_US}"),
+                    F.expr(f"tu_b div {_HY_H_US}"),
+                )
+            ),
+        )
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("prev_a") < F.col("tu_b"))
+            & (F.col("prev_b") < F.col("tu_a"))
+        )
+        .select("lag_us", "tid_a", "tid_b", "ret_a", "ret_b")
+        .distinct()
+    )
+    e6 = F.floor(F.col("ret_a") * F.col("ret_b") * 1_000_000).cast("bigint")
+    return (
+        pairs.groupBy(
+            F.expr("lag_us div 1000000").cast("bigint").alias("lag_sec")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(e6).cast("bigint").alias("sum_e6"),
+            (F.sum(e6).cast("double") / 1_000_000).alias("hy_cov"),
+        )
+        .orderBy("lag_sec")
+    )

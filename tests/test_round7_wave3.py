@@ -175,3 +175,12 @@ def test_time_to_convert_quartiles_ordered(spark):
     [r] = _rows(spark, "win_time_to_convert")
     assert r["n_converted"] > 0
     assert 0 <= r["p25_sec"] <= r["p50_sec"] <= r["p75_sec"] <= r["max_sec"]
+
+
+def test_hy_lag_zero_equals_base_estimator(spark):
+    """The lead-lag scan's lag-0 row must equal ms_hayashi_yoshida
+    exactly (same pairs, same integer sum)."""
+    [base] = _rows(spark, "ms_hayashi_yoshida")
+    lag0 = {r["lag_sec"]: r for r in _rows(spark, "ms_hy_lead_lag")}[0]
+    assert lag0["n_pairs"] == base["n_pairs"]
+    assert lag0["sum_e6"] == base["sum_e6"]
