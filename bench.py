@@ -233,6 +233,8 @@ HEADLINE_LLM = [
     # (bucketed interval-overlap join) + the HRY lead-lag scan.
     "ms_hayashi_yoshida",
     "ms_hy_lead_lag",
+    # round-7: the Epps-effect grid (the bias HY avoids, measured).
+    "ms_epps_effect",
 ]
 
 

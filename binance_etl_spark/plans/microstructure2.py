@@ -655,3 +655,130 @@ def ms_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_sec")
     )
+
+
+# --- ms_epps_effect --------------------------------------------------------
+
+_EPPS_GRIDS_S = [600, 3600, 21600]  # 10min / 1h / 6h sampling grids
+
+
+@register(
+    "ms_epps_effect",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    ticks AS (
+      SELECT sym, tid, epoch_us(ts) AS tu, price
+      FROM t WHERE sym IN (0, 1)
+    ), grids(grid_s) AS (
+      VALUES {", ".join(f"(CAST({g} AS BIGINT))" for g in _EPPS_GRIDS_S)}
+    ), px AS (
+      SELECT g.grid_s, sym, tu // (g.grid_s * 1000000) AS bucket,
+             last(price ORDER BY tu, tid) AS p
+      FROM ticks, grids g
+      GROUP BY g.grid_s, sym, tu // (g.grid_s * 1000000)
+    ), joint AS (
+      SELECT a.grid_s, a.bucket, a.p AS pa, b.p AS pb
+      FROM px a JOIN px b
+        ON a.grid_s = b.grid_s AND a.bucket = b.bucket
+       AND a.sym = 0 AND b.sym = 1
+    ), rets AS (
+      SELECT grid_s,
+             (pa - LAG(pa) OVER w) / LAG(pa) OVER w AS rx,
+             (pb - LAG(pb) OVER w) / LAG(pb) OVER w AS ry
+      FROM joint WINDOW w AS (PARTITION BY grid_s ORDER BY bucket)
+    ), s AS (
+      SELECT grid_s, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(rx * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(floor(ry * 1000000) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(floor(rx * ry * 1000000) AS BIGINT)) AS BIGINT)
+               AS sxy,
+             CAST(SUM(CAST(floor(rx * rx * 1000000) AS BIGINT)) AS BIGINT)
+               AS sxx,
+             CAST(SUM(CAST(floor(ry * ry * 1000000) AS BIGINT)) AS BIGINT)
+               AS syy
+      FROM rets WHERE rx IS NOT NULL GROUP BY grid_s
+    )
+    SELECT grid_s AS grid_sec, n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy / 1000000)
+             / sqrt((CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx / 1000000)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy / 1000000)) AS corr
+    FROM s ORDER BY grid_sec
+    """,
+    doc="The Epps effect, measured: realized correlation of the two "
+    "symbols' co-sampled grid returns at 10min/1h/6h sampling — the "
+    "correlation that decays as the grid tightens on asynchronous "
+    "ticks, i.e. the bias ms_hayashi_yoshida exists to avoid. Last "
+    "price per (grid, sym, bucket) via a lexicographic (tu, tid) "
+    "max-struct (Spark) == last(ORDER BY tu, tid) (DuckDB); returns "
+    "on the JOINT bucket series; five exact e6-integer sufficient "
+    "sums per grid (emitted, so the hash pins the exact partials) "
+    "and Pearson correlation as one fixed double expression over "
+    "them. Shape: the heavy pass is one (grid, sym, bucket) "
+    "aggregate over the tick scan; everything after is grid-bucket-"
+    "DIMENSION-sized (the per-grid return window runs on bars, "
+    "never ticks).",
+    tags=("market", "stats", "agg", "scale-note:sufficient-statistics"),
+)
+def ms_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
+    grids = spark.createDataFrame(
+        [(g,) for g in _EPPS_GRIDS_S], "grid_s bigint"
+    )
+    ticks = t.select(
+        "sym", "tid", F.unix_micros("ts").alias("tu"), "price"
+    ).crossJoin(F.broadcast(grids))
+    px = (
+        ticks.groupBy(
+            "grid_s",
+            "sym",
+            F.expr("tu div (grid_s * 1000000)").alias("bucket"),
+        )
+        .agg(
+            F.max(F.struct("tu", "tid", "price"))["price"].alias("p")
+        )
+    )
+    a = px.where(F.col("sym") == 0).select(
+        "grid_s", "bucket", F.col("p").alias("pa")
+    )
+    b = px.where(F.col("sym") == 1).select(
+        "grid_s", "bucket", F.col("p").alias("pb")
+    )
+    joint = a.join(b, ["grid_s", "bucket"])
+    w = W.partitionBy("grid_s").orderBy("bucket")
+    rets = joint.select(
+        "grid_s",
+        ((F.col("pa") - F.lag("pa").over(w)) / F.lag("pa").over(w)).alias(
+            "rx"
+        ),
+        ((F.col("pb") - F.lag("pb").over(w)) / F.lag("pb").over(w)).alias(
+            "ry"
+        ),
+    ).where(F.col("rx").isNotNull())
+    e6 = lambda c: F.floor(c * 1_000_000).cast("bigint")  # noqa: E731
+    s = rets.groupBy("grid_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e6(F.col("rx"))).cast("bigint").alias("sx"),
+        F.sum(e6(F.col("ry"))).cast("bigint").alias("sy"),
+        F.sum(e6(F.col("rx") * F.col("ry"))).cast("bigint").alias("sxy"),
+        F.sum(e6(F.col("rx") * F.col("rx"))).cast("bigint").alias("sxx"),
+        F.sum(e6(F.col("ry") * F.col("ry"))).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / 1e6
+    ) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / 1e6)
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy") / 1e6)
+    )
+    return s.select(
+        F.col("grid_s").alias("grid_sec"),
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        corr.alias("corr"),
+    ).orderBy("grid_sec")

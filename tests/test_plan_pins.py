@@ -676,3 +676,13 @@ def test_hy_lead_lag_bucketed_lag_grid(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 3-row lags
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epps_heavy_pass_is_bucket_agg(spark):
+    """ms_epps_effect: the tick-sized work is one (grid, sym, bucket)
+    max-struct aggregate with map-side partials; the return windows
+    and the Pearson math run on grid-bucket-dimension rows."""
+    plan = _plan(spark, "ms_epps_effect")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

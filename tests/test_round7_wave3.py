@@ -184,3 +184,20 @@ def test_hy_lag_zero_equals_base_estimator(spark):
     lag0 = {r["lag_sec"]: r for r in _rows(spark, "ms_hy_lead_lag")}[0]
     assert lag0["n_pairs"] == base["n_pairs"]
     assert lag0["sum_e6"] == base["sum_e6"]
+
+
+def test_epps_corr_bounds_and_grid_coverage(spark):
+    rows = _rows(spark, "ms_epps_effect")
+    assert [r["grid_sec"] for r in rows] == [600, 3600, 21600]
+    for r in rows:
+        assert r["n"] > 1
+        assert -1.0 <= r["corr"] <= 1.0
+        # Pearson reproduces exactly from the emitted integer sums
+        n = float(r["n"])
+        num = n * r["sxy"] - float(r["sx"]) * r["sy"] / 1e6
+        import math
+        den = math.sqrt(
+            (n * r["sxx"] - float(r["sx"]) * r["sx"] / 1e6)
+            * (n * r["syy"] - float(r["sy"]) * r["sy"] / 1e6)
+        )
+        assert r["corr"] == num / den
