@@ -423,9 +423,10 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_US = 30 * 60 * 1_000_000  # the win_session 30-min inactivity gap
 
 
-@register(
-    "win_top_paths",
-    oracle=f"""
+
+# the shared sessionize CTE chain (win_session 30-min-gap semantics,
+# ONE definition) — consumers append their own CTEs after `sess`
+_SESSIONIZE_SQL = f"""
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS tu, event_id AS eid
       FROM events
@@ -445,7 +446,33 @@ _GAP_US = 30 * 60 * 1_000_000  # the win_session 30-min inactivity gap
                PARTITION BY user_id ORDER BY tu, eid
              ) AS session_id
       FROM flagged
-    ), paths AS (
+    )"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a session_id column — the Spark twin of
+    _SESSIONIZE_SQL's `sess` CTE (win_session gap semantics; the gap
+    window and the running counter share one user-keyed exchange)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id").alias("eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "eid")
+    lag_tu = F.lag("tu").over(w)
+    return ev.withColumn(
+        "new_session",
+        F.when(
+            lag_tu.isNull() | (F.col("tu") - lag_tu >= _GAP_US), 1
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+
+
+@register(
+    "win_top_paths",
+    oracle=_SESSIONIZE_SQL + """
+    , paths AS (
       SELECT array_to_string(
                (list(event_type ORDER BY tu, eid))[1:5], '>'
              ) AS path
@@ -470,21 +497,7 @@ _GAP_US = 30 * 60 * 1_000_000  # the win_session 30-min inactivity gap
     tags=("window", "analytics", "funnel"),
 )
 def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("tu"),
-        F.col("event_id").alias("eid"),
-    )
-    w = Window.partitionBy("user_id").orderBy("tu", "eid")
-    lag_tu = F.lag("tu").over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            lag_tu.isNull() | (F.col("tu") - lag_tu >= _GAP_US), 1
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    sess = _sessionized(spark, sf_dir)
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.slice(
@@ -519,27 +532,8 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_market_basket",
-    oracle=f"""
-    WITH ev AS (
-      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id AS eid
-      FROM events
-    ), flagged AS (
-      SELECT user_id, event_type, tu, eid,
-             CASE WHEN tu - LAG(tu) OVER (
-                    PARTITION BY user_id ORDER BY tu, eid
-                  ) >= {_GAP_US}
-                  OR LAG(tu) OVER (
-                    PARTITION BY user_id ORDER BY tu, eid
-                  ) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM ev
-    ), sess AS (
-      SELECT user_id, event_type,
-             SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY tu, eid
-             ) AS session_id
-      FROM flagged
-    ), items AS (
+    oracle=_SESSIONIZE_SQL + """
+    , items AS (
       SELECT DISTINCT user_id, session_id, event_type FROM sess
     ), tot AS (
       SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM items
@@ -580,20 +574,7 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "analytics", "join"),
 )
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("tu"),
-        F.col("event_id").alias("eid"),
-    )
-    w = Window.partitionBy("user_id").orderBy("tu", "eid")
-    lag_tu = F.lag("tu").over(w)
-    sess = ev.withColumn(
-        "new_session",
-        F.when(
-            lag_tu.isNull() | (F.col("tu") - lag_tu >= _GAP_US), 1
-        ).otherwise(0),
-    ).withColumn("session_id", F.sum("new_session").over(w))
+    sess = _sessionized(spark, sf_dir)
     items = sess.select("user_id", "session_id", "event_type").distinct()
     tot = items.select("user_id", "session_id").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")

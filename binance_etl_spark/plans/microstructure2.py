@@ -436,6 +436,44 @@ def ms_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HY_H_US = 3_600_000_000  # 1-hour interval buckets for the range join
 
 
+
+def _hy_returns(spark, sf_dir):
+    """Per-sym tick return intervals for symbols 0/1 — the shared
+    input of ms_hayashi_yoshida and ms_hy_lead_lag (the lead-lag
+    scan's lag-0 slice must equal the base estimator, so there is
+    exactly ONE definition of the interval/return construction)."""
+    t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    return t.select(
+        "sym",
+        "tid",
+        F.unix_micros("ts").alias("tu"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_tu"),
+        (
+            (F.col("price") - F.lag("price").over(w))
+            / F.lag("price").over(w)
+        ).alias("ret"),
+    ).where(F.col("prev_tu").isNotNull())
+
+
+def _hy_bucketed(df, side):
+    """Explode one side's (already possibly lag-shifted) intervals to
+    the hour buckets they span; expects tu/prev_tu/tid/ret columns."""
+    return df.select(
+        *[c for c in df.columns if c not in ("sym", "tid", "tu", "prev_tu", "ret")],
+        F.col("tid").alias(f"tid_{side}"),
+        F.col("tu").alias(f"tu_{side}"),
+        F.col("prev_tu").alias(f"prev_{side}"),
+        F.col("ret").alias(f"ret_{side}"),
+        F.explode(
+            F.sequence(
+                F.expr(f"prev_tu div {_HY_H_US}"),
+                F.expr(f"tu div {_HY_H_US}"),
+            )
+        ).alias("bucket"),
+    )
+
+
 @register(
     "ms_hayashi_yoshida",
     oracle=f"""
@@ -484,35 +522,9 @@ _HY_H_US = 3_600_000_000  # 1-hour interval buckets for the range join
     tags=("market", "join", "stats", "scale-note:interval-bucketed"),
 )
 def ms_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
-    w = W.partitionBy("sym").orderBy("ts", "tid")
-    r = t.select(
-        "sym",
-        "tid",
-        F.unix_micros("ts").alias("tu"),
-        F.lag(F.unix_micros("ts")).over(w).alias("prev_tu"),
-        (
-            (F.col("price") - F.lag("price").over(w))
-            / F.lag("price").over(w)
-        ).alias("ret"),
-    ).where(F.col("prev_tu").isNotNull())
-
-    def buckets(df, side):
-        return df.select(
-            F.col("tid").alias(f"tid_{side}"),
-            F.col("tu").alias(f"tu_{side}"),
-            F.col("prev_tu").alias(f"prev_{side}"),
-            F.col("ret").alias(f"ret_{side}"),
-            F.explode(
-                F.sequence(
-                    F.expr(f"prev_tu div {_HY_H_US}"),
-                    F.expr(f"tu div {_HY_H_US}"),
-                )
-            ).alias("bucket"),
-        )
-
-    a = buckets(r.where(F.col("sym") == 0), "a")
-    b = buckets(r.where(F.col("sym") == 1), "b")
+    r = _hy_returns(spark, sf_dir)
+    a = _hy_bucketed(r.where(F.col("sym") == 0), "a")
+    b = _hy_bucketed(r.where(F.col("sym") == 1), "b")
     pairs = (
         a.join(b, "bucket")
         .where(
@@ -585,55 +597,25 @@ _HY_LAGS_US = [-600_000_000, 0, 600_000_000]  # -10min, 0, +10min
     tags=("market", "join", "stats", "scale-note:interval-bucketed"),
 )
 def ms_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
-    w = W.partitionBy("sym").orderBy("ts", "tid")
-    r = t.select(
-        "sym",
-        "tid",
-        F.unix_micros("ts").alias("tu"),
-        F.lag(F.unix_micros("ts")).over(w).alias("prev_tu"),
-        (
-            (F.col("price") - F.lag("price").over(w))
-            / F.lag("price").over(w)
-        ).alias("ret"),
-    ).where(F.col("prev_tu").isNotNull())
+    r = _hy_returns(spark, sf_dir)
     lags = spark.createDataFrame(
         [(u,) for u in _HY_LAGS_US], "lag_us bigint"
     )
-    a = r.where(F.col("sym") == 0).select(
-        F.col("tid").alias("tid_a"),
-        F.col("tu").alias("tu_a"),
-        F.col("prev_tu").alias("prev_a"),
-        F.col("ret").alias("ret_a"),
-        F.explode(
-            F.sequence(
-                F.expr(f"prev_tu div {_HY_H_US}"),
-                F.expr(f"tu div {_HY_H_US}"),
-            )
-        ).alias("bucket"),
-    )
+    a = _hy_bucketed(r.where(F.col("sym") == 0), "a")
     # shift B's intervals by each lag BEFORE bucketing so the bucket
     # cover matches the shifted overlap predicate
-    b = (
+    b_shift = (
         r.where(F.col("sym") == 1)
         .crossJoin(F.broadcast(lags))
         .select(
             "lag_us",
-            F.col("tid").alias("tid_b"),
-            (F.col("tu") + F.col("lag_us")).alias("tu_b"),
-            (F.col("prev_tu") + F.col("lag_us")).alias("prev_b"),
-            F.col("ret").alias("ret_b"),
-        )
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.expr(f"prev_b div {_HY_H_US}"),
-                    F.expr(f"tu_b div {_HY_H_US}"),
-                )
-            ),
+            "tid",
+            (F.col("tu") + F.col("lag_us")).alias("tu"),
+            (F.col("prev_tu") + F.col("lag_us")).alias("prev_tu"),
+            "ret",
         )
     )
+    b = _hy_bucketed(b_shift, "b")
     pairs = (
         a.join(b, "bucket")
         .where(
@@ -715,30 +697,49 @@ _EPPS_GRIDS_S = [600, 3600, 21600]  # 10min / 1h / 6h sampling grids
     "on the JOINT bucket series; five exact e6-integer sufficient "
     "sums per grid (emitted, so the hash pins the exact partials) "
     "and Pearson correlation as one fixed double expression over "
-    "them. Shape: the heavy pass is one (grid, sym, bucket) "
-    "aggregate over the tick scan; everything after is grid-bucket-"
-    "DIMENSION-sized (the per-grid return window runs on bars, "
-    "never ticks).",
+    "them. Shape: the heavy pass is ONE (sym, fine-bucket) aggregate "
+    "over a single tick scan — the grids NEST, so coarser bars are "
+    "exact max-struct rollups of the fine bars (the "
+    "agg_multires_rollup pattern) — and everything after is "
+    "grid-bucket-DIMENSION-sized (the per-grid return window runs "
+    "on bars, never ticks).",
     tags=("market", "stats", "agg", "scale-note:sufficient-statistics"),
 )
 def ms_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tape(spark, sf_dir).where(F.col("sym").isin(0, 1))
-    grids = spark.createDataFrame(
-        [(g,) for g in _EPPS_GRIDS_S], "grid_s bigint"
-    )
-    ticks = t.select(
-        "sym", "tid", F.unix_micros("ts").alias("tu"), "price"
-    ).crossJoin(F.broadcast(grids))
-    px = (
-        ticks.groupBy(
-            "grid_s",
+    # the grids NEST (600 | 3600 | 21600), so the tape is scanned ONCE
+    # at the finest grid and the coarser last-price bars are exact
+    # max-struct ROLLUPS of the fine bars (max over (tu, tid, price)
+    # structs is associative, and tu div (g*1e6) composes as integer
+    # division) — the agg_multires_rollup pattern; a per-grid
+    # crossJoin would re-scan the ticks |grids| times
+    fine = (
+        t.select("sym", "tid", F.unix_micros("ts").alias("tu"), "price")
+        .groupBy(
             "sym",
-            F.expr("tu div (grid_s * 1000000)").alias("bucket"),
+            F.expr(f"tu div ({_EPPS_GRIDS_S[0]} * 1000000)").alias("bucket"),
         )
-        .agg(
-            F.max(F.struct("tu", "tid", "price"))["price"].alias("p")
-        )
+        .agg(F.max(F.struct("tu", "tid", "price")).alias("s"))
     )
+    levels = [fine]
+    for prev_g, g in zip(_EPPS_GRIDS_S, _EPPS_GRIDS_S[1:]):
+        step = g // prev_g
+        levels.append(
+            levels[-1]
+            .groupBy(
+                "sym", F.expr(f"bucket div {step}").alias("bucket")
+            )
+            .agg(F.max("s").alias("s"))
+        )
+    px = None
+    for g, lvl in zip(_EPPS_GRIDS_S, levels):
+        part = lvl.select(
+            F.lit(g).cast("bigint").alias("grid_s"),
+            "sym",
+            "bucket",
+            F.col("s")["price"].alias("p"),
+        )
+        px = part if px is None else px.unionByName(part)
     a = px.where(F.col("sym") == 0).select(
         "grid_s", "bucket", F.col("p").alias("pa")
     )

@@ -669,8 +669,9 @@ def test_hayashi_yoshida_bucketed_never_cross(spark):
 
 def test_hy_lead_lag_bucketed_lag_grid(spark):
     """ms_hy_lead_lag: the only nested-loop join is the 3-row lag
-    broadcast; the tick pairing stays a (lag, bucket) equi-join with
-    a residual — never a cross of the tapes."""
+    broadcast; the tick pairing stays a bucket equi-join (the shifted
+    B copies carry their lag through it) with the overlap residual —
+    never a cross of the tapes."""
     plan = _plan(spark, "ms_hy_lead_lag")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 3-row lags
