@@ -235,6 +235,8 @@ HEADLINE_LLM = [
     "ms_hy_lead_lag",
     # round-7: the Epps-effect grid (the bias HY avoids, measured).
     "ms_epps_effect",
+    # round-7: TPC-H refresh functions through the DML front end.
+    "sink_sql_rf_tpch",
 ]
 
 

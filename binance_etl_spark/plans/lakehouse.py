@@ -751,3 +751,76 @@ def sink_sql_merge_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SNAP.read_version(spark, table).createOrReplaceTempView("events_cols")
     return spark.sql(_MC_FINAL_SQL)
+
+
+# --- sink_sql_rf_tpch: the TPC-H refresh functions ---------------------
+#
+# TPC-H is queries (Q1-Q22, all shipped as shared text) PLUS the
+# refresh streams: RF1 inserts a new-sales slice, RF2 deletes an
+# old-sales slice (spec 2.27-2.28). This runs both as ANSI text
+# against a snapshot copy of lineitem through the same front end the
+# warehouse chain uses, then re-runs the Q1 pricing summary over the
+# maintained table — completing the TPC-H story with its maintenance
+# half. Deterministic slices stand in for the spec's generated
+# refresh files: RF1 re-keys the l_orderkey % 97 = 11 rows by +1e9,
+# RF2 deletes l_orderkey % 97 = 29.
+
+_RF_BASE_SQL = (
+    "SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus FROM lineitem"
+)
+_RF1_INSERT = (
+    "INSERT INTO li_rf SELECT l_orderkey + 1000000000, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus "
+    "FROM li_rf_base WHERE l_orderkey % 97 = 11"
+)
+_RF2_DELETE = "DELETE FROM li_rf WHERE l_orderkey % 97 = 29"
+_RF_FINAL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_e2,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_e2,
+           COUNT(*) AS count_order
+    FROM li_rf GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sink_sql_rf_tpch",
+    oracle=f"""
+    CREATE OR REPLACE TEMP TABLE li_rf_base AS {_RF_BASE_SQL};
+    CREATE OR REPLACE TEMP TABLE li_rf AS SELECT * FROM li_rf_base;
+    {_RF1_INSERT};
+    {_RF2_DELETE};
+    {_RF_FINAL_SQL}
+    """,
+    doc="TPC-H refresh functions as ANSI text over the snapshot log: "
+    "RF1 (INSERT INTO ... SELECT, a new-sales slice re-keyed clear of "
+    "the key space) and RF2 (DELETE of an old-sales slice) execute "
+    "through the DML front end against a snapshot copy of lineitem, "
+    "then the Q1 pricing summary re-runs over the maintained table — "
+    "the maintenance half of TPC-H, driven by the same shared "
+    "statements on both engines. Scale posture is the committers': "
+    "RF1 is a pure append commit; RF2 rewrites only the files holding "
+    "deleted keys and carries the rest by name.",
+    tags=("sink", "dml", "sql", "versioning"),
+)
+def sink_sql_rf_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.operators.sql_dml import execute_dml
+
+    base = spark.sql(
+        _RF_BASE_SQL.replace("FROM lineitem", "FROM {li}"),
+        li=load(spark, sf_dir, "lineitem"),
+    )
+    table = tempfile.mkdtemp(prefix="besk_rf_") + "/li_rf"
+    SNAP.write_version(base.repartition(8), table)
+    base.createOrReplaceTempView("li_rf_base")
+    for stmt in (_RF1_INSERT, _RF2_DELETE):
+        execute_dml(spark, stmt, {"li_rf": table})
+    SNAP.read_version(spark, table).createOrReplaceTempView("li_rf")
+    return spark.sql(_RF_FINAL_SQL)
