@@ -237,6 +237,8 @@ HEADLINE_LLM = [
     "ms_epps_effect",
     # round-7: TPC-H refresh functions through the DML front end.
     "sink_sql_rf_tpch",
+    # round-7: personalized PageRank (random walk with restart).
+    "graph_ppr",
 ]
 
 

@@ -24,7 +24,9 @@ UNIT = 1_000_000_000_000  # 1.0 rank mass in e-12 integer units
 DAMPING = 0.85
 
 
-def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame, n_iters: int = 3, seed: int | None = None
+) -> DataFrame:
     """PageRank over `edges(src, dst)`, returning (node, rank_units).
 
     Simplified (no dangling-mass redistribution): nodes without
@@ -32,6 +34,11 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     demos. rank_0 = 1.0 per node; each iteration sends
     floor(rank/out_degree) along every edge and re-ranks as
     base + 0.85 * incoming, base = 0.15 in units.
+
+    ``seed`` switches to PERSONALIZED PageRank: the restart mass
+    (both rank_0 and the per-iteration base) concentrates entirely on
+    the seed node instead of spreading uniformly — random walk with
+    restart, the recommendation/relatedness primitive.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -43,8 +50,19 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     # edges ⋈ degree is loop-invariant: materialize once.
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
 
-    rank = nodes.withColumn("r", F.lit(UNIT).cast("bigint"))
-    base = int(round((1 - DAMPING) * UNIT))
+    if seed is None:
+        rank = nodes.withColumn("r", F.lit(UNIT).cast("bigint"))
+        base_col = F.lit(int(round((1 - DAMPING) * UNIT)))
+    else:
+        rank = nodes.withColumn(
+            "r",
+            F.when(F.col("node") == seed, F.lit(UNIT))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        base_col = F.when(
+            F.col("node") == seed, F.lit(int(round((1 - DAMPING) * UNIT)))
+        ).otherwise(F.lit(0))
     for _ in range(n_iters):
         contrib = (
             ed.join(rank, ed["src"] == rank["node"])
@@ -60,7 +78,7 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.floor(F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0)))
                 ).cast("bigint").alias("r"),
             )

@@ -273,3 +273,71 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_distances(und, "node % 50 = 0", n_iters=4).orderBy("node")
+
+
+_SQL_PPR_ITER = """
+  SELECT n.node,
+         CAST((CASE WHEN n.node = 0 THEN 150000000000 ELSE 0 END)
+              + floor(0.85 * COALESCE(s.c, 0)) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(floor(CAST(r.r AS DOUBLE) / d.d) AS BIGINT)) AS c
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+"""
+
+
+@register(
+    "graph_ppr",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT user_id AS src, {_DST} AS dst
+      FROM events WHERE user_id <> {_DST}
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      )
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node,
+             CAST(CASE WHEN node = 0 THEN 1000000000000 ELSE 0 END
+                  AS BIGINT) AS r
+      FROM nodes
+    ), it1 AS ({_SQL_PPR_ITER.format(prev="r0")}
+    ), it2 AS ({_SQL_PPR_ITER.format(prev="it1")}
+    ), it3 AS ({_SQL_PPR_ITER.format(prev="it2")})
+    SELECT node, r AS rank_units FROM it3
+    WHERE r > 0 ORDER BY node
+    """,
+    doc="Personalized PageRank (random walk with restart) from seed "
+    "node 0 over the same deterministic event link graph as "
+    "graph_pagerank: the restart mass — rank_0 AND the per-iteration "
+    "base — concentrates entirely on the seed, so after 3 power "
+    "iterations the nonzero ranks are exactly the seed's 3-hop "
+    "relatedness neighborhood (the recommendation primitive; nodes "
+    "the walk cannot reach stay at zero and are filtered). Same "
+    "machinery and exactness as graph_pagerank: one rank-edges "
+    "equi-join plus a map-side-combinable per-dst sum per iteration, "
+    "BIGINT e-12 units, eager localCheckpoint keeping lineage flat — "
+    "the unrolled DuckDB oracle matches bit-for-bit.",
+    tags=("graph", "iterative", "rag"),
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.graph import pagerank
+
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    edges = (
+        e.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        pagerank(edges, n_iters=3, seed=0)
+        .where(F.col("rank_units") > 0)
+        .orderBy("node")
+    )
