@@ -239,6 +239,8 @@ HEADLINE_LLM = [
     "sink_sql_rf_tpch",
     # round-7: personalized PageRank (random walk with restart).
     "graph_ppr",
+    # round-7: Tukey-fence adaptive outlier screen.
+    "dq_outlier_iqr",
 ]
 
 

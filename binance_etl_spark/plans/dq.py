@@ -295,3 +295,74 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("check_name")
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_e2
+      FROM events
+    ), fences AS (
+      SELECT event_type,
+             CAST(quantile_disc(v_e2, 0.25) AS BIGINT) AS q1_e2,
+             CAST(quantile_disc(v_e2, 0.75) AS BIGINT) AS q3_e2
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, f.q1_e2, f.q3_e2,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN v.v_e2 < f.q1_e2
+                          - (3 * (f.q3_e2 - f.q1_e2)) // 2
+                      OR v.v_e2 > f.q3_e2
+                          + (3 * (f.q3_e2 - f.q1_e2)) // 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN fences f ON f.event_type = v.event_type
+    GROUP BY v.event_type, f.q1_e2, f.q3_e2
+    ORDER BY v.event_type
+    """,
+    doc="Tukey-fence outlier screen per event type: exact DISCRETE "
+    "quartiles of the floor-e2 values (element selection, no "
+    "interpolation drift), integer 1.5*IQR fences (floor(3*IQR/2) — "
+    "all BIGINT arithmetic), and the out-of-fence census. The "
+    "anomaly-rate DQ gate that pairs with dq_expectations' fixed "
+    "rules: fences adapt to each group's own distribution. Shape: "
+    "one keyed quantile aggregate produces a GROUP-COUNT-sized fence "
+    "table that broadcast-joins back onto the scan for a single "
+    "counting pass — two scans total, nothing data-sized shuffles "
+    "beyond the keyed partials.",
+    tags=("dq", "stats", "agg"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
+    )
+    v.createOrReplaceTempView("dq_iqr_v")
+    fences = spark.sql(
+        """
+        SELECT event_type,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v_e2)
+                    AS BIGINT) AS q1_e2,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v_e2)
+                    AS BIGINT) AS q3_e2
+        FROM dq_iqr_v GROUP BY event_type
+        """
+    )
+    half = F.expr("(3 * (q3_e2 - q1_e2)) div 2")
+    out = (
+        v.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1_e2", "q3_e2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("v_e2") < F.col("q1_e2") - half)
+                    | (F.col("v_e2") > F.col("q3_e2") + half),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return out.orderBy("event_type")
