@@ -103,13 +103,30 @@ def _update_main_idx(
         # {last: 0} and then stamping last=v would hide every earlier
         # main version from idx-answered reads (readers degrade to the
         # full scan when the idx is absent, but once we WRITE one it
-        # must be complete up to its own `last`)
-        prior = [
-            u
-            for u in versions(table_dir)
-            if u < v and "branch" not in _load_manifest(table_dir, u)
-        ]
+        # must be complete up to its own `last`). The same scan MUST
+        # repopulate batch_ids: _find_batch_commit and write_branch's
+        # replay checks only tail-scan manifests with version > last,
+        # so a streaming batch committed before the rebuilt `last`
+        # would otherwise become invisible after idx loss and a
+        # replayed micro-batch would re-apply — an exactly-once
+        # violation. Keys keep the lane namespacing (`branch:<name>:
+        # <id>` for branch manifests, bare str(id) for main).
+        prior: list[int] = []
+        batch_ids: dict[str, int] = {}
+        for u in versions(table_dir):
+            if u >= v:
+                continue
+            m = _load_manifest(table_dir, u)
+            if "branch" not in m:
+                prior.append(u)
+            bid = m.get("batch_id")
+            if bid is not None:
+                br = m.get("branch")
+                key = f"branch:{br}:{bid}" if br else str(bid)
+                batch_ids[key] = u
         idx = {"last": max(prior, default=0), "main": prior}
+        if batch_ids:
+            idx["batch_ids"] = batch_ids
     if v > idx["last"]:
         if is_main:
             idx["main"].append(v)

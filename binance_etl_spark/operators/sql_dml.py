@@ -166,6 +166,7 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
     ins_vals: list[str] | None = None
     ins_cond: str | None = None
     saw_star_update = saw_star_insert = False
+    matched_order: list[tuple[str, bool]] = []  # (kind, has_guard) in text order
     whens_text = mm.group("whens")
     cursor = 0
     for w in _WHEN_RE.finditer(whens_text):
@@ -215,6 +216,7 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                     "only one WHEN MATCHED ... DELETE clause is supported"
                 )
             delete_condition = w.group("cond") or "TRUE"
+            matched_order.append(("DELETE", w.group("cond") is not None))
         elif action_norm == "UPDATE SET *":
             if w.group("cond"):
                 raise ValueError(
@@ -226,6 +228,7 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                     "only one WHEN MATCHED ... UPDATE clause is supported"
                 )
             saw_star_update = True
+            matched_order.append(("UPDATE", False))
         elif action_norm.startswith("UPDATE SET "):
             if w.group("cond"):
                 raise ValueError(
@@ -259,6 +262,28 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
                 "star-mode MERGE must carry WHEN MATCHED THEN UPDATE SET * "
                 "and WHEN NOT MATCHED THEN INSERT * (the CDC-apply shape)"
             )
+        # ANSI/Delta evaluate WHEN MATCHED clauses in textual order and
+        # require every clause but the LAST to carry a condition. This
+        # engine executes the DELETE branch before UPDATE SET *, so the
+        # only text both engines agree on is `WHEN MATCHED AND cond
+        # THEN DELETE` FOLLOWED by the unconditioned UPDATE. Silently
+        # accepting the other orders would execute semantics a
+        # warehouse engine rejects outright — raise instead.
+        if len(matched_order) == 2:
+            first, last = matched_order
+            if first == ("UPDATE", False):
+                raise ValueError(
+                    "star-mode MERGE: unconditioned UPDATE SET * before a "
+                    "DELETE clause — matched clauses evaluate in order, so "
+                    "the DELETE would be unreachable; put `WHEN MATCHED AND "
+                    "<cond> THEN DELETE` first"
+                )
+            if first == ("DELETE", False):
+                raise ValueError(
+                    "star-mode MERGE: unconditioned DELETE before UPDATE "
+                    "SET * — only the last WHEN MATCHED clause may omit its "
+                    "condition; guard the DELETE"
+                )
         if delete_condition:
             delete_condition = _strip_alias_outside_quotes(
                 delete_condition, salias

@@ -174,3 +174,22 @@ def test_catalog_load_does_not_mutate_session_timezone(spark, sf_dir):
         assert vals_ny == vals_utc
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_bootstrap_conv_carve_equivalence(spark):
+    """stats_bootstrap_ci's Spark side carves 16-bit uniforms with
+    conv(hex,16,10) while the DuckDB oracle uses instr-nibble
+    arithmetic — the two must agree bit-for-bit on every digest slot
+    or the oracle hash silently drifts."""
+    from binance_etl_spark.plans.stats2 import _U
+
+    df = (
+        spark.range(0, 512)
+        .selectExpr("md5(CAST(id AS STRING)) AS hk")
+        .selectExpr("hk", "explode(sequence(0, 7)) AS s")
+        .selectExpr(
+            "CAST(conv(substr(hk, s * 4 + 1, 4), 16, 10) AS INT) AS u_conv",
+            f"{_U.format(hk='hk')} AS u_instr",
+        )
+    )
+    assert df.where("u_conv <> u_instr").count() == 0

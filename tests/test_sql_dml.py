@@ -384,3 +384,53 @@ def test_insert_only_merge_is_pure_append(spark, tmp_path):
     assert got[5] == 5.0  # matched row untouched
     assert got[50] == 2.0  # unmatched row inserted
     assert len(got) == 21
+
+
+def test_star_merge_matched_clause_order_enforced(spark, tmp_path):
+    """ANSI/Delta evaluate WHEN MATCHED clauses in textual order and
+    only the LAST may omit its condition. This engine applies the
+    DELETE branch before UPDATE SET *, so star-mode text with the
+    unconditioned UPDATE first (or an unguarded DELETE first) must be
+    REJECTED, not silently executed with different semantics than a
+    warehouse engine would give the same text."""
+    import pytest
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.operators.sql_dml import execute_dml
+
+    t = str(tmp_path / "tbl")
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"), t
+    )
+    spark.createDataFrame(
+        [(1, -1.0), (99, 9.0)], "id BIGINT, v DOUBLE"
+    ).createOrReplaceTempView("order_feed")
+    with pytest.raises(ValueError, match="unreachable"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING order_feed s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.v < 0 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="guard the DELETE"):
+        execute_dml(
+            spark,
+            "MERGE INTO tbl t USING order_feed s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"tbl": t},
+        )
+    # the canonical order still executes
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING order_feed s ON t.id = s.id "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t},
+    )
+    got = {r["id"]: r["v"] for r in SNAP.read_version(spark, t).collect()}
+    assert 1 not in got and got[99] == 9.0 and len(got) == 10
