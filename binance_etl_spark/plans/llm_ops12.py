@@ -584,15 +584,35 @@ def _dsir_bucket(tok):
 def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_spark.operators.dedup import tokenize
 
-    d = fanout(load(spark, sf_dir, "documents"))
+    # no fanout(): shuffling the full text column to spread a sub-MB
+    # single-file scan costs more than the single-threaded tokenize
+    # pass it parallelizes (0.58s vs 0.30s per pass at sf0.1); any
+    # at-scale input scans as many partitions natively
+    d = load(spark, sf_dir, "documents")
     tokb = d.select(
         "doc_id",
         "lang",
         F.explode(tokenize(F.col("text"))).alias("tok"),
     ).select("doc_id", "lang", _dsir_bucket(F.col("tok")).alias("b"))
-    counts = tokb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.count_if(F.col("lang") == "en").alias("tgt_n"),
+    # Per-doc bucket histogram: map-side partial aggregation collapses
+    # each doc's token stream to <=1024 rows BEFORE any exchange, so
+    # both consumers below shuffle histogram rows, never token rows.
+    # The two legs still each run the tokenize+md5 scan (ReuseExchange
+    # cannot dedupe them — the scoring leg's lang<>'en' filter is on a
+    # grouping column, so Catalyst pushes it below the aggregate and
+    # the subtrees diverge); persist() was measured and REJECTED: at
+    # sf0.1 cache write+read costs more than the second 0.3s scan
+    # (1.58s persisted vs 0.89s recomputed, best-of-3 grid in
+    # PERFORMANCE.md). At 100 TB the same shape holds per-partition:
+    # the shuffled histogram is ~1% of the tokenized stream.
+    hist = tokb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    counts = hist.groupBy("b").agg(
+        F.sum("n_b").alias("raw_n"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("n_b")).otherwise(F.lit(0))
+        ).alias("tgt_n"),
     )
     tot = counts.agg(
         F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
@@ -605,12 +625,14 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_ppm"),
     )
     return (
-        tokb.where(F.col("lang") != "en")
+        hist.where(F.col("lang") != "en")
         .join(F.broadcast(weights), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_ppm").cast("bigint").alias("dsir_score_ppm"),
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_b") * F.col("w_ppm"))
+            .cast("bigint")
+            .alias("dsir_score_ppm"),
         )
         .orderBy(F.desc("dsir_score_ppm"), "doc_id")
         .limit(_DSIR_TOPK)
