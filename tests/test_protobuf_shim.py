@@ -190,3 +190,71 @@ def test_golden_repeated_nested():
     ]
     each = [_ld(1, b"\x01") + _ld(2, b"\x02\x03"), _ld(2, b"\x04")]
     assert [p.SerializeToString() for p in pairs] == each
+
+
+def test_shim_only_loads_when_real_protobuf_absent(tmp_path):
+    """CI-style guard for the day the sandbox gains a real
+    `pip install protobuf`: ensure_protobuf() must PREFER the real
+    package — returning 'real', resolving google.protobuf to it, and
+    keeping the vendor dir OFF sys.path and PYTHONPATH (a shim that
+    shadows a real install would silently downgrade the tWS state
+    channel). Simulated with a marker 'real' package in a subprocess."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (tmp_path / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (pkg / "__init__.py").write_text("IS_FAKE_REAL = True\n")
+
+    code = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, sys.argv[1])          # the fake 'real' install
+        sys.path.insert(0, sys.argv[2])          # the repo
+        from binance_etl_spark.session import ensure_protobuf, _VENDOR_DIR
+        impl = ensure_protobuf()
+        import google.protobuf as gp
+        assert impl == "real", impl
+        assert getattr(gp, "IS_FAKE_REAL", False), gp.__file__
+        assert _VENDOR_DIR not in sys.path
+        assert _VENDOR_DIR not in os.environ.get("PYTHONPATH", "")
+        print("REAL-PREFERRED")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path), "/root/repo"],
+        capture_output=True,
+        text=True,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "REAL-PREFERRED" in r.stdout
+
+    # and in THIS container (no real protobuf) the shim leg engages
+    code2 = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, sys.argv[1])
+        from binance_etl_spark.session import ensure_protobuf, _VENDOR_DIR
+        impl = ensure_protobuf()
+        import google.protobuf as gp
+        assert impl == "shim", impl
+        assert gp.__file__.startswith(_VENDOR_DIR), gp.__file__
+        print("SHIM-FALLBACK")
+        """
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", code2, "/root/repo"],
+        capture_output=True,
+        text=True,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        timeout=60,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "SHIM-FALLBACK" in r2.stdout

@@ -160,3 +160,129 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
     execute_dml(spark, "TRUNCATE TABLE tbl", {"tbl": table})
     assert _read(spark, table) == {}
     assert len(SNAP.main_versions(table)) >= 13
+
+
+@pytest.mark.parametrize("seed", [100, 101, 102])
+def test_concurrent_two_writer_dml_serializes(spark, tmp_path, seed):
+    """Two REAL threads fire random DML statements at ONE snapshot
+    table concurrently. The serializable-commit layer promises commit
+    order == claim order, every rewrite retries against the new head,
+    and no statement is lost — so the final table must equal the
+    in-memory model produced by applying each committed statement's
+    transformation IN COMMIT-VERSION ORDER (the serial schedule the
+    log actually chose). Composes the threaded snapshot race tests
+    with the single-writer DML model fuzz."""
+    import threading
+
+    table = str(tmp_path / f"cdml{seed}")
+    init = {i: (i * 3, i % 5) for i in range(40)}
+    SNAP.write_version(_mk_df(spark, init), table)
+
+    committed: list[tuple[int, object]] = []  # (version, transform)
+    aborted: list[str] = []
+    lock = threading.Lock()
+    errors: list[str] = []
+
+    def writer(tid: int) -> None:
+        rng = random.Random(seed * 10 + tid)
+        next_id = 1000 * (tid + 1)
+        for step in range(6):
+            op = rng.choice(["delete", "update", "insert", "merge_star"])
+            if op == "delete":
+                cut = rng.randrange(0, 6)
+                stmt = f"DELETE FROM tbl WHERE b = {cut}"
+
+                def tf(m, cut=cut):
+                    return {k: v for k, v in m.items() if v[1] != cut}
+
+            elif op == "update":
+                cut = rng.randrange(0, 6)
+                add = rng.randrange(1, 9)
+                stmt = (
+                    f"UPDATE tbl SET a = a + {add}, b = b + 1 "
+                    f"WHERE b = {cut}"
+                )
+
+                def tf(m, cut=cut, add=add):
+                    return {
+                        k: (a + add, b + 1) if b == cut else (a, b)
+                        for k, (a, b) in m.items()
+                    }
+
+            elif op == "insert":
+                vals = [
+                    (next_id + i, rng.randrange(100), rng.randrange(6))
+                    for i in range(rng.randrange(1, 4))
+                ]
+                next_id += len(vals)
+                body = ", ".join(f"({k}, {a}, {b})" for k, a, b in vals)
+                stmt = f"INSERT INTO tbl VALUES {body}"
+
+                def tf(m, vals=tuple(vals)):
+                    m = dict(m)
+                    for k, a, b in vals:
+                        m[k] = (a, b)
+                    return m
+
+            else:
+                src_rows = [
+                    (rng.randrange(0, 40), rng.randrange(100), rng.randrange(6))
+                    for _ in range(rng.randrange(2, 5))
+                ]
+                src_rows += [(next_id, rng.randrange(100), rng.randrange(6))]
+                next_id += 1
+                dedup = {k: (a, b) for k, a, b in src_rows}
+                src_rows = [(k, a, b) for k, (a, b) in dedup.items()]
+                view = f"csrc_{seed}_{tid}_{step}"
+                spark.createDataFrame(
+                    src_rows, "id long, a long, b long"
+                ).createOrReplaceTempView(view)
+                stmt = (
+                    f"MERGE INTO tbl t USING {view} s ON t.id = s.id "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+
+                def tf(m, rows=tuple(src_rows)):
+                    m = dict(m)
+                    for k, a, b in rows:
+                        m[k] = (a, b)
+                    return m
+
+            try:
+                v = execute_dml(spark, stmt, {"tbl": table})
+            except RuntimeError as exc:
+                # losing the bounded optimistic-conflict race (4
+                # retries) is a LEGAL outcome under a two-writer
+                # barrage — the statement aborts BEFORE its manifest
+                # commit (raise precedes _commit_manifest), so it must
+                # leave no trace; anything else is a real failure
+                if "optimistic-conflict race" not in str(exc):
+                    errors.append(f"writer {tid} step {step} {stmt!r}: {exc}")
+                    return
+                with lock:
+                    aborted.append(stmt)
+                continue
+            except Exception as exc:  # no statement may be refused
+                errors.append(f"writer {tid} step {step} {stmt!r}: {exc}")
+                return
+            with lock:
+                committed.append((v, tf))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(committed) + len(aborted) == 12
+    # the retry loop must absorb most contention: a barrage where half
+    # the statements abort would gut the test (and the engine)
+    assert len(committed) >= 9, f"only {len(committed)} committed: {aborted}"
+    versions = [v for v, _ in committed]
+    assert len(set(versions)) == len(versions), "duplicate commit versions"
+
+    model = dict(init)
+    for _, tf in sorted(committed, key=lambda p: p[0]):
+        model = tf(model)
+    assert _read(spark, table) == model
