@@ -1,0 +1,321 @@
+"""Round-8 statistics battery: classical two-sample inference and a
+sufficient-statistics correlation matrix, plus a freshness-SLA data-
+quality screen — the hypothesis-testing layer an experimentation /
+monitoring pipeline runs over event streams.
+
+Cross-engine float discipline (the microstructure.py rules): every
+input is floored to integer units (value -> e2) BEFORE any cross-row
+sum, so aggregates are order-free across partitionings AND engines;
+derived statistics (means, variances, t, correlation) are computed
+from those exact integers with IDENTICAL shared-text expression trees
+— division and sqrt only, both IEEE-correctly-rounded, never ln/exp
+whose last ulp varies across libm builds.
+
+Scale notes inline per op; none of these collects, none exceeds one
+data-sized exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+# Welch t statistic from exact integer sufficient stats — the SAME text
+# runs on both engines (all casts explicit, one fixed tree).
+_WELCH_DERIVE = """
+    (CAST(s1 AS DOUBLE) / 100 / n - CAST(b_s1 AS DOUBLE) / 100 / b_n)
+    / sqrt(
+        ((CAST(s2 AS DOUBLE) / 10000
+          - (CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100) / n)
+         / (n - 1)) / n
+      + ((CAST(b_s2 AS DOUBLE) / 10000
+          - (CAST(b_s1 AS DOUBLE) / 100) * (CAST(b_s1 AS DOUBLE) / 100) / b_n)
+         / (b_n - 1)) / b_n
+    )
+"""
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ), base AS (
+      SELECT n AS b_n, s1 AS b_s1, s2 AS b_s2 FROM s
+      WHERE event_type = 'click'
+    )
+    SELECT event_type, n, s1, s2,
+           CAST({_WELCH_DERIVE} AS DOUBLE) AS t_stat
+    FROM s, base
+    WHERE event_type <> 'click'
+    ORDER BY event_type
+    """,
+    doc="Welch's unequal-variance t-test of every event type's mean "
+    "value against the 'click' baseline: one map-side-combinable "
+    "aggregate emits exact integer sufficient statistics (n, sum of "
+    "floor-e2 values, sum of squares), the 1-row baseline broadcasts, "
+    "and the t statistic derives from the integers via ONE shared-text "
+    "expression tree (divisions + one sqrt — both IEEE-correctly-"
+    "rounded, so the hash is engine-exact; no Satterthwaite df here, "
+    "it needs no new sums and would add only arithmetic). 100 TB "
+    "shape: a 5-row aggregate over one scan; nothing else moves.",
+    tags=("stats", "agg"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_e2").alias("s1"),
+        F.sum(F.col("v_e2") * F.col("v_e2")).alias("s2"),
+    )
+    base = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("n").alias("b_n"),
+            F.col("s1").alias("b_s1"),
+            F.col("s2").alias("b_s2"),
+        )
+    )
+    return (
+        s.where(F.col("event_type") != "click")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "n",
+            "s1",
+            "s2",
+            F.expr(_WELCH_DERIVE).cast("double").alias("t_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH two AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), hist AS (
+      SELECT v,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS ca,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS cb,
+             COUNT(*) AS c
+      FROM two GROUP BY v
+    ), cum AS (
+      SELECT v, ca, cb, c,
+             COALESCE(SUM(c) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS before
+      FROM hist
+    ), sums AS (
+      SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+             SUM(ca * (2 * before + c + 1)) AS r2_a
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+    FROM sums
+    """,
+    doc="Mann-Whitney rank-sum U between the 'click' and 'purchase' "
+    "value samples, EXACT with midrank tie handling and scalable by "
+    "construction: instead of ranking N rows (a global sort), build "
+    "the distinct-value histogram (one combinable aggregate over "
+    "floor-e2 integers), run the cumulative count over DISTINCT "
+    "values only (a tiny window), and expand each tie group's midrank "
+    "algebraically — 2x-scaled so every quantity stays integer "
+    "(avg rank of a tie group = before + (c+1)/2, so 2R = "
+    "2*before + c + 1 per element). U2 = 2U; U_A + U_B = n_A*n_B "
+    "checks by identity. 100 TB shape: the only data-sized operation "
+    "is the histogram aggregate; the window runs over |distinct "
+    "values| rows.",
+    tags=("stats", "agg", "window"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    two = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    hist = two.groupBy("v").agg(
+        F.count_if(F.col("event_type") == "click").alias("ca"),
+        F.count_if(F.col("event_type") == "purchase").alias("cb"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "ca",
+        "cb",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before"),
+    )
+    sums = cum.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("before") + F.col("c") + 1)
+        ).alias("r2_a"),
+    )
+    return sums.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2_a"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        )
+        .cast("bigint")
+        .alias("u2_b"),
+    )
+
+
+# one shared-text Pearson derivation from exact integer sums
+_CORR_DERIVE = """
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+    / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+"""
+
+# (name, integer-scaled expression) — scales chosen so every pairwise
+# product sum stays far inside BIGINT at 100x bench scale: price e0
+# (<=1.05e5 -> squares <=1.1e10), qty e0 (<=50), disc/tax e2 (<=10)
+_CORR_COLS = [
+    ("quantity", "CAST(floor(l_quantity) AS BIGINT)"),
+    ("price", "CAST(floor(l_extendedprice) AS BIGINT)"),
+    ("discount_e2", "CAST(floor(l_discount * 100) AS BIGINT)"),
+    ("tax_e2", "CAST(floor(l_tax * 100) AS BIGINT)"),
+]
+
+
+def _corr_pair_sql() -> str:
+    pairs = []
+    names = [n for n, _ in _CORR_COLS]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            pairs.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, "
+                f"sum_{x} AS sx, sum_{y} AS sy, sum_{x}_{y} AS sxy, "
+                f"sum_{x}_{x} AS sxx, sum_{y}_{y} AS syy FROM moments"
+            )
+    return " UNION ALL ".join(pairs)
+
+
+def _corr_moment_exprs() -> list[str]:
+    names = [n for n, _ in _CORR_COLS]
+    out = [f"COUNT(*) AS n"]
+    for x in names:
+        out.append(f"SUM({x}) AS sum_{x}")
+    for i in range(len(names)):
+        for j in range(i, len(names)):
+            x, y = names[i], names[j]
+            out.append(f"SUM({x} * {y}) AS sum_{x}_{y}")
+    return out
+
+
+@register(
+    "stats_corr_matrix",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT {", ".join(f"{e} AS {n}" for n, e in _CORR_COLS)}
+      FROM lineitem
+    ), moments AS (
+      SELECT {", ".join(_corr_moment_exprs())} FROM scaled
+    ), pairs AS (
+      {_corr_pair_sql()}
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           CAST({_CORR_DERIVE} AS DOUBLE) AS corr
+    FROM pairs ORDER BY col_x, col_y
+    """,
+    doc="Pairwise Pearson correlation matrix over four lineitem "
+    "measures in ONE scan: a single aggregate emits ALL sufficient "
+    "statistics (4 sums + 10 product sums + n, every input floored to "
+    "integer units so the sums are order-free and engine-exact), then "
+    "the 6 upper-triangle pairs unfold from that 1-row moments table "
+    "with a shared-text derivation (multiplies, divides, two sqrts — "
+    "all correctly-rounded). The textbook moment-matrix trick: at "
+    "100 TB the correlation matrix costs exactly one combinable pass, "
+    "never a per-pair scan.",
+    tags=("stats", "agg"),
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    scaled = li.selectExpr(*[f"{e} AS {n}" for n, e in _CORR_COLS])
+    moments = scaled.agg(
+        F.expr(_corr_moment_exprs()[0]),
+        *[F.expr(e) for e in _corr_moment_exprs()[1:]],
+    )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(
+        f"""
+        WITH pairs AS ({_corr_pair_sql()})
+        SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+               CAST({_CORR_DERIVE} AS DOUBLE) AS corr
+        FROM pairs ORDER BY col_x, col_y
+        """
+    )
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    f AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.n,
+           CAST(floor(epoch(f.last_ts)) AS BIGINT) AS last_epoch_s,
+           CAST(floor(epoch(g.global_max)) - floor(epoch(f.last_ts))
+                AS BIGINT) AS lag_s,
+           CAST(floor(epoch(g.global_max)) - floor(epoch(f.last_ts))
+                > 21600 AS BOOLEAN) AS sla_breach
+    FROM f, g ORDER BY f.event_type
+    """,
+    doc="Per-source freshness against a 6-hour SLA: every event type's "
+    "latest timestamp, its lag behind the globally freshest event, "
+    "and the breach flag — the staleness monitor a multi-source "
+    "ingestion pipeline alerts on (the reference's local_timestamp "
+    "column exists for exactly this drift question, base.py:52). "
+    "Integer epoch seconds end to end. 100 TB shape: two combinable "
+    "MAX aggregates and a 1-row broadcast; the scan prunes to (ts, "
+    "event_type).",
+    tags=("dq", "agg"),
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("global_max"))
+    f = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n")
+    )
+    lag = F.col("global_max").cast("long") - F.col("last_ts").cast("long")
+    return (
+        f.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            F.col("last_ts").cast("long").alias("last_epoch_s"),
+            lag.alias("lag_s"),
+            (lag > 21600).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )

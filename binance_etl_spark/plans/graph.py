@@ -341,3 +341,135 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_units") > 0)
         .orderBy("node")
     )
+
+
+# --- k-core decomposition (unrolled peeling) ----------------------------
+
+_UE_SQL = f"""
+      SELECT DISTINCT a, b FROM (
+        SELECT user_id AS a, {_DST} AS b FROM events
+        UNION ALL
+        SELECT {_DST} AS a, user_id AS b FROM events
+      ) WHERE a <> b
+"""
+
+_PEEL_SQL = """
+  SELECT a, b FROM {edges}
+  WHERE a IN (SELECT a FROM {edges} GROUP BY a HAVING COUNT(*) >= {k})
+    AND b IN (SELECT a FROM {edges} GROUP BY a HAVING COUNT(*) >= {k})
+"""
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}
+    ), e1 AS ({_PEEL_SQL.format(edges="ue", k=3)}
+    ), e2 AS ({_PEEL_SQL.format(edges="e1", k=3)}
+    ), e3 AS ({_PEEL_SQL.format(edges="e2", k=3)})
+    SELECT a AS node, COUNT(*) AS core_degree
+    FROM e3 GROUP BY a ORDER BY node
+    """,
+    doc="3-core decomposition by unrolled peeling over the undirected "
+    "event link graph: each round drops every node of degree < 3 and "
+    "the edges touching it (a degree aggregate + two semi-joins — the "
+    "standard distributed k-core round, Quick/Wilkinson/Heasley "
+    "shape); 3 rounds unrolled, same fixed-depth discipline as "
+    "graph_bfs_distances, and the surviving nodes' degrees are "
+    "exact integers. 100 TB shape: per round one combinable degree "
+    "count and two hash semi-joins on the edge list — no all-pairs "
+    "work, no driver adjacency; rounds-to-converge is bounded by "
+    "graph depth, not data size.",
+    tags=("graph", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
+    rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
+    ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
+    edges = ue
+    for _ in range(3):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3)
+            .select("a")
+        )
+        edges = edges.join(keep, "a", "semi").join(
+            keep.withColumnRenamed("a", "b"), "b", "semi"
+        )
+    return (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+# --- common-neighbor similarity (wedge join) ----------------------------
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}
+    ), deg AS (
+      SELECT a, COUNT(*) AS d FROM ue GROUP BY a
+    ), wedges AS (
+      SELECT e1.a AS x, e2.a AS y, COUNT(*) AS common
+      FROM ue e1 JOIN ue e2 ON e1.b = e2.b AND e1.a < e2.a
+      GROUP BY e1.a, e2.a
+    )
+    SELECT w.x, w.y, w.common,
+           CAST(dx.d AS BIGINT) AS deg_x, CAST(dy.d AS BIGINT) AS deg_y,
+           CAST((1000000 * w.common) // (dx.d + dy.d - w.common)
+                AS BIGINT) AS jaccard_ppm
+    FROM wedges w JOIN deg dx ON dx.a = w.x JOIN deg dy ON dy.a = w.y
+    ORDER BY w.common DESC, w.x, w.y LIMIT 20
+    """,
+    doc="Top-20 most-similar node pairs by common-neighbor count with "
+    "exact integer Jaccard (|N(x) n N(y)| / |N(x) u N(y)| in ppm): "
+    "ONE self-equi-join on the shared neighbor (the wedge join — "
+    "never a node-pair cartesian; work is sum of squared neighbor "
+    "degrees, the graph_triangles cost model), a combinable pair "
+    "count, two broadcast degree joins, TakeOrderedAndProject for the "
+    "top-k. At 100 TB the wedge join is hub-bounded the same way "
+    "triangles is: a degree cap or minhash prefix filter screens "
+    "super-nodes before the join (documented, not needed at bench "
+    "scale where max degree is ~100).",
+    tags=("graph", "join"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+    fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
+    rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
+    ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
+    deg = ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    e1 = ue.select(F.col("a").alias("x"), "b")
+    e2 = ue.select(F.col("a").alias("y"), "b")
+    wedges = (
+        e1.join(e2, "b")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("deg_y"))
+    return (
+        wedges.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.col("deg_x").cast("bigint").alias("deg_x"),
+            F.col("deg_y").cast("bigint").alias("deg_y"),
+            F.expr(
+                "CAST((1000000 * common) DIV (deg_x + deg_y - common) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("common"), "x", "y")
+        .limit(20)
+    )

@@ -1,0 +1,112 @@
+"""Order-flow toxicity and regime analytics over the deterministic
+tape (microstructure.py::_TAPE_SQL — the analysis layer the
+reference's trade CSVs exist to feed, reference README.md:70-84).
+
+- ms_vpin: Volume-Synchronized Probability of INformed trading
+  (Easley, Lopez de Prado, O'Hara 2012): slice each symbol's tape
+  into equal-VOLUME buckets, measure |buy volume - sell volume| per
+  bucket, and report the volume-weighted average imbalance — the
+  flash-crash early-warning metric. Exact integers end to end: qty is
+  BIGINT, bucket assignment is floor(cum_vol_before / V), imbalance
+  and totals are integer sums, and the headline ratio is an integer
+  ppm DIV — no float enters the hash.
+
+Scale shape: ONE exchange keyed on sym (the cumulative-volume window),
+then a map-side-combinable (sym, bucket) aggregate and a tiny per-sym
+rollup. Buckets compress the tape ~V-fold before any cross-bucket
+math; nothing data-sized crosses the network twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.plans.microstructure import _TAPE_SQL, _tape
+from binance_etl_spark.plans.registry import register
+
+_VPIN_V = 400  # volume-bucket size (units of qty) — ~50 trades/bucket
+
+
+@register(
+    "ms_vpin",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    c AS (
+      SELECT sym, qty, side,
+             COALESCE(SUM(qty) OVER (
+               PARTITION BY sym ORDER BY ts, tid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    ), b AS (
+      SELECT sym, CAST(cum_before // {_VPIN_V} AS BIGINT) AS bucket,
+             SUM(CASE WHEN side = 1 THEN qty ELSE 0 END) AS buy_vol,
+             SUM(CASE WHEN side = -1 THEN qty ELSE 0 END) AS sell_vol,
+             SUM(qty) AS vol
+      FROM c GROUP BY sym, CAST(cum_before // {_VPIN_V} AS BIGINT)
+    )
+    SELECT sym,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(vol) AS BIGINT) AS total_vol,
+           CAST(SUM(abs(buy_vol - sell_vol)) AS BIGINT) AS total_imbalance,
+           CAST((1000000 * SUM(abs(buy_vol - sell_vol))) // SUM(vol)
+                AS BIGINT) AS vpin_ppm
+    FROM b GROUP BY sym ORDER BY sym
+    """,
+    doc="VPIN order-flow toxicity (Easley/Lopez de Prado/O'Hara 2012): "
+    "equal-VOLUME buckets per symbol (trade assigned by cumulative "
+    "volume BEFORE it — the standard whole-trade approximation), "
+    "per-bucket |buy-sell| imbalance, and the volume-weighted average "
+    "as integer ppm. All-integer arithmetic (BIGINT qty, floor DIV "
+    "bucketing, ppm DIV) so the hash is engine-exact. Plan: one "
+    "sym-keyed window exchange for the running volume, then two "
+    "combinable aggregates — buckets compress the tape ~400x before "
+    "any cross-bucket math.",
+    tags=("microstructure", "window", "agg"),
+)
+def ms_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = (
+        W.partitionBy("sym")
+        .orderBy("ts", "tid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "sym",
+        "qty",
+        "side",
+        F.coalesce(F.sum("qty").over(w), F.lit(0)).alias("cum_before"),
+    )
+    b = (
+        c.withColumn(
+            "bucket",
+            F.expr(f"cum_before DIV {_VPIN_V}").cast("bigint"),
+        )
+        .groupBy("sym", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == 1, F.col("qty")).otherwise(0)).alias(
+                "buy_vol"
+            ),
+            F.sum(
+                F.when(F.col("side") == -1, F.col("qty")).otherwise(0)
+            ).alias("sell_vol"),
+            F.sum("qty").alias("vol"),
+        )
+    )
+    return (
+        b.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("vol").cast("bigint").alias("total_vol"),
+            F.sum(F.abs(F.col("buy_vol") - F.col("sell_vol")))
+            .cast("bigint")
+            .alias("total_imbalance"),
+            F.expr(
+                "CAST((1000000 * SUM(abs(buy_vol - sell_vol))) DIV SUM(vol) "
+                "AS BIGINT)"
+            ).alias("vpin_ppm"),
+        )
+        .orderBy("sym")
+    )

@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         ann_index,
         dq,
         formats,
@@ -113,6 +114,7 @@ def _ensure_loaded() -> None:
         llm_ops14,
         microstructure,
         microstructure2,
+        microstructure3,
         relational,
         relational2,
         relational3,
