@@ -1,0 +1,270 @@
+"""Fifteenth LLM-pipeline batch (round 8): embedding-truncation
+retrieval quality and winnowing document fingerprints.
+
+- emb_matryoshka_recall: Matryoshka-representation question (Kusupati
+  et al. 2022): if retrieval runs on a PREFIX of each embedding (here
+  16 of 64 dims — the memory/latency knob MRL models expose), how much
+  of the full-dimension top-10 survives? Recall@10 per query, exact.
+- text_winnowing_fingerprint: the MOSS fingerprinting scheme
+  (Schleimer/Wilkerson/Aiken 2003): hash every 3-gram, slide a
+  4-gram window, keep each window's MINIMUM hash — a content-defined
+  signature that is robust to insertions — then report the top
+  document pairs by shared fingerprints (the plagiarism/near-dup
+  match join, blocked by fingerprint value, never all-pairs on docs).
+
+Cross-engine exactness: gram hashes are 16-bit md5 carves (the
+instr-nibble idiom on DuckDB, the equivalence-pinned conv() carve on
+Spark); cosine arithmetic is the e-12 floor-integer dot with a fixed
+double/sqrt tree (operators/similarity.py). Reference parity note: the
+reference ETL has no corpus surface; north-star extensions per
+SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import register
+
+_MRL_PREFIX = 16  # retrieval prefix dims (of 64)
+_MRL_K = 10
+_MRL_QUERIES = 5  # vec_id 0..4
+
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "* 1000000000000) AS BIGINT))) AS BIGINT)"
+)
+
+_SQL_COS = (
+    f"CAST({_SQL_DOT.format(a='{a}', b='{b}')} AS DOUBLE) "
+    f"/ sqrt(CAST({_SQL_DOT.format(a='{a}', b='{a}')} AS DOUBLE) "
+    f"* CAST({_SQL_DOT.format(a='{b}', b='{b}')} AS DOUBLE))"
+)
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS q_emb,
+             q_emb[1:{_MRL_PREFIX}] AS q_pre
+      FROM embeddings WHERE vec_id < {_MRL_QUERIES}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             {_SQL_COS.format(a="e.embedding", b="q.q_emb")} AS sim_full,
+             {_SQL_COS.format(
+                 a=f"e.embedding[1:{_MRL_PREFIX}]", b="q.q_pre"
+             )} AS sim_pre
+      FROM embeddings e, q
+    ), full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_full DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    ), pre_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_pre DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    )
+    SELECT f.qid, CAST({_MRL_K} AS INT) AS k,
+           COUNT(p.vec_id) AS n_hit,
+           CAST(COUNT(p.vec_id) * 100 / {_MRL_K} AS BIGINT) AS recall_pct
+    FROM full_top f LEFT JOIN pre_top p
+      ON p.qid = f.qid AND p.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    doc="Matryoshka-embedding retrieval quality gate: for each of 5 "
+    "query vectors, exact full-64-dim cosine top-10 vs top-10 under "
+    "the first-16-dims PREFIX metric (the memory/latency truncation "
+    "MRL-trained models serve), reported as recall@10 — the number a "
+    "team checks before switching the serving index to truncated "
+    "vectors. Both rankings come from ONE scored scan (the queries "
+    "broadcast; e-12 integer dots; ROW_NUMBER ties broken by vec_id "
+    "on both engines). 100 TB shape: one corpus scan, two window "
+    "passes on the same qid-keyed exchange, k-bounded output.",
+    tags=("llm", "similarity"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (
+        e.where(F.col("vec_id") < _MRL_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(f"slice(embedding, 1, {_MRL_PREFIX})").alias("q_pre"),
+        )
+    )
+    scored = (
+        e.withColumn(
+            "e_pre", F.expr(f"slice(embedding, 1, {_MRL_PREFIX})")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            S.cosine_from_e12(
+                S.dot_e12("embedding", "q_emb"),
+                S.sq_norm_e12("embedding"),
+                S.sq_norm_e12("q_emb"),
+            ).alias("sim_full"),
+            S.cosine_from_e12(
+                S.dot_e12("e_pre", "q_pre"),
+                S.sq_norm_e12("e_pre"),
+                S.sq_norm_e12("q_pre"),
+            ).alias("sim_pre"),
+        )
+    )
+    wq_full = W.partitionBy("qid").orderBy(F.desc("sim_full"), "vec_id")
+    wq_pre = W.partitionBy("qid").orderBy(F.desc("sim_pre"), "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wq_full).alias("rn_full"),
+        F.row_number().over(wq_pre).alias("rn_pre"),
+    )
+    full_top = ranked.where(F.col("rn_full") <= _MRL_K).select("qid", "vec_id")
+    pre_top = ranked.where(F.col("rn_pre") <= _MRL_K).select(
+        "qid", F.col("vec_id").alias("p_vec")
+    )
+    return (
+        full_top.join(
+            pre_top,
+            (full_top.qid == pre_top.qid)
+            & (full_top.vec_id == pre_top.p_vec),
+            "left",
+        )
+        .groupBy(full_top.qid)
+        .agg(
+            F.lit(_MRL_K).cast("int").alias("k"),
+            F.count("p_vec").alias("n_hit"),
+            (F.count("p_vec") * 100 / _MRL_K).cast("bigint").alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+_WIN_W = 4  # winnowing window (grams)
+_WIN_TOPK = 15
+
+# 16-bit gram hash: first 4 md5 nibbles — instr arithmetic on DuckDB,
+# the equivalence-pinned conv() carve on Spark.
+_SQL_H16 = (
+    "CAST(((instr('0123456789abcdef', substr(md5({g}), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5({g}), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5({g}), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5({g}), 4, 1)) - 1)) AS BIGINT)"
+)
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+               UNNEST(generate_series(1, len(string_split(text, ' '))))
+                 AS pos
+        FROM documents
+      )
+    ), grams AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+               lead(tok, 2) OVER w AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), hashes AS (
+      SELECT doc_id, pos, {_SQL_H16.format(g="gram")} AS h FROM grams
+    ), wins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM hashes
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE rn >= {_WIN_W}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY shared_fps DESC, doc_a, doc_b LIMIT {_WIN_TOPK}
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "2003, the MOSS scheme): 16-bit hash per 3-gram, a sliding "
+    f"{_WIN_W}-gram window keeps each window's MINIMUM hash, distinct "
+    "selected hashes form the doc's content-defined signature "
+    "(guaranteed to share a fingerprint with any copy of >= w+k-1 "
+    "tokens — robust to insertions, unlike fixed-stride sampling), "
+    "then the match join pairs documents by shared fingerprint value "
+    "— BLOCKED on the fingerprint, never an all-pairs doc join — and "
+    "reports the top-15 pairs. 100 TB shape: one doc-keyed window "
+    "exchange for gram/min windows, one fingerprint-keyed equi-join "
+    "(same class as the minhash band join), TakeOrdered output.",
+    tags=("llm", "text", "dedup"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(wdoc),
+                F.lead("tok", 2).over(wdoc),
+            ).alias("gram"),
+            F.lead("tok", 2).over(wdoc).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .drop("t2")
+    )
+    hashes = grams.select(
+        "doc_id",
+        "pos",
+        F.expr("CAST(conv(substr(md5(gram), 1, 4), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    )
+    wmin = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    wins = hashes.select(
+        "doc_id",
+        F.min("h").over(wmin).alias("fp"),
+        F.row_number().over(W.partitionBy("doc_id").orderBy("pos")).alias(
+            "rn"
+        ),
+    )
+    fps = wins.where(F.col("rn") >= _WIN_W).select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(_WIN_TOPK)
+    )

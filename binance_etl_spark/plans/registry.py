@@ -112,6 +112,7 @@ def _ensure_loaded() -> None:
         llm_ops12,
         llm_ops13,
         llm_ops14,
+        llm_ops15,
         microstructure,
         microstructure2,
         microstructure3,
