@@ -319,3 +319,195 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- win_bollinger_breach ------------------------------------------------
+
+_BOLL_N = 20  # rolling window length (trades)
+
+
+@register(
+    "win_bollinger_breach",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(user_id % 5 AS INT) AS sym, ts, event_id AS tid,
+             CAST(floor(value * 100) AS BIGINT) AS p
+      FROM events WHERE value > 0
+    ), w AS (
+      SELECT sym, p,
+             SUM(p) OVER win AS s,
+             SUM(p * p) OVER win AS ss,
+             COUNT(*) OVER win AS n
+      FROM t
+      WINDOW win AS (PARTITION BY sym ORDER BY ts, tid
+                     ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+    ), f AS (
+      SELECT sym,
+             CASE WHEN (n * p - s) * (n * p - s) * (n - 1)
+                       > 4 * n * (n * ss - s * s)
+                  THEN 1 ELSE 0 END AS breach,
+             CASE WHEN n * p > s THEN 1 ELSE 0 END AS above
+      FROM w WHERE n = {_BOLL_N}
+    )
+    SELECT sym, COUNT(*) AS n_windows,
+           CAST(SUM(breach) AS BIGINT) AS n_breach,
+           CAST(SUM(CASE WHEN breach = 1 AND above = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_up,
+           CAST(SUM(CASE WHEN breach = 1 AND above = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_down
+    FROM f GROUP BY sym ORDER BY sym
+    """,
+    doc=f"Bollinger-band breach scan over the tape: per symbol, a "
+    f"{_BOLL_N}-trade rolling mean/σ band, counting closes beyond "
+    "±2σ — evaluated ENTIRELY in integer algebra (the breach test "
+    "|p-μ|>2σ is cross-multiplied to (n·p-s)²·(n-1) > 4·n·(n·ss-s²) "
+    "over exact e2 integer window sums, so no float division or sqrt "
+    "ever runs and the hash is engine-exact by construction). 100 TB "
+    "shape: one sym-keyed window exchange computes all three running "
+    "sums in a single pass; the rollup is combinable.",
+    tags=("microstructure", "window", "dq"),
+)
+def win_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    t = e.select(
+        (F.col("user_id") % 5).cast("int").alias("sym"),
+        "ts",
+        F.col("event_id").alias("tid"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("p"),
+    )
+    win = (
+        W.partitionBy("sym")
+        .orderBy("ts", "tid")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    w = t.select(
+        "sym",
+        "p",
+        F.sum("p").over(win).alias("s"),
+        F.sum(F.col("p") * F.col("p")).over(win).alias("ss"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).where(F.col("n") == _BOLL_N)
+    f = w.select(
+        "sym",
+        F.when(
+            (F.col("n") * F.col("p") - F.col("s"))
+            * (F.col("n") * F.col("p") - F.col("s"))
+            * (F.col("n") - 1)
+            > 4 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("breach"),
+        F.when(F.col("n") * F.col("p") > F.col("s"), 1).otherwise(0).alias(
+            "above"
+        ),
+    )
+    return (
+        f.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("breach").cast("bigint").alias("n_breach"),
+            F.sum(
+                F.when((F.col("breach") == 1) & (F.col("above") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_breach_up"),
+            F.sum(
+                F.when((F.col("breach") == 1) & (F.col("above") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_breach_down"),
+        )
+        .orderBy("sym")
+    )
+
+
+# --- dq_anomaly_mad ------------------------------------------------------
+
+
+@register(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             CAST(quantile_disc(x, 0.5) AS BIGINT) AS med FROM v
+      GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.x, med.med, abs(v.x - med.med) AS adev
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, med,
+             CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type, COUNT(*) AS n, m.med AS med_e2, m.mad AS mad_e2,
+           CAST(SUM(CASE WHEN d.adev * 10000 > 3 * 14826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    ORDER BY d.event_type
+    """,
+    doc="Median-absolute-deviation anomaly screen per event type — the "
+    "robust companion to dq_outlier_iqr (MAD has a 50% breakdown "
+    "point; a contaminated tail cannot drag the fence the way it "
+    "drags σ): flag values with |x-med| > 3·1.4826·MAD, the Gaussian-"
+    "consistent MAD rule, evaluated as exact integer cross-products "
+    "(adev·10000 > 3·14826·MAD over floor-e2 ints — no float "
+    "enters the hash). Both medians are discrete-element selections "
+    "(percentile_disc). 100 TB shape: two grouped-quantile passes and "
+    "a broadcast of the 5-row med/MAD table back onto the scan.",
+    tags=("dq", "stats", "agg"),
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    v.createOrReplaceTempView("dq_mad_v")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+                    AS BIGINT) AS med
+        FROM dq_mad_v GROUP BY event_type
+        """
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("adev"),
+    )
+    dev.createOrReplaceTempView("dq_mad_dev")
+    mad = spark.sql(
+        """
+        SELECT event_type, med,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS BIGINT) AS mad
+        FROM dq_mad_dev GROUP BY event_type, med
+        """
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med_e2"),
+            F.max("mad").alias("mad_e2"),
+            F.sum(
+                F.when(
+                    F.col("adev") * 10000 > 3 * 14826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
