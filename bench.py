@@ -246,6 +246,30 @@ HEADLINE_LLM = [
     "graph_ppr",
     # round-7: Tukey-fence adaptive outlier screen.
     "dq_outlier_iqr",
+    # round-8: VPIN toxicity + Wald-Wolfowitz runs test (integer
+    # volume clock / sign runs on one sym-keyed exchange each).
+    "ms_vpin",
+    "ms_sign_runs_test",
+    # round-8: two-sample inference from integer sufficient stats.
+    "stats_welch_ttest",
+    "stats_mann_whitney",
+    # round-8: one-pass moment-matrix Pearson correlations.
+    "stats_corr_matrix",
+    # round-8: freshness SLA + MAD anomaly + cross-version drift DQ.
+    "dq_freshness_sla",
+    "dq_anomaly_mad",
+    "dq_schema_drift",
+    # round-8: 3-core peeling + wedge-join neighbor similarity.
+    "graph_kcore",
+    "graph_common_neighbors",
+    # round-8: Matryoshka-truncation recall gate + MOSS winnowing
+    # fingerprint match join.
+    "emb_matryoshka_recall",
+    "text_winnowing_fingerprint",
+    # round-8: M4 pixel-perfect downsampling (the LTTB companion).
+    "ts_downsample_m4",
+    # round-8: rolling Bollinger breach scan in pure integer algebra.
+    "win_bollinger_breach",
 ]
 
 

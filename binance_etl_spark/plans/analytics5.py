@@ -51,7 +51,8 @@ _WELCH_DERIVE = """
       SELECT n AS b_n, s1 AS b_s1, s2 AS b_s2 FROM s
       WHERE event_type = 'click'
     )
-    SELECT event_type, n, s1, s2,
+    SELECT event_type, n,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
            CAST({_WELCH_DERIVE} AS DOUBLE) AS t_stat
     FROM s, base
     WHERE event_type <> 'click'

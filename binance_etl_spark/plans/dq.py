@@ -366,3 +366,111 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("event_type")
+
+
+# --- dq_schema_drift -----------------------------------------------------
+
+
+@register(
+    "dq_schema_drift",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ), v2 AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000, 'xx', n_chars * 2
+      FROM documents WHERE source = 'src_0'
+    ), s1 AS (
+      SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM v1
+    ), s2 AS (
+      SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM v2
+    )
+    SELECT m.metric,
+           CASE m.metric
+             WHEN 'n_rows' THEN s1.n_rows
+             WHEN 'min_chars' THEN s1.min_chars
+             WHEN 'max_chars' THEN s1.max_chars
+             WHEN 'sum_chars' THEN s1.sum_chars
+             ELSE s1.n_langs END AS v1_val,
+           CASE m.metric
+             WHEN 'n_rows' THEN s2.n_rows
+             WHEN 'min_chars' THEN s2.min_chars
+             WHEN 'max_chars' THEN s2.max_chars
+             WHEN 'sum_chars' THEN s2.sum_chars
+             ELSE s2.n_langs END AS v2_val,
+           CASE m.metric
+             WHEN 'n_rows' THEN s2.n_rows - s1.n_rows
+             WHEN 'min_chars' THEN s2.min_chars - s1.min_chars
+             WHEN 'max_chars' THEN s2.max_chars - s1.max_chars
+             WHEN 'sum_chars' THEN s2.sum_chars - s1.sum_chars
+             ELSE s2.n_langs - s1.n_langs END AS delta
+    FROM (SELECT UNNEST(['n_rows', 'min_chars', 'max_chars',
+                         'sum_chars', 'n_langs']) AS metric) m, s1, s2
+    ORDER BY m.metric
+    """,
+    doc="Cross-version distribution-drift report over the snapshot "
+    "log: commit the corpus as v1, append a drifted batch (new lang "
+    "domain value, doubled n_chars) as v2, then diff the two "
+    "committed versions' column statistics (row count, min/max/sum of "
+    "the numeric column, language-domain cardinality) by TIME TRAVEL "
+    "— read_version(v1) vs the head — into a long-format metric/"
+    "v1/v2/delta report, the check a lakehouse ingest gate runs "
+    "before publishing a new version (catches the silent unit change "
+    "or domain explosion an append can smuggle in). All-integer "
+    "stats. Scale shape: each version is one combinable stats pass "
+    "(count-distinct on the tiny domain column only); the diff is a "
+    "1-row cross join, and time travel costs a manifest read, not a "
+    "data copy.",
+    tags=("dq", "sink", "versioning"),
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    tdir = tempfile.mkdtemp(prefix="besk_drift_") + "/docs"
+    v1 = SNAP.write_version(
+        d.select("doc_id", "lang", "n_chars"), tdir
+    )
+    drifted = d.where(F.col("source") == "src_0").select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+    SNAP.write_version(drifted, tdir, mode="append")
+
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{tag}n_rows"),
+            F.min("n_chars").alias(f"{tag}min_chars"),
+            F.max("n_chars").alias(f"{tag}max_chars"),
+            F.sum("n_chars").cast("bigint").alias(f"{tag}sum_chars"),
+            F.countDistinct("lang").alias(f"{tag}n_langs"),
+        )
+
+    s1 = stats(SNAP.read_version(spark, tdir, v1), "a_")
+    s2 = stats(SNAP.read_version(spark, tdir), "b_")
+    joined = s1.crossJoin(s2)
+    metrics = ["max_chars", "min_chars", "n_langs", "n_rows", "sum_chars"]
+    rows = None
+    for m in metrics:
+        r = joined.select(
+            F.lit(m).alias("metric"),
+            F.col(f"a_{m}").cast("bigint").alias("v1_val"),
+            F.col(f"b_{m}").cast("bigint").alias("v2_val"),
+            (F.col(f"b_{m}") - F.col(f"a_{m}")).cast("bigint").alias("delta"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("metric")

@@ -110,3 +110,81 @@ def ms_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym")
     )
+
+
+# --- ms_sign_runs_test ---------------------------------------------------
+
+# Wald-Wolfowitz z from exact integer counts — identical text on both
+# engines (divisions + one sqrt, both IEEE-correctly-rounded).
+# NOTE: double literals are written 2e0/1e0 — Spark parses a bare 2.0
+# as DECIMAL and silently evaluates the whole term in decimal
+# arithmetic (found by a 1e-9 z drift vs DuckDB); scientific notation
+# is DOUBLE in both parsers.
+_RUNS_Z = """
+    (CAST(runs AS DOUBLE)
+     - (2e0 * np * nm / (np + nm) + 1e0))
+    / sqrt(
+        (2e0 * np * nm) * (2e0 * np * nm - np - nm)
+        / ((CAST(np AS DOUBLE) + nm) * (CAST(np AS DOUBLE) + nm)
+           * (CAST(np AS DOUBLE) + nm - 1e0))
+    )
+"""
+
+
+@register(
+    "ms_sign_runs_test",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    s AS (
+      SELECT sym, side,
+             lag(side) OVER (PARTITION BY sym ORDER BY ts, tid) AS pside
+      FROM t
+    ), c AS (
+      SELECT sym,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS nm,
+             1 + SUM(CASE WHEN pside IS NOT NULL AND side <> pside
+                          THEN 1 ELSE 0 END) AS runs
+      FROM s GROUP BY sym
+    )
+    SELECT sym, CAST(np AS BIGINT) AS n_plus, CAST(nm AS BIGINT) AS n_minus,
+           CAST(runs AS BIGINT) AS runs,
+           CAST({_RUNS_Z} AS DOUBLE) AS z
+    FROM c ORDER BY sym
+    """,
+    doc="Wald-Wolfowitz runs test on the trade-sign sequence per "
+    "symbol — the classic randomness screen for order-flow clustering "
+    "(too few runs = momentum/herding, too many = bid-ask bounce; the "
+    "distributional companion to ms_tick_rule_autocorr's lag-1 "
+    "covariance). Run count is one lag window + a combinable "
+    "conditional sum over exact integers; the z statistic derives "
+    "from (n+, n-, R) via one shared-text tree (divisions + sqrt "
+    "only). 100 TB shape: one sym-keyed window exchange, 5-row "
+    "output.",
+    tags=("microstructure", "stats", "window"),
+)
+def ms_sign_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    s = t.select("sym", "side", F.lag("side").over(w).alias("pside"))
+    c = s.groupBy("sym").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("side") == -1, 1).otherwise(0)).alias("nm"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("pside").isNotNull()
+                    & (F.col("side") != F.col("pside")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    return c.select(
+        "sym",
+        F.col("np").cast("bigint").alias("n_plus"),
+        F.col("nm").cast("bigint").alias("n_minus"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.expr(_RUNS_Z).cast("double").alias("z"),
+    ).orderBy("sym")

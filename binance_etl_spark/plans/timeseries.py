@@ -554,3 +554,95 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value").alias("feat_value"),
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("feat_age_us"),
     )
+
+
+# --- ts_downsample_m4 ---------------------------------------------------
+
+_M4_US = 600 * 1_000_000  # 10-minute pixel buckets
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+    WITH pt AS (
+      SELECT user_id, event_id AS eid, epoch_us(ts) // 1000000 AS x,
+             CAST(floor(value * 1000000) AS BIGINT) AS y,
+             epoch_us(ts) // {_M4_US} AS bkt
+      FROM events
+    ), rk AS (
+      SELECT user_id, bkt, x, y,
+             row_number() OVER (PARTITION BY user_id, bkt
+                                ORDER BY x, eid) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, bkt
+                                ORDER BY x DESC, eid DESC) AS rn_last,
+             row_number() OVER (PARTITION BY user_id, bkt
+                                ORDER BY y, x, eid) AS rn_min,
+             row_number() OVER (PARTITION BY user_id, bkt
+                                ORDER BY y DESC, x, eid) AS rn_max
+      FROM pt
+    )
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt, COUNT(*) AS n,
+           CAST(MAX(CASE WHEN rn_first = 1 THEN y END) AS BIGINT)
+             AS first_y,
+           CAST(MAX(CASE WHEN rn_min = 1 THEN y END) AS BIGINT) AS min_y,
+           CAST(MAX(CASE WHEN rn_max = 1 THEN y END) AS BIGINT) AS max_y,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN y END) AS BIGINT) AS last_y
+    FROM rk GROUP BY user_id, bkt
+    ORDER BY user_id, bkt
+    """,
+    doc="M4 time-series downsampling (Jugel et al. 2014 — the "
+    "error-free visualization aggregation): per series and pixel "
+    "bucket keep exactly the first/min/max/last points, which is "
+    "sufficient to render a pixel-perfect line chart at that width; "
+    "the companion to ts_downsample_lttb (LTTB is perceptual, M4 is "
+    "lossless for min/max envelopes — dashboards run M4). Selection "
+    "ties are pinned by (x, event_id) via ROW_NUMBER on BOTH engines "
+    "(DuckDB arg_min cannot take a composite ordering key), values "
+    "are floor-e6 integers. 100 TB shape: all four rankings ride ONE "
+    "(series, bucket)-keyed exchange, then a combinable conditional "
+    "aggregate — the output is 4 points per pixel regardless of "
+    "input size.",
+    tags=("timeseries", "window"),
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pt = e.select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+        F.expr(f"unix_micros(ts) div {_M4_US}").alias("bkt"),
+    )
+    wb = Window.partitionBy("user_id", "bkt")
+    rk = pt.select(
+        "user_id",
+        "bkt",
+        "y",
+        F.row_number().over(wb.orderBy("x", "eid")).alias("rn_first"),
+        F.row_number()
+        .over(wb.orderBy(F.desc("x"), F.desc("eid")))
+        .alias("rn_last"),
+        F.row_number().over(wb.orderBy("y", "x", "eid")).alias("rn_min"),
+        F.row_number()
+        .over(wb.orderBy(F.desc("y"), F.asc("x"), F.asc("eid")))
+        .alias("rn_max"),
+    )
+    return (
+        rk.groupBy("user_id", F.col("bkt").cast("bigint").alias("bkt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rn_first") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("first_y"),
+            F.max(F.when(F.col("rn_min") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("min_y"),
+            F.max(F.when(F.col("rn_max") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("max_y"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("last_y"),
+        )
+        .orderBy("user_id", "bkt")
+    )
