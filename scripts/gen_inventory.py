@@ -52,6 +52,22 @@ def main() -> None:
                 f"| `{q.name}` | {kind} | {tags} | {first_sentence(q.doc)} |"
             )
         out.append("")
+    # driver-hash rotation record (tests/test_driver_hash_rotation.py):
+    # regenerated with the inventory so it always reflects the keys the
+    # rotation test will actually run this round
+    from tests.test_driver_hash_rotation import rotation_keys
+
+    keys = rotation_keys()
+    out.append("## Driver-hash rotation (current round)")
+    out.append("")
+    out.append(f"The {len(keys)} least-recently-driver-sampled oracle keys,")
+    out.append("run through the driver-twin typed-hash comparison (columns")
+    out.append("sorted by name, repr-rendered floats, NULL token in the row")
+    out.append("sort) each round by tests/test_driver_hash_rotation.py:")
+    out.append("")
+    for i in range(0, len(keys), 4):
+        out.append("  " + ", ".join(keys[i : i + 4]))
+    out.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "QUERIES.md"), "w") as f:
         f.write("\n".join(out) + "\n")
