@@ -270,6 +270,10 @@ HEADLINE_LLM = [
     "ts_downsample_m4",
     # round-8: rolling Bollinger breach scan in pure integer algebra.
     "win_bollinger_breach",
+    # round-8 wave 2: market-profile POC/value-area + Neyman-optimal
+    # stratified sampling.
+    "ms_volume_profile",
+    "sample_stratified_neyman",
 ]
 
 

@@ -512,3 +512,153 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- sample_stratified_neyman --------------------------------------------
+
+_NEYMAN_BUDGET = 200
+
+# per-stratum sigma from exact integer sufficient stats — identical
+# text on both engines (divisions + one sqrt)
+_NEYMAN_SIGMA = (
+    "sqrt((CAST(s2 AS DOUBLE) / 10000"
+    " - (CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100) / n)"
+    " / (n - 1))"
+)
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ), sh AS (
+      SELECT event_type, n, CAST({_NEYMAN_SIGMA} AS DOUBLE) AS sigma,
+             n * CAST({_NEYMAN_SIGMA} AS DOUBLE) AS share
+      FROM s
+    ), tot AS (SELECT SUM(share) AS tw FROM sh),
+    q0 AS (
+      SELECT event_type, n, sigma,
+             CAST(floor({_NEYMAN_BUDGET} * share / tw) AS BIGINT) AS base,
+             ({_NEYMAN_BUDGET} * share / tw)
+               - floor({_NEYMAN_BUDGET} * share / tw) AS rem
+      FROM sh, tot
+    ), leftover AS (SELECT {_NEYMAN_BUDGET} - SUM(base) AS k FROM q0),
+    quotas AS (
+      SELECT event_type, n, sigma,
+             base + CASE WHEN ROW_NUMBER() OVER (
+                              ORDER BY rem DESC, event_type) <= k
+                         THEN 1 ELSE 0 END AS quota
+      FROM q0, leftover
+    ), ranked AS (
+      SELECT e.event_id, e.event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_type
+               ORDER BY md5('ney:' || CAST(e.event_id AS VARCHAR)),
+                        e.event_id
+             ) AS rn
+      FROM events e
+    )
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n, q.sigma, q.quota,
+           COUNT(*) AS n_kept,
+           MIN(r.event_id) AS min_kept_id, MAX(r.event_id) AS max_kept_id
+    FROM quotas q JOIN ranked r
+      ON r.event_type = q.event_type AND r.rn <= q.quota
+    GROUP BY q.event_type, q.n, q.sigma, q.quota
+    ORDER BY q.event_type
+    """,
+    doc="Neyman-allocation stratified sampling: the optimal budget "
+    "split for estimating a mean under stratification allocates "
+    "n_h ~ N_h*sigma_h (high-variance strata earn more samples — the "
+    "survey-sampling optimum, and the right way to downsample a "
+    "heterogeneous event stream for eval sets). Sigmas derive from "
+    "exact integer sufficient stats via one shared-text tree; shares "
+    "are apportioned by largest remainder (sum(quota) == budget "
+    "exactly, ties to stratum name); each quota fills with the "
+    "stratum's deterministic bottom-by-md5 sample. 100 TB shape: one "
+    "combinable stats pass, a 5-row quota table broadcast, one "
+    "stratum-keyed window for the rank fill.",
+    tags=("stats", "sampling"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_e2"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_e2").alias("s1"),
+        F.sum(F.col("v_e2") * F.col("v_e2")).alias("s2"),
+    )
+    sh = s.select(
+        "event_type",
+        "n",
+        F.expr(_NEYMAN_SIGMA).cast("double").alias("sigma"),
+        (F.col("n") * F.expr(_NEYMAN_SIGMA)).alias("share"),
+    )
+    tot = sh.agg(F.sum("share").alias("tw"))
+    exact = F.lit(_NEYMAN_BUDGET) * F.col("share") / F.col("tw")
+    q0 = sh.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "sigma",
+        F.floor(exact).cast("bigint").alias("base"),
+        (exact - F.floor(exact)).alias("rem"),
+    )
+    leftover = q0.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("k"))
+    topup = F.row_number().over(
+        W.partitionBy().orderBy(F.col("rem").desc(), F.col("event_type"))
+    )
+    quotas = (
+        q0.crossJoin(F.broadcast(leftover))
+        .withColumn("tr", topup)
+        .select(
+            "event_type",
+            "n",
+            "sigma",
+            (
+                F.col("base")
+                + F.when(F.col("tr") <= F.col("k"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    ranked = v.select(
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                F.md5(F.concat(F.lit("ney:"), F.col("event_id").cast("string"))),
+                "event_id",
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "event_type")
+        .where(F.col("rn") <= F.col("quota"))
+        .groupBy("event_type", "n", "sigma", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("event_id").alias("min_kept_id"),
+            F.max("event_id").alias("max_kept_id"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "sigma",
+            "quota",
+            "n_kept",
+            "min_kept_id",
+            "max_kept_id",
+        )
+        .orderBy("event_type")
+    )

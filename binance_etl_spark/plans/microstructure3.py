@@ -188,3 +188,88 @@ def ms_sign_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("runs").cast("bigint").alias("runs"),
         F.expr(_RUNS_Z).cast("double").alias("z"),
     ).orderBy("sym")
+
+
+# --- ms_volume_profile ---------------------------------------------------
+
+
+@register(
+    "ms_volume_profile",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    prof AS (
+      SELECT sym, CAST(floor(price) AS BIGINT) AS pb, SUM(qty) AS vol
+      FROM t GROUP BY sym, CAST(floor(price) AS BIGINT)
+    ), ranked AS (
+      SELECT sym, pb, vol,
+             ROW_NUMBER() OVER (PARTITION BY sym
+                                ORDER BY vol DESC, pb) AS rnk,
+             SUM(vol) OVER (PARTITION BY sym
+                            ORDER BY vol DESC, pb
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(vol) OVER (PARTITION BY sym) AS total
+      FROM prof
+    )
+    SELECT sym,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(total) AS BIGINT) AS total_vol,
+           CAST(MAX(CASE WHEN rnk = 1 THEN pb END) AS BIGINT) AS poc_price,
+           CAST(MAX(CASE WHEN rnk = 1 THEN vol END) AS BIGINT) AS poc_vol,
+           CAST(SUM(CASE WHEN (cum - vol) * 10 < total * 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS va_buckets,
+           CAST(SUM(CASE WHEN (cum - vol) * 10 < total * 7
+                         THEN vol ELSE 0 END) AS BIGINT) AS va_vol
+    FROM ranked GROUP BY sym ORDER BY sym
+    """,
+    doc="Volume profile per symbol: integer price buckets, the POC "
+    "(point of control — the highest-volume bucket, ties to the "
+    "lower price), and the 70% VALUE AREA taken greedily by volume "
+    "rank (buckets admitted while the volume before them is under "
+    "70% of total — the inclusion test is the integer cross-product "
+    "(cum-vol)*10 < total*7, so no division enters the hash). The "
+    "market-profile primitive execution desks draw. 100 TB shape: "
+    "one combinable (sym, bucket) aggregate compresses the tape, "
+    "then ranking windows run over buckets only (price-range-bounded, "
+    "not data-sized).",
+    tags=("microstructure", "window", "agg"),
+)
+def ms_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    prof = (
+        t.select("sym", F.floor("price").cast("bigint").alias("pb"), "qty")
+        .groupBy("sym", "pb")
+        .agg(F.sum("qty").alias("vol"))
+    )
+    wv = W.partitionBy("sym").orderBy(F.desc("vol"), "pb")
+    ranked = prof.select(
+        "sym",
+        "pb",
+        "vol",
+        F.row_number().over(wv).alias("rnk"),
+        F.sum("vol")
+        .over(wv.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("vol").over(W.partitionBy("sym")).alias("total"),
+    )
+    inva = (F.col("cum") - F.col("vol")) * 10 < F.col("total") * 7
+    return (
+        ranked.groupBy("sym")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("total").cast("bigint").alias("total_vol"),
+            F.max(F.when(F.col("rnk") == 1, F.col("pb")))
+            .cast("bigint")
+            .alias("poc_price"),
+            F.max(F.when(F.col("rnk") == 1, F.col("vol")))
+            .cast("bigint")
+            .alias("poc_vol"),
+            F.sum(F.when(inva, 1).otherwise(0))
+            .cast("bigint")
+            .alias("va_buckets"),
+            F.sum(F.when(inva, F.col("vol")).otherwise(0))
+            .cast("bigint")
+            .alias("va_vol"),
+        )
+        .orderBy("sym")
+    )

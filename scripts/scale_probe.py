@@ -552,6 +552,37 @@ def r7b_main(spark) -> None:
     _slope_probe(spark, R7B, width=24)
 
 
+R8 = [
+    "ms_vpin",
+    "ms_sign_runs_test",
+    "stats_welch_ttest",
+    "stats_mann_whitney",
+    "stats_corr_matrix",
+    "dq_anomaly_mad",
+    "dq_freshness_sla",
+    "graph_kcore",
+    "graph_common_neighbors",
+    "emb_matryoshka_recall",
+    "text_winnowing_fingerprint",
+    "ts_downsample_m4",
+    "win_bollinger_breach",
+    "sample_dsir_select",
+]
+
+
+def r8_main(spark) -> None:
+    """Round-8 operator slope probe at sf0.1 vs 10x. Healthy shapes:
+    vpin / runs / bollinger / m4 are one sym- or series-keyed window
+    exchange; the stats battery is map-side-combinable sufficient
+    sums (mann-whitney's window runs over DISTINCT values only);
+    kcore is 3 fixed peel rounds of degree agg + semi-joins;
+    common-neighbors is wedge-bounded; winnowing is one doc-keyed
+    window pass + one fingerprint-keyed equi-join; matryoshka recall
+    is one broadcast-query scan; dsir is the rewritten histogram
+    two-pass."""
+    _slope_probe(spark, R8, width=26)
+
+
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
     """One interleaved replay log with n_syms independent u-chained
     depth streams + one snapshot per symbol — the same wire shape as
@@ -647,6 +678,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r8" in sys.argv:
+        r8_main(spark)
         return
     if "--r7b" in sys.argv:
         r7b_main(spark)
