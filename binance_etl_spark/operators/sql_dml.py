@@ -270,7 +270,7 @@ def _execute_merge(spark: SparkSession, mm, tables: dict[str, str]) -> int:
         # accepting the other orders would execute semantics a
         # warehouse engine rejects outright — raise instead.
         if len(matched_order) == 2:
-            first, last = matched_order
+            first = matched_order[0]
             if first == ("UPDATE", False):
                 raise ValueError(
                     "star-mode MERGE: unconditioned UPDATE SET * before a "

@@ -206,7 +206,7 @@ _CORR_COLS = [
 ]
 
 
-def _corr_pair_sql() -> str:
+def _corr_pair_sql(table: str = "moments") -> str:
     pairs = []
     names = [n for n, _ in _CORR_COLS]
     for i in range(len(names)):
@@ -215,7 +215,7 @@ def _corr_pair_sql() -> str:
             pairs.append(
                 f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, "
                 f"sum_{x} AS sx, sum_{y} AS sy, sum_{x}_{y} AS sxy, "
-                f"sum_{x}_{x} AS sxx, sum_{y}_{y} AS syy FROM moments"
+                f"sum_{x}_{x} AS sxx, sum_{y}_{y} AS syy FROM {table}"
             )
     return " UNION ALL ".join(pairs)
 
@@ -261,14 +261,14 @@ def _corr_moment_exprs() -> list[str]:
 def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     scaled = li.selectExpr(*[f"{e} AS {n}" for n, e in _CORR_COLS])
-    moments = scaled.agg(
-        F.expr(_corr_moment_exprs()[0]),
-        *[F.expr(e) for e in _corr_moment_exprs()[1:]],
-    )
-    moments.createOrReplaceTempView("moments")
+    exprs = _corr_moment_exprs()
+    moments = scaled.agg(F.expr(exprs[0]), *[F.expr(e) for e in exprs[1:]])
+    # namespaced view (the dq_mad_v / stats_boot_means convention) — a
+    # bare "moments" would collide with any user view of that name
+    moments.createOrReplaceTempView("stats_corr_moments")
     return spark.sql(
         f"""
-        WITH pairs AS ({_corr_pair_sql()})
+        WITH pairs AS ({_corr_pair_sql("stats_corr_moments")})
         SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
                CAST({_CORR_DERIVE} AS DOUBLE) AS corr
         FROM pairs ORDER BY col_x, col_y

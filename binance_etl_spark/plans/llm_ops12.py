@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.catalog import load
 from binance_etl_spark.plans.registry import register
 
 _N_SHARDS = 8

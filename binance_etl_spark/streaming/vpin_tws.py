@@ -33,10 +33,12 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     TimerValues,
 )
 
+from binance_etl_spark.plans.microstructure3 import _VPIN_V  # noqa: E402
+
 VPIN_OUT_SCHEMA = (
     "sym INT, bucket BIGINT, buy_vol BIGINT, sell_vol BIGINT, vol BIGINT"
 )
-VPIN_V = 400  # volume-bucket size — must match ms_vpin's _VPIN_V
+VPIN_V = _VPIN_V  # ONE volume clock for the batch op and its stream twin
 
 
 class VpinProcessor(StatefulProcessor):

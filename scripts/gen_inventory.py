@@ -55,7 +55,7 @@ def main() -> None:
     # driver-hash rotation record (tests/test_driver_hash_rotation.py):
     # regenerated with the inventory so it always reflects the keys the
     # rotation test will actually run this round
-    from tests.test_driver_hash_rotation import rotation_keys
+    from binance_etl_spark.plans.rotation import rotation_keys
 
     keys = rotation_keys()
     out.append("## Driver-hash rotation (current round)")

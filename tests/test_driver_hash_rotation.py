@@ -20,50 +20,15 @@ QUERIES.md.
 
 from __future__ import annotations
 
-import glob
 import hashlib
-import json
-import os
-import re
 
 import pytest
 
 from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+from binance_etl_spark.plans.rotation import rotation_keys
 from tests.parity import duckdb_conn
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROTATION_SIZE = 50
-
 _ensure_loaded()
-
-
-def last_driver_sample_round() -> dict[str, int]:
-    """name -> highest round whose CORRECTNESS_r{N}.json sampled it
-    (0 = never driver-sampled)."""
-    seen: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for name in data:
-            seen[name] = max(seen.get(name, 0), rnd)
-    return seen
-
-
-def rotation_keys() -> list[str]:
-    """The 50 oracle-bearing keys least recently driver-sampled,
-    never-sampled first, ties broken by name — deterministic given the
-    committed CORRECTNESS artifacts and the registry."""
-    seen = last_driver_sample_round()
-    oracled = [n for n, q in REGISTRY.items() if q.oracle is not None]
-    oracled.sort(key=lambda n: (seen.get(n, 0), n))
-    return oracled[:_ROTATION_SIZE]
 
 
 def _driver_hash(cols: list[str], rows: list[tuple]) -> str:
