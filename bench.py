@@ -274,6 +274,10 @@ HEADLINE_LLM = [
     # stratified sampling.
     "ms_volume_profile",
     "sample_stratified_neyman",
+    # round-8 wave 3: contingency-table Kendall tau-b + the multi-lag
+    # price ACF grid (four lead()s on one keyed exchange).
+    "stats_kendall_tau",
+    "ms_acf_grid",
 ]
 
 

@@ -273,3 +273,86 @@ def ms_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym")
     )
+
+
+# --- ms_acf_grid ---------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 4, 8)
+
+# lag-k sample autocorrelation from exact integer pair sums — the
+# standard estimator with per-lag pair means, one shared-text tree
+_ACF_DERIVE = """
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+    / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+"""
+
+
+def _acf_lag_sql(k: int) -> str:
+    return f"""
+      SELECT sym, {k} AS lag, COUNT(*) AS n,
+             SUM(p) AS sx, SUM(pk) AS sy,
+             SUM(p * pk) AS sxy, SUM(p * p) AS sxx, SUM(pk * pk) AS syy
+      FROM (
+        SELECT sym, p,
+               lead(p, {k}) OVER (PARTITION BY sym ORDER BY ts, tid) AS pk
+        FROM tape_e2
+      ) WHERE pk IS NOT NULL
+      GROUP BY sym"""
+
+
+@register(
+    "ms_acf_grid",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    tape_e2 AS (
+      SELECT sym, ts, tid, CAST(floor(price * 100) AS BIGINT) AS p
+      FROM t
+    ), lags AS (
+      {" UNION ALL ".join(_acf_lag_sql(k) for k in _ACF_LAGS)}
+    )
+    SELECT sym, lag, CAST(n AS BIGINT) AS n,
+           CAST({_ACF_DERIVE} AS DOUBLE) AS acf
+    FROM lags ORDER BY sym, lag
+    """,
+    doc="Price autocorrelation grid at lags 1/2/4/8 per symbol — the "
+    "mean-reversion/momentum fingerprint across horizons (lag-1 "
+    "negative = bid-ask bounce, slow decay = momentum; the "
+    "multi-horizon companion to ms_tick_rule_autocorr's sign "
+    "covariance). Each lag is one lead() over the SAME sym-keyed sort "
+    "(all four ride one window exchange) into exact floor-e2 integer "
+    "pair sums; the correlation derives per (sym, lag) via one "
+    "shared-text tree (two sqrts). 100 TB shape: one keyed exchange, "
+    "|lags| combinable aggregates, 20-row output.",
+    tags=("microstructure", "window", "stats"),
+)
+def ms_acf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    tape = t.select(
+        "sym",
+        "ts",
+        "tid",
+        F.floor(F.col("price") * 100).cast("bigint").alias("p"),
+    )
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    out = None
+    for k in _ACF_LAGS:
+        lagged = tape.select(
+            "sym", "p", F.lead("p", k).over(w).alias("pk")
+        ).where(F.col("pk").isNotNull())
+        agg = lagged.groupBy("sym").agg(
+            F.lit(k).alias("lag"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sx"),
+            F.sum("pk").alias("sy"),
+            F.sum(F.col("p") * F.col("pk")).alias("sxy"),
+            F.sum(F.col("p") * F.col("p")).alias("sxx"),
+            F.sum(F.col("pk") * F.col("pk")).alias("syy"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "sym",
+        "lag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_ACF_DERIVE).cast("double").alias("acf"),
+    ).orderBy("sym", "lag")
