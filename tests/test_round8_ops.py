@@ -309,3 +309,64 @@ def test_winnowing_copy_guarantee(spark):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert r["shared_fps"] >= 1
+
+
+def test_kendall_tau_brute_force(spark):
+    [r] = _run(spark, "stats_kendall_tau")
+    from binance_etl_spark.catalog import load
+    import pyspark.sql.functions as F
+
+    pts = (
+        load(spark, SF, "lineitem")
+        .select(
+            F.floor("l_quantity").alias("x"),
+            F.floor(F.col("l_discount") * 100).alias("y"),
+        )
+        .collect()
+    )
+    xs = [(p["x"], p["y"]) for p in pts]
+    n = len(xs)
+    # O(n^2) literal pair walk — fine at sf0.001
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (xs[i][0] > xs[j][0]) - (xs[i][0] < xs[j][0])
+            sy = (xs[i][1] > xs[j][1]) - (xs[i][1] < xs[j][1])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    assert (r["n"], r["concordant"], r["discordant"]) == (n, c, d)
+    n0 = n * (n - 1) // 2
+    assert r["n0"] == n0
+    expect = (c - d) / math.sqrt(n0 - r["n1"]) / math.sqrt(n0 - r["n2"])
+    assert abs(r["tau_b"] - expect) < 1e-12
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_acf_grid_brute_force(spark):
+    import statistics
+
+    rows = _run(spark, "ms_acf_grid")
+    from binance_etl_spark.plans.microstructure import _tape
+    import pyspark.sql.functions as F
+
+    tape = sorted(
+        _tape(spark, SF)
+        .select("sym", "ts", "tid", F.floor(F.col("price") * 100).alias("p"))
+        .collect(),
+        key=lambda r: (r["sym"], r["ts"], r["tid"]),
+    )
+    by_sym: dict[int, list[int]] = {}
+    for t in tape:
+        by_sym.setdefault(t["sym"], []).append(t["p"])
+    got = {(r["sym"], r["lag"]): r for r in rows}
+    for sym, ps in by_sym.items():
+        for k in (1, 2, 4, 8):
+            a, b = ps[:-k], ps[k:]
+            r = got[(sym, k)]
+            assert r["n"] == len(a)
+            expect = statistics.correlation(
+                [float(v) for v in a], [float(v) for v in b]
+            )
+            assert abs(r["acf"] - expect) < 1e-9, (sym, k)
