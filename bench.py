@@ -278,6 +278,15 @@ HEADLINE_LLM = [
     # price ACF grid (four lead()s on one keyed exchange).
     "stats_kendall_tau",
     "ms_acf_grid",
+    # round-8 wave 4: higher-moment / portmanteau inference (one
+    # combinable pass each), Lee-Ready spread decomposition (pure
+    # windows on the sym-keyed exchange), binary-quantization Hamming
+    # ANN gate, and Newman degree assortativity.
+    "stats_jarque_bera",
+    "stats_ljung_box",
+    "ms_lee_ready",
+    "emb_hamming_ann",
+    "graph_assortativity",
 ]
 
 

@@ -276,3 +276,153 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
         .limit(_WIN_TOPK)
     )
+
+
+# --- emb_hamming_ann -------------------------------------------------------
+
+_HAM_QUERIES = 5
+_HAM_K = 10
+
+
+def _word_sql(elem_fmt: str, emb: str, offset: int) -> str:
+    """Sign-quantize dims offset+1..offset+32 into one 32-bit word:
+    bit i set iff the dim is >= 0.  elem_fmt is the engine's list
+    accessor ('{e}[{i}]' on DuckDB, 'element_at({e}, {i})' on Spark);
+    float comparisons are exact on both engines so the words match
+    bit for bit."""
+    terms = [
+        f"(CASE WHEN {elem_fmt.format(e=emb, i=offset + b + 1)} >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "emb_hamming_ann",
+    oracle=f"""
+    WITH w AS (
+      SELECT vec_id, embedding,
+             {_word_sql('{e}[{i}]', 'embedding', 0)} AS w_lo,
+             {_word_sql('{e}[{i}]', 'embedding', 32)} AS w_hi
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS q_emb,
+             w_lo AS q_lo, w_hi AS q_hi
+      FROM w WHERE vec_id < {_HAM_QUERIES}
+    ), scored AS (
+      SELECT q.qid, w.vec_id,
+             bit_count(xor(w.w_lo, q.q_lo))
+               + bit_count(xor(w.w_hi, q.q_hi)) AS ham,
+             {_SQL_COS.format(a="w.embedding", b="q.q_emb")} AS sim_full
+      FROM w, q
+      WHERE w.vec_id <> q.qid
+    ), full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_full DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_HAM_K}
+    ), ham_top AS (
+      SELECT qid, vec_id, ham FROM (
+        SELECT qid, vec_id, ham,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ham, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_HAM_K}
+    )
+    SELECT f.qid, CAST({_HAM_K} AS INT) AS k,
+           COUNT(h.vec_id) AS n_hit,
+           CAST(COUNT(h.vec_id) * 100 / {_HAM_K} AS BIGINT) AS recall_pct,
+           CAST(MIN(h.ham) AS BIGINT) AS best_ham
+    FROM full_top f LEFT JOIN ham_top h
+      ON h.qid = f.qid AND h.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    doc="Binary-quantization ANN quality gate: sign-quantize each "
+    "64-dim embedding to TWO 32-bit words (bit = dim >= 0 — the 1-bit "
+    "/ 32x-compression serving trick next to emb_quantize_int8 and "
+    "the PQ family), rank neighbors by Hamming distance "
+    "(bit_count(xor) on stored words — a 2-instruction distance at "
+    "serve time), and report recall@10 against the exact full-"
+    "precision cosine top-10 plus the best Hamming distance among "
+    "true hits. Float sign tests are exact on both engines so the "
+    "words, distances, and rankings hash-match. 100 TB shape: the "
+    "5 query words broadcast; ONE corpus scan computes both metrics; "
+    "two window passes share the qid-keyed exchange; at serve scale "
+    "the index stores 8 bytes/vector and never touches the float "
+    "column (the ann_index storage pattern).",
+    tags=("llm", "similarity"),
+)
+def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_word_sql("element_at({e}, {i})", "embedding", 0)).alias(
+            "w_lo"
+        ),
+        F.expr(_word_sql("element_at({e}, {i})", "embedding", 32)).alias(
+            "w_hi"
+        ),
+    )
+    q = w.where(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    scored = (
+        w.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi)"
+            ).alias("ham"),
+            S.cosine_from_e12(
+                S.dot_e12("embedding", "q_emb"),
+                S.sq_norm_e12("embedding"),
+                S.sq_norm_e12("q_emb"),
+            ).alias("sim_full"),
+        )
+    )
+    w_full = W.partitionBy("qid").orderBy(F.desc("sim_full"), "vec_id")
+    w_ham = W.partitionBy("qid").orderBy("ham", "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        "ham",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_ham).alias("rn_ham"),
+    )
+    full_top = ranked.where(F.col("rn_full") <= _HAM_K).select(
+        "qid", "vec_id"
+    )
+    ham_top = ranked.where(F.col("rn_ham") <= _HAM_K).select(
+        F.col("qid").alias("h_qid"),
+        F.col("vec_id").alias("h_vec"),
+        "ham",
+    )
+    return (
+        full_top.join(
+            ham_top,
+            (full_top.qid == ham_top.h_qid)
+            & (full_top.vec_id == ham_top.h_vec),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.lit(_HAM_K).cast("int").alias("k"),
+            F.count("h_vec").alias("n_hit"),
+            (F.count("h_vec") * 100 / _HAM_K).cast("bigint").alias(
+                "recall_pct"
+            ),
+            F.min("ham").cast("bigint").alias("best_ham"),
+        )
+        .orderBy("qid")
+    )

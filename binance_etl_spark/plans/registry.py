@@ -127,6 +127,7 @@ def _ensure_loaded() -> None:
         scalar2,
         scalar3,
         stats2,
+        stats3,
         streaming_analog,
         subqueries,
         text_index,

@@ -1,0 +1,219 @@
+"""Invariant + brute-force tests for the round-8 SECOND operator wave
+(stats3 / ms_lee_ready / emb_hamming_ann / graph_assortativity) —
+every op has an exact DuckDB oracle (tests/test_oracle_parity runs
+them all); these pin the SEMANTICS against independent pure-Python
+recomputations at sf0.001 and the invariants a shared bug in both
+engine texts could not fake."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyspark.sql.functions as F
+
+from binance_etl_spark.catalog import load
+from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _events(spark):
+    return (
+        load(spark, SF, "events")
+        .select("event_id", "event_type", "ts", "user_id", "value")
+        .collect()
+    )
+
+
+def test_jarque_bera_brute_force(spark):
+    rows = _run(spark, "stats_jarque_bera")
+    by_type = defaultdict(list)
+    for r in _events(spark):
+        by_type[r["event_type"]].append(math.floor(r["value"]))
+    for r in rows:
+        xs = by_type[r["event_type"]]
+        n = len(xs)
+        assert r["n"] == n
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kurt**2 / 4)
+        assert math.isclose(r["skewness"], skew, rel_tol=1e-9)
+        assert math.isclose(r["kurtosis_excess"], kurt, rel_tol=1e-9)
+        assert math.isclose(r["jb_stat"], jb, rel_tol=1e-9)
+
+
+def test_anova_brute_force(spark):
+    [r] = _run(spark, "stats_anova_oneway")
+    by_type = defaultdict(list)
+    for e in _events(spark):
+        by_type[e["event_type"]].append(math.floor(e["value"] * 100) / 100)
+    groups = list(by_type.values())
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n_total"] == n
+    assert math.isclose(r["ss_between"], ssb, rel_tol=1e-6)
+    assert math.isclose(r["ss_within"], ssw, rel_tol=1e-6)
+    assert math.isclose(r["f_stat"], f, rel_tol=1e-6)
+
+
+def _tape_py(spark):
+    """Python twin of microstructure._TAPE_SQL at sf0.001."""
+    out = defaultdict(list)
+    for r in _events(spark):
+        if r["value"] > 0:
+            out[r["user_id"] % 5].append(
+                (
+                    r["ts"],
+                    r["event_id"],
+                    math.floor(r["value"] * 100),
+                    1 if r["event_id"] % 2 == 0 else -1,
+                )
+            )
+    for sym in out:
+        out[sym].sort()
+    return out
+
+
+def test_ljung_box_brute_force(spark):
+    rows = _run(spark, "stats_ljung_box")
+    tape = _tape_py(spark)
+    for r in rows:
+        xs = [p for _, _, p, _ in tape[r["sym"]]]
+        n = len(xs)
+        assert r["n"] == n
+        mu = sum(xs) / n
+        den = sum((x - mu) ** 2 for x in xs)
+        q = 0.0
+        for k in (1, 2, 3, 4):
+            num = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k))
+            rk = num / den
+            assert math.isclose(r[f"r{k}"], rk, rel_tol=1e-9), (k, r)
+            q += rk * rk / (n - k)
+        assert math.isclose(r["q_stat"], n * (n + 2) * q, rel_tol=1e-9)
+
+
+def test_lee_ready_brute_force(spark):
+    rows = _run(spark, "ms_lee_ready")
+    tape = _tape_py(spark)
+    for r in rows:
+        seq = tape[r["sym"]]
+        ps = [p for _, _, p, _ in seq]
+        sides = [s for _, _, _, s in seq]
+        n = n_buy = n_tick = agree = es2 = rs2 = pi2 = n_h = 0
+        last_dir = None
+        for i in range(len(ps)):
+            d = None if i == 0 else ps[i] - ps[i - 1]
+            if d is not None and d != 0:
+                this_dir = 1 if d > 0 else -1
+            else:
+                this_dir = None
+            q = this_dir if this_dir is not None else last_dir
+            if this_dir is not None:
+                last_dir = this_dir
+            if d is None or q is None:
+                continue
+            n += 1
+            n_buy += q == 1
+            n_tick += d == 0
+            agree += q == sides[i]
+            es2 += 2 * q * (ps[i] - ps[i - 1])
+            if i + 5 < len(ps):
+                n_h += 1
+                rs2 += 2 * q * (ps[i] - ps[i + 5])
+                pi2 += 2 * q * (ps[i + 5] - ps[i - 1])
+        assert r["n"] == n
+        assert r["n_buy"] == n_buy
+        assert r["n_sell"] == n - n_buy
+        assert r["n_tick"] == n_tick
+        assert r["es2_sum"] == es2
+        assert r["rs2_sum"] == rs2
+        assert r["pi2_sum"] == pi2
+        assert r["n_h"] == n_h
+        assert r["accuracy_ppm"] == (1_000_000 * agree) // n
+
+
+def test_hamming_ann_brute_force(spark):
+    rows = _run(spark, "emb_hamming_ann")
+    embs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load(spark, SF, "embeddings").collect()
+    }
+
+    def words(v):
+        lo = sum(1 << b for b in range(32) if v[b] >= 0)
+        hi = sum(1 << b for b in range(32) if v[32 + b] >= 0)
+        return lo, hi
+
+    def cos_e12(a, b):
+        dot = sum(
+            math.floor(float(x) * float(y) * 1e12) for x, y in zip(a, b)
+        )
+        na = sum(math.floor(float(x) * float(x) * 1e12) for x in a)
+        nb = sum(math.floor(float(y) * float(y) * 1e12) for y in b)
+        return dot / math.sqrt(na * nb)
+
+    for r in rows:
+        qid = r["qid"]
+        qv = embs[qid]
+        qlo, qhi = words(qv)
+        scored = []
+        for vid, v in embs.items():
+            if vid == qid:
+                continue
+            lo, hi = words(v)
+            ham = bin((lo ^ qlo)).count("1") + bin((hi ^ qhi)).count("1")
+            scored.append((vid, ham, cos_e12(v, qv)))
+        full_top = {
+            vid
+            for vid, _, _ in sorted(scored, key=lambda s: (-s[2], s[0]))[:10]
+        }
+        ham_sorted = sorted(scored, key=lambda s: (s[1], s[0]))[:10]
+        ham_top = {vid for vid, _, _ in ham_sorted}
+        hits = full_top & ham_top
+        assert r["n_hit"] == len(hits)
+        assert r["recall_pct"] == len(hits) * 100 // 10
+        if hits:
+            assert r["best_ham"] == min(
+                h for vid, h, _ in ham_sorted if vid in hits
+            )
+        assert 0 <= r["n_hit"] <= 10
+
+
+def test_assortativity_brute_force(spark):
+    [r] = _run(spark, "graph_assortativity")
+    edges = set()
+    for e in _events(spark):
+        u = e["user_id"]
+        v = (u * 13 + len(e["event_type"])) % 100
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    deg = Counter(a for a, _ in edges)
+    inc = [(deg[a], deg[b]) for a, b in edges]
+    n = len(inc)
+    sx = sum(dx for dx, _ in inc)
+    sxy = sum(dx * dy for dx, dy in inc)
+    sxx = sum(dx * dx for dx, _ in inc)
+    assert r["n_edges"] == n // 2
+    assert r["sum_deg"] == sx
+    assert r["sum_ddprod"] == sxy
+    assert r["sum_degsq"] == sxx
+    expect = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert math.isclose(r["assortativity"], expect, rel_tol=1e-12)
+    assert -1.0 <= r["assortativity"] <= 1.0
