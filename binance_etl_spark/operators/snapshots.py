@@ -213,6 +213,42 @@ def _manifest_schema(manifest: dict):
     return StructType.fromJson(sj) if sj else None
 
 
+def _mapping(manifest: dict) -> dict:
+    """LOGICAL -> PHYSICAL column-name mapping pinned by a manifest
+    (the Delta column-mapping model: files keep their immutable
+    PHYSICAL column names forever; renames and drops are metadata-only
+    edits of the logical schema + this map). Absent/empty = identity —
+    every pre-mapping table reads exactly as before."""
+    return dict(manifest.get("column_mapping", {}))
+
+
+def _physical_schema(manifest: dict):
+    """The manifest schema with each field renamed to its PHYSICAL
+    name — the schema the data files actually carry."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = _manifest_schema(manifest)
+    mp = _mapping(manifest)
+    if schema is None or not mp:
+        return schema
+    return StructType(
+        [
+            StructField(mp.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename a LOGICAL-named DataFrame to PHYSICAL names right before
+    a file write (no-op for unmapped tables)."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-column [min, max] from the parquet FOOTER row-group stats —
     no data read. JSON-safe types only (numeric/string); columns with
@@ -436,6 +472,31 @@ def write_version(
             max(1, int(nparts)), *[F.col(c) for c in partition_by]
         )
         stats_cols = sorted(set(stats_cols or []) | set(partition_by))
+    # column mapping is table metadata: appends write files under the
+    # table's PHYSICAL names (overwrite re-shapes and resets to
+    # identity). Captured before staging; the commit loop re-checks it.
+    cmap: dict = {}
+    if mode == "append":
+        head0 = main_versions(table_dir)
+        if head0:
+            hm = _load_manifest(table_dir, head0[-1])
+            cmap = _mapping(hm)
+            hs = _manifest_schema(hm)
+            if hs is not None:
+                # pre-staging twin of the in-loop guard: a new logical
+                # column may not take a renamed/dropped PHYSICAL name
+                # (staging would collide two columns on the same name)
+                head_names = {f.name for f in hs.fields}
+                unavailable = (
+                    set(cmap.values()) | set(hm.get("retired_columns", []))
+                ) - head_names
+                for name in df.columns:
+                    if name not in head_names and name in unavailable:
+                        raise ValueError(
+                            f"column name {name!r} is the PHYSICAL name of "
+                            "a renamed or dropped column and cannot be "
+                            "reused (files still carry it); pick another name"
+                        )
     # stage the data ONCE — the commit loop below may rebase, but the
     # bytes never rewrite (manifests don't care what the dir is named)
     token = _uuid.uuid4().hex[:12]
@@ -446,13 +507,16 @@ def write_version(
     built_bloom_for: tuple | None = None
     idx_rel = None
     try:
-        df.write.mode("overwrite").parquet(staging)
+        _to_physical(df, cmap).write.mode("overwrite").parquet(staging)
         new_files, new_meta = _stage_files(table_dir, rel_dir)
         new_stats = {}
         if stats_cols:
+            # stats are keyed by PHYSICAL names (they describe files);
+            # readers translate predicates through the manifest mapping
+            phys_stat_cols = [cmap.get(c, c) for c in stats_cols]
             for rel in new_files:
                 new_stats[rel] = _file_stats(
-                    os.path.join(table_dir, rel), list(stats_cols)
+                    os.path.join(table_dir, rel), phys_stat_cols
                 )
         for _attempt in range(20):
             prior = main_versions(table_dir)
@@ -465,9 +529,29 @@ def write_version(
             # may EVOLVE it additively (new nullable columns; carried old
             # files read as NULL for them) but never drop or retype a
             # column the table has — re-checked after every rebase.
+            if prev and _mapping(prev) != cmap:
+                # a rename/drop committed between staging and this
+                # rebase: the staged bytes carry stale physical names
+                raise ValueError(
+                    "concurrent column-mapping change during append; "
+                    "retry the write"
+                )
             prev_schema = _manifest_schema(prev) if prev else None
             if prev_schema is not None:
+                prev_names = {f.name for f in prev_schema.fields}
+                # physical names still present in data files but not
+                # addressable: mapped-away originals + dropped columns
+                unavailable = (set(_mapping(prev).values()) | set(
+                    prev.get("retired_columns", [])
+                )) - prev_names
                 new_fields = {f.name: f.dataType for f in df.schema.fields}
+                for name in new_fields:
+                    if name not in prev_names and name in unavailable:
+                        raise ValueError(
+                            f"column name {name!r} is the PHYSICAL name of a "
+                            "renamed or dropped column and cannot be reused "
+                            "(files still carry it); pick another name"
+                        )
                 for f in prev_schema.fields:
                     if f.name not in new_fields:
                         raise ValueError(
@@ -539,6 +623,13 @@ def write_version(
                 # _commit_manifest carries the table's spec forward
                 "partition_by": list(partition_by or []),
                 "unique_keys": effective_uk,
+                # explicit (even {}/[]): an overwrite CLEARS the mapping
+                # and the retired-name ledger (it re-shapes the table,
+                # new files ARE the physical truth); appends carry both
+                "column_mapping": cmap,
+                "retired_columns": (
+                    list(prev.get("retired_columns", [])) if prev else []
+                ),
             }
             if eff_bloom_cols:
                 manifest["bloom_cols"] = eff_bloom_cols
@@ -588,7 +679,12 @@ def _claim_version(table_dir: str, prior: list[int]) -> int:
     return v
 
 
-_CARRIED_PROPS = ("partition_by", "unique_keys")
+_CARRIED_PROPS = (
+    "partition_by",
+    "unique_keys",
+    "column_mapping",
+    "retired_columns",
+)
 
 
 def _commit_manifest(table_dir: str, v: int, manifest: dict) -> None:
@@ -845,6 +941,7 @@ def select_files_point(
         version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
     entries = _load_bloom_entries(table_dir, manifest)
+    col = _mapping(manifest).get(col, col)
     cand, skipped = [], []
     for rel in manifest["files"]:
         e = entries.get((os.path.normpath(rel), col))
@@ -940,15 +1037,27 @@ def _live_rows(
             if with_file
             else empty
         )
-    reader = spark.read.schema(schema) if schema is not None else spark.read
+    mp = _mapping(manifest)
+    phys = _physical_schema(manifest)
+    reader = spark.read.schema(phys) if phys is not None else spark.read
     df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
-    cols = df.columns
+    if mp and schema is not None:
+        # physical file columns -> the manifest's logical names; one
+        # projection straight off the scan (keeps _metadata reachable)
+        proj = [
+            F.col(mp.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        cols = [f.name for f in schema.fields]
+    else:
+        proj = [F.col(c) for c in df.columns]
+        cols = df.columns
     dv = _dv_df(spark, table_dir, manifest)
     if dv is None and not with_file:
-        return df
+        return df.select(*proj) if mp else df
     rel_expr = _file_rel_expr(table_dir)
     tagged = df.select(
-        *cols,
+        *proj,
         rel_expr.alias("__f"),
         F.col("_metadata.row_index").alias("__pos"),
     )
@@ -1188,7 +1297,9 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             )
             rel_dir = os.path.join("data", f"v{v}")
             staging = os.path.join(table_dir, rel_dir)
-            keep.write.mode("overwrite").parquet(staging)
+            _to_physical(keep, _mapping(prev)).write.mode(
+                "overwrite"
+            ).parquet(staging)
             new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
@@ -1301,7 +1412,9 @@ def delete_keys(
                 ~F.col(col).isin(list(vset))
             )
             rel_dir = os.path.join("data", f"v{v}")
-            keep.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+            _to_physical(keep, _mapping(prev)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(table_dir, rel_dir))
             new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
@@ -1428,7 +1541,9 @@ def update_where(
             if exp:
                 _enforce_expectations(updated, exp)
             rel_dir = os.path.join("data", f"v{v}")
-            updated.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+            _to_physical(updated, _mapping(prev)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(table_dir, rel_dir))
             new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
@@ -1539,7 +1654,9 @@ def update_where_mor(
             _release_claim(table_dir, v)
             continue
         rel_dir = os.path.join("data", f"v{v}")
-        updated.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+        _to_physical(updated, _mapping(prev)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(table_dir, rel_dir))
         new_files, new_meta = _stage_files(table_dir, rel_dir)
         new_pos = matches.select(
             F.col("__f").alias("f"), F.col("__pos").alias("pos")
@@ -1730,7 +1847,9 @@ def merge_into(
         new_data = kept.unionByName(eff_upserts.select(*cols))
         rel_dir = os.path.join("data", f"v{v}")
         staging = os.path.join(table_dir, rel_dir)
-        new_data.write.mode("overwrite").parquet(staging)
+        _to_physical(new_data, _mapping(prev)).write.mode(
+            "overwrite"
+        ).parquet(staging)
         new_files, new_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
@@ -1934,7 +2053,13 @@ def compact(
             # z-columns are recorded below so skipping works at once.
             from binance_etl_spark.operators.zorder import write_zordered
 
-            write_zordered(df, staging, zorder_by, n_out)
+            _cm = _mapping(prev)
+            write_zordered(
+                _to_physical(df, _cm),
+                staging,
+                [_cm.get(c, c) for c in zorder_by],
+                n_out,
+            )
         elif pspec and set(pspec) <= set(df.columns):
             # the table declares a partition spec: the rewrite must
             # PRESERVE the hidden-partition clustering (Delta OPTIMIZE
@@ -1942,11 +2067,16 @@ def compact(
             # maintenance would quietly destroy the equality-pruning
             # layout write_version built
             nspec = df.select(*pspec).distinct().count()
-            df.repartitionByRange(
-                max(n_out, int(nspec), 1), *[F.col(c) for c in pspec]
+            _to_physical(
+                df.repartitionByRange(
+                    max(n_out, int(nspec), 1), *[F.col(c) for c in pspec]
+                ),
+                _mapping(prev),
             ).write.mode("overwrite").parquet(staging)
         else:
-            df.repartition(n_out).write.mode("overwrite").parquet(staging)
+            _to_physical(df.repartition(n_out), _mapping(prev)).write.mode(
+                "overwrite"
+            ).parquet(staging)
         new_files, file_meta = _stage_files(table_dir, rel_dir)
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(carried)
@@ -2021,6 +2151,7 @@ def select_files(
         version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
     stats = manifest.get("stats", {})
+    col = _mapping(manifest).get(col, col)  # stats are physical-keyed
     kept, skipped = [], []
     for rel in manifest["files"]:
         mm = stats.get(rel, {}).get(col)
@@ -2225,10 +2356,17 @@ def read_changes(
 
         def _rows_at(posdf: DataFrame) -> DataFrame:
             schema = _manifest_schema(m_to)
-            reader = spark.read.schema(schema) if schema is not None else spark.read
+            phys = _physical_schema(m_to)
+            mp = _mapping(m_to)
+            reader = spark.read.schema(phys) if phys is not None else spark.read
             raw = reader.parquet(*[os.path.join(table_dir, c) for c in common])
+            proj = (
+                [F.col(mp.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+                if mp and schema is not None
+                else [F.col(c) for c in cols]
+            )
             tagged = raw.select(
-                *cols,
+                *proj,
                 _file_rel_expr(table_dir).alias("__f"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
@@ -2634,12 +2772,18 @@ def write_branch(
         _enforce_expectations(df, effective_exp)
     v = _claim_version(table_dir, versions(table_dir))
     rel_dir = os.path.join("data", f"v{v}")
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_dir))
+    bmap = _mapping(head) if mode == "append" else {}
+    _to_physical(df, bmap).write.mode("overwrite").parquet(
+        os.path.join(table_dir, rel_dir)
+    )
     new_files, file_meta = _stage_files(table_dir, rel_dir)
     stats = {}
     if stats_cols:
         for rel in new_files:
-            stats[rel] = _file_stats(os.path.join(table_dir, rel), list(stats_cols))
+            stats[rel] = _file_stats(
+                os.path.join(table_dir, rel),
+                [bmap.get(c, c) for c in stats_cols],
+            )
     if mode == "append":
         carried = head["files"]
         stats = {**head.get("stats", {}), **stats}
@@ -2656,6 +2800,7 @@ def write_branch(
         "file_meta": file_meta,
         "schema": json.loads(df.schema.json()),
         "expectations": effective_exp,
+        "column_mapping": bmap,
     }
     if mode == "append":
         manifest.update(
@@ -2808,6 +2953,10 @@ def restore(table_dir: str, version: int) -> int:
             "file_meta": src.get("file_meta", {}),
             "schema": src.get("schema"),
             "expectations": src.get("expectations", {}),
+            # the restored version's OWN mapping/ledger, even {} — the
+            # current head's must not leak onto older bytes
+            "column_mapping": src.get("column_mapping", {}),
+            "retired_columns": src.get("retired_columns", []),
         }
         for key in ("dv", "dv_rows", "bloom_cols", "bloom_indexes"):
             if key in src:
@@ -2863,6 +3012,8 @@ def shallow_clone(src_dir: str, dst_dir: str, version: int | None = None) -> int
         },
         "schema": m.get("schema"),
         "expectations": m.get("expectations", {}),
+        "column_mapping": m.get("column_mapping", {}),
+        "retired_columns": m.get("retired_columns", []),
     }
     if "dv" in m:
         manifest["dv"] = absolutize(m["dv"])
@@ -2906,6 +3057,16 @@ def add_columns(table_dir: str, new_fields: dict[str, str]) -> int:
         dup = sorted(set(new_fields) & existing)
         if dup:
             raise ValueError(f"add_columns: columns already exist: {dup}")
+        unavailable = (
+            set(_mapping(prev).values())
+            | set(prev.get("retired_columns", []))
+        ) - existing
+        reused = sorted(set(new_fields) & unavailable)
+        if reused:
+            raise ValueError(
+                f"add_columns: {reused} are PHYSICAL names of renamed or "
+                "dropped columns (files still carry them); pick other names"
+            )
         extended = StructType(
             list(schema.fields)
             + [
@@ -2927,6 +3088,7 @@ def add_columns(table_dir: str, new_fields: dict[str, str]) -> int:
             "file_meta": prev.get("file_meta", {}),
             "schema": json.loads(extended.json()),
             "expectations": prev.get("expectations", {}),
+            "column_mapping": _mapping(prev),
         }
         for key in ("dv", "dv_rows", "bloom_cols", "bloom_indexes"):
             if key in prev:
@@ -2936,6 +3098,162 @@ def add_columns(table_dir: str, new_fields: dict[str, str]) -> int:
     raise RuntimeError(
         f"add_columns: lost the optimistic-conflict race 4 times on {table_dir}"
     )
+
+
+def _constraint_refs(prev: dict, name: str) -> list[str]:
+    """Table properties that reference a column by name — a rename or
+    drop of such a column is refused (Delta restricts constrained-
+    column renames the same way): the caller clears/re-declares the
+    constraint first. This guard is ALSO what keeps every constrained
+    column identity-mapped, so bloom/partition/unique-key machinery
+    never needs name translation."""
+    refs = []
+    if name in prev.get("partition_by", []):
+        refs.append("partition_by")
+    if name in prev.get("unique_keys", []):
+        refs.append("unique_keys")
+    if name in prev.get("bloom_cols", []):
+        refs.append("bloom_cols")
+    import re
+
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    for cname, pred in prev.get("expectations", {}).items():
+        if pat.search(pred):
+            refs.append(f"expectation:{cname}")
+    return refs
+
+
+def _alter_mapping_commit(table_dir: str, op: str, build) -> int:
+    """Shared optimistic-commit loop for the metadata-only schema
+    edits (rename/drop): `build(prev, schema)` returns the manifest
+    field overrides or raises."""
+    for _attempt in range(4):
+        prior = main_versions(table_dir)
+        if not prior:
+            raise ValueError(f"{table_dir}: no committed snapshot to alter")
+        prev = _load_manifest(table_dir, prior[-1])
+        schema = _manifest_schema(prev)
+        if schema is None:
+            raise ValueError(
+                f"{table_dir}: latest manifest predates versioned schemas; "
+                "recommit (any append) before altering"
+            )
+        overrides = build(prev, schema)
+        v = _claim_version(table_dir, versions(table_dir))
+        _await_predecessors(table_dir, v)
+        if main_versions(table_dir)[-1] != prior[-1]:
+            _release_claim(table_dir, v)
+            continue
+        manifest = {
+            "version": v,
+            "mode": op,
+            "files": list(prev["files"]),
+            "stats": prev.get("stats", {}),
+            "file_meta": prev.get("file_meta", {}),
+            "expectations": prev.get("expectations", {}),
+            **overrides,
+        }
+        for key in ("dv", "dv_rows", "bloom_cols", "bloom_indexes"):
+            if key in prev:
+                manifest[key] = prev[key]
+        _commit_manifest(table_dir, v, manifest)
+        return v
+    raise RuntimeError(
+        f"{op}: lost the optimistic-conflict race 4 times on {table_dir}"
+    )
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY via column mapping
+    (the Delta column-mapping model): data files keep the column under
+    its immutable PHYSICAL name forever; this commit only edits the
+    logical schema and the logical->physical map, so ZERO bytes move
+    at any table size. Reads of every version return that version's
+    OWN logical names (time travel across the rename shows the old
+    name, as Delta does); appends after the rename keep writing the
+    physical name. Renames of columns referenced by partition_by /
+    unique_keys / bloom_cols / CHECK expectations are refused — clear
+    the constraint first — which also pins every constrained column to
+    an identity mapping. The freed logical name stays RESERVED as a
+    physical name (reusing it would alias old bytes)."""
+    from pyspark.sql.types import StructField, StructType
+
+    def build(prev: dict, schema) -> dict:
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        if not new.isidentifier():
+            raise ValueError(f"rename_column: invalid column name {new!r}")
+        refs = _constraint_refs(prev, old)
+        if refs:
+            raise ValueError(
+                f"rename_column: {old!r} is referenced by {refs}; "
+                "clear those constraints first"
+            )
+        mp = _mapping(prev)
+        physical_in_use = {mp.get(n, n) for n in names}
+        retired = set(prev.get("retired_columns", []))
+        if new in physical_in_use or new in retired:
+            raise ValueError(
+                f"rename_column: {new!r} is a PHYSICAL name still carried "
+                "by data files; pick another name"
+            )
+        phys = mp.pop(old, old)
+        if phys != new:
+            mp[new] = phys
+        renamed = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return {
+            "renamed_column": [old, new],
+            "schema": json.loads(renamed.json()),
+            "column_mapping": mp,
+            "retired_columns": sorted(retired),
+        }
+
+    return _alter_mapping_commit(table_dir, "rename_column", build)
+
+
+def drop_column(table_dir: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — METADATA-ONLY via column mapping:
+    the column leaves the logical schema and the map; its bytes stay
+    in existing files (unread — the manifest-pinned physical schema
+    never asks for them; a later full `compact()` rewrites them away
+    for real because it reads logical rows and writes clean files).
+    The physical name joins the RETIRED ledger so no later add/rename
+    can alias the dead bytes. Constrained columns are refused, as in
+    `rename_column`; dropping the last column is refused."""
+    from pyspark.sql.types import StructType
+
+    def build(prev: dict, schema) -> dict:
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r}")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        refs = _constraint_refs(prev, name)
+        if refs:
+            raise ValueError(
+                f"drop_column: {name!r} is referenced by {refs}; "
+                "clear those constraints first"
+            )
+        mp = _mapping(prev)
+        phys = mp.pop(name, name)
+        retired = sorted(set(prev.get("retired_columns", [])) | {phys})
+        shrunk = StructType([f for f in schema.fields if f.name != name])
+        return {
+            "dropped_column": name,
+            "schema": json.loads(shrunk.json()),
+            "column_mapping": mp,
+            "retired_columns": retired,
+        }
+
+    return _alter_mapping_commit(table_dir, "drop_column", build)
 
 
 def describe_detail(table_dir: str) -> dict:

@@ -824,3 +824,74 @@ def sink_sql_rf_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         execute_dml(spark, stmt, {"li_rf": table})
     SNAP.read_version(spark, table).createOrReplaceTempView("li_rf")
     return spark.sql(_RF_FINAL_SQL)
+
+
+@register(
+    "sink_rename_column",
+    oracle="""
+    SELECT 'v1' AS phase, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 'head', 'all', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    """,
+    doc="ALTER TABLE RENAME/DROP COLUMN lifecycle over the snapshot "
+    "log (operators/snapshots.py::rename_column / drop_column — the "
+    "Delta column-mapping model): the even half of documents commits, "
+    "n_chars RENAMES to chars (metadata-only: files keep the "
+    "immutable PHYSICAL name, only the manifest's logical schema and "
+    "logical->physical map change — ZERO bytes move at any table "
+    "size), the odd half appends under the NEW logical name (its "
+    "files physically carry the old one), lang DROPS (bytes stay in "
+    "place, unread; the physical name joins the retired ledger so it "
+    "can never alias back). The query value-checks v1 through time "
+    "travel under its OWN original names and the head under the "
+    "post-rename schema — totals must equal plain per-name "
+    "aggregation of the source. Constraint guards, stats-pruning "
+    "translation, DV reads, restore/clone and the batch DataSource "
+    "under mapping are pinned in tests/test_column_mapping.py.",
+    tags=("sink", "layout", "versioning"),
+)
+def sink_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="besk_rencol_") + "/docs"
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 2 == 0).repartitionByRange(2, "doc_id"),
+        table,
+    )
+    SNAP.rename_column(table, "n_chars", "chars")
+    SNAP.write_version(
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", F.col("n_chars").alias("chars")
+        ),
+        table,
+    )
+    SNAP.drop_column(table, "lang")
+    v1 = (
+        SNAP.read_version(spark, table, SNAP.versions(table)[0])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(F.lit("v1").alias("phase"), "lang", "n_docs", "sum_chars")
+    )
+    head = (
+        SNAP.read_version(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.lit("head").alias("phase"),
+            F.lit("all").alias("lang"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    return v1.unionByName(head)

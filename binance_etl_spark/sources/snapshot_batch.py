@@ -136,6 +136,9 @@ class SnapshotBatchReader(DataSourceReader):
         self.table_dir = options["path"]
         self.manifest = _resolve_manifest(options)
         self.spark_schema = schema
+        # logical -> physical column names (metadata-only renames):
+        # files carry PHYSICAL names; the scan serves LOGICAL ones
+        self.col_map: dict = dict(self.manifest.get("column_mapping", {}))
 
     def _kept_files(self) -> list[str]:
         return list(self.manifest["files"])
@@ -183,7 +186,8 @@ class SnapshotBatchReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.path)
         present = set(pf.schema_arrow.names)
-        want = [f.name for f in target if f.name in present]
+        phys = {f.name: self.col_map.get(f.name, f.name) for f in target}
+        want = [phys[f.name] for f in target if phys[f.name] in present]
         offset = 0
         for batch in pf.iter_batches(columns=want or None):
             n = batch.num_rows
@@ -197,8 +201,10 @@ class SnapshotBatchReader(DataSourceReader):
                 continue
             arrays = []
             for field in target:
-                if field.name in present:
-                    col = batch.column(batch.schema.get_field_index(field.name))
+                if phys[field.name] in present:
+                    col = batch.column(
+                        batch.schema.get_field_index(phys[field.name])
+                    )
                     if col.type != field.type:
                         col = col.cast(field.type)
                     arrays.append(col)
@@ -249,6 +255,11 @@ class SnapshotPruningBatchReader(SnapshotBatchReader):
 
     def _kept_files(self) -> list[str]:
         stats = self.manifest.get("stats", {})
+        if self.col_map:  # stats are keyed by PHYSICAL names
+            self._range_sets = [
+                [(self.col_map.get(c, c), lo, hi) for c, lo, hi in rs]
+                for rs in self._range_sets
+            ]
 
         def excluded_by(fstats: dict, ranges) -> bool:
             for col, lo, hi in ranges:

@@ -1,0 +1,212 @@
+"""Column mapping: metadata-only RENAME/DROP COLUMN over the snapshot
+log (operators/snapshots.py::rename_column/drop_column — the Delta
+column-mapping model: files keep immutable PHYSICAL names; logical
+renames/drops edit only the manifest's schema + logical->physical
+map). Under test: zero data I/O, per-version logical schemas (time
+travel shows each version's own names), appends/rewrites after a
+rename, the retired-physical-name ledger, constraint guards, stats
+pruning through the mapping, DV reads, restore/clone, and the batch
+DataSource."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from binance_etl_spark.operators import snapshots as SNAP
+from binance_etl_spark.sources.snapshot_batch import read_snapshot
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _vals(df, col="v"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_rename_is_metadata_only_and_versioned(spark, table):
+    v1 = SNAP.write_version(_df(spark, 0, 100), table)
+    files_before = SNAP._load_manifest(table, v1)["files"]
+    v2 = SNAP.rename_column(table, "v", "price")
+    m2 = SNAP._load_manifest(table, v2)
+    # zero data I/O: the file list is carried verbatim
+    assert m2["files"] == files_before
+    assert m2["column_mapping"] == {"price": "v"}
+    # head reads the NEW logical name with the same values
+    head = SNAP.read_version(spark, table)
+    assert head.columns == ["id", "price"]
+    assert _vals(head, "price") == [i * 2 for i in range(100)]
+    # time travel shows the old version's OWN name
+    old = SNAP.read_version(spark, table, v1)
+    assert old.columns == ["id", "v"]
+
+
+def test_append_after_rename_writes_physical_names(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    v3 = SNAP.write_version(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS price"), table
+    )
+    m3 = SNAP._load_manifest(table, v3)
+    assert m3["column_mapping"] == {"price": "v"}
+    # the NEW files physically carry the original name
+    new_files = [f for f in m3["files"] if f.startswith("data/tx-")]
+    assert new_files
+    names = pq.ParquetFile(os.path.join(table, new_files[-1])).schema_arrow.names
+    assert "v" in names and "price" not in names
+    got = SNAP.read_version(spark, table)
+    assert _vals(got, "price") == [i * 2 for i in range(20)]
+
+
+def test_rename_then_rewrites_stay_correct(spark, table):
+    SNAP.write_version(_df(spark, 0, 100), table)
+    SNAP.rename_column(table, "v", "price")
+    SNAP.delete_where(spark, table, "price >= 100")  # drops ids 50..99
+    SNAP.update_where(spark, table, "id = 0", {"price": "price + 7"})
+    got = SNAP.read_version(spark, table)
+    assert _vals(got, "price") == sorted(
+        [7] + [i * 2 for i in range(1, 50)]
+    )
+    # compact reads through the mapping and re-writes physical names
+    v = SNAP.compact(spark, table)
+    got2 = SNAP.read_version(spark, table, v)
+    assert _vals(got2, "price") == _vals(got, "price")
+
+
+def test_rename_preserves_dv_reads(spark, table):
+    SNAP.write_version(_df(spark, 0, 100), table)
+    SNAP.delete_where_mor(spark, table, "v < 10")
+    SNAP.rename_column(table, "v", "price")
+    got = SNAP.read_version(spark, table)
+    assert _vals(got, "price") == [i * 2 for i in range(5, 50)] + [
+        i * 2 for i in range(50, 100)
+    ]
+
+
+def test_stats_pruning_translates_through_mapping(spark, table):
+    SNAP.write_version(
+        _df(spark, 0, 1000).repartitionByRange(4, "id"),
+        table,
+        stats_cols=["v"],
+    )
+    SNAP.rename_column(table, "v", "price")
+    kept, skipped = SNAP.select_files(table, None, "price", 0, 10)
+    assert skipped, "expected file skipping on the renamed column"
+    # append after the rename records stats under the PHYSICAL key
+    SNAP.write_version(
+        spark.range(5000, 6000).selectExpr("id", "id * 2 AS price"),
+        table,
+        stats_cols=["price"],
+    )
+    m = SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+    new_files = [f for f in m["files"] if f.startswith("data/tx-")]
+    assert all("v" in m["stats"][f] for f in new_files if f in m["stats"])
+    kept2, skipped2 = SNAP.select_files(table, None, "price", 0, 10)
+    assert len(skipped2) > len(skipped)
+
+
+def test_constraint_guards_refuse_rename_and_drop(spark, table):
+    SNAP.write_version(
+        _df(spark, 0, 10),
+        table,
+        expectations={"v_pos": "v >= 0"},
+        unique_keys=["id"],
+    )
+    with pytest.raises(ValueError, match="expectation:v_pos"):
+        SNAP.rename_column(table, "v", "price")
+    with pytest.raises(ValueError, match="unique_keys"):
+        SNAP.drop_column(table, "id")
+
+
+def test_freed_physical_name_is_reserved(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    # a new column may not take the physical name 'v'
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        SNAP.add_columns(table, {"v": "bigint"})
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        SNAP.write_version(
+            spark.range(10, 20).selectExpr(
+                "id", "id * 2 AS price", "id AS v"
+            ),
+            table,
+        )
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        SNAP.rename_column(table, "price", "v")
+
+
+def test_drop_column_retires_physical_name(spark, table):
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v", "id * 3 AS w"),
+        table,
+    )
+    v2 = SNAP.drop_column(table, "w")
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "v"]
+    assert SNAP._load_manifest(table, v2)["retired_columns"] == ["w"]
+    # the dead physical name cannot come back
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        SNAP.add_columns(table, {"w": "bigint"})
+    # but time travel still reads it in v1
+    old = SNAP.read_version(spark, table, SNAP.versions(table)[0])
+    assert old.columns == ["id", "v", "w"]
+    # drop of a RENAMED column retires its PHYSICAL name
+    SNAP.rename_column(table, "v", "price")
+    v4 = SNAP.drop_column(table, "price")
+    assert SNAP._load_manifest(table, v4)["retired_columns"] == ["v", "w"]
+
+
+def test_restore_across_rename_shows_old_schema(spark, table):
+    v1 = SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    SNAP.restore(table, v1)
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "v"]
+    # and the mapping did not leak onto the restored head
+    head = SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+    assert head.get("column_mapping", {}) == {}
+
+
+def test_shallow_clone_carries_mapping(spark, table, tmp_path):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    clone = str(tmp_path / "clone")
+    SNAP.shallow_clone(table, clone)
+    got = SNAP.read_version(spark, clone)
+    assert got.columns == ["id", "price"]
+    assert _vals(got, "price") == [i * 2 for i in range(10)]
+
+
+def test_batch_source_reads_mapped_table(spark, table):
+    SNAP.write_version(_df(spark, 0, 50), table, stats_cols=["v"])
+    SNAP.rename_column(table, "v", "price")
+    SNAP.write_version(
+        spark.range(50, 60).selectExpr("id", "id * 2 AS price"), table
+    )
+    df = read_snapshot(spark, table)
+    assert sorted(df.columns) == ["id", "price"]
+    assert _vals(df, "price") == [i * 2 for i in range(60)]
+    pruned = read_snapshot(spark, table, prune=True).where("price <= 20")
+    assert _vals(pruned, "price") == [i * 2 for i in range(11)]
+
+
+def test_read_changes_after_rename(spark, table):
+    SNAP.write_version(_df(spark, 0, 10), table)
+    v2 = SNAP.rename_column(table, "v", "price")
+    v3 = SNAP.write_version(
+        spark.range(10, 12).selectExpr("id", "id * 2 AS price"), table
+    )
+    ch = SNAP.read_changes(spark, table, v2, v3)
+    rows = ch.collect()
+    assert {r["change_type"] for r in rows} == {"insert"}
+    assert sorted(r["price"] for r in rows) == [20, 22]
+    # a rename alone is a zero-change commit
+    assert SNAP.read_changes(spark, table, v2 - 1, v2).count() == 0
