@@ -287,6 +287,14 @@ HEADLINE_LLM = [
     "ms_lee_ready",
     "emb_hamming_ann",
     "graph_assortativity",
+    # round-8 wave 5: metadata-only RENAME/DROP COLUMN lifecycle
+    # (column mapping: commit + rename + append + drop + two reads).
+    "sink_rename_column",
+    # round-8 wave 5: Dickey-Fuller unit-root screen, OBV/ADL volume
+    # flow, LPA-community modularity.
+    "stats_dickey_fuller",
+    "ms_obv_adline",
+    "graph_modularity",
 ]
 
 

@@ -329,3 +329,92 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CAST(n AS DOUBLE) * (n + 2) * ({_LB_Q}) AS DOUBLE) AS q_stat",
         f"CAST({len(_LB_LAGS)} AS BIGINT) AS df",
     ).orderBy("sym")
+
+
+# --- stats_dickey_fuller ---------------------------------------------------
+
+# Dickey-Fuller regression dp_t = alpha + beta * p_{t-1}: beta, its
+# standard error, and the DF t statistic from six exact integer sums
+# via one shared-text tree (the stats_ols_group sufficient-statistics
+# idiom; unit root <=> t not significantly below 0).
+_DF_DERIVE = """
+    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy_c,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c
+"""
+
+
+@register(
+    "stats_dickey_fuller",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    x AS (
+      SELECT sym,
+             lag(CAST(floor(price * 100) AS BIGINT)) OVER
+               (PARTITION BY sym ORDER BY ts, tid) AS xl,
+             CAST(floor(price * 100) AS BIGINT)
+               - lag(CAST(floor(price * 100) AS BIGINT)) OVER
+                   (PARTITION BY sym ORDER BY ts, tid) AS dy
+      FROM t
+    ), sums AS (
+      SELECT sym, COUNT(*) AS n,
+             SUM(xl) AS sx, SUM(dy) AS sy,
+             SUM(xl * dy) AS sxy, SUM(xl * xl) AS sxx,
+             SUM(dy * dy) AS syy
+      FROM x WHERE xl IS NOT NULL GROUP BY sym
+    ), c AS (
+      SELECT sym, n, {_DF_DERIVE} FROM sums
+    ), fit AS (
+      SELECT sym, n, sxy_c / sxx_c AS beta,
+             (syy_c - (sxy_c / sxx_c) * sxy_c) / (n - 2) AS s2,
+             sxx_c
+      FROM c
+    )
+    SELECT sym, CAST(n AS BIGINT) AS n,
+           CAST(beta AS DOUBLE) AS beta,
+           CAST(beta / sqrt(s2 / sxx_c) AS DOUBLE) AS t_df
+    FROM fit ORDER BY sym
+    """,
+    doc="Dickey-Fuller unit-root test per symbol: regress the price "
+    "CHANGE on the lagged price level (dp_t = a + b*p_{{t-1}}) and "
+    "report b with its t statistic — the stationarity screen run "
+    "before fitting anything mean-reverting (t near 0 = random walk, "
+    "strongly negative = mean reversion; the regression companion to "
+    "stats_ljung_box's whiteness test). Six exact integer sufficient "
+    "sums (floor-e2 prices) from one combinable aggregate; slope, "
+    "residual variance, and t derive via one shared-text tree "
+    "(divisions + one sqrt). 100 TB shape: one sym-keyed window "
+    "exchange for the lag, one pass, 5-row output.",
+    tags=("stats", "window", "microstructure"),
+)
+def stats_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    p = F.floor(F.col("price") * 100).cast("bigint")
+    x = t.select(
+        "sym",
+        F.lag(p).over(w).alias("xl"),
+        (p - F.lag(p).over(w)).alias("dy"),
+    ).where(F.col("xl").isNotNull())
+    sums = x.groupBy("sym").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("xl * dy")).alias("sxy"),
+        F.sum(F.expr("xl * xl")).alias("sxx"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+    )
+    c = sums.selectExpr("sym", "n", *_DF_DERIVE.split(",\n"))
+    fit = c.selectExpr(
+        "sym",
+        "n",
+        "sxy_c / sxx_c AS beta",
+        "(syy_c - (sxy_c / sxx_c) * sxy_c) / (n - 2) AS s2",
+        "sxx_c",
+    )
+    return fit.selectExpr(
+        "sym",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(beta AS DOUBLE) AS beta",
+        "CAST(beta / sqrt(s2 / sxx_c) AS DOUBLE) AS t_df",
+    ).orderBy("sym")

@@ -217,3 +217,109 @@ def test_assortativity_brute_force(spark):
     expect = (n * sxy - sx * sx) / (n * sxx - sx * sx)
     assert math.isclose(r["assortativity"], expect, rel_tol=1e-12)
     assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_dickey_fuller_brute_force(spark):
+    rows = _run(spark, "stats_dickey_fuller")
+    tape = _tape_py(spark)
+    for r in rows:
+        ps = [p for _, _, p, _ in tape[r["sym"]]]
+        xs = ps[:-1]
+        ys = [ps[i + 1] - ps[i] for i in range(len(ps) - 1)]
+        n = len(xs)
+        assert r["n"] == n
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy_c = sxy - sx * sy / n
+        sxx_c = sxx - sx * sx / n
+        syy_c = syy - sy * sy / n
+        beta = sxy_c / sxx_c
+        s2 = (syy_c - beta * sxy_c) / (n - 2)
+        t = beta / math.sqrt(s2 / sxx_c)
+        assert math.isclose(r["beta"], beta, rel_tol=1e-9)
+        assert math.isclose(r["t_df"], t, rel_tol=1e-9)
+        # mean-reverting synthetic tape: the unit root is rejected hard
+        assert t < -2.86
+
+
+def test_obv_adline_brute_force(spark):
+    rows = _run(spark, "ms_obv_adline")
+    tape = _tape_py(spark)
+    by_sym = defaultdict(list)
+    for r in rows:
+        by_sym[r["sym"]].append(r)
+    for sym, seq in tape.items():
+        bars = {}
+        for ts, tid, p, _ in seq:
+            key = ts.replace(minute=0, second=0, microsecond=0)
+            bars.setdefault(key, []).append((ts, tid, p))
+        qty = {}
+        for r2 in _events(spark):
+            if r2["value"] > 0 and r2["user_id"] % 5 == sym:
+                key = r2["ts"].replace(minute=0, second=0, microsecond=0)
+                qty[key] = qty.get(key, 0) + r2["event_id"] % 7 + 1
+        obv = adl = 0
+        prev_c = None
+        out = []
+        for key in sorted(bars):
+            ps = [p for _, _, p in sorted(bars[key])]
+            c, h, l = ps[-1], max(ps), min(ps)
+            vol = qty[key]
+            if prev_c is not None:
+                if c > prev_c:
+                    obv += vol
+                elif c < prev_c:
+                    obv -= vol
+            # both engines' integer division TRUNCATES toward zero
+            num = (2 * c - l - h) * 1_000_000
+            clv = (
+                0
+                if h == l
+                else (abs(num) // (h - l)) * (1 if num >= 0 else -1)
+            )
+            adl += clv * vol
+            prev_c = c
+            out.append((key, vol, obv, adl))
+        got = by_sym[sym]
+        assert len(got) == min(3, len(out))
+        for r3, (key, vol, o, a) in zip(got, out[-3:]):
+            assert r3["vol"] == vol
+            assert r3["obv"] == o
+            assert r3["adl_ppm"] == a
+
+
+def test_modularity_brute_force(spark):
+    [r] = _run(spark, "graph_modularity")
+    edges = set()
+    for e in _events(spark):
+        u = e["user_id"]
+        v = (u * 13 + len(e["event_type"])) % 100
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nb = defaultdict(set)
+    for u, v in edges:
+        nb[u].add(v)
+        nb[v].add(u)
+    labels = {n: n for n in nb}
+    for _ in range(3):
+        new = {}
+        for n in nb:
+            cnt = Counter(labels[x] for x in nb[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    m = len(edges)
+    intra = sum(1 for u, v in edges if labels[u] == labels[v])
+    dc = Counter()
+    for n in nb:
+        dc[labels[n]] += len(nb[n])
+    b = sum(d * d for d in dc.values())
+    assert r["n_edges"] == m
+    assert r["intra_edges"] == intra
+    assert r["sum_dc2"] == b
+    assert r["n_communities"] == len(dc)
+    assert math.isclose(
+        r["modularity"], intra / m - b / (4 * m * m), rel_tol=1e-12
+    )
