@@ -295,6 +295,10 @@ HEADLINE_LLM = [
     "stats_dickey_fuller",
     "ms_obv_adline",
     "graph_modularity",
+    # round-8 wave 6: Brown-Forsythe variance gate + intraday
+    # volume-curve profile.
+    "stats_levene_bf",
+    "ms_intraday_seasonality",
 ]
 
 

@@ -13,6 +13,9 @@ to Spark SQL / the snapshot operators unparsed):
 
     DELETE FROM <table> WHERE <condition>
     TRUNCATE TABLE <table>
+    ALTER TABLE <table> RENAME COLUMN <old> TO <new>
+    ALTER TABLE <table> DROP COLUMN <col>
+    ALTER TABLE <table> ADD COLUMN[S] <name> <type> [, ...]
     INSERT INTO <table> SELECT ... | VALUES (...), (...)
     UPDATE <table> SET col = expr [, ...] [WHERE <condition>]
     MERGE INTO <table> [AS] [t] USING <view> [AS] [s]
@@ -57,6 +60,24 @@ _DELETE_RE = re.compile(
 
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<table>[\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+COLUMN\s+"
+    r"(?P<col>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(?P<fields>[\w\s,()<>]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 _INSERT_RE = re.compile(
@@ -452,6 +473,27 @@ def execute_dml(
         table_dir = tables[mt.group("table")]
         empty = SNAP.read_version(spark, table_dir).limit(0)
         return SNAP.write_version(empty, table_dir, mode="overwrite")
+
+    ma = _ALTER_RENAME_RE.match(sql_text)
+    if ma:
+        # metadata-only column mapping (FORMAT.md): zero bytes move
+        return SNAP.rename_column(
+            tables[ma.group("table")], ma.group("old"), ma.group("new")
+        )
+
+    md = _ALTER_DROP_RE.match(sql_text)
+    if md:
+        return SNAP.drop_column(tables[md.group("table")], md.group("col"))
+
+    mc = _ALTER_ADD_RE.match(sql_text)
+    if mc:
+        fields: dict[str, str] = {}
+        for part in _split_top_level_commas(mc.group("fields")):
+            toks = part.strip().split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(f"ALTER ADD COLUMNS: bad field {part!r}")
+            fields[toks[0]] = toks[1]
+        return SNAP.add_columns(tables[mc.group("table")], fields)
 
     mi = _INSERT_RE.match(sql_text)
     if mi:

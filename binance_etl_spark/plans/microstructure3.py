@@ -613,3 +613,74 @@ def ms_obv_adline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym", "bar_us")
     )
+
+
+# --- ms_intraday_seasonality -----------------------------------------------
+
+
+@register(
+    "ms_intraday_seasonality",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    x AS (
+      SELECT sym, CAST(hour(ts) AS INT) AS hod, qty,
+             abs(CAST(floor(price * 100) AS BIGINT)
+                 - lag(CAST(floor(price * 100) AS BIGINT)) OVER
+                     (PARTITION BY sym ORDER BY ts, tid)) AS adp
+      FROM t
+    ), h AS (
+      SELECT sym, hod, COUNT(*) AS n_trades,
+             SUM(qty) AS vol,
+             SUM(COALESCE(adp, 0)) AS abs_dp_e2
+      FROM x GROUP BY sym, hod
+    ), tot AS (
+      SELECT sym, SUM(vol) AS tvol FROM h GROUP BY sym
+    )
+    SELECT h.sym, h.hod,
+           CAST(h.n_trades AS BIGINT) AS n_trades,
+           CAST(h.vol AS BIGINT) AS vol,
+           CAST((1000000 * h.vol) // t.tvol AS BIGINT) AS vol_share_ppm,
+           CAST(h.abs_dp_e2 AS BIGINT) AS abs_dp_e2
+    FROM h JOIN tot t ON t.sym = h.sym
+    ORDER BY h.sym, h.hod
+    """,
+    doc="Intraday seasonality profile per symbol: trade count, volume, "
+    "volume share (integer ppm), and total absolute e2 price movement "
+    "by hour of day — the U-shape screen behind volume-curve "
+    "execution schedules (VWAP slicing allocates by exactly this "
+    "profile). |dp| rides the same sym-keyed window exchange as the "
+    "other tape ops; the hour-of-day rollup is one combinable "
+    "aggregate and the share join is a broadcast of 5 totals. "
+    "120-row output.",
+    tags=("microstructure", "window", "agg"),
+)
+def ms_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    p = F.floor(F.col("price") * 100).cast("bigint")
+    x = t.select(
+        "sym",
+        F.hour("ts").cast("int").alias("hod"),
+        "qty",
+        F.abs(p - F.lag(p).over(w)).alias("adp"),
+    )
+    h = x.groupBy("sym", "hod").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("qty").alias("vol"),
+        F.sum(F.coalesce(F.col("adp"), F.lit(0))).alias("abs_dp_e2"),
+    )
+    tot = h.groupBy("sym").agg(F.sum("vol").alias("tvol"))
+    return (
+        h.join(F.broadcast(tot), "sym")
+        .select(
+            "sym",
+            "hod",
+            F.col("n_trades").cast("bigint").alias("n_trades"),
+            F.col("vol").cast("bigint").alias("vol"),
+            F.expr("CAST((1000000 * vol) DIV tvol AS BIGINT)").alias(
+                "vol_share_ppm"
+            ),
+            F.col("abs_dp_e2").cast("bigint").alias("abs_dp_e2"),
+        )
+        .orderBy("sym", "hod")
+    )

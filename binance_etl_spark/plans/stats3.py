@@ -418,3 +418,91 @@ def stats_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(beta AS DOUBLE) AS beta",
         "CAST(beta / sqrt(s2 / sxx_c) AS DOUBLE) AS t_df",
     ).orderBy("sym")
+
+
+# --- stats_levene_bf -------------------------------------------------------
+
+# Brown-Forsythe = one-way ANOVA on z = |x - median_g|: reuse the
+# pivot/fixed-order SS machinery verbatim (z is an exact e2 integer
+# because the group median is an ELEMENT of the e2 grid —
+# percentile_disc/quantile_disc both select, never interpolate).
+
+
+@register(
+    "stats_levene_bf",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events
+    ), med AS (
+      SELECT event_type, CAST(quantile_disc(x, 0.5) AS BIGINT) AS med
+      FROM v GROUP BY event_type
+    ), z AS (
+      SELECT v.event_type, abs(v.x - m.med) AS v
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+      FROM z GROUP BY event_type
+    ), p AS (
+      SELECT {_ANOVA_PIVOT} FROM g
+    ), ss AS (
+      SELECT {_ANOVA_DERIVE} FROM p
+    )
+    SELECT n_total, ss_between, ss_within,
+           CAST((ss_between / {len(_ANOVA_TYPES) - 1})
+                / (ss_within / (n_total - {len(_ANOVA_TYPES)}))
+                AS DOUBLE) AS w_stat
+    FROM ss
+    """,
+    doc="Brown-Forsythe (median-centered Levene) test for equal "
+    "variances across the five event types — the homoscedasticity "
+    "gate run BEFORE trusting ANOVA's pooled-variance F. z = "
+    "|x - group median| stays an exact e2 integer (the median is a "
+    "discrete-quantile ELEMENT on both engines, never interpolated), "
+    "then W is literally one-way ANOVA on z, reusing the pivoted "
+    "fixed-order SS assembly so no grouped double sum can "
+    "reassociate. 100 TB shape: one quantile pass, one broadcast "
+    "median join back, one combinable aggregate, 1-row output.",
+    tags=("stats", "agg"),
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    v.createOrReplaceTempView("stats_levene_v")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+                    AS BIGINT) AS med
+        FROM stats_levene_v GROUP BY event_type
+        """
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("v")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+    )
+    p = g.agg(
+        *[
+            F.expr(f"MAX(CASE WHEN event_type = '{t}' THEN {c} END)").alias(
+                f"{c}_{t}"
+            )
+            for t in _ANOVA_TYPES
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    ss = p.selectExpr(*_ANOVA_DERIVE.split(",\n"))
+    return ss.selectExpr(
+        "n_total",
+        "ss_between",
+        "ss_within",
+        f"CAST((ss_between / {len(_ANOVA_TYPES) - 1})"
+        f" / (ss_within / (n_total - {len(_ANOVA_TYPES)}))"
+        " AS DOUBLE) AS w_stat",
+    )

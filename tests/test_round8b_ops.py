@@ -323,3 +323,61 @@ def test_modularity_brute_force(spark):
     assert math.isclose(
         r["modularity"], intra / m - b / (4 * m * m), rel_tol=1e-12
     )
+
+
+def test_levene_bf_brute_force(spark):
+    [r] = _run(spark, "stats_levene_bf")
+    by_type = defaultdict(list)
+    for e in _events(spark):
+        by_type[e["event_type"]].append(math.floor(e["value"] * 100))
+    zs = {}
+    for t, xs in by_type.items():
+        xs_sorted = sorted(xs)
+        # percentile_disc(0.5): the smallest element with cumulative
+        # fraction >= 0.5
+        med = xs_sorted[math.ceil(len(xs_sorted) * 0.5) - 1]
+        zs[t] = [abs(x - med) / 100 for x in xs]
+    groups = list(zs.values())
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n_total"] == n
+    assert math.isclose(r["ss_between"], ssb, rel_tol=1e-6)
+    assert math.isclose(r["ss_within"], ssw, rel_tol=1e-6)
+    assert math.isclose(r["w_stat"], w, rel_tol=1e-6)
+
+
+def test_intraday_seasonality_brute_force(spark):
+    rows = _run(spark, "ms_intraday_seasonality")
+    tape = _tape_py(spark)
+    qty = {}
+    for e in _events(spark):
+        if e["value"] > 0:
+            qty[e["event_id"]] = e["event_id"] % 7 + 1
+    expect = {}
+    tvol = Counter()
+    for sym, seq in tape.items():
+        prev = None
+        for ts, tid, p, _ in seq:
+            hod = ts.hour
+            nt, vol, adp = expect.get((sym, hod), (0, 0, 0))
+            d = 0 if prev is None else abs(p - prev)
+            expect[(sym, hod)] = (nt + 1, vol + qty[tid], adp + d)
+            tvol[sym] += qty[tid]
+            prev = p
+    assert len(rows) == len(expect)
+    for r in rows:
+        nt, vol, adp = expect[(r["sym"], r["hod"])]
+        assert r["n_trades"] == nt
+        assert r["vol"] == vol
+        assert r["abs_dp_e2"] == adp
+        assert r["vol_share_ppm"] == (1_000_000 * vol) // tvol[r["sym"]]
+    # shares sum to ~1e6 per symbol (floor DIV loses at most 24 ppm)
+    by_sym = defaultdict(int)
+    for r in rows:
+        by_sym[r["sym"]] += r["vol_share_ppm"]
+    for s, tot in by_sym.items():
+        assert 1_000_000 - 24 <= tot <= 1_000_000

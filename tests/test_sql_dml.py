@@ -434,3 +434,52 @@ def test_star_merge_matched_clause_order_enforced(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in SNAP.read_version(spark, t).collect()}
     assert 1 not in got and got[99] == 9.0 and len(got) == 10
+
+
+def test_alter_table_rename_drop_add(spark, tmp_path):
+    """ALTER TABLE text lowers onto the metadata-only schema-edit
+    operators, and the SAME text runs on DuckDB (shared-text DDL the
+    way UPDATE/DELETE are shared)."""
+    import duckdb
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), table
+    )
+    stmts = [
+        "ALTER TABLE t RENAME COLUMN v TO price",
+        "ALTER TABLE t ADD COLUMN note string",
+        "ALTER TABLE t DROP COLUMN note",
+    ]
+    for s in stmts:
+        execute_dml(spark, s, {"t": table})
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "price"]
+    assert sorted(r["price"] for r in got.collect()) == [
+        i * 2 for i in range(10)
+    ]
+    # zero data I/O: all three commits carry the original file verbatim
+    ms = [SNAP._load_manifest(table, v) for v in SNAP.versions(table)]
+    assert all(m["files"] == ms[0]["files"] for m in ms[1:])
+
+    # the identical text drives DuckDB (type name differs: string ->
+    # VARCHAR is the one engine-specific token, as documented)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT i AS id, i * 2 AS v FROM range(10) r(i)")
+    for s in stmts:
+        con.execute(s.replace(" string", " VARCHAR"))
+    cols = [d[0] for d in con.execute("SELECT * FROM t").description]
+    assert cols == ["id", "price"]
+
+
+def test_alter_table_guards_propagate(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(0, 5).selectExpr("id", "id * 2 AS v"),
+        table,
+        unique_keys=["id"],
+    )
+    with pytest.raises(ValueError, match="unique_keys"):
+        execute_dml(spark, "ALTER TABLE t RENAME COLUMN id TO key", {"t": table})
+    with pytest.raises(ValueError, match="bad field"):
+        execute_dml(spark, "ALTER TABLE t ADD COLUMNS nope", {"t": table})
