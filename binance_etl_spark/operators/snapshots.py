@@ -3256,6 +3256,50 @@ def drop_column(table_dir: str, name: str) -> int:
     return _alter_mapping_commit(table_dir, "drop_column", build)
 
 
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, predicate: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT — attach a CHECK expectation to the
+    table as a metadata commit, after VALIDATING the current snapshot
+    against it (the Delta contract: a constraint may only be added if
+    every existing row already satisfies it; one aggregate scan, the
+    same gate every later append re-enforces). Duplicate names raise."""
+
+    def build(prev: dict, schema) -> dict:
+        exp = dict(prev.get("expectations", {}))
+        if name in exp:
+            raise ValueError(f"add_constraint: {name!r} already exists")
+        head = read_version(spark, table_dir)
+        _enforce_expectations(head, {name: predicate})
+        exp[name] = predicate
+        return {
+            "added_constraint": name,
+            "schema": json.loads(schema.json()),
+            "expectations": exp,
+        }
+
+    return _alter_mapping_commit(table_dir, "add_constraint", build)
+
+
+def drop_constraint(table_dir: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — remove a CHECK expectation as a
+    metadata commit (later appends stop enforcing it; history keeps
+    each version's own constraint set). Unknown names raise."""
+
+    def build(prev: dict, schema) -> dict:
+        exp = dict(prev.get("expectations", {}))
+        if name not in exp:
+            raise ValueError(f"drop_constraint: no constraint {name!r}")
+        del exp[name]
+        return {
+            "dropped_constraint": name,
+            "schema": json.loads(schema.json()),
+            "expectations": exp,
+        }
+
+    return _alter_mapping_commit(table_dir, "drop_constraint", build)
+
+
 def describe_detail(table_dir: str) -> dict:
     """DESCRIBE DETAIL: one metadata-only dict of the table's current
     facts (the Delta command's twin) — latest main version, file/row/

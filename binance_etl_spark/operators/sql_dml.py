@@ -16,6 +16,8 @@ to Spark SQL / the snapshot operators unparsed):
     ALTER TABLE <table> RENAME COLUMN <old> TO <new>
     ALTER TABLE <table> DROP COLUMN <col>
     ALTER TABLE <table> ADD COLUMN[S] <name> <type> [, ...]
+    ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<predicate>)
+    ALTER TABLE <table> DROP CONSTRAINT <name>
     INSERT INTO <table> SELECT ... | VALUES (...), (...)
     UPDATE <table> SET col = expr [, ...] [WHERE <condition>]
     MERGE INTO <table> [AS] [t] USING <view> [AS] [s]
@@ -71,6 +73,18 @@ _ALTER_RENAME_RE = re.compile(
 _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+COLUMN\s+"
     r"(?P<col>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_ADD_CK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\(\s*(?P<pred>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_DROP_CK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -484,6 +498,20 @@ def execute_dml(
     md = _ALTER_DROP_RE.match(sql_text)
     if md:
         return SNAP.drop_column(tables[md.group("table")], md.group("col"))
+
+    mk = _ALTER_ADD_CK_RE.match(sql_text)
+    if mk:
+        # validates the CURRENT snapshot before committing (Delta
+        # ADD CONSTRAINT contract); later appends re-enforce it
+        return SNAP.add_constraint(
+            spark, tables[mk.group("table")], mk.group("name"), mk.group("pred")
+        )
+
+    mdk = _ALTER_DROP_CK_RE.match(sql_text)
+    if mdk:
+        return SNAP.drop_constraint(
+            tables[mdk.group("table")], mdk.group("name")
+        )
 
     mc = _ALTER_ADD_RE.match(sql_text)
     if mc:

@@ -583,6 +583,35 @@ def r8_main(spark) -> None:
     _slope_probe(spark, R8, width=26)
 
 
+R8B = [
+    "stats_jarque_bera",
+    "stats_anova_oneway",
+    "stats_ljung_box",
+    "stats_levene_bf",
+    "stats_dickey_fuller",
+    "stats_kendall_tau",
+    "ms_acf_grid",
+    "ms_lee_ready",
+    "ms_obv_adline",
+    "ms_intraday_seasonality",
+    "emb_hamming_ann",
+    "graph_assortativity",
+    "graph_modularity",
+]
+
+
+def r8b_main(spark) -> None:
+    """Round-8 wave 4-6 slope probe at sf0.1 vs 10x. Healthy shapes:
+    the stats battery is map-side-combinable sufficient sums (kendall
+    on the bounded contingency table; levene adds one discrete-
+    quantile pass + broadcast median join); lee-ready / obv / acf /
+    ljung-box / dickey-fuller / seasonality all ride ONE sym-keyed
+    window exchange; hamming-ANN is one broadcast-query corpus scan;
+    assortativity / modularity are degree/label equi-joins, never
+    node-pair joins."""
+    _slope_probe(spark, R8B, width=26)
+
+
 def _multi_sym_fixture(n_syms: int, frames_per_sym: int) -> tuple[str, dict]:
     """One interleaved replay log with n_syms independent u-chained
     depth streams + one snapshot per symbol — the same wire shape as
@@ -678,6 +707,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r8b" in sys.argv:
+        r8b_main(spark)
         return
     if "--r8" in sys.argv:
         r8_main(spark)

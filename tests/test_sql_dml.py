@@ -483,3 +483,43 @@ def test_alter_table_guards_propagate(spark, tmp_path):
         execute_dml(spark, "ALTER TABLE t RENAME COLUMN id TO key", {"t": table})
     with pytest.raises(ValueError, match="bad field"):
         execute_dml(spark, "ALTER TABLE t ADD COLUMNS nope", {"t": table})
+
+
+def test_alter_add_drop_constraint(spark, tmp_path):
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), table
+    )
+    # existing data violates -> refused, nothing committed
+    n_before = len(SNAP.versions(table))
+    with pytest.raises(ValueError, match="expectations violated"):
+        execute_dml(
+            spark, "ALTER TABLE t ADD CONSTRAINT v_big CHECK (v > 100)",
+            {"t": table},
+        )
+    assert len(SNAP.versions(table)) == n_before
+
+    execute_dml(
+        spark, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)",
+        {"t": table},
+    )
+    # the constraint now gates appends
+    with pytest.raises(ValueError, match="expectations violated"):
+        SNAP.write_version(
+            spark.range(0, 1).selectExpr("id", "CAST(-2 AS BIGINT) AS v"),
+            table,
+        )
+    # duplicate name refused
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(
+            spark, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)",
+            {"t": table},
+        )
+    # drop releases the gate
+    execute_dml(spark, "ALTER TABLE t DROP CONSTRAINT v_pos", {"t": table})
+    SNAP.write_version(
+        spark.range(0, 1).selectExpr("id", "CAST(-2 AS BIGINT) AS v"), table
+    )
+    assert SNAP.read_version(spark, table).where("v < 0").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        execute_dml(spark, "ALTER TABLE t DROP CONSTRAINT nope", {"t": table})
