@@ -210,3 +210,122 @@ def test_read_changes_after_rename(spark, table):
     assert sorted(r["price"] for r in rows) == [20, 22]
     # a rename alone is a zero-change commit
     assert SNAP.read_changes(spark, table, v2 - 1, v2).count() == 0
+
+
+def test_append_racing_rename_is_refused_cleanly(spark, table, monkeypatch):
+    """A rename committed between an append's staging and its commit
+    loop must refuse the append (the staged bytes carry stale physical
+    names) and clean up its staging dir — never publish a mixed-name
+    file."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    dirs_before = set(os.listdir(os.path.join(table, "data")))
+    real_stage = SNAP._stage_files
+    fired = {"done": False}
+
+    def stage_then_rename(table_dir, rel_dir):
+        out = real_stage(table_dir, rel_dir)
+        if not fired["done"] and rel_dir.startswith("data/tx-"):
+            fired["done"] = True
+            SNAP.rename_column(table, "v", "price")  # the racer
+        return out
+
+    monkeypatch.setattr(SNAP, "_stage_files", stage_then_rename)
+    with pytest.raises(ValueError, match="concurrent column-mapping"):
+        SNAP.write_version(_df(spark, 10, 20), table)
+    monkeypatch.setattr(SNAP, "_stage_files", real_stage)
+    # table state: the rename won, the append is fully absent
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "price"]
+    assert got.count() == 10
+    # staging cleaned on refusal: no NEW data dir survives (the first
+    # commit's tx- dir is permanent table data, not staging)
+    assert set(os.listdir(os.path.join(table, "data"))) == dirs_before
+
+
+def test_schema_edit_dml_fuzz(spark, tmp_path):
+    """Seeded random interleaving of metadata schema edits (RENAME /
+    DROP / ADD COLUMN through the ALTER text front end) with physical
+    DML (INSERT / UPDATE / DELETE) against an in-memory model: after
+    every statement the table must equal the model exactly, under
+    whatever logical schema is current."""
+    import random
+
+    from binance_etl_spark.operators.sql_dml import execute_dml
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"fz{seed}")
+        cols = ["a", "b"]  # mutable non-key columns, id is fixed
+        model = {i: {"a": i * 3, "b": i % 5} for i in range(20)}
+        SNAP.write_version(
+            spark.createDataFrame(
+                [(k, v["a"], v["b"]) for k, v in sorted(model.items())],
+                "id long, a long, b long",
+            ).repartition(2),
+            table,
+        )
+        next_id, next_col = 20, 0
+        stmts = []
+
+        def check():
+            rows = SNAP.read_version(spark, table).collect()
+            got = {
+                r["id"]: {c: r[c] for c in cols} for r in rows
+            }
+            assert got == model, f"seed {seed} after {stmts[-1]!r}"
+
+        for _ in range(14):
+            op = rng.choice(
+                ["rename", "drop", "add", "insert", "update", "delete"]
+            )
+            if op == "rename":
+                old = rng.choice(cols)
+                new = f"c{next_col}"
+                next_col += 1
+                stmt = f"ALTER TABLE t RENAME COLUMN {old} TO {new}"
+                cols[cols.index(old)] = new
+                for v in model.values():
+                    v[new] = v.pop(old)
+            elif op == "drop":
+                if len(cols) < 2:
+                    continue
+                victim = rng.choice(cols)
+                stmt = f"ALTER TABLE t DROP COLUMN {victim}"
+                cols.remove(victim)
+                for v in model.values():
+                    del v[victim]
+            elif op == "add":
+                new = f"c{next_col}"
+                next_col += 1
+                stmt = f"ALTER TABLE t ADD COLUMN {new} bigint"
+                cols.append(new)
+                for v in model.values():
+                    v[new] = None
+            elif op == "insert":
+                vals = [
+                    tuple(
+                        [next_id + i]
+                        + [rng.randrange(100) for _ in cols]
+                    )
+                    for i in range(rng.randrange(1, 3))
+                ]
+                next_id += len(vals)
+                body = ", ".join(str(t) for t in vals)
+                stmt = f"INSERT INTO t VALUES {body}"
+                for t in vals:
+                    model[t[0]] = dict(zip(cols, t[1:]))
+            elif op == "update":
+                c = rng.choice(cols)
+                add = rng.randrange(1, 9)
+                r = rng.randrange(0, 4)
+                stmt = f"UPDATE t SET {c} = {c} + {add} WHERE id % 4 = {r}"
+                for k, v in model.items():
+                    if k % 4 == r and v[c] is not None:
+                        v[c] += add
+            else:
+                r = rng.randrange(0, 5)
+                stmt = f"DELETE FROM t WHERE id % 5 = {r}"
+                model = {k: v for k, v in model.items() if k % 5 != r}
+            stmts.append(stmt)
+            execute_dml(spark, stmt, {"t": table})
+            check()
