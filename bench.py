@@ -299,6 +299,9 @@ HEADLINE_LLM = [
     # volume-curve profile.
     "stats_levene_bf",
     "ms_intraday_seasonality",
+    # round-8 wave 7: oracle-exact BPE segmentation (chained REPLACE,
+    # codegen end to end — the apply half of the tokenizer story).
+    "text_bpe_segment",
 ]
 
 

@@ -426,3 +426,123 @@ def emb_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- text_bpe_segment ------------------------------------------------------
+
+# Ordered merge list (the tokenizer's learned ranks, pinned as a
+# constant so segmentation has an exact shared-text oracle — learning
+# itself is text_bpe_learn's job). Includes a 3-deep hierarchical
+# chain: (a,n) -> (s,c) -> (sc,an) fuses 'scan' into ONE token.
+_BPE_MERGES = [
+    ("a", "n"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("e", "r"),
+    ("o", "r"),
+    ("t", "a"),
+    ("r", "o"),
+    ("ro", "w"),
+]
+_BPE_DOCS = 30
+
+
+def _bpe_apply_sql(col: str) -> str:
+    """Chained-REPLACE BPE application over a space-separated symbol
+    string wrapped in spaces: each merge (a, b) is `replace(s,
+    ' a b ', ' ab ')` applied FOUR times — left-to-right
+    non-overlapping replace consumes the shared separator, so one
+    pass merges alternate pairs of an adjacency chain and four passes
+    converge for any word under 16 symbols. replace() scans
+    identically on Spark and DuckDB (verified: the intermediate
+    consumed-space artifact matches byte for byte), so the exact text
+    is the oracle."""
+    s = col
+    for a, b in _BPE_MERGES:
+        for _ in range(4):
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+@register(
+    "text_bpe_segment",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id < {_BPE_DOCS}
+      ) WHERE w <> ''
+    ), seg AS (
+      SELECT doc_id, length(w) AS chars,
+             {_bpe_apply_sql(
+                 "(' ' || array_to_string(string_split(w, ''), ' ') || ' ')"
+             )} AS s
+      FROM words
+    ), counted AS (
+      SELECT doc_id, chars,
+             length(trim(s)) - length(replace(trim(s), ' ', '')) + 1
+               AS n_tokens
+      FROM seg
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(n_tokens)) // COUNT(*) AS BIGINT)
+             AS tokens_per_word_ppm,
+           CAST((1000000 * SUM(n_tokens)) // SUM(chars) AS BIGINT)
+             AS tokens_per_char_ppm
+    FROM counted GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="BPE segmentation with a FIXED ordered merge list (the apply "
+    "half of the tokenizer story — text_bpe_learn learns merges, this "
+    "op segments with them and reports per-doc token statistics, the "
+    "number a token-budget planner actually consumes). Application is "
+    "pure chained REPLACE over space-separated symbols (greedy "
+    "left-to-right per merge, in rank order, exactly the textbook "
+    "apply loop) — no UDF, whole-stage codegen end to end, and the "
+    "identical text runs on DuckDB so segmentation is value-oracled, "
+    "unlike any sampling-based tokenizer estimate. Includes a 3-deep "
+    "hierarchical chain ((a,n) -> (s,c) -> (sc,an)) proving rank "
+    "order matters. 100 TB shape: one scan, one combinable per-doc "
+    "aggregate; the merge list is a compile-time constant (a learned "
+    "vocabulary would broadcast).",
+    tags=("llm", "text"),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < _BPE_DOCS)
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    seg = words.select(
+        "doc_id",
+        F.length("w").alias("chars"),
+        F.expr(
+            _bpe_apply_sql("(' ' || array_join(split(w, ''), ' ') || ' ')")
+        ).alias("s"),
+    )
+    counted = seg.select(
+        "doc_id",
+        "chars",
+        F.expr(
+            "length(trim(s)) - length(replace(trim(s), ' ', '')) + 1"
+        ).alias("n_tokens"),
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST((1000000 * SUM(n_tokens)) DIV COUNT(*) AS BIGINT)"
+            ).alias("tokens_per_word_ppm"),
+            F.expr(
+                "CAST((1000000 * SUM(n_tokens)) DIV SUM(chars) AS BIGINT)"
+            ).alias("tokens_per_char_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -381,3 +381,46 @@ def test_intraday_seasonality_brute_force(spark):
         by_sym[r["sym"]] += r["vol_share_ppm"]
     for s, tot in by_sym.items():
         assert 1_000_000 - 24 <= tot <= 1_000_000
+
+
+def test_bpe_segment_brute_force(spark):
+    from binance_etl_spark.plans.llm_ops15 import _BPE_DOCS, _BPE_MERGES
+
+    rows = _run(spark, "text_bpe_segment")
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents")
+        .where(F.col("doc_id") < _BPE_DOCS)
+        .collect()
+    }
+
+    def segment(word):
+        syms = list(word)
+        for a, b in _BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    expect = {}
+    for doc_id, text in docs.items():
+        words = [w for w in text.lower().split(" ") if w]
+        n_tokens = sum(len(segment(w)) for w in words)
+        chars = sum(len(w) for w in words)
+        expect[doc_id] = (len(words), chars, n_tokens)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_words, chars, n_tokens = expect[r["doc_id"]]
+        assert r["n_words"] == n_words
+        assert r["n_chars"] == chars
+        assert r["n_tokens"] == n_tokens, r["doc_id"]
+        assert r["tokens_per_word_ppm"] == (1_000_000 * n_tokens) // n_words
+        assert r["tokens_per_char_ppm"] == (1_000_000 * n_tokens) // chars
+    # the hierarchical chain fires: 'scan' is ONE token
+    assert segment("scan") == ["scan"]
