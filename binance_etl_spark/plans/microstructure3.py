@@ -335,22 +335,37 @@ def ms_acf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("price") * 100).cast("bigint").alias("p"),
     )
     w = W.partitionBy("sym").orderBy("ts", "tid")
-    out = None
+    # ALL four leads in one projection, all four lags' sums in ONE
+    # combinable aggregate (FILTER-style conditional sums), then an
+    # unpivot to (sym, lag) rows — the union-of-four-aggregates shape
+    # re-ran the window exchange per lag (plan-audited: 4 exchanges
+    # -> 1 here, pinned in tests/test_plan_pins.py)
+    x = tape.select(
+        "sym",
+        "p",
+        *[F.lead("p", k).over(w).alias(f"p{k}") for k in _ACF_LAGS],
+    )
+    aggs = []
     for k in _ACF_LAGS:
-        lagged = tape.select(
-            "sym", "p", F.lead("p", k).over(w).alias("pk")
-        ).where(F.col("pk").isNotNull())
-        agg = lagged.groupBy("sym").agg(
-            F.lit(k).alias("lag"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p").alias("sx"),
-            F.sum("pk").alias("sy"),
-            F.sum(F.col("p") * F.col("pk")).alias("sxy"),
-            F.sum(F.col("p") * F.col("p")).alias("sxx"),
-            F.sum(F.col("pk") * F.col("pk")).alias("syy"),
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out.select(
+        nn = F.col(f"p{k}").isNotNull()
+        aggs += [
+            F.sum(F.when(nn, 1).otherwise(0)).alias(f"n_{k}"),
+            F.sum(F.when(nn, F.col("p"))).alias(f"sx_{k}"),
+            F.sum(F.when(nn, F.col(f"p{k}"))).alias(f"sy_{k}"),
+            F.sum(F.when(nn, F.expr(f"p * p{k}"))).alias(f"sxy_{k}"),
+            F.sum(F.when(nn, F.expr("p * p"))).alias(f"sxx_{k}"),
+            F.sum(F.when(nn, F.expr(f"p{k} * p{k}"))).alias(f"syy_{k}"),
+        ]
+    wide = x.groupBy("sym").agg(*aggs)
+    stack = ", ".join(
+        f"{k}, n_{k}, sx_{k}, sy_{k}, sxy_{k}, sxx_{k}, syy_{k}"
+        for k in _ACF_LAGS
+    )
+    tall = wide.selectExpr(
+        "sym",
+        f"stack({len(_ACF_LAGS)}, {stack}) AS (lag, n, sx, sy, sxy, sxx, syy)",
+    )
+    return tall.select(
         "sym",
         "lag",
         F.col("n").cast("bigint").alias("n"),

@@ -687,3 +687,45 @@ def test_epps_heavy_pass_is_bucket_agg(spark):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- round-8 waves 4-7 ----------------------------------------------------
+
+
+def test_tape_stats_single_exchange_family(spark):
+    """ms_lee_ready / stats_ljung_box / stats_dickey_fuller /
+    ms_acf_grid: every lag/lead/frame rides ONE sym-keyed hash
+    exchange (the ACF grid was rewritten from a union-of-aggregates
+    that re-ran the exchange per lag — this pin keeps it dead)."""
+    for name in (
+        "ms_lee_ready",
+        "stats_ljung_box",
+        "stats_dickey_fuller",
+        "ms_acf_grid",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hamming_ann_broadcast_scan_no_cartesian(spark):
+    plan = _plan(spark, "emb_hamming_ann")
+    # the query side broadcasts; the corpus is never cartesian-joined
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_and_assortativity_equi_joins_only(spark):
+    for name in ("graph_modularity", "graph_assortativity"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # degree/label lookups broadcast (node-sized, never edge-sized)
+        assert "BroadcastExchange" in plan, name
+
+
+def test_bpe_segment_codegen_no_udf(spark):
+    plan = _plan(spark, "text_bpe_segment")
+    # pure expression pipeline: no Python eval anywhere, and the
+    # doc_id bound reaches the parquet scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LessThan(doc_id,30)" in plan
