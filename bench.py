@@ -302,6 +302,9 @@ HEADLINE_LLM = [
     # round-8 wave 7: oracle-exact BPE segmentation (chained REPLACE,
     # codegen end to end — the apply half of the tokenizer story).
     "text_bpe_segment",
+    # round-8 wave 8: embedding-QA outlier screen + Hurst R/S profile.
+    "emb_outlier_centroid",
+    "ms_rs_profile",
 ]
 
 

@@ -546,3 +546,101 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- emb_outlier_centroid --------------------------------------------------
+
+_OUT_DIMS = 64
+_OUT_K = 5
+
+
+def _out_x(elem_fmt: str, d: int) -> str:
+    return (
+        f"CAST(floor(CAST({elem_fmt.format(i=d)} AS DOUBLE) * 10000)"
+        " AS BIGINT)"
+    )
+
+
+def _out_score_sql() -> str:
+    """n^2 * ||x - centroid||^2 in EXACT integers: with e4-quantized
+    coords x_d and per-label sums s_d over n members,
+    sum_d (n*x_d - s_d)^2 needs no division and no doubles at all —
+    order-free by integer associativity. BIGINT bound: |n*x_d| <=
+    n*1e4, so the 64-term sum stays in int64 to ~1e5 members/label
+    (document larger labels re-anchor or sample)."""
+    terms = [
+        f"(n * x{d} - s{d}) * (n * x{d} - s{d})"
+        for d in range(1, _OUT_DIMS + 1)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "emb_outlier_centroid",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             {", ".join(
+                 _out_x("embedding[{i}]", d) + f" AS x{d}"
+                 for d in range(1, _OUT_DIMS + 1))}
+      FROM embeddings
+    ), c AS (
+      SELECT label, COUNT(*) AS n,
+             {", ".join(f"SUM(x{d}) AS s{d}"
+                        for d in range(1, _OUT_DIMS + 1))}
+      FROM x GROUP BY label
+    ), scored AS (
+      SELECT x.vec_id, x.label,
+             CAST({_out_score_sql()} AS BIGINT) AS d2n2
+      FROM x JOIN c ON c.label = x.label
+    ), ranked AS (
+      SELECT label, vec_id, d2n2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY d2n2 DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT label, CAST(rnk AS INT) AS rnk, vec_id, d2n2
+    FROM ranked WHERE rnk <= {_OUT_K}
+    ORDER BY label, rnk
+    """,
+    doc="Embedding outlier screen: the top-5 farthest members from "
+    "each label's centroid — the embedding-space DQ gate run before "
+    "trusting labels or feeding a clustering index (mislabeled / "
+    "corrupted vectors surface here first). The score is n^2 * "
+    "squared-distance computed ENTIRELY in integers (e4-quantized "
+    "coords, per-label sums, 64 fixed-order integer terms — no "
+    "division, no doubles, so the hash is exact by construction; "
+    "bound documented to ~1e5 members/label). 100 TB shape: one "
+    "combinable per-label moment pass, the 4-row centroid table "
+    "broadcast back over ONE corpus scan, per-label top-k windows — "
+    "never a pairwise join.",
+    tags=("llm", "similarity", "dq"),
+)
+def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.expr(_out_x("element_at(embedding, {i})", d)).alias(f"x{d}")
+            for d in range(1, _OUT_DIMS + 1)
+        ],
+    )
+    c = x.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"x{d}").alias(f"s{d}") for d in range(1, _OUT_DIMS + 1)],
+    )
+    scored = x.join(F.broadcast(c), "label").select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST({_out_score_sql()} AS BIGINT)").alias("d2n2"),
+    )
+    wr = W.partitionBy("label").orderBy(F.desc("d2n2"), "vec_id")
+    return (
+        scored.select(
+            "label", "vec_id", "d2n2", F.row_number().over(wr).alias("rnk")
+        )
+        .where(F.col("rnk") <= _OUT_K)
+        .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id", "d2n2")
+        .orderBy("label", "rnk")
+    )

@@ -699,3 +699,135 @@ def ms_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sym", "hod")
     )
+
+
+# --- ms_rs_profile ---------------------------------------------------------
+
+_RS_SCALES = (16, 64, 256)
+
+# per-chunk R/S from exact integers: with e2 prices p, chunk length n,
+# chunk sums S1/S2 and within-chunk running sum cum_i at index i, the
+# centered-cumsum range times n is an INTEGER (n*cum_i - i*S1), and
+# R/S = r_int / sqrt(n*S2 - S1*S1) — one division + one sqrt, shared
+# text. The per-(sym, scale) summary is the DISCRETE median of those
+# chunk doubles (selection, never a cross-chunk double sum — the
+# reassociation trap).
+_RS_DERIVE = "CAST(r_int AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+
+
+@register(
+    "ms_rs_profile",
+    oracle=f"""
+    WITH t AS ({_TAPE_SQL}),
+    base AS (
+      SELECT sym, ts, tid, CAST(floor(price * 100) AS BIGINT) AS p,
+             row_number() OVER (PARTITION BY sym ORDER BY ts, tid) AS rn
+      FROM t
+    ), fan AS (
+      SELECT b.*, k.k,
+             (rn - 1) // k.k AS chunk,
+             (rn - 1) % k.k + 1 AS wi
+      FROM base b CROSS JOIN (
+        SELECT UNNEST([{", ".join(str(k) for k in _RS_SCALES)}]) AS k
+      ) k
+    ), runs AS (
+      SELECT sym, k, chunk, wi, p,
+             SUM(p) OVER (PARTITION BY sym, k, chunk ORDER BY wi
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM fan
+    ), chunks AS (
+      SELECT sym, k, chunk, COUNT(*) AS n,
+             SUM(p) AS s1, SUM(p * p) AS s2
+      FROM runs GROUP BY sym, k, chunk
+    ), ranges AS (
+      SELECT r.sym, r.k, r.chunk, c.n, c.s1, c.s2,
+             MAX(c.n * r.cum - r.wi * c.s1)
+               - MIN(c.n * r.cum - r.wi * c.s1) AS r_int
+      FROM runs r JOIN chunks c
+        ON c.sym = r.sym AND c.k = r.k AND c.chunk = r.chunk
+      GROUP BY r.sym, r.k, r.chunk, c.n, c.s1, c.s2
+    ), ok AS (
+      SELECT sym, k, CAST({_RS_DERIVE} AS DOUBLE) AS rs
+      FROM ranges WHERE n = k AND s2 * n > s1 * s1
+    )
+    SELECT sym, CAST(k AS BIGINT) AS scale,
+           COUNT(*) AS n_chunks,
+           CAST(quantile_disc(rs, 0.5) AS DOUBLE) AS rs_median
+    FROM ok GROUP BY sym, k ORDER BY sym, scale
+    """,
+    doc="Rescaled-range (Hurst R/S) profile per symbol at chunk scales "
+    "16/64/256 trades: each complete chunk's range of centered "
+    "cumulative deviations over its standard deviation, summarized as "
+    "the DISCRETE median per (sym, scale) — how R/S grows with scale "
+    "is the long-memory fingerprint (slope ~0.5 = random walk, the "
+    "Hurst exponent's raw material; the multi-scale companion to "
+    "stats_dickey_fuller's single-number unit-root test). Exactness: "
+    "the centered-cumsum range times n is a pure INTEGER "
+    "(n*cum_i - i*S1), variance times n^2 likewise, so each chunk's "
+    "R/S is one shared division+sqrt and the summary is element "
+    "SELECTION (never a cross-chunk double sum). 100 TB shape: the "
+    "3x scale fanout rides ONE sym-keyed exchange "
+    "(HashPartitioning(sym) satisfies the (sym,k,chunk) clustering), "
+    "chunk rollups are combinable, output is 15 rows.",
+    tags=("microstructure", "window", "stats"),
+)
+def ms_rs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tape(spark, sf_dir)
+    w = W.partitionBy("sym").orderBy("ts", "tid")
+    base = t.select(
+        "sym",
+        F.floor(F.col("price") * 100).cast("bigint").alias("p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fan = base.crossJoin(
+        F.broadcast(
+            t.sparkSession.range(1)
+            .selectExpr(
+                f"explode(array({', '.join(str(k) for k in _RS_SCALES)})) AS k"
+            )
+        )
+    ).select(
+        "sym",
+        "p",
+        "k",
+        F.expr("(rn - 1) DIV k").alias("chunk"),
+        F.expr("(rn - 1) % k + 1").alias("wi"),
+    )
+    wc = W.partitionBy("sym", "k", "chunk").orderBy("wi")
+    runs = fan.select(
+        "sym",
+        "k",
+        "chunk",
+        "wi",
+        "p",
+        F.sum("p").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    chunks = runs.groupBy("sym", "k", "chunk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("s1"),
+        F.sum(F.expr("p * p")).alias("s2"),
+    )
+    ranges = (
+        runs.join(chunks, ["sym", "k", "chunk"])
+        .groupBy("sym", "k", "chunk", "n", "s1", "s2")
+        .agg(
+            (
+                F.max(F.expr("n * cum - wi * s1"))
+                - F.min(F.expr("n * cum - wi * s1"))
+            ).alias("r_int")
+        )
+    )
+    ok = ranges.where("n = k AND s2 * n > s1 * s1").select(
+        "sym", "k", F.expr(f"CAST({_RS_DERIVE} AS DOUBLE)").alias("rs")
+    )
+    ok.createOrReplaceTempView("ms_rs_chunks")
+    return spark.sql(
+        """
+        SELECT sym, CAST(k AS BIGINT) AS scale,
+               COUNT(*) AS n_chunks,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY rs)
+                    AS DOUBLE) AS rs_median
+        FROM ms_rs_chunks GROUP BY sym, k ORDER BY sym, scale
+        """
+    )

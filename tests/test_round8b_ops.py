@@ -424,3 +424,74 @@ def test_bpe_segment_brute_force(spark):
         assert r["tokens_per_char_ppm"] == (1_000_000 * n_tokens) // chars
     # the hierarchical chain fires: 'scan' is ONE token
     assert segment("scan") == ["scan"]
+
+
+def test_emb_outlier_brute_force(spark):
+    rows = _run(spark, "emb_outlier_centroid")
+    embs = [
+        (r["vec_id"], r["label"], list(r["embedding"]))
+        for r in load(spark, SF, "embeddings").collect()
+    ]
+    by_label = defaultdict(list)
+    for vid, lab, v in embs:
+        by_label[lab].append((vid, [math.floor(float(x) * 1e4) for x in v]))
+    expect = {}
+    for lab, members in by_label.items():
+        n = len(members)
+        sums = [sum(v[d] for _, v in members) for d in range(64)]
+        scored = sorted(
+            (
+                (
+                    -sum((n * v[d] - sums[d]) ** 2 for d in range(64)),
+                    vid,
+                )
+                for vid, v in members
+            )
+        )
+        expect[lab] = [
+            (i + 1, vid, -neg) for i, (neg, vid) in enumerate(scored[:5])
+        ]
+    for r in rows:
+        rank, vid, d2n2 = expect[r["label"]][r["rnk"] - 1]
+        assert (r["rnk"], r["vec_id"], r["d2n2"]) == (rank, vid, d2n2)
+    assert len(rows) == sum(len(v) for v in expect.values())
+
+
+def test_rs_profile_brute_force(spark):
+    rows = _run(spark, "ms_rs_profile")
+    tape = _tape_py(spark)
+    expect = {}
+    for sym, seq in tape.items():
+        ps = [p for _, _, p, _ in seq]
+        for k in (16, 64, 256):
+            rss = []
+            for c0 in range(0, len(ps) - len(ps) % k, k):
+                chunk = ps[c0 : c0 + k]
+                n = len(chunk)
+                s1 = sum(chunk)
+                s2 = sum(x * x for x in chunk)
+                if n * s2 <= s1 * s1:
+                    continue
+                cums, cum = [], 0
+                for i, x in enumerate(chunk, 1):
+                    cum += x
+                    cums.append(n * cum - i * s1)
+                r_int = max(cums) - min(cums)
+                rss.append(r_int / math.sqrt(n * s2 - s1 * s1))
+            if rss:
+                rss.sort()
+                # percentile_disc(0.5): smallest element with cum >= .5
+                med = rss[math.ceil(len(rss) * 0.5) - 1]
+                expect[(sym, k)] = (len(rss), med)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_chunks, med = expect[(r["sym"], r["scale"])]
+        assert r["n_chunks"] == n_chunks
+        assert math.isclose(r["rs_median"], med, rel_tol=1e-12)
+    # R/S grows with scale (long-memory profile is monotone here)
+    by_sym = defaultdict(dict)
+    for r in rows:
+        by_sym[r["sym"]][r["scale"]] = r["rs_median"]
+    for sym, d in by_sym.items():
+        if len(d) == 3:
+            assert d[16] < d[64] < d[256], sym
