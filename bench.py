@@ -305,6 +305,10 @@ HEADLINE_LLM = [
     # round-8 wave 8: embedding-QA outlier screen + Hurst R/S profile.
     "emb_outlier_centroid",
     "ms_rs_profile",
+    # round-8 wave 9: time-weighted book imbalance + the cross-source
+    # near-dup contamination matrix.
+    "ms_time_weighted_imbalance",
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -644,3 +644,121 @@ def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id", "d2n2")
         .orderBy("label", "rnk")
     )
+
+
+# --- dedup_cross_source_matrix -----------------------------------------------
+
+from binance_etl_spark.operators import dedup as D  # noqa: E402
+from binance_etl_spark.plans.llm_ops import (  # noqa: E402
+    CAP_JACCARD,
+    _sql_minhash_cte,
+    _SQL_SHINGLES,
+)
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS a_id, {_SQL_SHINGLES} AS a_sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < {CAP_JACCARD})
+    ),
+    {_sql_minhash_cte("a", CAP_JACCARD)},
+    cand2 AS (
+      SELECT DISTINCT l_id, r_id, l_sh, r_sh FROM (
+        SELECT x.a_id AS l_id, y.a_id AS r_id,
+               x.a_sh AS l_sh, y.a_sh AS r_sh
+        FROM aband x JOIN aband y
+          ON x.band0 = y.band0 AND x.a_id < y.a_id
+        UNION ALL
+        SELECT x.a_id, y.a_id, x.a_sh, y.a_sh
+        FROM aband x JOIN aband y
+          ON x.band1 = y.band1 AND x.a_id < y.a_id
+        UNION ALL
+        SELECT x.a_id, y.a_id, x.a_sh, y.a_sh
+        FROM aband x JOIN aband y
+          ON x.band2 = y.band2 AND x.a_id < y.a_id
+      )
+    ), verified AS (
+      SELECT l_id, r_id
+      FROM cand2
+      WHERE CAST(len(list_filter(l_sh, s -> list_contains(r_sh, s)))
+                 AS DOUBLE)
+            / (len(l_sh) + len(r_sh)
+               - len(list_filter(l_sh, s -> list_contains(r_sh, s))))
+            >= 0.5
+    )
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           COUNT(*) AS n_pairs,
+           CAST(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END
+                AS BIGINT) AS is_cross
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.l_id
+    JOIN documents db ON db.doc_id = v.r_id
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source),
+             CASE WHEN da.source <> db.source THEN 1 ELSE 0 END
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source contamination matrix: within-corpus near-dup "
+    "pairs (the dedup_minhash_lsh pipeline — banded LSH candidates, "
+    "exact Jaccard >= 0.5 verification, a_id < b_id canonical pairs) "
+    "rolled up by UNORDERED source pair — the report that tells a "
+    "corpus owner whether duplication lives INSIDE crawls or leaks "
+    "ACROSS them (cross-source near-dups are the train/eval "
+    "contamination channel dedup_decontaminate exists to cut). 100 TB "
+    "shape: identical to the banded dedup (candidate generation is an "
+    "equi-join on band value, never all-pairs); the source rollup "
+    "adds two broadcast doc->source lookups over the verified-pair "
+    "set only.",
+    tags=("dedup", "lsh", "llm"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.catalog import fanout
+
+    docs = fanout(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    ).cache()
+    sig = D.minhash_signature(a, "id", "sh")
+    bands = D.lsh_bands(sig, "id")
+    left = bands.select(
+        F.col("id").alias("l_id"), "band_no", "band_val"
+    )
+    right = bands.select(
+        F.col("id").alias("r_id"), "band_no", "band_val"
+    )
+    cand = (
+        left.join(right, ["band_no", "band_val"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    pairs = (
+        cand.join(a.select(F.col("id").alias("l_id"), F.col("sh").alias("l_sh")), "l_id")
+        .join(a.select(F.col("id").alias("r_id"), F.col("sh").alias("r_sh")), "r_id")
+        .where(D.jaccard(F.col("l_sh"), F.col("r_sh")) >= 0.5)
+        .select("l_id", "r_id")
+    )
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    return (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("l_id"),
+                                   F.col("source").alias("sa"))), "l_id")
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("r_id"),
+                                   F.col("source").alias("sb"))), "r_id")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+            .cast("bigint")
+            .alias("is_cross"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("src_a", "src_b", "n_pairs", "is_cross")
+        .orderBy("src_a", "src_b")
+    )

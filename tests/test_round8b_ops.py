@@ -495,3 +495,49 @@ def test_rs_profile_brute_force(spark):
     for sym, d in by_sym.items():
         if len(d) == 3:
             assert d[16] < d[64] < d[256], sym
+
+
+def test_time_weighted_imbalance_brute_force(spark):
+    rows = _run(spark, "ms_time_weighted_imbalance")
+    by_sym = defaultdict(list)
+    for e in _events(spark):
+        if e["value"] > 0:
+            by_sym[e["user_id"] % 5].append(
+                (e["ts"], e["event_id"])
+            )
+    for r in rows:
+        seq = sorted(by_sym[r["sym"]])
+        total = n = tw = bid_heavy = 0
+        for (ts, eid), (nts, _neid) in zip(seq, seq[1:]):
+            d = nts - ts
+            dur = (
+                d.days * 86_400_000_000
+                + d.seconds * 1_000_000
+                + d.microseconds
+            )
+            if dur <= 0:
+                continue
+            bq, aq = eid % 7 + 1, eid % 11 + 1
+            num = (bq - aq) * 1_000_000
+            imb = (abs(num) // (bq + aq)) * (1 if num >= 0 else -1)
+            n += 1
+            total += dur
+            tw += dur * imb
+            bid_heavy += dur if imb > 0 else 0
+        assert r["n_intervals"] == n
+        assert r["total_dur_us"] == total
+        sign = 1 if tw >= 0 else -1
+        assert r["tw_imbalance_ppm"] == sign * (abs(tw) // total)
+        assert r["bid_heavy_time_ppm"] == (bid_heavy * 1_000_000) // total
+        assert -1_000_000 <= r["tw_imbalance_ppm"] <= 1_000_000
+
+
+def test_cross_source_matrix_invariants(spark):
+    rows = _run(spark, "dedup_cross_source_matrix")
+    # every near-dup pair from the base LSH op lands in exactly one
+    # matrix cell; cross flag consistent with the source pair
+    total = sum(r["n_pairs"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert (r["src_a"] != r["src_b"]) == bool(r["is_cross"])
+        assert r["src_a"] <= r["src_b"]
