@@ -794,29 +794,31 @@ def ms_rs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(rn - 1) DIV k").alias("chunk"),
         F.expr("(rn - 1) % k + 1").alias("wi"),
     )
+    # chunk totals as UNORDERED windows over the SAME partition the
+    # running sum uses — everything rides one exchange, and the
+    # per-chunk rollup is one combinable aggregate (the agg+join-back
+    # variant re-shuffled the data-sized run rows; slope-measured
+    # 2.6x -> fixed here)
     wc = W.partitionBy("sym", "k", "chunk").orderBy("wi")
+    wp = W.partitionBy("sym", "k", "chunk")
     runs = fan.select(
         "sym",
         "k",
         "chunk",
         "wi",
-        "p",
         F.sum("p").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("p").over(wp).alias("s1"),
+        F.sum(F.expr("p * p")).over(wp).alias("s2"),
     )
-    chunks = runs.groupBy("sym", "k", "chunk").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("p").alias("s1"),
-        F.sum(F.expr("p * p")).alias("s2"),
-    )
-    ranges = (
-        runs.join(chunks, ["sym", "k", "chunk"])
-        .groupBy("sym", "k", "chunk", "n", "s1", "s2")
-        .agg(
-            (
-                F.max(F.expr("n * cum - wi * s1"))
-                - F.min(F.expr("n * cum - wi * s1"))
-            ).alias("r_int")
-        )
+    ranges = runs.groupBy("sym", "k", "chunk").agg(
+        F.max("n").alias("n"),
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+        (
+            F.max(F.expr("n * cum - wi * s1"))
+            - F.min(F.expr("n * cum - wi * s1"))
+        ).alias("r_int"),
     )
     ok = ranges.where("n = k AND s2 * n > s1 * s1").select(
         "sym", "k", F.expr(f"CAST({_RS_DERIVE} AS DOUBLE)").alias("rs")

@@ -597,6 +597,11 @@ R8B = [
     "emb_hamming_ann",
     "graph_assortativity",
     "graph_modularity",
+    "text_bpe_segment",
+    "emb_outlier_centroid",
+    "ms_rs_profile",
+    "ms_time_weighted_imbalance",
+    "dedup_cross_source_matrix",
 ]
 
 
