@@ -1158,16 +1158,27 @@ def delete_where_mor(
         # to live rows via the same cond filter; re-deleting an
         # already-deleted row is a distinct() no-op
         schema = _manifest_schema(prev)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
+        mp = _mapping(prev)
+        phys = _physical_schema(prev)
+        reader = spark.read.schema(phys) if phys is not None else spark.read
         raw = reader.parquet(
             *[os.path.join(table_dir, rel) for rel in prev["files"]]
         )
+        # files carry PHYSICAL names; the condition speaks LOGICAL —
+        # project the rename in the same select that taps _metadata
+        proj = (
+            [F.col(mp.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+            if mp and schema is not None
+            else [F.col(c) for c in raw.columns]
+        )
         matches = (
-            raw.where(F.coalesce(cond, F.lit(False)))
-            .select(
+            raw.select(
+                *proj,
                 rel_expr.alias("f"),
                 F.col("_metadata.row_index").cast("bigint").alias("pos"),
             )
+            .where(F.coalesce(cond, F.lit(False)))
+            .select("f", "pos")
         )
         old_dv = _dv_df(spark, table_dir, prev)
         new_dv = (
@@ -1623,13 +1634,26 @@ def update_where_mor(
                 raise ValueError(f"update_where_mor: unknown columns {bad}")
         cond = F.expr(condition)
         rel_expr = _file_rel_expr(table_dir)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
+        mp = _mapping(prev)
+        phys = _physical_schema(prev)
+        reader = spark.read.schema(phys) if phys is not None else spark.read
         raw = reader.parquet(
             *[os.path.join(table_dir, rel) for rel in prev["files"]]
         )
-        cols = [c for c in raw.columns]
+        # physical file columns -> logical names in the same select
+        # that taps _metadata (condition and SET expressions speak
+        # logical; _to_physical translates back at write time)
+        if mp and schema is not None:
+            proj = [
+                F.col(mp.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+            cols = [f.name for f in schema.fields]
+        else:
+            proj = [F.col(c) for c in raw.columns]
+            cols = [c for c in raw.columns]
         tagged = raw.select(
-            *cols,
+            *proj,
             rel_expr.alias("__f"),
             F.col("_metadata.row_index").cast("bigint").alias("__pos"),
         )

@@ -329,3 +329,27 @@ def test_schema_edit_dml_fuzz(spark, tmp_path):
             stmts.append(stmt)
             execute_dml(spark, stmt, {"t": table})
             check()
+
+
+def test_mor_update_and_delete_on_renamed_column(spark, table):
+    """Regression: the MOR paths scan raw files with _metadata, so
+    they must read the PHYSICAL schema and project to logical — with
+    a logical-schema scan the renamed column reads NULL (update wrote
+    NULL deltas; delete matched nothing). Found by the schema-edit
+    artillery (test_snapshot_model.py)."""
+    SNAP.write_version(_df(spark, 0, 6), table)
+    SNAP.rename_column(table, "v", "price")
+    SNAP.update_where_mor(spark, table, "id = 2", {"price": "price + 100"})
+    SNAP.delete_where_mor(spark, table, "price = 8")  # id 4
+    got = sorted(
+        (r["id"], r["price"])
+        for r in SNAP.read_version(spark, table).collect()
+    )
+    assert got == [(0, 0), (1, 2), (2, 104), (3, 6), (5, 10)]
+    # and the delta file physically carries the ORIGINAL name
+    import pyarrow.parquet as pq2
+
+    m = SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+    delta = [f for f in m["files"] if f.startswith("data/v")]
+    names = pq2.ParquetFile(os.path.join(table, delta[-1])).schema_arrow.names
+    assert "v" in names and "price" not in names

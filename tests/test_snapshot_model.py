@@ -158,3 +158,140 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     check("final-compact")
     SNAP.vacuum(table, keep_last=1)
     check("post-vacuum")
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_random_op_sequences_with_schema_edits(spark, tmp_path, seed):
+    """The artillery with COLUMN MAPPING in the loop: random RENAME
+    COLUMN commits interleave with appends, CoW/MOR deletes and
+    updates, merges, compacts, restores, WAP publishes, and clone
+    reads — the current logical column name is part of the model, and
+    restore must rewind it (each version reads under its OWN name)."""
+    rng = random.Random(seed)
+    table = str(tmp_path / f"sch{seed}")
+
+    col = "v"
+    model: dict[int, int] = {i: i * 2 for i in range(30)}
+
+    def mk_df(rows: dict[int, int], name: str):
+        data = [(k, v) for k, v in sorted(rows.items())]
+        return spark.createDataFrame(
+            data, f"id long, {name} long"
+        ).repartition(2)
+
+    SNAP.write_version(mk_df(model, col), table)
+    next_id = 30
+    next_col = 0
+    history: list[tuple[dict[int, int], str]] = [(dict(model), col)]
+
+    def read_rows() -> dict[int, int]:
+        df = SNAP.read_version(spark, table)
+        assert df.columns == ["id", col], f"seed {seed}: schema drift"
+        return {r["id"]: r[col] for r in df.collect()}
+
+    def check(step: str) -> None:
+        assert read_rows() == model, f"seed {seed} step {step}"
+        assert SNAP.count_rows(table) == len(model), step
+
+    ops = []
+    for _ in range(14):
+        op = rng.choice(
+            [
+                "append",
+                "rename",
+                "delete_mor",
+                "update_cow",
+                "update_mor",
+                "merge",
+                "compact",
+                "restore",
+                "wap_append",
+                "clone_check",
+            ]
+        )
+        ops.append(op)
+        step = f"{len(ops)}:{op}"
+        if op == "append":
+            n = rng.randint(1, 10)
+            batch = {next_id + i: (next_id + i) * 2 for i in range(n)}
+            next_id += n
+            SNAP.write_version(mk_df(batch, col), table)
+            model.update(batch)
+            history.append((dict(model), col))
+        elif op == "rename":
+            new = f"c{next_col}"
+            next_col += 1
+            SNAP.rename_column(table, col, new)
+            col = new
+            history.append((dict(model), col))
+        elif op == "delete_mor":
+            mod = rng.randint(2, 7)
+            res = rng.randrange(mod)
+            SNAP.delete_where_mor(spark, table, f"id % {mod} = {res}")
+            model = {k: v for k, v in model.items() if k % mod != res}
+            history.append((dict(model), col))
+        elif op in ("update_cow", "update_mor"):
+            mod = rng.randint(2, 7)
+            res = rng.randrange(mod)
+            delta = rng.randint(1, 1000)
+            fn = (
+                SNAP.update_where
+                if op == "update_cow"
+                else SNAP.update_where_mor
+            )
+            fn(spark, table, f"id % {mod} = {res}", {col: f"{col} + {delta}"})
+            model = {
+                k: (v + delta if k % mod == res else v)
+                for k, v in model.items()
+            }
+            history.append((dict(model), col))
+        elif op == "merge":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            src = {k: rng.randint(0, 10_000) for k in keys}
+            src[next_id] = next_id * 2
+            next_id += 1
+            SNAP.merge_into(spark, table, mk_df(src, col), ["id"])
+            model.update(src)
+            history.append((dict(model), col))
+        elif op == "compact":
+            before = SNAP.main_versions(table)[-1]
+            v = SNAP.compact(spark, table, target_files=2)
+            if v != before:
+                history.append((dict(model), col))
+        elif op == "restore":
+            mains = SNAP.main_versions(table)
+            idx = rng.randrange(len(mains))
+            SNAP.restore(table, mains[idx])
+            model, col = dict(history[idx][0]), history[idx][1]
+            history.append((dict(model), col))
+        elif op == "wap_append":
+            n = rng.randint(1, 8)
+            batch = {next_id + i: (next_id + i) * 2 for i in range(n)}
+            next_id += n
+            name = f"b{len(ops)}"
+            SNAP.create_branch(table, name)
+            SNAP.write_branch(mk_df(batch, col), table, name)
+            check(f"{step}-staged-invisible")
+            SNAP.publish_branch(table, name)
+            SNAP.drop_ref(table, name)
+            model.update(batch)
+            history.append((dict(model), col))
+        elif op == "clone_check":
+            import shutil
+            import uuid
+
+            cdir = str(tmp_path / f"clone_{uuid.uuid4().hex[:8]}")
+            SNAP.shallow_clone(table, cdir)
+            cdf = SNAP.read_version(spark, cdir)
+            assert cdf.columns == ["id", col], step
+            got = {r["id"]: r[col] for r in cdf.collect()}
+            assert got == model, step
+            shutil.rmtree(cdir)
+        check(step)
+
+    SNAP.compact(spark, table, target_files=2)
+    check("final-compact")
+    SNAP.vacuum(table, keep_last=1)
+    check("post-vacuum")
