@@ -2777,6 +2777,22 @@ def write_branch(
         prev_schema = _manifest_schema(head)
         if prev_schema is not None:
             new_fields = {f.name: f.dataType for f in df.schema.fields}
+            # Same physical-name reuse guard as write_version: a new
+            # column named after a renamed-away or dropped column's
+            # PHYSICAL name would make carried files' dead bytes
+            # resurface as the new column's values on read.
+            head_names = {f.name for f in prev_schema.fields}
+            unavailable = (
+                set(_mapping(head).values())
+                | set(head.get("retired_columns", []))
+            ) - head_names
+            for name in new_fields:
+                if name not in head_names and name in unavailable:
+                    raise ValueError(
+                        f"column name {name!r} is the PHYSICAL name of a "
+                        "renamed or dropped column and cannot be reused "
+                        "(files still carry it); pick another name"
+                    )
             for fld in prev_schema.fields:
                 if fld.name not in new_fields:
                     raise ValueError(
@@ -2824,7 +2840,13 @@ def write_branch(
         "file_meta": file_meta,
         "schema": json.loads(df.schema.json()),
         "expectations": effective_exp,
+        # explicit like write_version: append carries the head's
+        # mapping + retired-name ledger, overwrite clears both (the
+        # new files ARE the physical truth for the branch lane)
         "column_mapping": bmap,
+        "retired_columns": (
+            list(head.get("retired_columns", [])) if mode == "append" else []
+        ),
     }
     if mode == "append":
         manifest.update(

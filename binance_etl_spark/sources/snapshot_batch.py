@@ -255,10 +255,16 @@ class SnapshotPruningBatchReader(SnapshotBatchReader):
 
     def _kept_files(self) -> list[str]:
         stats = self.manifest.get("stats", {})
-        if self.col_map:  # stats are keyed by PHYSICAL names
-            self._range_sets = [
+        # Stats are keyed by PHYSICAL names; translate into a LOCAL
+        # list (never mutate self._range_sets: Spark may interleave
+        # partitions()/pushFilters calls, and re-translating an
+        # already-translated name must stay impossible by construction,
+        # not by the ledger's no-collision invariant).
+        range_sets = self._range_sets
+        if self.col_map:
+            range_sets = [
                 [(self.col_map.get(c, c), lo, hi) for c, lo, hi in rs]
-                for rs in self._range_sets
+                for rs in range_sets
             ]
 
         def excluded_by(fstats: dict, ranges) -> bool:
@@ -276,8 +282,8 @@ class SnapshotPruningBatchReader(SnapshotBatchReader):
         for rel in self.manifest["files"]:
             fstats = stats.get(rel, {})
             # keep unless EVERY scan's range-set excludes it
-            if self._range_sets and all(
-                excluded_by(fstats, rs) for rs in self._range_sets
+            if range_sets and all(
+                excluded_by(fstats, rs) for rs in range_sets
             ):
                 continue
             kept.append(rel)

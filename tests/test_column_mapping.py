@@ -353,3 +353,90 @@ def test_mor_update_and_delete_on_renamed_column(spark, table):
     delta = [f for f in m["files"] if f.startswith("data/v")]
     names = pq2.ParquetFile(os.path.join(table, delta[-1])).schema_arrow.names
     assert "v" in names and "price" not in names
+
+
+# ---- round-9 regression battery: branch-lane ledger parity --------------
+
+
+def test_branch_append_refuses_renamed_physical_name_reuse(spark, table):
+    """write_branch append gets write_version's physical-name reuse
+    guard: a branch append adding a column named after a renamed
+    column's PHYSICAL name would make carried files' dead bytes
+    resurface as the new column's values."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    SNAP.create_branch(table, "wap")
+    bad = spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS price", "id AS v"
+    )
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        SNAP.write_branch(bad, table, "wap")
+
+
+def test_branch_append_refuses_retired_physical_name_reuse(spark, table):
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v", "id AS w"), table
+    )
+    SNAP.drop_column(table, "w")
+    SNAP.create_branch(table, "wap")
+    bad = spark.range(10, 20).selectExpr("id", "id * 2 AS v", "id + 1 AS w")
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        SNAP.write_branch(bad, table, "wap")
+
+
+def test_branch_manifest_retired_ledger_explicit(spark, table):
+    """Branch manifests record retired_columns explicitly (matching
+    write_version): append carries the head's ledger; overwrite clears
+    it — _commit_manifest's truthiness carry must never re-import the
+    main head's ledger into an overwritten branch lane."""
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v", "id AS w"), table
+    )
+    SNAP.drop_column(table, "w")
+    SNAP.create_branch(table, "wap")
+    bv1 = SNAP.write_branch(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS v"), table, "wap"
+    )
+    m1 = SNAP._load_manifest(table, bv1)
+    assert m1["retired_columns"] == ["w"]
+    bv2 = SNAP.write_branch(
+        spark.range(0, 5).selectExpr("id", "id AS w"),
+        table,
+        "wap",
+        mode="overwrite",
+    )
+    m2 = SNAP._load_manifest(table, bv2)
+    assert m2["retired_columns"] == []
+    assert m2["column_mapping"] == {}
+    # the overwritten lane may legally reuse the name: fresh files
+    got = SNAP.read_ref(spark, table, "wap")
+    assert sorted(r["w"] for r in got.collect()) == list(range(5))
+
+
+def test_pruning_reader_pushdown_state_not_mutated(spark, table):
+    """SnapshotPruningBatchReader translates logical->physical stats
+    keys into a LOCAL list: repeated partitions() calls (Spark may
+    re-plan) must not re-translate already-translated names."""
+    from binance_etl_spark.sources.snapshot_batch import (
+        SnapshotPruningBatchReader,
+        _batch_schema,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    SNAP.write_version(
+        _df(spark, 0, 1000).repartitionByRange(4, "id"),
+        table,
+        stats_cols=["v"],
+    )
+    SNAP.rename_column(table, "v", "price")
+    opts = {"path": table}
+    reader = SnapshotPruningBatchReader(opts, _batch_schema(opts))
+    reader.pushFilters([EqualTo(("price",), 4)])
+    before = [list(rs) for rs in reader._range_sets]
+    k1 = reader._kept_files()
+    assert [list(rs) for rs in reader._range_sets] == before
+    k2 = reader._kept_files()  # second planning pass: same answer
+    assert k1 == k2
+    assert len(k1) < len(SNAP._load_manifest(
+        table, SNAP.main_versions(table)[-1]
+    )["files"])
