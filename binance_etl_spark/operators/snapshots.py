@@ -1010,6 +1010,45 @@ def _dv_df(spark: SparkSession, table_dir: str, manifest: dict):
     return df
 
 
+def _read_physical(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    rels: list[str],
+) -> tuple[DataFrame, list[str]]:
+    """THE raw-scan read path for every merge-on-read site (delete/
+    update MOR, CDC DV-delta, the tagged live read): read the given
+    data files with the manifest's PHYSICAL schema pinned, project
+    physical file columns to the manifest's logical names IN THE SAME
+    SELECT that taps ``_metadata`` (files carry immutable physical
+    names under column mapping; a logical-schema scan would read a
+    renamed column as NULL), and tag each row with its manifest-
+    relative file path ``__f`` and row position ``__pos``. Returns
+    ``(tagged_df, logical_column_names)``. Centralized so no site
+    hand-rolls the physical->logical alias convention — the round-8
+    MOR-on-renamed-column bug class exists exactly when one does."""
+    schema = _manifest_schema(manifest)
+    mp = _mapping(manifest)
+    phys = _physical_schema(manifest)
+    reader = spark.read.schema(phys) if phys is not None else spark.read
+    raw = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+    if mp and schema is not None:
+        proj = [
+            F.col(mp.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        cols = [f.name for f in schema.fields]
+    else:
+        proj = [F.col(c) for c in raw.columns]
+        cols = list(raw.columns)
+    tagged = raw.select(
+        *proj,
+        _file_rel_expr(table_dir).alias("__f"),
+        F.col("_metadata.row_index").cast("bigint").alias("__pos"),
+    )
+    return tagged, cols
+
+
 def _live_rows(
     spark: SparkSession,
     table_dir: str,
@@ -1037,30 +1076,23 @@ def _live_rows(
             if with_file
             else empty
         )
-    mp = _mapping(manifest)
-    phys = _physical_schema(manifest)
-    reader = spark.read.schema(phys) if phys is not None else spark.read
-    df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
-    if mp and schema is not None:
-        # physical file columns -> the manifest's logical names; one
-        # projection straight off the scan (keeps _metadata reachable)
-        proj = [
-            F.col(mp.get(f.name, f.name)).alias(f.name)
-            for f in schema.fields
-        ]
-        cols = [f.name for f in schema.fields]
-    else:
-        proj = [F.col(c) for c in df.columns]
-        cols = df.columns
     dv = _dv_df(spark, table_dir, manifest)
     if dv is None and not with_file:
-        return df.select(*proj) if mp else df
-    rel_expr = _file_rel_expr(table_dir)
-    tagged = df.select(
-        *proj,
-        rel_expr.alias("__f"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
+        # fast path: no _metadata tap, no anti-join — just the pinned
+        # physical read projected to logical names
+        mp = _mapping(manifest)
+        phys = _physical_schema(manifest)
+        reader = spark.read.schema(phys) if phys is not None else spark.read
+        df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+        if mp and schema is not None:
+            return df.select(
+                *[
+                    F.col(mp.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+    tagged, cols = _read_physical(spark, table_dir, manifest, rels)
     if dv is not None:
         dvr = dv.select(F.col("f").alias("__f"), F.col("pos").alias("__pos"))
         tagged = tagged.join(dvr, ["__f", "__pos"], "left_anti")
@@ -1152,33 +1184,15 @@ def delete_where_mor(
             raise ValueError(f"{table_dir}: no committed snapshot to delete from")
         prev = _load_manifest(table_dir, prior[-1])
         cond = F.expr(condition)
-        live = _live_rows(spark, table_dir, prev, prev["files"], with_file=True)
-        rel_expr = _file_rel_expr(table_dir)
-        # positions come from the raw read (pre-anti-join) restricted
-        # to live rows via the same cond filter; re-deleting an
-        # already-deleted row is a distinct() no-op
-        schema = _manifest_schema(prev)
-        mp = _mapping(prev)
-        phys = _physical_schema(prev)
-        reader = spark.read.schema(phys) if phys is not None else spark.read
-        raw = reader.parquet(
-            *[os.path.join(table_dir, rel) for rel in prev["files"]]
-        )
-        # files carry PHYSICAL names; the condition speaks LOGICAL —
-        # project the rename in the same select that taps _metadata
-        proj = (
-            [F.col(mp.get(f.name, f.name)).alias(f.name) for f in schema.fields]
-            if mp and schema is not None
-            else [F.col(c) for c in raw.columns]
+        # positions come from the raw read (pre-anti-join): re-deleting
+        # an already-deleted row is a distinct() no-op. The condition
+        # speaks LOGICAL names; _read_physical owns the translation.
+        tagged, _cols = _read_physical(
+            spark, table_dir, prev, prev["files"]
         )
         matches = (
-            raw.select(
-                *proj,
-                rel_expr.alias("f"),
-                F.col("_metadata.row_index").cast("bigint").alias("pos"),
-            )
-            .where(F.coalesce(cond, F.lit(False)))
-            .select("f", "pos")
+            tagged.where(F.coalesce(cond, F.lit(False)))
+            .selectExpr("__f AS f", "__pos AS pos")
         )
         old_dv = _dv_df(spark, table_dir, prev)
         new_dv = (
@@ -1633,30 +1647,10 @@ def update_where_mor(
             if bad:
                 raise ValueError(f"update_where_mor: unknown columns {bad}")
         cond = F.expr(condition)
-        rel_expr = _file_rel_expr(table_dir)
-        mp = _mapping(prev)
-        phys = _physical_schema(prev)
-        reader = spark.read.schema(phys) if phys is not None else spark.read
-        raw = reader.parquet(
-            *[os.path.join(table_dir, rel) for rel in prev["files"]]
-        )
-        # physical file columns -> logical names in the same select
-        # that taps _metadata (condition and SET expressions speak
-        # logical; _to_physical translates back at write time)
-        if mp and schema is not None:
-            proj = [
-                F.col(mp.get(f.name, f.name)).alias(f.name)
-                for f in schema.fields
-            ]
-            cols = [f.name for f in schema.fields]
-        else:
-            proj = [F.col(c) for c in raw.columns]
-            cols = [c for c in raw.columns]
-        tagged = raw.select(
-            *proj,
-            rel_expr.alias("__f"),
-            F.col("_metadata.row_index").cast("bigint").alias("__pos"),
-        )
+        # condition and SET expressions speak LOGICAL names;
+        # _read_physical owns the physical->logical translation and
+        # _to_physical translates back at write time
+        tagged, cols = _read_physical(spark, table_dir, prev, prev["files"])
         old_dv = _dv_df(spark, table_dir, prev)
         if old_dv is not None:
             dvr = old_dv.select(
@@ -2379,21 +2373,7 @@ def read_changes(
         common_n = [os.path.normpath(c) for c in common]
 
         def _rows_at(posdf: DataFrame) -> DataFrame:
-            schema = _manifest_schema(m_to)
-            phys = _physical_schema(m_to)
-            mp = _mapping(m_to)
-            reader = spark.read.schema(phys) if phys is not None else spark.read
-            raw = reader.parquet(*[os.path.join(table_dir, c) for c in common])
-            proj = (
-                [F.col(mp.get(f.name, f.name)).alias(f.name) for f in schema.fields]
-                if mp and schema is not None
-                else [F.col(c) for c in cols]
-            )
-            tagged = raw.select(
-                *proj,
-                _file_rel_expr(table_dir).alias("__f"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+            tagged, _tcols = _read_physical(spark, table_dir, m_to, common)
             keys = posdf.where(F.col("f").isin(common_n)).selectExpr(
                 "f AS __f", "pos AS __pos"
             )

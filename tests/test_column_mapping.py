@@ -440,3 +440,28 @@ def test_pruning_reader_pushdown_state_not_mutated(spark, table):
     assert len(k1) < len(SNAP._load_manifest(
         table, SNAP.main_versions(table)[-1]
     )["files"])
+
+
+def test_rename_then_wap_branch_roundtrip(spark, table):
+    """Deterministic branch+rename seed: stage onto a WAP branch forked
+    AFTER a rename — write_branch must write PHYSICAL names (the fork
+    head's mapping), publish must serve logical ones, and the published
+    head must keep the mapping for later MOR ops."""
+    SNAP.write_version(_df(spark, 0, 10), table)
+    SNAP.rename_column(table, "v", "price")
+    SNAP.create_branch(table, "wap")
+    SNAP.write_branch(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS price"), table, "wap"
+    )
+    # staged rows invisible to default readers
+    assert SNAP.read_version(spark, table).count() == 10
+    SNAP.publish_branch(table, "wap")
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "price"]
+    assert _vals(got, "price") == [i * 2 for i in range(20)]
+    # the staged files physically carry the original name
+    m = SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+    assert m["column_mapping"] == {"price": "v"}
+    SNAP.delete_where_mor(spark, table, "price >= 30")  # ids 15..19
+    got2 = SNAP.read_version(spark, table)
+    assert _vals(got2, "price") == [i * 2 for i in range(15)]

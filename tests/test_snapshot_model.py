@@ -160,13 +160,16 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     check("post-vacuum")
 
 
-@pytest.mark.parametrize("seed", [10, 11])
+@pytest.mark.parametrize("seed", [10, 11, 12])
 def test_random_op_sequences_with_schema_edits(spark, tmp_path, seed):
     """The artillery with COLUMN MAPPING in the loop: random RENAME
     COLUMN commits interleave with appends, CoW/MOR deletes and
     updates, merges, compacts, restores, WAP publishes, and clone
     reads — the current logical column name is part of the model, and
-    restore must rewind it (each version reads under its OWN name)."""
+    restore must rewind it (each version reads under its OWN name).
+    `clone_edit` additionally RENAMES INSIDE a shallow clone and runs
+    a MOR delete there (borrowed absolute files + clone-local mapping
+    through _read_physical), asserting the source stays untouched."""
     rng = random.Random(seed)
     table = str(tmp_path / f"sch{seed}")
 
@@ -207,6 +210,7 @@ def test_random_op_sequences_with_schema_edits(spark, tmp_path, seed):
                 "restore",
                 "wap_append",
                 "clone_check",
+                "clone_edit",
             ]
         )
         ops.append(op)
@@ -288,6 +292,33 @@ def test_random_op_sequences_with_schema_edits(spark, tmp_path, seed):
             assert cdf.columns == ["id", col], step
             got = {r["id"]: r[col] for r in cdf.collect()}
             assert got == model, step
+            shutil.rmtree(cdir)
+        elif op == "clone_edit":
+            import shutil
+            import uuid
+
+            cdir = str(tmp_path / f"cedit_{uuid.uuid4().hex[:8]}")
+            SNAP.shallow_clone(table, cdir)
+            ccol = f"k{next_col}"
+            next_col += 1
+            SNAP.rename_column(cdir, col, ccol)
+            mod = rng.randint(2, 7)
+            res = rng.randrange(mod)
+            SNAP.delete_where_mor(spark, cdir, f"id % {mod} = {res}")
+            delta = rng.randint(1, 1000)
+            SNAP.update_where_mor(
+                spark, cdir, f"id % {mod} = {(res + 1) % mod}",
+                {ccol: f"{ccol} + {delta}"},
+            )
+            cdf = SNAP.read_version(spark, cdir)
+            assert cdf.columns == ["id", ccol], step
+            got = {r["id"]: r[ccol] for r in cdf.collect()}
+            want = {
+                k: (v + delta if k % mod == (res + 1) % mod else v)
+                for k, v in model.items()
+                if k % mod != res
+            }
+            assert got == want, step
             shutil.rmtree(cdir)
         check(step)
 
