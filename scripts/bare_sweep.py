@@ -3,6 +3,11 @@
 DuckDB oracle exactly.  Catches conf-dependent drift the parity suite
 (which uses the engine-configured session) cannot see.
 
+The comparator is tests.parity.compare, which since round 9 ALSO
+asserts the driver-twin typed hash (columns sorted by name, repr
+floats, NULL token) — so a full sweep is the exact driver comparison
+over ALL oracles, not just the 50-key rotation.
+
 Usage: python scripts/bare_sweep.py [sf_dir]
 """
 
@@ -45,7 +50,8 @@ def main() -> int:
             failed.append(name)
             traceback.print_exc()
         print(f"{name:32s} {status:14s} {time.time() - t:6.2f}s", flush=True)
-    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} ok in "
+    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} ok "
+          f"(typed-hash comparator) in "
           f"{time.time() - t0:.1f}s; failed: {failed}")
     return 1 if failed else 0
 

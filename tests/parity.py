@@ -81,6 +81,36 @@ def _assert_hash_safe(name: str, cols, rows, engine: str) -> None:
                 )
 
 
+def driver_hash(cols: list[str], rows: list[tuple]) -> str:
+    """Twin of the driver's order-insensitive typed value hash: columns
+    sorted by name, every value rendered to a canonical string (floats
+    via repr — the rendering channel; NULL as a dedicated token — the
+    ordering channel), rows sorted AS STRINGS, md5 over the lot. Kept
+    here so the parity suite, the bare sweep, and the rotation test all
+    compare through the SAME comparator."""
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def render(v) -> str:
+        if v is None:
+            return "\\N"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, list):
+            return "[" + ",".join(render(x) for x in v) + "]"
+        return str(v)
+
+    lines = sorted("\x1f".join(render(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def _col_type_tags(cols, rows) -> dict[str, set]:
     tags: dict[str, set] = {c: set() for c in cols}
     for r in rows:
@@ -122,3 +152,12 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
     d_sorted = _sorted_rows(d_cols, d_rows)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
         assert a == b, f"{name}: first value mismatch at sorted row {i}:\n spark={a}\n duck ={b}"
+    # The driver-twin typed hash on top of value parity: value-equal
+    # results can still hash-differ through the rendering/ordering
+    # channels (float repr, NULL token placement) — every oracle gets
+    # the exact driver comparison, not just the 50-key rotation.
+    sh, dh = driver_hash(s_cols, s_rows), driver_hash(d_cols, d_rows)
+    assert sh == dh, (
+        f"{name}: driver-style typed hash mismatch (value parity holds "
+        f"— float rendering / NULL ordering channel) {sh} != {dh}"
+    )

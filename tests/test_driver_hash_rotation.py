@@ -20,41 +20,14 @@ QUERIES.md.
 
 from __future__ import annotations
 
-import hashlib
-
 import pytest
 
 from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
 from binance_etl_spark.plans.rotation import rotation_keys
+from tests.parity import driver_hash as _driver_hash
 from tests.parity import duckdb_conn
 
 _ensure_loaded()
-
-
-def _driver_hash(cols: list[str], rows: list[tuple]) -> str:
-    """Twin of the driver's order-insensitive typed value hash: columns
-    sorted by name, every value rendered to a canonical string (floats
-    via repr — the rendering channel; NULL as a dedicated token — the
-    ordering channel), rows sorted AS STRINGS, md5 over the lot."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def render(v) -> str:
-        if v is None:
-            return "\\N"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, float):
-            return repr(v)
-        if isinstance(v, list):
-            return "[" + ",".join(render(x) for x in v) + "]"
-        return str(v)
-
-    lines = sorted("\x1f".join(render(r[i]) for i in order) for r in rows)
-    h = hashlib.md5()
-    for line in lines:
-        h.update(line.encode("utf-8"))
-        h.update(b"\x1e")
-    return h.hexdigest()
 
 
 @pytest.mark.parametrize("name", rotation_keys())
