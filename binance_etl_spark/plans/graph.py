@@ -409,6 +409,47 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- common-neighbor similarity (wedge join) ----------------------------
 
 
+def common_neighbors_topk(ue: DataFrame, hub_cap: int, k: int = 20) -> DataFrame:
+    """The wedge-join core over an undirected edge list (columns a, b;
+    both orientations present, no self-loops): hub-capped shared-
+    neighbor screen, one equi self-join, combinable pair count, two
+    broadcast degree joins, TakeOrdered top-k."""
+    deg = ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # super-node screen: drop wedges THROUGH hub shared-neighbors
+    # before the self-join (hub list is tiny by power-law — broadcast)
+    hubs = deg.where(F.col("d") > hub_cap).select(F.col("a").alias("b"))
+    screened = ue.join(F.broadcast(hubs), "b", "left_anti")
+    e1 = screened.select(F.col("a").alias("x"), "b")
+    e2 = screened.select(F.col("a").alias("y"), "b")
+    wedges = (
+        e1.join(e2, "b")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("deg_y"))
+    return (
+        wedges.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.col("deg_x").cast("bigint").alias("deg_x"),
+            F.col("deg_y").cast("bigint").alias("deg_y"),
+            F.expr(
+                "CAST((1000000 * common) DIV (deg_x + deg_y - common) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("common"), "x", "y")
+        .limit(k)
+    )
+
+
+
+
 @register(
     "graph_common_neighbors",
     oracle=f"""
@@ -433,46 +474,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never a node-pair cartesian; work is sum of squared neighbor "
     "degrees, the graph_triangles cost model), a combinable pair "
     "count, two broadcast degree joins, TakeOrderedAndProject for the "
-    "top-k. At 100 TB the wedge join is hub-bounded the same way "
-    "triangles is: a degree cap or minhash prefix filter screens "
-    "super-nodes before the join (documented, not needed at bench "
-    "scale where max degree is ~100).",
+    "top-k. The wedge join is HUB-CAPPED: shared-neighbor nodes with "
+    "degree > hub_cap are screened out by a broadcast anti-join "
+    "BEFORE the self-join (a node of degree d contributes d^2 wedge "
+    "pairs — one 10^6-degree celebrity is a 10^12-pair explosion at "
+    "100 TB). The default cap (100k) exceeds every degree at bench "
+    "scale (~200 max), so the oracle stays exact; at scale the cap "
+    "is the deliberate hubs-excluded approximation, like "
+    "triangle-counting's degree orientation but lossy-by-choice.",
     tags=("graph", "join"),
 )
-def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_common_neighbors(
+    spark: SparkSession, sf_dir: str, hub_cap: int = 100_000
+) -> DataFrame:
     e = load(spark, sf_dir, "events")
     dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
     fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
     rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
     ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
-    deg = ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    e1 = ue.select(F.col("a").alias("x"), "b")
-    e2 = ue.select(F.col("a").alias("y"), "b")
-    wedges = (
-        e1.join(e2, "b")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("deg_x"))
-    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("deg_y"))
-    return (
-        wedges.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
-        .select(
-            "x",
-            "y",
-            "common",
-            F.col("deg_x").cast("bigint").alias("deg_x"),
-            F.col("deg_y").cast("bigint").alias("deg_y"),
-            F.expr(
-                "CAST((1000000 * common) DIV (deg_x + deg_y - common) "
-                "AS BIGINT)"
-            ).alias("jaccard_ppm"),
-        )
-        .orderBy(F.desc("common"), "x", "y")
-        .limit(20)
-    )
+    return common_neighbors_topk(ue, hub_cap)
 
 
 # --- graph_assortativity ---------------------------------------------------

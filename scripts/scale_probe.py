@@ -697,6 +697,63 @@ def sync_main(spark) -> None:
         )
 
 
+
+def hubcap_main(spark) -> None:
+    """Hub-cap probe for the wedge join (graph_common_neighbors core):
+    a power-law-ish graph PLUS one planted super-hub connected to
+    every node. Uncapped, the hub alone contributes ~n^2/2 wedge
+    pairs; capped, the broadcast anti-join drops it before the
+    self-join. Run at 1x and 10x nodes to show the capped plan's
+    slope stays linear-ish while the uncapped one goes quadratic."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.plans.graph import common_neighbors_topk
+
+    def skewed_edges(n_nodes: int):
+        # ~8 pseudo-random neighbors per node (bounded degree) + a
+        # planted hub (node 0) adjacent to EVERY node
+        base = (
+            spark.range(n_nodes * 8)
+            .select(
+                (F.col("id") % n_nodes).alias("a"),
+                ((F.col("id") * 2654435761) % n_nodes).alias("b"),
+            )
+        )
+        hub = spark.range(1, n_nodes).select(
+            F.lit(0).alias("a"), F.col("id").alias("b")
+        )
+        fwd = base.unionAll(hub)
+        rev = fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        return (
+            fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
+        )
+
+    print(f"{'config':34s} {'sec':>8s} {'rows':>8s}")
+    # capped: 1x and 10x nodes (the scale path — slope should be ~flat
+    # in n since per-node degree is bounded once the hub is screened)
+    for n in (20_000, 200_000):
+        ue = skewed_edges(n).localCheckpoint()  # freeze the input cost
+        t0 = _t.perf_counter()
+        rows = common_neighbors_topk(ue, 64).count()
+        sec = _t.perf_counter() - t0
+        print(f"hub n={n:<7d} capped(64)         {sec:8.2f} {rows:8d}",
+              flush=True)
+        ue.unpersist()
+    # uncapped: SMALL n only — the hub contributes n^2/2 wedge pairs,
+    # so 3x the nodes is ~9x the join output; at n=200k this leg would
+    # be a 2e10-pair job (the explosion the cap exists to prevent)
+    for n in (6_000, 18_000):
+        ue = skewed_edges(n).localCheckpoint()
+        t0 = _t.perf_counter()
+        rows = common_neighbors_topk(ue, 1 << 60).count()
+        sec = _t.perf_counter() - t0
+        print(f"hub n={n:<7d} uncapped           {sec:8.2f} {rows:8d}",
+              flush=True)
+        ue.unpersist()
+
+
 def main() -> None:
     extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
     spark = get_spark("scale-probe", extra)
@@ -712,6 +769,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--hubcap" in sys.argv:
+        hubcap_main(spark)
         return
     if "--r8b" in sys.argv:
         r8b_main(spark)

@@ -729,3 +729,45 @@ def test_bpe_segment_codegen_no_udf(spark):
     # doc_id bound reaches the parquet scan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "LessThan(doc_id,30)" in plan
+
+
+def test_rs_profile_single_sym_exchange(spark):
+    """ms_rs_profile: the 3x scale fanout + per-chunk windows + both
+    rollups all ride ONE sym-keyed hash exchange (the agg+join-back
+    variant re-shuffled the data-sized rows; slope-measured 2.6x at
+    10x before the rewrite)."""
+    plan = _plan(spark, "ms_rs_profile")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_time_weighted_imbalance_single_exchange(spark):
+    """ms_time_weighted_imbalance: interval window + sym rollup share
+    one sym-keyed exchange; pure codegen."""
+    plan = _plan(spark, "ms_time_weighted_imbalance")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cross_source_matrix_equi_candidates_broadcast_rollup(spark):
+    """dedup_cross_source_matrix: candidate generation is the banded
+    equi-join (never all-pairs); the source rollup's two doc->source
+    lookups broadcast."""
+    plan = _plan(spark, "dedup_cross_source_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_common_neighbors_hub_cap_screen(spark):
+    """graph_common_neighbors: the super-node screen is a broadcast
+    ANTI join on the shared-neighbor key BEFORE the wedge self-join
+    (one 10^6-degree hub is a 10^12-pair explosion without it), the
+    wedge join stays equi, top-k is TakeOrdered."""
+    plan = _plan(spark, "graph_common_neighbors")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

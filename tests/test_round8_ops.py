@@ -370,3 +370,14 @@ def test_acf_grid_brute_force(spark):
                 [float(v) for v in a], [float(v) for v in b]
             )
             assert abs(r["acf"] - expect) < 1e-9, (sym, k)
+
+
+def test_common_neighbors_hub_cap_semantics(spark, sf_dir):
+    """hub_cap=0 screens every shared-neighbor node: zero wedges
+    survive. The default cap exceeds all bench-scale degrees, so the
+    oracle-checked default result is the uncapped one."""
+    from binance_etl_spark.plans.graph import graph_common_neighbors
+
+    assert graph_common_neighbors(spark, sf_dir, hub_cap=0).count() == 0
+    top = graph_common_neighbors(spark, sf_dir).limit(1).collect()
+    assert top and top[0]["common"] >= 1
