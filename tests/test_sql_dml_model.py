@@ -286,3 +286,153 @@ def test_concurrent_two_writer_dml_serializes(spark, tmp_path, seed):
     for _, tf in sorted(committed, key=lambda p: p[0]):
         model = tf(model)
     assert _read(spark, table) == model
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_concurrent_alter_vs_dml_serializes(spark, tmp_path, seed):
+    """One thread fires DML (UPDATE/DELETE/INSERT through the text
+    front end) while another fires ALTER TABLE RENAME COLUMN — the
+    composition of the 2-writer DML fuzz with the schema-edit
+    artillery, generalizing the deterministic append-vs-rename race
+    pin (test_column_mapping.py). Contract: every statement either
+    COMMITS (and the final state equals the in-memory model replayed
+    in commit-version order, under whatever logical name won) or
+    aborts CLEANLY through one of the classified conflict channels
+    (optimistic-conflict retry exhaustion, concurrent column-mapping
+    change, stale-name resolution failure) leaving no trace — never a
+    mixed-name file, a lost statement, or silent wrong data."""
+    import threading
+
+    table = str(tmp_path / f"adml{seed}")
+    init = {i: i * 3 for i in range(40)}
+    spark.createDataFrame(
+        sorted(init.items()), "id long, v long"
+    ).repartition(2).write.mode("overwrite").parquet(str(tmp_path / "seed"))
+    SNAP.write_version(
+        spark.read.parquet(str(tmp_path / "seed")), table
+    )
+
+    committed: list[tuple[int, str, object]] = []  # (version, kind, arg)
+    aborted: list[str] = []
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    _LEGAL = (
+        "optimistic-conflict race",
+        "concurrent column-mapping",
+        "UNRESOLVED_COLUMN",
+        "cannot be resolved",
+        "unknown column",
+        "no column",
+    )
+
+    def current_value_col() -> str:
+        m = SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+        return [
+            f["name"] for f in m["schema"]["fields"] if f["name"] != "id"
+        ][0]
+
+    def run_stmt(stmt: str, kind: str, arg, tid: int, step: int) -> None:
+        try:
+            v = execute_dml(spark, stmt, {"tbl": table})
+        except Exception as exc:
+            if any(tok in str(exc) for tok in _LEGAL):
+                with lock:
+                    aborted.append(f"{stmt!r}: {type(exc).__name__}")
+                return
+            with lock:
+                errors.append(f"writer {tid} step {step} {stmt!r}: {exc}")
+            return
+        with lock:
+            committed.append((v, kind, arg))
+
+    def dml_writer() -> None:
+        rng = random.Random(seed * 100)
+        next_id = 5000
+        for step in range(8):
+            op = rng.choice(["update", "delete", "insert"])
+            col = current_value_col()
+            if op == "update":
+                mod, res = rng.randint(2, 6), 0
+                res = rng.randrange(mod)
+                add = rng.randrange(1, 9)
+                run_stmt(
+                    f"UPDATE tbl SET {col} = {col} + {add} "
+                    f"WHERE id % {mod} = {res}",
+                    "update",
+                    (mod, res, add),
+                    0,
+                    step,
+                )
+            elif op == "delete":
+                mod = rng.randint(3, 7)
+                res = rng.randrange(mod)
+                run_stmt(
+                    f"DELETE FROM tbl WHERE id % {mod} = {res}",
+                    "delete",
+                    (mod, res),
+                    0,
+                    step,
+                )
+            else:
+                vals = [
+                    (next_id + i, rng.randrange(1000))
+                    for i in range(rng.randrange(1, 3))
+                ]
+                next_id += len(vals)
+                body = ", ".join(str(t) for t in vals)
+                run_stmt(
+                    f"INSERT INTO tbl VALUES {body}",
+                    "insert",
+                    tuple(vals),
+                    0,
+                    step,
+                )
+
+    def alter_writer() -> None:
+        for step in range(4):
+            col = current_value_col()
+            new = f"r{seed}_{step}"
+            run_stmt(
+                f"ALTER TABLE tbl RENAME COLUMN {col} TO {new}",
+                "rename",
+                new,
+                1,
+                step,
+            )
+
+    threads = [
+        threading.Thread(target=dml_writer),
+        threading.Thread(target=alter_writer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(committed) + len(aborted) == 12
+    versions = [v for v, _, _ in committed]
+    assert len(set(versions)) == len(versions), "duplicate commit versions"
+    # the conflict channels must not gut the campaign
+    assert len(committed) >= 8, f"only {len(committed)} committed: {aborted}"
+
+    model = dict(init)
+    name = "v"
+    for _, kind, arg in sorted(committed, key=lambda p: p[0]):
+        if kind == "rename":
+            name = arg
+        elif kind == "update":
+            mod, res, add = arg
+            model = {
+                k: (x + add if k % mod == res else x)
+                for k, x in model.items()
+            }
+        elif kind == "delete":
+            mod, res = arg
+            model = {k: x for k, x in model.items() if k % mod != res}
+        else:
+            model.update(dict(arg))
+    got_df = SNAP.read_version(spark, table)
+    assert got_df.columns == ["id", name]
+    got = {r["id"]: r[name] for r in got_df.collect()}
+    assert got == model
