@@ -379,7 +379,11 @@ _PEEL_SQL = """
     "exact integers. 100 TB shape: per round one combinable degree "
     "count and two hash semi-joins on the edge list — no all-pairs "
     "work, no driver adjacency; rounds-to-converge is bounded by "
-    "graph depth, not data size.",
+    "graph depth, not data size. Each round's survivor set is "
+    "localCheckpoint-ed (same discipline as pagerank/dedup_cluster_cc"
+    "): both per-round references to `edges` would otherwise inline "
+    "the whole prior lineage, re-scanning + re-distincting the edge "
+    "list ~2^rounds times.",
     tags=("graph", "iterative"),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +392,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
     rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
     ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
-    edges = ue
+    edges = ue.localCheckpoint(eager=True)
     for _ in range(3):
         keep = (
             edges.groupBy("a")
@@ -396,8 +400,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("d") >= 3)
             .select("a")
         )
-        edges = edges.join(keep, "a", "semi").join(
-            keep.withColumnRenamed("a", "b"), "b", "semi"
+        edges = (
+            edges.join(keep, "a", "semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "semi")
+            .localCheckpoint(eager=True)
         )
     return (
         edges.groupBy(F.col("a").alias("node"))
