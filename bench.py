@@ -302,6 +302,13 @@ HEADLINE_LLM = [
     # round-8 wave 7: oracle-exact BPE segmentation (chained REPLACE,
     # codegen end to end — the apply half of the tokenizer story).
     "text_bpe_segment",
+    # round-9: k-sample/rank inference on the midrank histogram
+    # machine, SAX symbolization on one series-keyed exchange, and the
+    # one-pass completeness matrix.
+    "stats_kruskal_wallis",
+    "stats_spearman",
+    "ts_sax_symbols",
+    "dq_completeness_matrix",
     # round-8 wave 8: embedding-QA outlier screen + Hurst R/S profile.
     "emb_outlier_centroid",
     "ms_rs_profile",

@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         ann_index,
         dq,
         formats,

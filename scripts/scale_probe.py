@@ -605,6 +605,26 @@ R8B = [
 ]
 
 
+R9 = [
+    "stats_kruskal_wallis",
+    "stats_spearman",
+    "ts_sax_symbols",
+    "dq_completeness_matrix",
+    "graph_kcore",
+    "graph_common_neighbors",
+]
+
+
+def r9_main(spark) -> None:
+    """Round-9 wave slope probe at sf0.1 vs 10x. Healthy shapes:
+    kruskal/spearman are distinct-value histogram machines (the only
+    data-sized ops are combinable aggregates + (type,value) equi-
+    joins); SAX rides series-keyed exchanges; completeness is one
+    1-row aggregate; kcore re-probed after the per-round
+    localCheckpoint; common_neighbors after the hub cap."""
+    _slope_probe(spark, R9, width=26)
+
+
 def r8b_main(spark) -> None:
     """Round-8 wave 4-6 slope probe at sf0.1 vs 10x. Healthy shapes:
     the stats battery is map-side-combinable sufficient sums (kendall
@@ -769,6 +789,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r9" in sys.argv:
+        r9_main(spark)
         return
     if "--hubcap" in sys.argv:
         hubcap_main(spark)

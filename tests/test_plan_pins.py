@@ -771,3 +771,46 @@ def test_common_neighbors_hub_cap_screen(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kruskal_wallis_histogram_machine(spark):
+    """stats_kruskal_wallis: the only data-sized op is the
+    distinct-value histogram (one hash exchange); the rank window and
+    the 1-row pivot ride a single-partition tail. No joins at all."""
+    plan = _plan(spark, "stats_kruskal_wallis")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_spearman_histogram_joins_no_row_sort(spark):
+    """stats_spearman: midranks come from distinct-value histograms
+    joined back by (type, value) — never a global row sort; all
+    shuffles are type-scoped equi-exchanges."""
+    plan = _plan(spark, "stats_spearman")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "EvalPython" not in plan
+
+
+def test_sax_symbols_series_keyed_only(spark):
+    """ts_sax_symbols: every exchange is keyed on the series key
+    (event_type...) — PAA, breakpoints and the symbol histogram never
+    shuffle wider; breakpoints join back broadcast."""
+    import re
+
+    plan = _plan(spark, "ts_sax_symbols")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), m.group(0)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_completeness_matrix_one_pass_no_shuffle(spark):
+    """dq_completeness_matrix: one full-width scan into a 1-row
+    global aggregate — zero hash exchanges, zero joins."""
+    plan = _plan(spark, "dq_completeness_matrix")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
