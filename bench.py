@@ -445,20 +445,23 @@ def bench_book_sync_futures(spark, n_frames: int = 20_000) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def _first_batch_end_epoch(q) -> float | None:
+def _first_batch_start_epoch(q) -> float | None:
     """Wall-clock epoch seconds when the query's FIRST micro-batch
-    finished (progress timestamps are batch START; add the trigger
-    execution duration). None when no progress was recorded."""
+    STARTED executing (the progress timestamp). Everything before it
+    is fixed machinery (stream planning, WAL/checkpoint init, source
+    discovery); everything after is data processing. The boundary is
+    batch START, not end — a replay source delivers most of the tape
+    in batch 0, so an end boundary would classify the actual work as
+    setup. None when no progress was recorded."""
     import datetime as _dt
 
     progs = [json.loads(p.json) for p in q.recentProgress]
     if not progs:
         return None
     p0 = min(progs, key=lambda p: p.get("batchId", 0))
-    ts = _dt.datetime.fromisoformat(
+    return _dt.datetime.fromisoformat(
         p0["timestamp"].replace("Z", "+00:00")
     ).timestamp()
-    return ts + p0.get("durationMs", {}).get("triggerExecution", 0) / 1000.0
 
 
 def bench_streaming_sustained(
@@ -578,18 +581,18 @@ def bench_streaming_sustained(
         qa.processAllAvailable()
         qt.processAllAvailable()
         total = time.perf_counter() - t0
-        # Setup vs steady-state split (round-9 bench protocol): setup =
-        # wall until EVERY query finished its first micro-batch — the
-        # fixed machinery window (stream planning, WAL init, the 4x
-        # RocksDB store opens, first-batch codegen). Steady-state
-        # throughput over the remainder is the number that must not
-        # regress; the fixed cost no longer hides it.
-        ends = [
+        # Setup vs processing split (round-9 bench protocol): setup =
+        # wall until EVERY query's first micro-batch STARTED — the
+        # fixed machinery window (stream planning, WAL init, source
+        # discovery; the 4x RocksDB store opens land at the head of
+        # batch 0). Throughput over the remainder is the number that
+        # must not regress; the fixed cost no longer hides it.
+        starts = [
             e
-            for e in (_first_batch_end_epoch(q) for q in (q1, q2, qa, qt))
+            for e in (_first_batch_start_epoch(q) for q in (q1, q2, qa, qt))
             if e is not None
         ]
-        setup = min(max(ends) - t0_epoch, total) if ends else 0.0
+        setup = min(max(starts) - t0_epoch, total) if starts else 0.0
         setup = max(setup, 0.0)
         split = {
             "setup_sec": round(setup, 4),
