@@ -459,6 +459,11 @@ def _first_batch_start_epoch(q) -> float | None:
     if not progs:
         return None
     p0 = min(progs, key=lambda p: p.get("batchId", 0))
+    if p0.get("batchId", 0) != 0:
+        # batch 0 evicted from recentProgress (default retention 100
+        # updates): a later batch's start would misclassify real work
+        # as setup — report the split as unusable instead of skewed
+        return None
     return _dt.datetime.fromisoformat(
         p0["timestamp"].replace("Z", "+00:00")
     ).timestamp()
@@ -588,16 +593,16 @@ def bench_streaming_sustained(
         # batch 0). Throughput over the remainder is the number that
         # must not regress; the fixed cost no longer hides it.
         starts = [
-            e
-            for e in (_first_batch_start_epoch(q) for q in (q1, q2, qa, qt))
-            if e is not None
+            _first_batch_start_epoch(q) for q in (q1, q2, qa, qt)
         ]
-        setup = min(max(starts) - t0_epoch, total) if starts else 0.0
-        setup = max(setup, 0.0)
-        split = {
-            "setup_sec": round(setup, 4),
-            "steady_sec": round(total - setup, 4),
-        }
+        if all(e is not None for e in starts):
+            setup = max(min(max(starts) - t0_epoch, total), 0.0)
+            split = {
+                "setup_sec": round(setup, 4),
+                "steady_sec": round(total - setup, 4),
+            }
+        else:
+            split = {"setup_sec": None, "steady_sec": None}
         for q in (q1, q2, qa, qt):
             q.stop()
         return total, sum(counts), n_vec, n_doc, split
@@ -866,19 +871,28 @@ def main() -> None:
         spark, sf_dir
     )
     timings["streaming_sustained_quad"] = round(sus_sec, 4)
-    steady = max(sus_split.get("steady_sec", sus_sec), 1e-9)
-    sus_split["steady_sync_rows_per_s"] = round(sus_rows / steady, 1)
-    sus_split["steady_vectors_per_s"] = round(sus_vec / steady, 1)
-    sus_split["steady_docs_per_s"] = round(sus_doc / steady, 1)
+    steady = sus_split.get("steady_sec")
+    if steady is not None and steady > 0.05:
+        # rates only when the split is usable: a ~zero steady window
+        # would print absurd rows/s and poison round-over-round reads
+        sus_split["steady_sync_rows_per_s"] = round(sus_rows / steady, 1)
+        sus_split["steady_vectors_per_s"] = round(sus_vec / steady, 1)
+        sus_split["steady_docs_per_s"] = round(sus_doc / steady, 1)
+        split_note = (
+            f"split: setup {sus_split['setup_sec']:.2f}s (planning + WAL) "
+            f"/ steady {steady:.2f}s "
+            f"~{sus_split['steady_sync_rows_per_s']:,.0f} sync rows/s"
+        )
+    else:
+        sus_split["steady_sync_rows_per_s"] = None
+        split_note = "split: unusable (batch-0 progress missing or ~0 steady)"
     print(
         f"# streaming_sustained_quad (spot+futures tWS AND ann+text "
         f"refresh, all concurrent): {sus_sec:.3f}s — {sus_rows} sync "
         f"rows ~{sus_rows / sus_sec:,.0f}/s AND {sus_vec} vectors "
         f"~{sus_vec / sus_sec:,.0f}/s AND {sus_doc} docs "
-        f"~{sus_doc / sus_sec:,.0f}/s over the shared wall; split: "
-        f"setup {sus_split['setup_sec']:.2f}s (planning + 4x store "
-        f"opens) / steady {sus_split['steady_sec']:.2f}s "
-        f"~{sus_split['steady_sync_rows_per_s']:,.0f} sync rows/s",
+        f"~{sus_doc / sus_sec:,.0f}/s over the shared wall; "
+        + split_note,
         file=sys.stderr,
     )
 

@@ -1015,6 +1015,7 @@ def _read_physical(
     table_dir: str,
     manifest: dict,
     rels: list[str],
+    tag: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """THE raw-scan read path for every merge-on-read site (delete/
     update MOR, CDC DV-delta, the tagged live read): read the given
@@ -1022,10 +1023,12 @@ def _read_physical(
     physical file columns to the manifest's logical names IN THE SAME
     SELECT that taps ``_metadata`` (files carry immutable physical
     names under column mapping; a logical-schema scan would read a
-    renamed column as NULL), and tag each row with its manifest-
-    relative file path ``__f`` and row position ``__pos``. Returns
-    ``(tagged_df, logical_column_names)``. Centralized so no site
-    hand-rolls the physical->logical alias convention — the round-8
+    renamed column as NULL), and — with ``tag=True`` — mark each row
+    with its manifest-relative file path ``__f`` and row position
+    ``__pos`` (``tag=False`` is the plain pinned-physical read with
+    logical projection, no ``_metadata`` tap). Returns
+    ``(df, logical_column_names)``. Centralized so no site hand-rolls
+    the physical->logical alias convention — the round-8
     MOR-on-renamed-column bug class exists exactly when one does."""
     schema = _manifest_schema(manifest)
     mp = _mapping(manifest)
@@ -1041,6 +1044,8 @@ def _read_physical(
     else:
         proj = [F.col(c) for c in raw.columns]
         cols = list(raw.columns)
+    if not tag:
+        return (raw.select(*proj) if mp else raw), cols
     tagged = raw.select(
         *proj,
         _file_rel_expr(table_dir).alias("__f"),
@@ -1080,17 +1085,9 @@ def _live_rows(
     if dv is None and not with_file:
         # fast path: no _metadata tap, no anti-join — just the pinned
         # physical read projected to logical names
-        mp = _mapping(manifest)
-        phys = _physical_schema(manifest)
-        reader = spark.read.schema(phys) if phys is not None else spark.read
-        df = reader.parquet(*[os.path.join(table_dir, rel) for rel in rels])
-        if mp and schema is not None:
-            return df.select(
-                *[
-                    F.col(mp.get(f.name, f.name)).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
+        df, _cols = _read_physical(
+            spark, table_dir, manifest, rels, tag=False
+        )
         return df
     tagged, cols = _read_physical(spark, table_dir, manifest, rels)
     if dv is not None:

@@ -39,8 +39,13 @@ _KW_PIVOT = ", ".join(
     for t in _TYPES
     for c in ("n", "r2")
 )
+# empty groups contribute NOTHING (textbook H sums over PRESENT
+# groups); without the guard an absent type makes its term 0/0 ->
+# NULL and nulls the whole statistic on both engines
 _KW_RSUM = " + ".join(
-    f"(CAST(r2_{t} AS DOUBLE) * r2_{t}) / n_{t}" for t in _TYPES
+    f"(CASE WHEN n_{t} > 0 THEN (CAST(r2_{t} AS DOUBLE) * r2_{t}) / n_{t} "
+    f"ELSE 0e0 END)"
+    for t in _TYPES
 )
 _KW_N = " + ".join(f"n_{t}" for t in _TYPES)
 

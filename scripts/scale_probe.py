@@ -760,7 +760,9 @@ def hubcap_main(spark) -> None:
         sec = _t.perf_counter() - t0
         print(f"hub n={n:<7d} capped(64)         {sec:8.2f} {rows:8d}",
               flush=True)
-        ue.unpersist()
+        del ue  # localCheckpoint blocks free via ContextCleaner on GC
+        # (DataFrame.unpersist would be a no-op: localCheckpoint
+        # blocks live outside the CacheManager)
     # uncapped: SMALL n only — the hub contributes n^2/2 wedge pairs,
     # so 3x the nodes is ~9x the join output; at n=200k this leg would
     # be a 2e10-pair job (the explosion the cap exists to prevent)
@@ -771,7 +773,7 @@ def hubcap_main(spark) -> None:
         sec = _t.perf_counter() - t0
         print(f"hub n={n:<7d} uncapped           {sec:8.2f} {rows:8d}",
               flush=True)
-        ue.unpersist()
+        del ue
 
 
 def main() -> None:

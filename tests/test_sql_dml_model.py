@@ -413,8 +413,10 @@ def test_concurrent_alter_vs_dml_serializes(spark, tmp_path, seed):
     assert len(committed) + len(aborted) == 12
     versions = [v for v, _, _ in committed]
     assert len(set(versions)) == len(versions), "duplicate commit versions"
-    # the conflict channels must not gut the campaign
-    assert len(committed) >= 8, f"only {len(committed)} committed: {aborted}"
+    # the conflict channels must not gut the campaign — but the bound
+    # is deliberately loose: thread interleaving is not seeded, and an
+    # unlucky schedule can legally abort several statements
+    assert len(committed) >= 6, f"only {len(committed)} committed: {aborted}"
 
     model = dict(init)
     name = "v"
