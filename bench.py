@@ -603,6 +603,13 @@ def bench_streaming_sustained(
             }
         else:
             split = {"setup_sec": None, "steady_sec": None}
+        # Micro-batch counts per stream: the paced replay source yields
+        # a timing-dependent number of batches, and per-batch overhead
+        # (Python worker round-trip + RocksDB commit) multiplies — the
+        # dominant run-to-run variance source for this entry (observed
+        # 12s..36s on one boot). Recording it makes the artifact
+        # self-explain a slow run.
+        split["micro_batches"] = [len(q.recentProgress) for q in (q1, q2, qa, qt)]
         for q in (q1, q2, qa, qt):
             q.stop()
         return total, sum(counts), n_vec, n_doc, split
