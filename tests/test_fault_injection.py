@@ -202,3 +202,65 @@ def test_recover_state_sweeps_orphaned_staging(spark, monkeypatch):
         assert not os.path.isdir(orphan), "orphaned staging dir swept"
         rows = {r["symbol"]: r["px"] for r in spark.read.parquet(state).collect()}
         assert rows == {"BTC": 100.0}
+
+
+# ---- round-9: crash faults around metadata-only ALTER commits -----------
+
+
+def test_rename_crash_before_commit_leaves_table_intact(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that dies between claiming its version and publishing
+    the rename manifest must leave the table EXACTLY as it was: old
+    logical schema, old mapping, readable; and a retried rename must
+    succeed (the stranded claim is crash debris the next committer
+    waits out, never a corrupt state)."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    SNAP.write_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), table
+    )
+    real_commit = SNAP._commit_manifest
+
+    def dying_commit(table_dir, v, manifest):
+        raise OSError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(SNAP, "_commit_manifest", dying_commit)
+    with pytest.raises(OSError, match="simulated crash"):
+        SNAP.rename_column(table, "v", "price")
+    monkeypatch.setattr(SNAP, "_commit_manifest", real_commit)
+    got = SNAP.read_version(spark, table)
+    assert got.columns == ["id", "v"]  # table untouched
+    assert got.count() == 10
+    # retry succeeds; the crashed attempt's claim is waited out/skipped
+    SNAP.rename_column(table, "v", "price")
+    got2 = SNAP.read_version(spark, table)
+    assert got2.columns == ["id", "price"]
+    assert sorted(r["price"] for r in got2.collect()) == [
+        i * 2 for i in range(10)
+    ]
+
+
+def test_stray_tmp_manifest_is_invisible(spark, tmp_path):
+    """A crash INSIDE _commit_manifest (after writing .tmp-vN.json,
+    before the atomic os.replace) leaves a dot-prefixed temp file in
+    the manifest dir: every read surface must ignore it."""
+    import json as _json
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    table = str(tmp_path / "t")
+    v1 = SNAP.write_version(
+        spark.range(0, 5).selectExpr("id", "id AS v"), table
+    )
+    mdir = SNAP._manifest_dir(table)
+    with open(os.path.join(mdir, f".tmp-v{v1 + 1}.json"), "w") as f:
+        _json.dump({"version": v1 + 1, "mode": "rename_column",
+                    "files": [], "schema": None}, f)
+    assert SNAP.main_versions(table)[-1] == v1
+    assert SNAP.read_version(spark, table).count() == 5
+    # and the next real commit claims/uses the version number cleanly
+    v2 = SNAP.rename_column(table, "v", "w")
+    assert v2 > v1
+    assert SNAP.read_version(spark, table).columns == ["id", "w"]
