@@ -891,7 +891,11 @@ def main() -> None:
             f"~{sus_split['steady_sync_rows_per_s']:,.0f} sync rows/s"
         )
     else:
+        # keep the artifact schema identical between usable and
+        # unusable runs so round-over-round diffs stay key-stable
         sus_split["steady_sync_rows_per_s"] = None
+        sus_split["steady_vectors_per_s"] = None
+        sus_split["steady_docs_per_s"] = None
         split_note = "split: unusable (batch-0 progress missing or ~0 steady)"
     print(
         f"# streaming_sustained_quad (spot+futures tWS AND ann+text "

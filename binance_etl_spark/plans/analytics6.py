@@ -49,6 +49,16 @@ _KW_RSUM = " + ".join(
 )
 _KW_N = " + ".join(f"n_{t}" for t in _TYPES)
 
+# Tie-correction factor 1 - tie_sum/(N^3-N). When ALL values tie the
+# factor is exactly 0 (tie_sum = N^3-N) and the corrected H is 0/0:
+# Spark (ANSI off) yields NULL, DuckDB yields Inf/NaN — a latent
+# cross-engine divergence, so the degenerate case is guarded to NULL
+# explicitly in the SAME text on both engines.
+_KW_TIEFAC = (
+    "(1e0 - CAST({tie} AS DOUBLE)"
+    " / ((CAST({n} AS DOUBLE) * ({n}) * ({n})) - ({n})))"
+)
+
 
 @register(
     "stats_kruskal_wallis",
@@ -85,13 +95,13 @@ _KW_N = " + ".join(f"n_{t}" for t in _TYPES)
            CAST(3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))
                 * ({_KW_RSUM})
                 - 3e0 * (({_KW_N}) + 1) AS DOUBLE) AS h_stat,
-           CAST((3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))
+           CAST(CASE WHEN {_KW_TIEFAC.format(
+                    tie="(SELECT t FROM tie)", n=_KW_N)} = 0e0 THEN NULL
+                ELSE (3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))
                 * ({_KW_RSUM})
                 - 3e0 * (({_KW_N}) + 1))
-                / (1e0 - CAST((SELECT t FROM tie) AS DOUBLE)
-                   / ((CAST({_KW_N} AS DOUBLE) * ({_KW_N}) * ({_KW_N}))
-                      - ({_KW_N})))
-                AS DOUBLE) AS h_tie_corrected
+                / {_KW_TIEFAC.format(tie="(SELECT t FROM tie)", n=_KW_N)}
+                END AS DOUBLE) AS h_tie_corrected
     FROM p
     """,
     doc="Kruskal-Wallis H test for equal value distributions across "
@@ -144,12 +154,13 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))"
         f" * ({_KW_RSUM})"
         f" - 3e0 * (({_KW_N}) + 1) AS DOUBLE) AS h_stat",
-        f"CAST((3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))"
+        f"CAST(CASE WHEN "
+        f"{_KW_TIEFAC.format(tie='tie_sum', n=_KW_N)} = 0e0 THEN NULL"
+        f" ELSE (3e0 / (({_KW_N}) * (CAST({_KW_N} AS DOUBLE) + 1))"
         f" * ({_KW_RSUM})"
         f" - 3e0 * (({_KW_N}) + 1))"
-        f" / (1e0 - CAST(tie_sum AS DOUBLE)"
-        f" / ((CAST({_KW_N} AS DOUBLE) * ({_KW_N}) * ({_KW_N}))"
-        f" - ({_KW_N}))) AS DOUBLE) AS h_tie_corrected",
+        f" / {_KW_TIEFAC.format(tie='tie_sum', n=_KW_N)}"
+        f" END AS DOUBLE) AS h_tie_corrected",
     )
 
 
@@ -221,9 +232,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("x"),
-        (F.unix_micros("ts") / F.lit(1000000))
-        .cast("bigint")
-        .alias("y"),
+        # integer floor division (DIV), matching the oracle's `//`
+        # textually — double-divide-then-cast truncates toward zero and
+        # diverges for pre-1970 timestamps (round-8 notes, DIV class)
+        F.expr("unix_micros(ts) DIV 1000000").alias("y"),
     )
 
     def ranks(col: str) -> DataFrame:

@@ -420,11 +420,17 @@ def common_neighbors_topk(ue: DataFrame, hub_cap: int, k: int = 20) -> DataFrame
     both orientations present, no self-loops): hub-capped shared-
     neighbor screen, one equi self-join, combinable pair count, two
     broadcast degree joins, TakeOrdered top-k."""
-    deg = ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    full_deg = ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     # super-node screen: drop wedges THROUGH hub shared-neighbors
     # before the self-join (hub list is tiny by power-law — broadcast)
-    hubs = deg.where(F.col("d") > hub_cap).select(F.col("a").alias("b"))
+    hubs = full_deg.where(F.col("d") > hub_cap).select(F.col("a").alias("b"))
     screened = ue.join(F.broadcast(hubs), "b", "left_anti")
+    # degrees come from the SCREENED edge list so numerator and
+    # denominator live in the same universe (N'(v) = N(v) \\ hubs):
+    # when the cap binds, full degrees would downward-bias Jaccard by
+    # counting hub neighbors `common` can never include. Identical to
+    # full degrees whenever the cap doesn't bind (bench scale).
+    deg = screened.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     e1 = screened.select(F.col("a").alias("x"), "b")
     e2 = screened.select(F.col("a").alias("y"), "b")
     wedges = (
@@ -487,7 +493,11 @@ def common_neighbors_topk(ue: DataFrame, hub_cap: int, k: int = 20) -> DataFrame
     "100 TB). The default cap (100k) exceeds every degree at bench "
     "scale (~200 max), so the oracle stays exact; at scale the cap "
     "is the deliberate hubs-excluded approximation, like "
-    "triangle-counting's degree orientation but lossy-by-choice.",
+    "triangle-counting's degree orientation but lossy-by-choice. "
+    "Degrees feeding jaccard_ppm are computed on the SCREENED edge "
+    "list so numerator and denominator share the hubs-excluded "
+    "universe when the cap binds (identical to full degrees when it "
+    "doesn't).",
     tags=("graph", "join"),
 )
 def graph_common_neighbors(

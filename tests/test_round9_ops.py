@@ -133,3 +133,40 @@ def test_completeness_matrix_identities(spark):
         assert r["null_ppm"] == r["n_null"] * 1_000_000 // n
         if r["column_name"] not in ("event_type", "props"):
             assert r["n_empty"] == 0
+
+
+def test_kruskal_wallis_all_tied_degenerate_guard(spark, tmp_path):
+    """All values tied -> tie factor is exactly 0 and the corrected H
+    is 0/0. Both engines must agree on the explicit NULL guard (Spark
+    ANSI-off would give NULL, DuckDB Inf/NaN — the guard makes the
+    degenerate case contractual instead of latent)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    d = tmp_path / "sf_tied"
+    d.mkdir()
+    (
+        load(spark, SF_DIR, "events")
+        .limit(200)
+        .withColumn("value", F.lit(7.0))
+        .coalesce(1)
+        .write.parquet(str(d / "events.parquet"))
+    )
+    got = REGISTRY["stats_kruskal_wallis"].fn(spark, str(d)).collect()[0]
+    assert got["n_total"] == 200
+    assert got["tie_sum"] == 200**3 - 200
+    assert got["h_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert got["h_tie_corrected"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    cur = con.execute(REGISTRY["stats_kruskal_wallis"].oracle)
+    cols = [c[0] for c in cur.description]
+    row = dict(zip(cols, cur.fetchone()))
+    assert row["tie_sum"] == 200**3 - 200
+    assert row["h_tie_corrected"] is None
