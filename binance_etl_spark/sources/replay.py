@@ -134,6 +134,7 @@ class ReplayStreamReader(DataSourceStreamReader):
         self.max_frames = int(options.get("maxframesperbatch", 3))
         self.lines_per_partition = int(options.get("linesperpartition", 8192))
         self._pos = 0
+        self._admitted = 0
         self._fresh = False
 
     def initialOffset(self) -> dict:
@@ -161,11 +162,27 @@ class ReplayStreamReader(DataSourceStreamReader):
         # first-batch admission control would need the engine to pass
         # the start offset into this call, which the Python stream
         # reader API does not do.
+        # - OFFSET-GATED admission (round-10 determinism fix): pacing
+        #   advances from the end of the last CONSTRUCTED batch (the
+        #   `partitions(start, end)` callback — invoked exactly once
+        #   per micro-batch the engine actually plans), never from the
+        #   previous answer of this call. The engine invokes
+        #   latestOffset more than once per trigger (batch planning
+        #   PLUS processAllAvailable's availability polls, whose count
+        #   is wall-clock timing), so a per-call counter admitted a
+        #   run-dependent number of frames per batch. Keyed to batch
+        #   construction, repeated calls are idempotent and every run
+        #   executes the identical batch sequence. (commit() would be
+        #   the obvious gate, but the engine only commits batch N once
+        #   batch N+1 exists — gating on it deadlocks a drained log.)
         total = _count_lines(self.path)
         if self.max_frames <= 0 or not self._fresh:
             self._pos = max(self._pos, total)
         else:
-            self._pos = min(self._pos + self.max_frames, total)
+            self._pos = max(
+                self._pos,
+                min(self._admitted + self.max_frames, total),
+            )
         return {"index": self._pos}
 
     def partitions(self, start: dict, end: dict):
@@ -177,6 +194,10 @@ class ReplayStreamReader(DataSourceStreamReader):
         # and paced batches (max_frames <= lines_per_partition) still
         # produce exactly one partition.
         s, e = start["index"], end["index"]
+        # the admission gate: one advance per batch the engine plans
+        # (idempotent under re-calls for the same batch — retries and
+        # WAL replays pass the same `end`)
+        self._admitted = max(self._admitted, e)
         step = max(1, self.lines_per_partition)
         return [
             _Range(self.path, i, min(i + step, e)) for i in range(s, e, step)
@@ -189,6 +210,7 @@ class ReplayStreamReader(DataSourceStreamReader):
         # After a checkpoint restart the committed offset may be ahead
         # of our fresh pacing counter — never re-serve committed frames.
         self._pos = max(self._pos, end["index"])
+        self._admitted = max(self._admitted, end["index"])
 
 
 class ReplayDataSource(DataSource):

@@ -1,7 +1,16 @@
 """Every registered query with an oracle must hash-match DuckDB at sf0.01
-— the local twin of the driver's CORRECTNESS gate."""
+— the local twin of the driver's CORRECTNESS gate.
+
+BESK_PARITY_SHARD="i/M" (set by scripts/shard_tests.py) slices the
+parametrization to the keys whose md5 lands in shard i of M, so the
+~330-oracle sweep — the suite's longest single file — spreads across
+parallel worker processes. Unset = the full surface (CI default).
+"""
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 import pytest
 
@@ -10,8 +19,21 @@ from tests.parity import compare
 
 _ensure_loaded()
 
-WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
-ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+def _shard(names: list[str]) -> list[str]:
+    spec = os.environ.get("BESK_PARITY_SHARD")
+    if not spec:
+        return names
+    i, m = (int(x) for x in spec.split("/"))
+    return [
+        n
+        for n in names
+        if int(hashlib.md5(n.encode()).hexdigest(), 16) % m == i
+    ]
+
+
+WITH_ORACLE = _shard(sorted(n for n, q in REGISTRY.items() if q.oracle is not None))
+ROWS_ONLY = _shard(sorted(n for n, q in REGISTRY.items() if q.oracle is None))
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -28,6 +50,10 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.skipif(
+    os.environ.get("BESK_PARITY_SHARD", "0/1").split("/")[0] != "0",
+    reason="entry smoke runs once, in parity shard 0",
+)
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
