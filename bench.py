@@ -850,14 +850,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
 
+    # Per-entry noise telemetry (round-10 bench protocol): local-mode
+    # executors ARE this JVM, so the process GC MXBeans measure
+    # executor GC exactly; a per-entry job-group names the entry's
+    # Spark jobs so the statusTracker counts them. An in-sequence
+    # outlier now self-labels — gc_sec spike = heap/GC-loaded boot,
+    # job-count change = plan drift — instead of needing out-of-band
+    # verdict archaeology (the r9 dedup_minhash_lsh 7.5s-vs-1.47s
+    # case).
+    gc_beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+
+    def _gc_ms() -> int:
+        return sum(b.getCollectionTime() for b in gc_beans)
+
+    tracker = spark.sparkContext.statusTracker
+    telemetry: dict[str, dict] = {}
+
     names = [n for n in HEADLINE + HEADLINE_LLM if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        spark.sparkContext.setJobGroup(f"bench:{name}", name)
+        gc0 = _gc_ms()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = materialize(df)  # full-column execution, distributed reduce
         timings[name] = round(time.perf_counter() - t0, 4)
+        telemetry[name] = {
+            "gc_sec": round((_gc_ms() - gc0) / 1000.0, 3),
+            "jobs": len(tracker().getJobIdsForGroup(f"bench:{name}")),
+        }
+        spark.sparkContext.setJobGroup("", "")
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     bs_sec, bs_rows = bench_book_sync(spark)
@@ -927,6 +950,7 @@ def main() -> None:
         **out,
         "sentinels_solo_best_of_3": sentinels,
         "streaming_quad_split": sus_split,
+        "entry_telemetry": telemetry,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

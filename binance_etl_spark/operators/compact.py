@@ -42,7 +42,20 @@ def compact_parquet(
     total = dir_bytes(path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".__compacting"
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staging)
+    df = spark.read.parquet(path)
+    # coalesce is the no-shuffle narrow path but can only REDUCE the
+    # partition count — a scan planned with fewer partitions than
+    # n_files (few cores, small openCost-packed splits) would silently
+    # under-split; fall back to a round-robin repartition there.
+    df = (
+        df.coalesce(n_files)
+        if df.rdd.getNumPartitions() >= n_files
+        else df.repartition(n_files)
+    )
+    df.write.mode("overwrite").parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
-    return n_files
+    # report the files actually written (empty partitions write none)
+    import glob as _glob
+
+    return len(_glob.glob(os.path.join(path, "part-*.parquet")))

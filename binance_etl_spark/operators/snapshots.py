@@ -1746,7 +1746,10 @@ def merge_into(
     1. one distributed scan with `input_file_name()` materialized
        BEFORE the key semi-join finds the affected files — only files
        holding a matched key rewrite (AQE picks broadcast when the
-       source key set is small);
+       source key set is small). With a single key column carrying
+       manifest blooms and <=1024 source keys, the scan itself is
+       PRE-PRUNED to bloom-MAYBE files (the delete_keys fast path),
+       so the merge reads O(candidate files), never O(table);
     2. affected files re-read, matched keys anti-joined out, the
        source's surviving rows unioned in (whole-row update);
     3. untouched files carry into the new manifest by name — zero
@@ -1808,10 +1811,34 @@ def merge_into(
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"target columns {sorted(snap.columns)}"
             )
+        # bloom-pruned affected-file scan (round-10): with a single
+        # merge key, manifest blooms on it, and a small source key set,
+        # only MAYBE files are opened to find matches — the delete_keys
+        # discipline applied to MERGE, so a CDC upsert batch against a
+        # 100 TB table scans O(candidate files), never O(table). Falls
+        # back to the full scan when the key is composite, the table
+        # has no blooms, or the source key set is large (collecting it
+        # would not be O(1) driver memory). Pruning is an I/O
+        # optimization, never a filter: blooms have no false negatives,
+        # so a skipped file provably holds no source key — it can
+        # neither be affected nor hide a live key from the ANSI
+        # tombstone-revive check below.
+        scan_rel = prev["files"]
+        bloom_pruned = None
+        if (
+            len(key_cols) == 1
+            and key_cols[0] in prev.get("bloom_cols", [])
+        ):
+            krows = all_keys.limit(1025).collect()
+            if len(krows) <= 1024:
+                scan_rel, _skipped = select_files_point(
+                    table_dir, prior[-1], key_cols[0], [r["_k"][0] for r in krows]
+                )
+                bloom_pruned = len(_skipped)
         # tagged live read: file-relative path per row, deletion vector
         # applied (a DV-erased row must not mark its file affected)
         tagged = _live_rows(
-            spark, table_dir, prev, prev["files"], with_file=True
+            spark, table_dir, prev, scan_rel, with_file=True
         ).withColumn("_k", key_struct)
         affected_rel = {
             os.path.normpath(r["__f"])
@@ -1892,6 +1919,8 @@ def merge_into(
             "rewrote": len(affected),
             "carried": len(untouched),
         }
+        if bloom_pruned is not None:
+            manifest["bloom_pruned"] = bloom_pruned
         manifest.update(
             _bloom_manifest_fields(spark, table_dir, prev, new_files, file_meta, v)
         )

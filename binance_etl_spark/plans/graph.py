@@ -76,6 +76,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=3)
 
 
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Degree-oriented per-node triangle counts over canonical
+    undirected edges (u < v, distinct) — the edge-parameterized core
+    of graph_triangles, reused by scale_probe --graph10x on
+    node-scaled synthetic graphs."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = j.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db"))
+    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc")) | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
 @register(
     "graph_triangles",
     oracle=f"""
@@ -125,36 +162,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    j = und.join(
-        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
-    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-    low_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = j.select(
-        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    )
-    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db"))
-    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc"))
-    wedges = o1.join(o2, "a").where(
-        (F.col("db") < F.col("dc")) | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy("node")
-    )
+    return triangle_counts(und)
 
 
 # One synchronous LPA iteration as a DuckDB CTE body: labels `{prev}`
@@ -392,12 +400,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
     rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
     ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
+    return kcore_degrees(ue)
+
+
+def kcore_degrees(
+    ue: DataFrame, min_degree: int = 3, rounds: int = 3
+) -> DataFrame:
+    """The graph_kcore peel loop over both-orientation undirected
+    edges (a, b) — edge-parameterized for scale_probe --graph10x.
+    Per-round localCheckpoint keeps the iterative lineage flat (the
+    round-9 fix: without it each peel re-ran ~2^rounds times)."""
     edges = ue.localCheckpoint(eager=True)
-    for _ in range(3):
+    for _ in range(rounds):
         keep = (
             edges.groupBy("a")
             .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= 3)
+            .where(F.col("d") >= min_degree)
             .select("a")
         )
         edges = (
@@ -636,8 +654,6 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative", "join"),
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_spark.operators.graph import label_propagation
-
     e = load(spark, sf_dir, "events")
     dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
     und = (
@@ -648,6 +664,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    return modularity_summary(und)
+
+
+def modularity_summary(und: DataFrame) -> DataFrame:
+    """LPA labels + Newman modularity Q over canonical undirected
+    edges — the edge-parameterized core of graph_modularity, reused
+    by scale_probe --graph10x."""
+    from binance_etl_spark.operators.graph import label_propagation
+
     labels = label_propagation(und, n_iters=3)
     lu = labels.select(
         F.col("node").alias("u"), F.col("community").alias("cu")

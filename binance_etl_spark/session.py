@@ -33,6 +33,20 @@ def ensure_protobuf() -> str:
 
     Returns which implementation is active: 'real' or 'shim'.
     """
+    # The package's parent dir must ALSO reach worker PYTHONPATH:
+    # Python DataSource planning/reading runs in JVM-forked Python
+    # processes that inherit neither the driver's sys.path mutations
+    # nor its cwd, so a driver launched from outside the repo root
+    # (e.g. the sharded test runner's per-worker scratch cwd) would
+    # hit `No module named 'binance_etl_spark'` inside every
+    # replay/snapshot scan.
+    _pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if _pkg_parent not in parts:
+        parts.insert(0, _pkg_parent)
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     try:
         import google.protobuf  # noqa: F401
 
@@ -41,11 +55,9 @@ def ensure_protobuf() -> str:
         pass
     if _VENDOR_DIR not in sys.path:
         sys.path.insert(0, _VENDOR_DIR)
-    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
     if _VENDOR_DIR not in parts:
-        os.environ["PYTHONPATH"] = os.pathsep.join(
-            [_VENDOR_DIR] + [p for p in parts if p]
-        )
+        os.environ["PYTHONPATH"] = os.pathsep.join([_VENDOR_DIR] + parts)
     import google.protobuf  # noqa: F401  (fail loudly if the shim is broken)
 
     return "shim"

@@ -464,6 +464,158 @@ def lake_main(spark) -> None:
 
 
 
+def lake10x_main(spark) -> None:
+    """Write-path slope probe (round-10 verdict item 3): merge_into,
+    delete_keys (bloom-pruned), read_changes, and compact at 10x FILE
+    count (16 -> 160 files, 10x rows) and 10x KEY count (32 -> 320
+    source keys on the big table). Healthy =
+    - merge/delete walls grow FAR slower than the table (bloom prune
+      bounds files opened by the key count, not the table);
+    - read_changes of a fixed appended delta is ~flat (manifest diff
+      opens only the delta's files);
+    - incremental compact of a fixed small-file tail is ~flat (large
+      files carry by name, zero I/O);
+    - every op's manifest `rewrote` stays O(affected files) — printed
+      as evidence and pinned exactly in tests/test_lake_scale_pins.py.
+    """
+    import tempfile
+
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    def build_table(sf_dir: str, n_files: int) -> str:
+        d = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "lang", "n_chars", "text")
+            .repartitionByRange(n_files, "doc_id")
+        )
+        t = tempfile.mkdtemp(prefix="lake10x_") + "/docs"
+        SNAP.write_version(d, t, bloom_cols=["doc_id"], stats_cols=["doc_id"])
+        return t
+
+    def merge_src(t: str, keys: list[int], n_new: int):
+        head = SNAP.read_version(spark, t)
+        upd = head.where(F.col("doc_id").isin(keys)).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1)
+        )
+        ins = (
+            spark.range(n_new)
+            .select(
+                (F.col("id") + 50_000_000).alias("doc_id"),
+                F.lit("xx").alias("lang"),
+                F.lit(1).cast("bigint").alias("n_chars"),
+                F.lit("synthetic").alias("text"),
+            )
+            .select(*head.columns)
+        )
+        return upd.unionByName(ins)
+
+    rows: dict[tuple[str, str], tuple[float, str]] = {}
+    keys32 = list(range(0, 3200, 100))  # 32 spread keys, present both scales
+    keys320 = list(range(0, 3200, 10))  # 10x keys (320)
+
+    for label, sf_dir, n_files in (("base", SRC, 16), ("10x", DST, 160)):
+        # merge: fixed 32-key source
+        t = build_table(sf_dir, n_files)
+        src = merge_src(t, keys32, n_new=8)
+        t0 = time.time()
+        v = SNAP.merge_into(spark, t, src, ["doc_id"])
+        m = SNAP._load_manifest(t, v)
+        rows[("merge_into(32 keys)", label)] = (
+            time.time() - t0,
+            f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
+        )
+        if label == "10x":
+            # 10x KEY count on the 10x table: slope vs the 32-key merge
+            t = build_table(sf_dir, n_files)
+            src = merge_src(t, keys320, n_new=8)
+            t0 = time.time()
+            v = SNAP.merge_into(spark, t, src, ["doc_id"])
+            m = SNAP._load_manifest(t, v)
+            rows[("merge_into(320 keys)", label)] = (
+                time.time() - t0,
+                f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
+            )
+
+        # delete_keys: fixed 16 keys
+        t = build_table(sf_dir, n_files)
+        t0 = time.time()
+        v = SNAP.delete_keys(spark, t, "doc_id", keys32[:16])
+        m = SNAP._load_manifest(t, v)
+        rows[("delete_keys(16)", label)] = (
+            time.time() - t0,
+            f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}",
+        )
+        if label == "10x":
+            t = build_table(sf_dir, n_files)
+            t0 = time.time()
+            v = SNAP.delete_keys(spark, t, "doc_id", keys320[:160])
+            m = SNAP._load_manifest(t, v)
+            rows[("delete_keys(160)", label)] = (
+                time.time() - t0,
+                f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}",
+            )
+
+        # read_changes of a FIXED appended delta (1k rows)
+        t = build_table(sf_dir, n_files)
+        delta = (
+            spark.range(1000)
+            .select(
+                (F.col("id") + 60_000_000).alias("doc_id"),
+                F.lit("yy").alias("lang"),
+                F.lit(2).cast("bigint").alias("n_chars"),
+                F.lit("delta").alias("text"),
+            )
+        )
+        v = SNAP.write_version(delta, t)
+        t0 = time.time()
+        n = SNAP.read_changes(spark, t, v - 1, v).count()
+        rows[("read_changes(1k delta)", label)] = (
+            time.time() - t0,
+            f"{n} changes, delta files only",
+        )
+
+        # incremental compact of a FIXED 8-small-file tail
+        t = build_table(sf_dir, n_files)
+        for i in range(8):
+            SNAP.write_version(
+                spark.createDataFrame(
+                    [(70_000_000 + i, "zz", 1, "tiny")],
+                    "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING",
+                ),
+                t,
+            )
+        t0 = time.time()
+        v = SNAP.compact(spark, t, min_file_bytes=64 * 1024)
+        m = SNAP._load_manifest(t, v)
+        rows[("compact(8 small)", label)] = (
+            time.time() - t0,
+            f"rewrote {m['rewrote']}, carried {m['carried']}",
+        )
+
+    print(f"\n{'op':24s} {'base':>7s} {'10x':>7s} {'slope':>6s}  evidence")
+    for op in (
+        "merge_into(32 keys)",
+        "delete_keys(16)",
+        "read_changes(1k delta)",
+        "compact(8 small)",
+    ):
+        (t0, e0), (t1, e1) = rows[(op, "base")], rows[(op, "10x")]
+        print(
+            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
+            f"base: {e0} | 10x: {e1}"
+        )
+    for op, base_op in (
+        ("merge_into(320 keys)", "merge_into(32 keys)"),
+        ("delete_keys(160)", "delete_keys(16)"),
+    ):
+        (t0, e0) = rows[(base_op, "10x")]
+        (t1, e1) = rows[(op, "10x")]
+        print(
+            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
+            f"(vs {base_op} on the 10x table) {e1}"
+        )
+
+
 # --- multi-symbol key-parallelism probe (--sync) -------------------------
 
 
@@ -718,6 +870,94 @@ def sync_main(spark) -> None:
 
 
 
+def graph10x_main(spark) -> None:
+    """Node-scaled graph slope probe (round-10 verdict item 4):
+    retires the 'fixed 100-dst fixture artifact' caveat that footnoted
+    the graph slope tables since r7. The events-derived fixtures scale
+    DEGREE when rows grow (dst space is a fixed 100 nodes, so 10x rows
+    = 10x degree and wedge counts grow quadratically — a fixture
+    artifact, not a plan property). This probe builds SYNTHETIC
+    power-law-ish graphs where 10x means 10x NODES at bounded expected
+    degree (~8 hashed neighbors/node, plus a planted n/10-degree hub
+    for a realistic heavy tail) and times the edge-parameterized cores
+    directly: pagerank, LPA, BFS, k-core peel, degree-oriented
+    triangles, modularity, and the hub-capped common-neighbors wedge
+    join. Healthy = slope <=~2x wall at 10x nodes on local[32] (these
+    graphs are small enough that fixed overheads amortize; the point
+    is NO super-linear blow-up). The one theory-superlinear op —
+    uncapped wedge joins — is covered by --hubcap's explicit
+    quadratic demonstration."""
+    import time as _t
+
+    from binance_etl_spark.operators.graph import (
+        bfs_distances,
+        label_propagation,
+        pagerank,
+    )
+    from binance_etl_spark.plans.graph import (
+        common_neighbors_topk,
+        kcore_degrees,
+        modularity_summary,
+        triangle_counts,
+    )
+
+    def synth(n_nodes: int):
+        """(directed, undirected-canonical, both-orientation) edge
+        frames for one power-law-ish graph of n_nodes."""
+        base = spark.range(n_nodes * 8).select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 2654435761) % n_nodes).alias("dst"),
+        )
+        hub = spark.range(1, n_nodes // 10).select(
+            F.lit(0).alias("src"), (F.col("id") * 10).alias("dst")
+        )
+        fwd = (
+            base.unionAll(hub)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        und = (
+            fwd.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ue = (
+            und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+            .localCheckpoint(eager=True)
+        )
+        return fwd, und, ue
+
+    ops = {
+        "pagerank(3 iters)": lambda g: pagerank(g[0], n_iters=3),
+        "label_prop(3 iters)": lambda g: label_propagation(g[1], n_iters=3),
+        "bfs(4 hops)": lambda g: bfs_distances(g[1], "node % 1000 = 0"),
+        "kcore(peel 3)": lambda g: kcore_degrees(g[2]),
+        "triangles(oriented)": lambda g: triangle_counts(g[1]),
+        "modularity(LPA+Q)": lambda g: modularity_summary(g[1]),
+        "common_neighbors(cap)": lambda g: common_neighbors_topk(g[2], 64),
+    }
+    out = {}
+    for label, n in (("n=20k", 20_000), ("n=200k", 200_000)):
+        g = synth(n)
+        for op, fn in ops.items():
+            fn(g).count()  # warm: plan + shuffle paths
+            t0 = _t.perf_counter()
+            rows = fn(g).count()
+            out[(op, label)] = (_t.perf_counter() - t0, rows)
+    print(f"\n{'op':24s} {'n=20k':>8s} {'n=200k':>8s} {'slope':>6s} {'rows20k':>9s} {'rows200k':>9s}")
+    for op in ops:
+        (t0, r0), (t1, r1) = out[(op, "n=20k")], out[(op, "n=200k")]
+        print(
+            f"{op:24s} {t0:8.2f} {t1:8.2f} {t1 / max(t0, 0.01):5.1f}x "
+            f"{r0:9d} {r1:9d}"
+        )
+
+
 def hubcap_main(spark) -> None:
     """Hub-cap probe for the wedge join (graph_common_neighbors core):
     a power-law-ish graph PLUS one planted super-hub connected to
@@ -798,6 +1038,9 @@ def main() -> None:
     if "--hubcap" in sys.argv:
         hubcap_main(spark)
         return
+    if "--graph10x" in sys.argv:
+        graph10x_main(spark)
+        return
     if "--r8b" in sys.argv:
         r8b_main(spark)
         return
@@ -809,6 +1052,9 @@ def main() -> None:
         return
     if "--r7" in sys.argv:
         r7_main(spark)
+        return
+    if "--lake10x" in sys.argv:
+        lake10x_main(spark)
         return
     if "--lake" in sys.argv:
         lake_main(spark)

