@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         ann_index,
         dq,
         formats,

@@ -585,7 +585,9 @@ def lake10x_main(spark) -> None:
                 t,
             )
         t0 = time.time()
-        v = SNAP.compact(spark, t, min_file_bytes=64 * 1024)
+        # threshold BELOW the ~40 KB data files and above the ~2 KB
+        # tiny appends, so only the appended tail classifies as small
+        v = SNAP.compact(spark, t, min_file_bytes=8 * 1024)
         m = SNAP._load_manifest(t, v)
         rows[("compact(8 small)", label)] = (
             time.time() - t0,
