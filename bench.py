@@ -122,6 +122,11 @@ HEADLINE_LLM = [
     # round-3 additions: substring-level dedup (detection + scrub) and
     # cluster-blocked semantic dedup.
     "text_substring_dedup",
+    # round-10: maximal-span variant (same gram machine + a per-doc
+    # window over dup positions). stream_ohlcv_late_watermark is NOT
+    # benched: its wall is fixed streaming machinery over a 13-row
+    # fixture, not a throughput statement — the quad covers streaming.
+    "text_substring_spans",
     "text_substring_scrub",
     "dedup_semdedup",
     "sink_snapshot_timetravel",
@@ -883,23 +888,37 @@ def main() -> None:
         spark.sparkContext.setJobGroup("", "")
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # the streaming entries get the GC half of the telemetry too (no
+    # job-group: streams schedule their own micro-batch jobs)
+    gc0 = _gc_ms()
     bs_sec, bs_rows = bench_book_sync(spark)
+    telemetry["book_sync_stream_20k"] = {
+        "gc_sec": round((_gc_ms() - gc0) / 1000.0, 3)
+    }
     timings["book_sync_stream_20k"] = round(bs_sec, 4)
     print(
         f"# book_sync_stream_20k: {bs_sec:.3f}s ({bs_rows} rows, "
         f"{bs_rows / bs_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
+    gc0 = _gc_ms()
     bsf_sec, bsf_rows = bench_book_sync_futures(spark)
+    telemetry["book_sync_futures_20k"] = {
+        "gc_sec": round((_gc_ms() - gc0) / 1000.0, 3)
+    }
     timings["book_sync_futures_20k"] = round(bsf_sec, 4)
     print(
         f"# book_sync_futures_20k: {bsf_sec:.3f}s ({bsf_rows} rows, "
         f"{bsf_rows / bsf_sec:,.0f} rows/s)",
         file=sys.stderr,
     )
+    gc0 = _gc_ms()
     sus_sec, sus_rows, sus_vec, sus_doc, sus_split = bench_streaming_sustained(
         spark, sf_dir
     )
+    telemetry["streaming_sustained_quad"] = {
+        "gc_sec": round((_gc_ms() - gc0) / 1000.0, 3)
+    }
     timings["streaming_sustained_quad"] = round(sus_sec, 4)
     steady = sus_split.get("steady_sec")
     if steady is not None and steady > 0.05:

@@ -89,3 +89,46 @@ def test_stream_ohlcv_late_watermark_semantics(spark):
     total = sum(r["n_trades"] for r in rows.values())
     n_fixture = sum(len(p) for p in _WM_PHASES)
     assert total == n_fixture - 3  # 2 dropped late rows + 1 sentinel
+
+
+def test_replay_pacing_is_poll_count_independent(tmp_path):
+    """Round-10 determinism pin (r9 verdict item 1): latestOffset is
+    IDEMPOTENT between batch constructions — extra availability polls
+    (whose count is wall-clock timing) must not admit extra frames.
+    Admission advances only via partitions() (batch construction) or
+    commit() (restart catch-up)."""
+    import json as _json
+
+    from binance_etl_spark.sources.replay import ReplayStreamReader
+
+    log = tmp_path / "frames.jsonl"
+    with open(log, "w") as f:
+        for i in range(11):
+            f.write(
+                _json.dumps(
+                    {"frame": "{}", "arrival_ms": i, "seq": i}
+                )
+                + "\n"
+            )
+    r = ReplayStreamReader(
+        {"path": str(log), "maxframesperbatch": "2"}
+    )
+    r.initialOffset()
+    # any number of polls between constructions returns the same end
+    assert [r.latestOffset() for _ in range(5)] == [{"index": 2}] * 5
+    r.partitions({"index": 0}, {"index": 2})  # batch 0 constructed
+    assert [r.latestOffset() for _ in range(3)] == [{"index": 4}] * 3
+    r.partitions({"index": 2}, {"index": 4})
+    r.commit({"index": 4})
+    assert r.latestOffset() == {"index": 6}
+    # exhaustion: the gate caps at the log head and stays there
+    for s in (4, 6, 8, 10):
+        r.partitions({"index": s}, {"index": min(s + 2, 11)})
+    assert [r.latestOffset() for _ in range(3)] == [{"index": 11}] * 3
+    # restart catch-up: a committed offset ahead of the counter wins
+    r2 = ReplayStreamReader(
+        {"path": str(log), "maxframesperbatch": "2"}
+    )
+    r2.initialOffset()
+    r2.commit({"index": 8})
+    assert r2.latestOffset() == {"index": 10}
