@@ -17,6 +17,7 @@ input files end-to-end.
 
 from __future__ import annotations
 
+import glob
 import math
 import os
 import shutil
@@ -56,6 +57,4 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(staging, path)
     # report the files actually written (empty partitions write none)
-    import glob as _glob
-
-    return len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    return len(glob.glob(os.path.join(path, "part-*.parquet")))

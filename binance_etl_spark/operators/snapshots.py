@@ -1825,9 +1825,19 @@ def merge_into(
         # tombstone-revive check below.
         scan_rel = prev["files"]
         bloom_pruned = None
+        # bloom hashing contract (same as delete_keys: integer/string
+        # keys only) enforced by dtype, not hope: the index hashes the
+        # BUILD side's pandas repr while a probe hashes the collected
+        # row's repr — equal for int/str, but e.g. bytes vs bytearray
+        # diverge, and a false-negative prune would silently skip the
+        # affected files and turn the upsert into a duplicate insert.
+        _prunable = {
+            "byte", "short", "int", "integer", "long", "bigint", "string"
+        }
         if (
             len(key_cols) == 1
             and key_cols[0] in prev.get("bloom_cols", [])
+            and dict(source.dtypes).get(key_cols[0]) in _prunable
         ):
             krows = all_keys.limit(1025).collect()
             if len(krows) <= 1024:

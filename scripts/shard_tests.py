@@ -127,7 +127,21 @@ def _run_worker(i: int, bucket: list[dict], scratch: str, cpus: int, results: li
     JVM at a time per worker slot), grouped by required env vars."""
     wdir = os.path.join(scratch, f"w{i}")
     wtmp = os.path.join(wdir, "tmp")
-    os.makedirs(wtmp, exist_ok=True)
+    try:
+        os.makedirs(wtmp, exist_ok=True)
+    except OSError as exc:
+        results.append(
+            {
+                "worker": i,
+                "keys": [u["key"] for u in bucket],
+                "junit": "",
+                "log": "",
+                "rc": 97,
+                "wall": 0.0,
+                "infra_error": repr(exc),
+            }
+        )
+        return
     base_env = dict(os.environ)
     base_env["SPARK_GRAFT_CPUS"] = str(cpus)
     base_env["TMPDIR"] = wtmp
@@ -139,21 +153,31 @@ def _run_worker(i: int, bucket: list[dict], scratch: str, cpus: int, results: li
     for gi, (genv, gunits) in enumerate(sorted(groups.items())):
         junit = os.path.join(wdir, f"junit_{gi}.xml")
         log = os.path.join(wdir, f"pytest_{gi}.log")
-        cmd = [
-            sys.executable,
-            "-m",
-            "pytest",
-            *sorted({p for u in gunits for p in u["paths"]}),
-            "-q",
-            "-p",
-            "no:cacheprovider",
-            f"--junitxml={junit}",
-        ]
-        env = dict(base_env)
-        env.update(dict(genv))
         t0 = time.perf_counter()
-        with open(log, "w") as logf:
-            rc = subprocess.call(cmd, cwd=wdir, env=env, stdout=logf, stderr=subprocess.STDOUT)
+        # a worker must NEVER silently drop its units: any infra
+        # failure (scratch disk full, spawn error) records a failed
+        # result so main()'s unit reconciliation and exit code see it
+        try:
+            cmd = [
+                sys.executable,
+                "-m",
+                "pytest",
+                *sorted({p for u in gunits for p in u["paths"]}),
+                "-q",
+                "-p",
+                "no:cacheprovider",
+                f"--junitxml={junit}",
+            ]
+            env = dict(base_env)
+            env.update(dict(genv))
+            with open(log, "w") as logf:
+                rc = subprocess.call(
+                    cmd, cwd=wdir, env=env, stdout=logf, stderr=subprocess.STDOUT
+                )
+        except Exception as exc:  # noqa: BLE001 — report, don't vanish
+            with open(log, "a") as logf:
+                logf.write(f"\nworker infrastructure failure: {exc!r}\n")
+            rc = 98
         results.append(
             {
                 "worker": i,
@@ -226,6 +250,14 @@ def main() -> int:
     total_pass = total_fail = total_skip = 0
     failed_units: list[str] = []
     observed: dict[str, float] = {}
+    # reconcile: every SCHEDULED unit must have produced a result —
+    # a worker thread that died without reporting (or a bucket that
+    # never ran) must fail the run, never read as green
+    ran = {k for r in results for k in r["keys"]}
+    missing = sorted(u["key"] for u in units if u["key"] not in ran)
+    if missing:
+        failed_units.extend(missing)
+        print(f"# MISSING (never ran): {missing}", flush=True)
     for r in sorted(results, key=lambda r: r["worker"]):
         ok, bad, skip, per_mod = _parse_junit(r["junit"])
         total_pass += ok
@@ -243,8 +275,10 @@ def main() -> int:
         )
         if r["rc"] != 0:
             failed_units.extend(r["keys"])
-            with open(r["log"]) as f:
-                tail = f.read()[-2000:]
+            tail = r.get("infra_error", "")
+            if r["log"] and os.path.exists(r["log"]):
+                with open(r["log"]) as f:
+                    tail = f.read()[-2000:]
             print(f"--- w{r['worker']} log tail ---\n{tail}\n---", flush=True)
 
     # self-tune the schedule: fold observed durations back in (keep

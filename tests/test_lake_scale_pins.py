@@ -198,7 +198,11 @@ def test_pruning_reader_interleaved_calls_idempotent(spark):
     )
     reader.pushFilters([EqualTo(("document_id",), 5)])
     kept3 = reader._kept_files()
-    assert set(kept3) >= set(kept1) or len(kept3) <= len(kept1)
+    # union-of-survivors contract: a second pushFilters can only KEEP
+    # MORE files (a file is dropped only when EVERY call's range-set
+    # excludes it) — a regression that replaces instead of appending
+    # would shrink this set
+    assert set(kept3) >= set(kept1)
     # translated names never leak back: raw state still logical
     assert all(
         c == "document_id" for rs in reader._range_sets for c, _, _ in rs
