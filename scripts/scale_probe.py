@@ -769,6 +769,22 @@ R9 = [
 ]
 
 
+R10 = [
+    "text_substring_spans",
+    "text_substring_dedup",  # the sibling, for a same-boot reference
+]
+
+
+def r10_main(spark) -> None:
+    """Round-10 wave slope probe at sf0.1 vs 10x documents. Healthy
+    shape for text_substring_spans: same two O(total tokens)
+    combinable shuffles as text_substring_dedup plus one doc-keyed
+    window over the duplicated-position tail only — the slope should
+    track its sibling. (stream_ohlcv_late_watermark is a fixed
+    13-row fixture by construction — no scale axis.)"""
+    _slope_probe(spark, R10, width=26)
+
+
 def r9_main(spark) -> None:
     """Round-9 wave slope probe at sf0.1 vs 10x. Healthy shapes:
     kruskal/spearman are distinct-value histogram machines (the only
@@ -1033,6 +1049,9 @@ def main() -> None:
         return
     if "--dml" in sys.argv:
         dml_main(spark)
+        return
+    if "--r10" in sys.argv:
+        r10_main(spark)
         return
     if "--r9" in sys.argv:
         r9_main(spark)

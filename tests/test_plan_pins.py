@@ -814,3 +814,19 @@ def test_completeness_matrix_one_pass_no_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_substring_spans_window_rides_dup_tail(spark):
+    """text_substring_spans (round 10): same token-stream machine as
+    text_substring_dedup — the gram hist agg and the join-back are
+    the only O(total tokens) exchanges — plus exactly the doc-keyed
+    window exchanges over the duplicated-position tail. No cartesian,
+    no Python eval, no global row sort."""
+    plan = _plan(spark, "text_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # gram-hash equi-join + hist agg + the per-doc window/agg chain —
+    # bounded exchange count, all hash-keyed
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "Window" in plan

@@ -31,7 +31,7 @@ def _mk_df(spark, rows: dict[int, int]):
     return spark.createDataFrame(data, "id long, v long").repartition(2)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
 def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     table = str(tmp_path / f"tbl{seed}")
@@ -160,7 +160,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     check("post-vacuum")
 
 
-@pytest.mark.parametrize("seed", [10, 11, 12])
+@pytest.mark.parametrize("seed", [10, 11, 12, 13, 14])
 def test_random_op_sequences_with_schema_edits(spark, tmp_path, seed):
     """The artillery with COLUMN MAPPING in the loop: random RENAME
     COLUMN commits interleave with appends, CoW/MOR deletes and
