@@ -482,12 +482,29 @@ def lake10x_main(spark) -> None:
 
     from binance_etl_spark.operators import snapshots as SNAP
 
+    def _docs_df(sf_dir: str):
+        if sf_dir == "100x":
+            # third decade (--lake100x): 10 key-shifted copies of the
+            # 10x replica — documents only, the probe needs no dims
+            base = spark.read.parquet(
+                os.path.join(DST, "documents.parquet")
+            ).select("doc_id", "lang", "n_chars", "text")
+            parts = [
+                base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(j * 10_000_000_000)
+                )
+                for j in range(COPIES)
+            ]
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
+            return d
+        return spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang", "n_chars", "text")
+
     def build_table(sf_dir: str, n_files: int) -> str:
-        d = (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            .select("doc_id", "lang", "n_chars", "text")
-            .repartitionByRange(n_files, "doc_id")
-        )
+        d = _docs_df(sf_dir).repartitionByRange(n_files, "doc_id")
         t = tempfile.mkdtemp(prefix="lake10x_") + "/docs"
         SNAP.write_version(d, t, bloom_cols=["doc_id"], stats_cols=["doc_id"])
         return t
@@ -510,10 +527,14 @@ def lake10x_main(spark) -> None:
         return upd.unionByName(ins)
 
     rows: dict[tuple[str, str], tuple[float, str]] = {}
-    keys32 = list(range(0, 3200, 100))  # 32 spread keys, present both scales
+    keys32 = list(range(0, 3200, 100))  # 32 spread keys, present all scales
     keys320 = list(range(0, 3200, 10))  # 10x keys (320)
 
-    for label, sf_dir, n_files in (("base", SRC, 16), ("10x", DST, 160)):
+    scales = [("base", SRC, 16), ("10x", DST, 160)]
+    if "--lake100x" in sys.argv:
+        # third decade: 1,600 files / 500k docs — documents-only build
+        scales.append(("100x", "100x", 1600))
+    for label, sf_dir, n_files in scales:
         # merge: fixed 32-key source
         t = build_table(sf_dir, n_files)
         src = merge_src(t, keys32, n_new=8)
@@ -524,8 +545,8 @@ def lake10x_main(spark) -> None:
             time.time() - t0,
             f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
         )
-        if label == "10x":
-            # 10x KEY count on the 10x table: slope vs the 32-key merge
+        if label in ("10x", "100x"):
+            # 10x KEY count on the big table: slope vs the 32-key merge
             t = build_table(sf_dir, n_files)
             src = merge_src(t, keys320, n_new=8)
             t0 = time.time()
@@ -545,7 +566,7 @@ def lake10x_main(spark) -> None:
             time.time() - t0,
             f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}",
         )
-        if label == "10x":
+        if label in ("10x", "100x"):
             t = build_table(sf_dir, n_files)
             t0 = time.time()
             v = SNAP.delete_keys(spark, t, "doc_id", keys320[:160])
@@ -594,7 +615,11 @@ def lake10x_main(spark) -> None:
             f"rewrote {m['rewrote']}, carried {m['carried']}",
         )
 
-    print(f"\n{'op':24s} {'base':>7s} {'10x':>7s} {'slope':>6s}  evidence")
+    has100 = any(lbl == "100x" for _, lbl in rows)
+    hdr = f"\n{'op':24s} {'base':>7s} {'10x':>7s} {'slope':>6s}"
+    if has100:
+        hdr += f" {'100x':>7s} {'slp100':>6s}"
+    print(hdr + "  evidence")
     for op in (
         "merge_into(32 keys)",
         "delete_keys(16)",
@@ -602,20 +627,28 @@ def lake10x_main(spark) -> None:
         "compact(8 small)",
     ):
         (t0, e0), (t1, e1) = rows[(op, "base")], rows[(op, "10x")]
-        print(
-            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
-            f"base: {e0} | 10x: {e1}"
+        line = (
+            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x"
         )
+        tail = f"  base: {e0} | 10x: {e1}"
+        if has100 and (op, "100x") in rows:
+            (t2, e2) = rows[(op, "100x")]
+            line += f" {t2:7.2f} {t2 / max(t1, 0.01):5.1f}x"
+            tail += f" | 100x: {e2}"
+        print(line + tail)
     for op, base_op in (
         ("merge_into(320 keys)", "merge_into(32 keys)"),
         ("delete_keys(160)", "delete_keys(16)"),
     ):
-        (t0, e0) = rows[(base_op, "10x")]
-        (t1, e1) = rows[(op, "10x")]
-        print(
-            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
-            f"(vs {base_op} on the 10x table) {e1}"
-        )
+        for lbl in ("10x", "100x"):
+            if (op, lbl) not in rows:
+                continue
+            (t0, e0) = rows[(base_op, lbl)]
+            (t1, e1) = rows[(op, lbl)]
+            print(
+                f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
+                f"(vs {base_op} on the {lbl} table) {e1}"
+            )
 
 
 # --- multi-symbol key-parallelism probe (--sync) -------------------------
@@ -1074,7 +1107,7 @@ def main() -> None:
     if "--r7" in sys.argv:
         r7_main(spark)
         return
-    if "--lake10x" in sys.argv:
+    if "--lake10x" in sys.argv or "--lake100x" in sys.argv:
         lake10x_main(spark)
         return
     if "--lake" in sys.argv:
