@@ -1831,18 +1831,39 @@ def merge_into(
         # row's repr — equal for int/str, but e.g. bytes vs bytearray
         # diverge, and a false-negative prune would silently skip the
         # affected files and turn the upsert into a duplicate insert.
-        _prunable = {
-            "byte", "short", "int", "integer", "long", "bigint", "string"
-        }
+        # Three conditions beyond "blooms exist":
+        # - SOURCE and TARGET key dtypes both integral/string AND equal
+        #   (a bigint probe '100' can never hit a string build '0100'
+        #   even though the struct join would coerce them to a match);
+        # - no NULL source key (the bloom builder skips NULLs, so a
+        #   NULL-keyed target row is invisible to the probe while the
+        #   struct join treats NULL==NULL as matched).
+        _prunable = {"tinyint", "smallint", "int", "bigint", "string"}
+        _src_t = dict(source.dtypes).get(key_cols[0]) if key_cols else None
+        _schema = _manifest_schema(prev)
+        _tgt_t = (
+            next(
+                (
+                    f.dataType.simpleString()
+                    for f in _schema.fields
+                    if f.name == key_cols[0]
+                ),
+                None,
+            )
+            if _schema is not None and len(key_cols) == 1
+            else None
+        )
         if (
             len(key_cols) == 1
             and key_cols[0] in prev.get("bloom_cols", [])
-            and dict(source.dtypes).get(key_cols[0]) in _prunable
+            and _src_t in _prunable
+            and _src_t == _tgt_t
         ):
             krows = all_keys.limit(1025).collect()
-            if len(krows) <= 1024:
+            kvals = [r["_k"][0] for r in krows]
+            if len(krows) <= 1024 and all(v is not None for v in kvals):
                 scan_rel, _skipped = select_files_point(
-                    table_dir, prior[-1], key_cols[0], [r["_k"][0] for r in krows]
+                    table_dir, prior[-1], key_cols[0], kvals
                 )
                 bloom_pruned = len(_skipped)
         # tagged live read: file-relative path per row, deletion vector

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -284,6 +285,13 @@ def stream_ohlcv_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wm_ohlcv_" + uuid.uuid4().hex[:12]
+    # a 13-row stateful stream under a bare session's 200 shuffle
+    # partitions pays ~1200 empty state-store tasks; pin a small
+    # count for the stream and restore after (the quad-bench
+    # discipline — streaming aggs fix partitions at first checkpoint)
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -310,7 +318,13 @@ def stream_ohlcv_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
+        # invocation-clean like every other op: the parity sweep and
+        # bench warmups call registered fns repeatedly in one session,
+        # so the memory-sink view and the spool dir must not accumulate
         q.stop()
+        spark.conf.set(shuffle_key, prior_shuffle)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(os.path.dirname(log), ignore_errors=True)
     schema = (
         "symbol STRING, win_us BIGINT, n_trades BIGINT, open_e2 BIGINT, "
         "high_e2 BIGINT, low_e2 BIGINT, close_e2 BIGINT, turnover_e2 BIGINT"

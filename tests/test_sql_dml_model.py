@@ -469,16 +469,21 @@ def test_concurrent_maintenance_vs_dml_serializes(spark, tmp_path, seed):
     errors: list[str] = []
     lock = threading.Lock()
 
+    # ANCHORED abort channels — each token is the distinctive phrase of
+    # ONE known raise site, so an unrelated regression whose message
+    # merely contains e.g. 'no column' cannot masquerade as a clean
+    # abort (review r10 finding).
     _LEGAL = (
-        "optimistic-conflict race",
-        "concurrent column-mapping",
-        "UNRESOLVED_COLUMN",
-        "cannot be resolved",
-        "unknown column",
-        "no column",
-        "fast-forward",
-        "not committed",
-        "no branch",
+        "lost the optimistic-conflict race",   # *_into/where retry exhaustion
+        "concurrent column-mapping change",    # append vs rename race
+        "UNRESOLVED_COLUMN",                   # Spark: stale name in DML text
+        "cannot be resolved",                  # Spark analyzer twin of above
+        "references unknown columns",          # sql_dml SET/INSERT validation
+        "update_where: unknown columns",       # stale name raced by RENAME
+        "update_where_mor: unknown columns",   # MOR twin of above
+        "rename_column: no column",            # stale rename src (RESTORE/race)
+        "fast-forward publish would drop",     # publish vs advanced main
+        "not committed in",                    # restore target vacuumed away
     )
 
     def legal(exc: Exception) -> bool:
