@@ -246,3 +246,30 @@ def test_write_branch_ledger_matches_write_version_under_schema_edits(spark):
     m2 = SNAP._load_manifest(t, v2)
     assert m2["column_mapping"] == {}
     assert m2["retired_columns"] == []
+
+
+def test_merge_null_source_key_skips_pruning(spark):
+    """Review r10 finding: the bloom builder skips NULL values, so a
+    NULL-keyed probe could false-negative-prune the file holding a
+    NULL-keyed target row (the struct join matches NULL==NULL). The
+    guard must route any NULL source key to the full scan — and the
+    merge must replace the NULL-keyed row exactly like the full-scan
+    semantics say."""
+    t = tempfile.mkdtemp(prefix="lake_pin_null_") + "/t"
+    base = spark.createDataFrame(
+        [(1, "aa", 10), (2, "bb", 20), (None, "nn", 30)],
+        "doc_id BIGINT, lang STRING, n_chars BIGINT",
+    ).repartition(2)
+    SNAP.write_version(base, t, bloom_cols=["doc_id"])
+    src = spark.createDataFrame(
+        [(None, "nn", 99), (5, "ee", 50)],
+        "doc_id BIGINT, lang STRING, n_chars BIGINT",
+    )
+    v = SNAP.merge_into(spark, t, src, ["doc_id"])
+    m = SNAP._load_manifest(t, v)
+    assert "bloom_pruned" not in m, "NULL key must take the full scan"
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in SNAP.read_version(spark, t).collect()
+    }
+    assert got == {1: 10, 2: 20, None: 99, 5: 50}
