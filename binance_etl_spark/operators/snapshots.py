@@ -356,8 +356,11 @@ def _enforce_unique(
         return
     new_keys = df.select(*keys).distinct()
     files = prev["files"]
-    probe = new_keys.limit(1025).collect()
-    if len(probe) <= 1024 and keys[0] in prev.get("bloom_cols", []):
+    probe = new_keys.limit(_BLOOM_DRIVER_KEYS_MAX + 1).collect()
+    if (
+        len(probe) <= _BLOOM_DRIVER_KEYS_MAX
+        and keys[0] in prev.get("bloom_cols", [])
+    ):
         entries = _load_bloom_entries(table_dir, prev)
         vals = [r[keys[0]] for r in probe]
         files = [
@@ -368,6 +371,25 @@ def _enforce_unique(
         ]
         if not files:
             return  # every file's bloom rules every new key out
+    elif len(probe) > _BLOOM_DRIVER_KEYS_MAX:
+        # wide batch (round-11): distributed zone+bloom probe instead
+        # of the former unconditional full scan — same no-false-
+        # negative guarantee, so a None (probe declined) simply keeps
+        # the full file list
+        specinfo = _bloom_spec_for(prev, keys)
+        if specinfo is not None:
+            res = select_files_keys(
+                spark,
+                table_dir,
+                None,
+                keys,
+                _keys_probe_df(df, specinfo[1], dict(df.dtypes)),
+                manifest=prev,
+            )
+            if res is not None:
+                files = res[0]
+                if not files:
+                    return
     existing = _live_rows(spark, table_dir, prev, files).select(*keys)
     hit = existing.join(new_keys, list(keys), "left_semi").limit(1).collect()
     if hit:
@@ -440,6 +462,12 @@ def write_version(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
+    if bloom_cols:
+        # composite specs may arrive as tuples/lists; the manifest (and
+        # the index rows' `col` field) store the comma-joined spec
+        bloom_cols = [
+            c if isinstance(c, str) else ",".join(c) for c in bloom_cols
+        ]
     if batch_id is not None:
         pv = _find_batch_commit(table_dir, batch_id)
         if pv is not None:
@@ -772,6 +800,16 @@ _BLOOM_K = 4  # hash probes
 _BLOOM_MIN_M = 2048  # floor: tiny files still get a real bitmap
 _BLOOM_MAX_M = 1 << 22  # cap: 512 KiB bitmap per file-column
 _BLOOM_BITS_PER_ROW = 12
+# driver-side probe path: collect the key set and test every sidecar
+# bitmap on the driver — right for a point/GDPR batch, wrong for a
+# wide CDC source (the sidecars alone are GBs at 100 TB)
+_BLOOM_DRIVER_KEYS_MAX = 1024
+# distributed probe path (select_files_keys): digests + sorted raw
+# keys broadcast to executors; ~24 MB at this cap. Above it the probe
+# declines: a >1e6-key batch against a range-laid-out table is better
+# served by partition/zone pruning alone, and the zone stage below is
+# what carries the pruning power at that width anyway.
+_BLOOM_DIST_KEYS_MAX = 1_000_000
 
 
 def _bloom_m_for(rows_max: int) -> int:
@@ -779,6 +817,47 @@ def _bloom_m_for(rows_max: int) -> int:
     while m < min(_BLOOM_BITS_PER_ROW * max(1, rows_max), _BLOOM_MAX_M):
         m <<= 1
     return m
+
+
+def _bloom_value_expr(cols: list[str]):
+    """THE bloom hashing contract's value expression — used verbatim at
+    BUILD time (over the file's PHYSICAL columns) and at PROBE time
+    (over the source's LOGICAL columns in the same spec order), so
+    builder == prober by construction, with no pandas-repr divergence:
+    - single column: CAST(x AS STRING) (the round-10 contract,
+      unchanged — existing indexes stay valid);
+    - composite key (round-11): sha2 of a NULL-PRESERVING to_json of
+      the key struct with POSITIONAL field names k0..kn — positional
+      because build sees physical names and probe sees logical names,
+      and a rename must not change the JSON text; null-preserving
+      (ignoreNullFields=false) because the merge's struct join treats
+      NULL==NULL as a match, so NULL-keyed rows must be IN the bloom
+      (unlike the single-column builder, which skips NULLs)."""
+    if len(cols) == 1:
+        return F.col(cols[0]).cast("string")
+    return F.sha2(
+        F.to_json(
+            F.struct(*[F.col(c).alias(f"k{i}") for i, c in enumerate(cols)]),
+            {"ignoreNullFields": "false"},
+        ),
+        256,
+    )
+
+
+def _bloom_spec_for(manifest: dict, key_cols: list[str]):
+    """Find the manifest bloom spec covering ``key_cols`` (LOGICAL
+    names). Specs store PHYSICAL names ("a" or composite "a,b" —
+    comma-joined, order significant: it fixes the k0..kn positions of
+    the hashing contract). Returns (spec, spec-ordered logical cols)
+    or None."""
+    mapping = _mapping(manifest)
+    inv = {v: k for k, v in mapping.items()}
+    phys = {mapping.get(c, c) for c in key_cols}
+    for spec in manifest.get("bloom_cols", []):
+        parts = spec.split(",")
+        if len(parts) == len(key_cols) and set(parts) == phys:
+            return spec, [inv.get(p, p) for p in parts]
+    return None
 
 
 def _write_bloom_index(
@@ -802,7 +881,11 @@ def _write_bloom_index(
     if not rels or not cols:
         return None
     probe = spark.read.parquet(*[os.path.join(table_dir, rels[0])])
-    have = [c for c in cols if c in probe.columns]
+    have = [
+        spec
+        for spec in cols
+        if all(p in probe.columns for p in spec.split(","))
+    ]
     if not have:
         return None
     rows_max = max(new_meta.get(rel, {}).get("rows", 0) for rel in rels)
@@ -810,7 +893,7 @@ def _write_bloom_index(
     mb = m // 8
     df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels]).select(
         _file_rel_expr(table_dir).alias("__f"),
-        *[F.col(c).cast("string").alias(c) for c in have],
+        *[_bloom_value_expr(spec.split(",")).alias(spec) for spec in have],
     )
 
     def fold(batches):
@@ -936,22 +1019,279 @@ def select_files_point(
     """Index-level POINT-LOOKUP file skipping: split a snapshot's
     files into (candidates, skipped) for ``col IN values`` using the
     per-file blooms. Files without a bloom for ``col`` are always
-    candidates (skipping is an I/O optimization, never a filter)."""
+    candidates (skipping is an I/O optimization, never a filter).
+    Digests are computed ONCE per value (not per file — the naive loop
+    is |files| x |values| x k md5 calls) and each file's bitmap is
+    tested with one vectorized numpy gather."""
+    import hashlib
+
+    import numpy as np
+
     if version is None:
         version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
     entries = _load_bloom_entries(table_dir, manifest)
     col = _mapping(manifest).get(col, col)
+    kmax = max((e[1] for e in entries.values()), default=_BLOOM_K)
+    H = np.array(
+        [
+            [
+                int(hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8], 16)
+                for i in range(kmax)
+            ]
+            for val in values
+        ],
+        dtype=np.int64,
+    ).reshape(len(values), kmax)
     cand, skipped = [], []
     for rel in manifest["files"]:
         e = entries.get((os.path.normpath(rel), col))
-        if e is not None and not any(
-            _bloom_maybe_contains(e[2], val, e[0], e[1]) for val in values
-        ):
-            skipped.append(rel)
-        else:
-            cand.append(rel)
+        if e is not None:
+            m, k, bits = e
+            P = H[:, :k] % m
+            barr = np.frombuffer(bits, dtype=np.uint8)
+            if not bool((((barr[P >> 3] >> (P & 7)) & 1).all(axis=1)).any()):
+                skipped.append(rel)
+                continue
+        cand.append(rel)
     return cand, skipped
+
+
+def select_files_keys(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None,
+    key_cols: list[str],
+    keys_sdf: DataFrame,
+    manifest: dict | None = None,
+) -> tuple[list[str], list[str]] | None:
+    """Distributed WIDE-key file skipping (round-11): the twin of
+    `select_files_point` for key sets too large to collect — the CDC
+    shape, where a merge source against a 100 TB table carries
+    10^4..10^6 keys. Two things change vs the driver path:
+
+    - EVERYTHING STAYS DISTRIBUTED: the bloom sidecar datasets are
+      read as a DataFrame (never pyarrow'd onto the driver — they are
+      GBs at 10k files); key digests are computed executor-side in one
+      mapInPandas pass; only per-file MAYBE verdicts (one row per
+      file-bitmap) ever reach the driver.
+    - A ZONE-MAP STAGE carries the width: per-key bloom FPR
+      accumulates — at the index's ~0.64% per-key FPR a file missing
+      ALL of n keys still reads MAYBE with p = 1-(1-fpr)^n, ~1 for
+      n >= 10^3 — so blooms ALONE cannot prune a wide batch no matter
+      how they are probed. Each file's bitmap is therefore probed with
+      ONLY the keys inside the file's [min,max] zone (manifest stats,
+      integral single-column keys): on a range-clustered table the
+      per-file candidate key count stays small and the bloom's
+      point-lookup power applies file-locally. Files with stats but no
+      bloom are zone-pruned driver-side the same way.
+
+    ``keys_sdf`` carries the DISTINCT probe keys: column ``_kv``
+    STRING in the canonical bloom encoding (`_bloom_value_expr`) and,
+    for a single integral key, ``_rv`` BIGINT (the raw value, for the
+    zone stage). Returns (candidates, skipped) over the snapshot's
+    files, or None when the probe cannot engage — no bloom spec for
+    the key, a NULL key probing a NULL-skipping single-column bloom,
+    or key count above the broadcast cap. Declining is always safe:
+    the caller falls back to the full affected-file scan, and pruning
+    is an I/O optimization, never a filter (blooms have no false
+    negatives; zone bounds are true min/max)."""
+    import numpy as np
+
+    if manifest is None:
+        if version is None:
+            version = main_versions(table_dir)[-1]
+        manifest = _load_manifest(table_dir, version)
+    specinfo = _bloom_spec_for(manifest, key_cols)
+    idx_rels = manifest.get("bloom_indexes", [])
+    if specinfo is None or not idx_rels:
+        return None
+    spec, _spec_logical = specinfo
+    single = len(key_cols) == 1
+
+    cnt = keys_sdf.limit(_BLOOM_DIST_KEYS_MAX + 1).count()
+    if cnt == 0 or cnt > _BLOOM_DIST_KEYS_MAX:
+        return None
+
+    # sidecar datasets as ONE DataFrame; _ord implements the same
+    # last-index-wins rule as _load_bloom_entries, _base the shallow-
+    # clone borrowed-index canonicalization
+    parts = []
+    for i, idx_rel in enumerate(idx_rels):
+        path = (
+            idx_rel
+            if os.path.isabs(idx_rel)
+            else os.path.join(table_dir, idx_rel)
+        )
+        if not (os.path.isdir(path) or os.path.isfile(path)):
+            continue
+        base = (
+            os.path.dirname(os.path.dirname(idx_rel))
+            if os.path.isabs(idx_rel)
+            else ""
+        )
+        parts.append(
+            spark.read.parquet(path)
+            .where(F.col("col") == spec)
+            .select(
+                "f",
+                "m",
+                "k",
+                "bits",
+                F.lit(i).alias("_ord"),
+                F.lit(base).alias("_base"),
+            )
+        )
+    if not parts:
+        return None
+    bloom_df = parts[0]
+    for p in parts[1:]:
+        bloom_df = bloom_df.unionByName(p)
+    mks = bloom_df.select("m", "k").distinct().collect()
+    if not mks:
+        return None
+    kmax = max(int(r["k"]) for r in mks)
+
+    # one executor-side pass: md5 digest quad per key (+ raw value);
+    # digests are m-independent (pos = digest % m happens at check
+    # time), so one pass serves every index generation
+    has_raw = single and "_rv" in keys_sdf.columns
+    dig_schema = (
+        "isnull boolean, "
+        + ", ".join(f"h{i} long" for i in range(kmax))
+        + (", rv long" if has_raw else "")
+    )
+
+    def _digests(batches):
+        import hashlib
+
+        import pandas as pd
+
+        hcols = [f"h{i}" for i in range(kmax)]
+        cols = ["isnull"] + hcols + (["rv"] if has_raw else [])
+        for pdf in batches:
+            rows = []
+            rvs = pdf["_rv"] if has_raw else None
+            for j, v in enumerate(pdf["_kv"]):
+                if v is None:
+                    rows.append(
+                        (True,) + (0,) * kmax + ((0,) if has_raw else ())
+                    )
+                    continue
+                hs = tuple(
+                    int(
+                        hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16
+                    )
+                    for i in range(kmax)
+                )
+                tail = (int(rvs.iloc[j]),) if has_raw else ()
+                rows.append((False,) + hs + tail)
+            yield pd.DataFrame(rows, columns=cols)
+
+    dig = keys_sdf.mapInPandas(_digests, dig_schema).toPandas()
+    if single and bool(dig["isnull"].any()):
+        return None  # NULL key vs a NULL-skipping single-column bloom
+    H = dig[[f"h{i}" for i in range(kmax)]].to_numpy(dtype=np.int64)
+    RV = None
+    if has_raw:
+        RV = dig["rv"].to_numpy(dtype=np.int64)
+        order = np.argsort(RV, kind="stable")
+        RV, H = RV[order], H[order]
+
+    # zone bounds per file (physical column, integral stats only)
+    bounds: dict[str, tuple[int, int]] = {}
+    if RV is not None:
+        phys = spec  # single-column spec IS the physical name
+        for rel, st in manifest.get("stats", {}).items():
+            lohi = st.get(phys)
+            if (
+                lohi
+                and isinstance(lohi[0], int)
+                and not isinstance(lohi[0], bool)
+            ):
+                bounds[os.path.normpath(rel)] = (lohi[0], lohi[1])
+
+    bc = spark.sparkContext.broadcast(
+        {"H": H, "RV": RV, "bounds": bounds}
+    )
+
+    def _check(batches):
+        import os as _os
+
+        import numpy as _np
+        import pandas as pd
+
+        D = bc.value
+        H_, RV_, BND = D["H"], D["RV"], D["bounds"]
+        for pdf in batches:
+            out = []
+            for f, m, k, bits, ordv, base in zip(
+                pdf["f"], pdf["m"], pdf["k"], pdf["bits"], pdf["_ord"], pdf["_base"]
+            ):
+                canon = _os.path.normpath(
+                    f
+                    if (not base) or _os.path.isabs(f)
+                    else _os.path.join(base, f)
+                )
+                Hs = H_
+                lohi = BND.get(canon) if RV_ is not None else None
+                if lohi is not None:
+                    lo = _np.searchsorted(RV_, lohi[0], "left")
+                    hi = _np.searchsorted(RV_, lohi[1], "right")
+                    Hs = H_[lo:hi]
+                if Hs.shape[0] == 0:
+                    maybe = False  # zone says no key can be in this file
+                else:
+                    m, k = int(m), int(k)
+                    P = Hs[:, :k] % m
+                    barr = _np.frombuffer(bits, dtype=_np.uint8)
+                    sb = (barr[P >> 3] >> (P & 7)) & 1
+                    maybe = bool(sb.all(axis=1).any())
+                out.append((canon, int(ordv), maybe))
+            yield pd.DataFrame(out, columns=["f", "o", "maybe"])
+
+    try:
+        ver_rows = bloom_df.mapInPandas(
+            _check, "f string, o int, maybe boolean"
+        ).collect()
+    finally:
+        bc.unpersist()
+    verdicts: dict[str, tuple[int, bool]] = {}
+    for r in ver_rows:
+        cur = verdicts.get(r["f"])
+        if cur is None or r["o"] >= cur[0]:
+            verdicts[r["f"]] = (r["o"], r["maybe"])
+
+    cand, skipped = [], []
+    for rel in manifest["files"]:
+        key = os.path.normpath(rel)
+        v = verdicts.get(key)
+        if v is not None and not v[1]:
+            skipped.append(rel)
+            continue
+        if v is None and RV is not None:
+            lohi = bounds.get(key)
+            if lohi is not None:  # bloom-less file, zone-prunable
+                lo = np.searchsorted(RV, lohi[0], "left")
+                hi = np.searchsorted(RV, lohi[1], "right")
+                if hi <= lo:
+                    skipped.append(rel)
+                    continue
+        cand.append(rel)
+    return cand, skipped
+
+
+def _keys_probe_df(
+    source: DataFrame, cols: list[str], src_dtypes: dict
+) -> DataFrame:
+    """DISTINCT probe-key frame for select_files_keys: _kv = canonical
+    bloom encoding over the SOURCE's logical columns in spec order;
+    _rv = raw integral value for the zone stage (single key only)."""
+    sels = [_bloom_value_expr(cols).alias("_kv")]
+    ints = {"tinyint", "smallint", "int", "bigint"}
+    if len(cols) == 1 and src_dtypes.get(cols[0]) in ints:
+        sels.append(F.col(cols[0]).cast("long").alias("_rv"))
+    return source.select(*sels).distinct()
 
 
 # --- deletion vectors (merge-on-read deletes) ------------------------
@@ -1401,9 +1741,32 @@ def delete_keys(
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to delete from")
         prev = _load_manifest(table_dir, prior[-1])
-        candidates, _pruned = select_files_point(
-            table_dir, prior[-1], col, sorted(vset)
-        )
+        if len(vset) > _BLOOM_DRIVER_KEYS_MAX:
+            # wide erasure batch: distributed zone+bloom probe — the
+            # sidecar bitmaps never land on the driver (select_files_
+            # keys), and zone restriction keeps per-file probe sets
+            # small where accumulated bloom FPR would otherwise read
+            # every file as MAYBE
+            _ints = all(
+                isinstance(v, int) and not isinstance(v, bool) for v in vset
+            )
+            _typ = "bigint" if _ints else "string"
+            kdf = spark.createDataFrame(
+                [(v,) for v in sorted(vset)], f"_v {_typ}"
+            ).select(
+                F.col("_v").cast("string").alias("_kv"),
+                *([F.col("_v").cast("long").alias("_rv")] if _ints else []),
+            )
+            res = select_files_keys(
+                spark, table_dir, prior[-1], [col], kdf, manifest=prev
+            )
+            candidates, _pruned = (
+                res if res is not None else (list(prev["files"]), [])
+            )
+        else:
+            candidates, _pruned = select_files_point(
+                table_dir, prior[-1], col, sorted(vset)
+            )
         affected_rel: set[str] = set()
         if candidates:
             cand_df = _live_rows(
@@ -1746,10 +2109,13 @@ def merge_into(
     1. one distributed scan with `input_file_name()` materialized
        BEFORE the key semi-join finds the affected files — only files
        holding a matched key rewrite (AQE picks broadcast when the
-       source key set is small). With a single key column carrying
-       manifest blooms and <=1024 source keys, the scan itself is
-       PRE-PRUNED to bloom-MAYBE files (the delete_keys fast path),
-       so the merge reads O(candidate files), never O(table);
+       source key set is small). With manifest blooms covering the
+       merge key (single column OR a composite spec, see
+       _bloom_value_expr), the scan itself is PRE-PRUNED to MAYBE
+       files: <=1024 single-column keys take the driver probe
+       (select_files_point); wider or composite key sets take the
+       distributed zone+bloom probe (select_files_keys), so a wide
+       CDC batch still reads O(candidate files), never O(table);
     2. affected files re-read, matched keys anti-joined out, the
        source's surviving rows unioned in (whole-row update);
     3. untouched files carry into the new manifest by name — zero
@@ -1799,6 +2165,12 @@ def merge_into(
         else source
     )
     all_keys = source.select(key_struct.alias("_k")).distinct()
+    # retry-invariant probe state (ADVICE r10): the source key set and
+    # its dtypes never change across optimistic-retry attempts, so the
+    # limit-collect runs at most ONCE; only the manifest-dependent
+    # select_files_* calls stay inside the loop
+    src_dtypes = dict(source.dtypes)
+    _probe_cache: dict = {}
 
     for _attempt in range(4):
         prior = main_versions(table_dir)
@@ -1811,61 +2183,74 @@ def merge_into(
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"target columns {sorted(snap.columns)}"
             )
-        # bloom-pruned affected-file scan (round-10): with a single
-        # merge key, manifest blooms on it, and a small source key set,
-        # only MAYBE files are opened to find matches — the delete_keys
-        # discipline applied to MERGE, so a CDC upsert batch against a
-        # 100 TB table scans O(candidate files), never O(table). Falls
-        # back to the full scan when the key is composite, the table
-        # has no blooms, or the source key set is large (collecting it
-        # would not be O(1) driver memory). Pruning is an I/O
-        # optimization, never a filter: blooms have no false negatives,
-        # so a skipped file provably holds no source key — it can
-        # neither be affected nor hide a live key from the ANSI
-        # tombstone-revive check below.
+        # bloom-pruned affected-file scan (round-10, widened round-11):
+        # with manifest blooms covering the merge key, only MAYBE files
+        # are opened to find matches — the delete_keys discipline
+        # applied to MERGE, so a CDC upsert batch against a 100 TB
+        # table scans O(candidate files), never O(table). A small
+        # single-column key set (<=1024) takes the driver probe; a
+        # WIDE or COMPOSITE key set takes the distributed zone+bloom
+        # probe (select_files_keys — sidecars read as a DataFrame,
+        # digests broadcast, per-file verdicts only). Pruning is an
+        # I/O optimization, never a filter: blooms have no false
+        # negatives and zone bounds are true min/max, so a skipped
+        # file provably holds no source key — it can neither be
+        # affected nor hide a live key from the ANSI tombstone-revive
+        # check below.
         scan_rel = prev["files"]
         bloom_pruned = None
-        # bloom hashing contract (same as delete_keys: integer/string
-        # keys only) enforced by dtype, not hope: the index hashes the
-        # BUILD side's pandas repr while a probe hashes the collected
-        # row's repr — equal for int/str, but e.g. bytes vs bytearray
-        # diverge, and a false-negative prune would silently skip the
-        # affected files and turn the upsert into a duplicate insert.
-        # Three conditions beyond "blooms exist":
-        # - SOURCE and TARGET key dtypes both integral/string AND equal
-        #   (a bigint probe '100' can never hit a string build '0100'
-        #   even though the struct join would coerce them to a match);
-        # - no NULL source key (the bloom builder skips NULLs, so a
-        #   NULL-keyed target row is invisible to the probe while the
-        #   struct join treats NULL==NULL as matched).
+        # bloom hashing contract enforced by dtype, not hope: a false-
+        # negative prune would silently skip affected files and turn
+        # the upsert into a duplicate insert. Conditions beyond "a
+        # bloom spec covers the key" (_bloom_spec_for handles renames):
+        # - SOURCE and TARGET key dtypes integral/string AND equal per
+        #   column (a bigint probe '100' can never hit a string build
+        #   '0100' even though the struct join would coerce a match);
+        # - no NULL source key on the SINGLE-column path (its builder
+        #   skips NULLs while the struct join matches NULL==NULL); the
+        #   composite encoding is null-preserving, so NULL keys prune
+        #   fine there.
         _prunable = {"tinyint", "smallint", "int", "bigint", "string"}
-        _src_t = dict(source.dtypes).get(key_cols[0]) if key_cols else None
         _schema = _manifest_schema(prev)
-        _tgt_t = (
-            next(
-                (
-                    f.dataType.simpleString()
-                    for f in _schema.fields
-                    if f.name == key_cols[0]
-                ),
-                None,
-            )
-            if _schema is not None and len(key_cols) == 1
-            else None
+        _tgt_types = (
+            {f.name: f.dataType.simpleString() for f in _schema.fields}
+            if _schema is not None
+            else {}
         )
-        if (
-            len(key_cols) == 1
-            and key_cols[0] in prev.get("bloom_cols", [])
-            and _src_t in _prunable
-            and _src_t == _tgt_t
+        _specinfo = _bloom_spec_for(prev, key_cols)
+        if _specinfo is not None and all(
+            src_dtypes.get(c) in _prunable
+            and src_dtypes.get(c) == _tgt_types.get(c)
+            for c in key_cols
         ):
-            krows = all_keys.limit(1025).collect()
-            kvals = [r["_k"][0] for r in krows]
-            if len(krows) <= 1024 and all(v is not None for v in kvals):
-                scan_rel, _skipped = select_files_point(
-                    table_dir, prior[-1], key_cols[0], kvals
+            _spec_logical = _specinfo[1]
+            krows = None
+            if len(key_cols) == 1:
+                if "krows" not in _probe_cache:
+                    _probe_cache["krows"] = all_keys.limit(
+                        _BLOOM_DRIVER_KEYS_MAX + 1
+                    ).collect()
+                krows = _probe_cache["krows"]
+            if krows is not None and len(krows) <= _BLOOM_DRIVER_KEYS_MAX:
+                kvals = [r["_k"][0] for r in krows]
+                if all(v is not None for v in kvals):
+                    scan_rel, _skipped = select_files_point(
+                        table_dir, prior[-1], key_cols[0], kvals
+                    )
+                    bloom_pruned = len(_skipped)
+                # else: NULL single-column key -> full scan
+            else:
+                res = select_files_keys(
+                    spark,
+                    table_dir,
+                    prior[-1],
+                    key_cols,
+                    _keys_probe_df(source, _spec_logical, src_dtypes),
+                    manifest=prev,
                 )
-                bloom_pruned = len(_skipped)
+                if res is not None:
+                    scan_rel, _skipped = res
+                    bloom_pruned = len(_skipped)
         # tagged live read: file-relative path per row, deletion vector
         # applied (a DV-erased row must not mark its file affected)
         tagged = _live_rows(

@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         ann_index,
         dq,
         formats,

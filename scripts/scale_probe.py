@@ -557,6 +557,26 @@ def lake10x_main(spark) -> None:
                 f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
             )
 
+        if label in ("10x", "100x"):
+            # WIDE CDC merge (round-11): 5,000 contiguous keys — far
+            # past the 1024-key driver cap that used to force a full
+            # 160/160 (1600/1600) scan. The distributed zone+bloom
+            # probe (select_files_keys) must keep the scan O(files
+            # actually holding the key range).
+            t = build_table(sf_dir, n_files)
+            head = SNAP.read_version(spark, t)
+            src = head.where(F.col("doc_id") < 5000).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(1)
+            )
+            t0 = time.time()
+            v = SNAP.merge_into(spark, t, src, ["doc_id"])
+            m = SNAP._load_manifest(t, v)
+            rows[("merge_into(5k wide keys)", label)] = (
+                time.time() - t0,
+                f"rewrote {m['rewrote']}/{n_files}, "
+                f"pruned {m.get('bloom_pruned')}",
+            )
+
         # delete_keys: fixed 16 keys
         t = build_table(sf_dir, n_files)
         t0 = time.time()
@@ -638,6 +658,7 @@ def lake10x_main(spark) -> None:
         print(line + tail)
     for op, base_op in (
         ("merge_into(320 keys)", "merge_into(32 keys)"),
+        ("merge_into(5k wide keys)", "merge_into(32 keys)"),
         ("delete_keys(160)", "delete_keys(16)"),
     ):
         for lbl in ("10x", "100x"):

@@ -273,3 +273,171 @@ def test_merge_null_source_key_skips_pruning(spark):
         for r in SNAP.read_version(spark, t).collect()
     }
     assert got == {1: 10, 2: 20, None: 99, 5: 50}
+
+
+# --- round-11: distributed zone+bloom probe + composite-key blooms ---
+
+
+def _synth(spark, n_rows: int = 100_000, n_files: int = 8):
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("lang"),
+            (F.col("id") * 3).alias("n_chars"),
+        )
+        .repartitionByRange(n_files, "doc_id")
+    )
+
+
+def test_merge_wide_key_distributed_prune(spark):
+    """r10 verdict item 1: a 10k-key CDC merge must NOT fall back to a
+    full affected-file scan — the distributed zone+bloom probe opens
+    only MAYBE files. The fixture is the CDC reality the zone stage
+    exists for: keys contiguous in doc_id against a range-clustered
+    table, so files outside the key range prune by zone even though
+    accumulated per-key bloom FPR alone would read every file MAYBE."""
+    t = tempfile.mkdtemp(prefix="lake_pin_wide_") + "/t"
+    SNAP.write_version(
+        _synth(spark), t, bloom_cols=["doc_id"], stats_cols=["doc_id"]
+    )
+    keys = list(range(10_000))
+    head = SNAP.read_version(spark, t)
+    src = head.where(F.col("doc_id") < 10_000).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1_000_000)
+    )
+    m0 = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    live = SNAP._live_rows(spark, t, m0, m0["files"], with_file=True)
+    expected_files = (
+        live.where(F.col("doc_id").isin(keys))
+        .select("__f")
+        .distinct()
+        .count()
+    )
+    n_before = SNAP.count_rows(t)
+    v = SNAP.merge_into(spark, t, src, ["doc_id"])
+    m = SNAP._load_manifest(t, v)
+    assert m["rewrote"] == expected_files, "only files holding matched keys"
+    assert m["bloom_pruned"] >= 8 - expected_files - 1, (
+        "wide-key probe must zone-prune the out-of-range files"
+    )
+    assert SNAP.count_rows(t) == n_before
+    got = (
+        SNAP.read_version(spark, t)
+        .where(F.col("doc_id").isin([0, 9_999, 10_000]))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["n_chars"] for r in got] == [1_000_000, 1_029_997, 30_000]
+
+
+def test_merge_composite_key_bloom_prunes(spark):
+    """r10 verdict item 2: a composite (doc_id, lang) merge key with a
+    composite bloom spec takes the PRUNED path (the old guard fell
+    back to a full scan for any multi-column key), including a
+    NULL-keyed row — the composite encoding is null-preserving, so
+    NULL==NULL struct-join matches stay visible to the probe."""
+    t = tempfile.mkdtemp(prefix="lake_pin_comp_") + "/t"
+    base = _synth(spark)
+    nullrow = spark.createDataFrame(
+        [(None, None, 777)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    SNAP.write_version(
+        base.unionByName(nullrow).repartitionByRange(8, "doc_id"),
+        t,
+        bloom_cols=[("doc_id", "lang")],
+    )
+    m0 = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+    assert m0["bloom_cols"] == ["doc_id,lang"]
+    head = SNAP.read_version(spark, t)
+    src = head.where(F.col("doc_id").isin([5, 9])).withColumn(
+        "n_chars", F.lit(-1)
+    )
+    src = src.unionByName(
+        spark.createDataFrame(
+            [(None, None, 888)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+        )
+    )
+    v = SNAP.merge_into(spark, t, src, ["doc_id", "lang"])
+    m = SNAP._load_manifest(t, v)
+    assert m.get("bloom_pruned") is not None, "composite path must prune"
+    assert m["bloom_pruned"] >= 1
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in SNAP.read_version(spark, t)
+        .where(F.col("doc_id").isin([5, 9]) | F.col("doc_id").isNull())
+        .collect()
+    }
+    assert got == {5: -1, 9: -1, None: 888}
+
+
+def test_merge_composite_key_prunes_after_rename(spark):
+    """The composite spec stores PHYSICAL names; _bloom_spec_for must
+    resolve it through the column mapping after a rename, and the
+    positional k0..kn encoding must keep build==probe despite the
+    logical name change."""
+    t = tempfile.mkdtemp(prefix="lake_pin_compren_") + "/t"
+    SNAP.write_version(_synth(spark), t, bloom_cols=[("doc_id", "lang")])
+    SNAP.rename_column(t, "lang", "language")
+    head = SNAP.read_version(spark, t)
+    src = head.where(F.col("doc_id") == 11).withColumn("n_chars", F.lit(-2))
+    v = SNAP.merge_into(spark, t, src, ["doc_id", "language"])
+    m = SNAP._load_manifest(t, v)
+    assert m.get("bloom_pruned") is not None
+    assert m["bloom_pruned"] >= 1
+    got = (
+        SNAP.read_version(spark, t)
+        .where(F.col("doc_id") == 11)
+        .collect()
+    )
+    assert [r["n_chars"] for r in got] == [-2]
+
+
+def test_delete_keys_wide_distributed(spark):
+    """delete_keys above the driver cap routes through the distributed
+    probe: rewrote stays O(affected files), values exact."""
+    t = tempfile.mkdtemp(prefix="lake_pin_widedel_") + "/t"
+    SNAP.write_version(
+        _synth(spark), t, bloom_cols=["doc_id"], stats_cols=["doc_id"]
+    )
+    keys = list(range(2_000))
+    n_before = SNAP.count_rows(t)
+    v = SNAP.delete_keys(spark, t, "doc_id", keys)
+    m = SNAP._load_manifest(t, v)
+    assert SNAP.count_rows(t) == n_before - 2_000
+    assert m["bloom_pruned"] >= 6, "zone stage must prune out-of-range files"
+    assert m["rewrote"] <= 8 - m["bloom_pruned"]
+
+
+def test_wide_probe_null_key_still_falls_back(spark):
+    """The single-column NULL-source-key fallback survives the wide
+    path: >1024 keys with one NULL must decline pruning (the builder
+    skips NULLs) and still merge the NULL row correctly."""
+    t = tempfile.mkdtemp(prefix="lake_pin_widenull_") + "/t"
+    base = _synth(spark, n_rows=5_000, n_files=4).unionByName(
+        spark.createDataFrame(
+            [(None, "nn", 30)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+        )
+    )
+    SNAP.write_version(
+        base.repartitionByRange(4, "doc_id"), t, bloom_cols=["doc_id"]
+    )
+    head = SNAP.read_version(spark, t)
+    src = head.where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") < 1_500)
+    ).withColumn("n_chars", F.lit(-3))
+    src = src.unionByName(
+        spark.createDataFrame(
+            [(None, "nn", 99)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+        )
+    )
+    v = SNAP.merge_into(spark, t, src, ["doc_id"])
+    m = SNAP._load_manifest(t, v)
+    assert "bloom_pruned" not in m, "NULL key must take the full scan"
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in SNAP.read_version(spark, t)
+        .where(F.col("doc_id").isNull() | (F.col("doc_id") == 10))
+        .collect()
+    }
+    assert got == {None: 99, 10: -3}
