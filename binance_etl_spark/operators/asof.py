@@ -34,6 +34,7 @@ def asof_join(
     right_cols: Sequence[str],
     tolerance: str | None = None,
     direction: str = "backward",
+    prefilter: bool = False,
 ) -> DataFrame:
     """For each left row, attach `right_cols` from the matching right
     row per `on` key: the latest right_ts <= left_ts (backward,
@@ -41,11 +42,24 @@ def asof_join(
     "next quote after the order" direction). Right columns come back
     prefixed `asof_`. `tolerance` (e.g. '1 hour') nulls out matches
     further than that from left_ts in the match direction.
+
+    `prefilter` (round-11): semi-join the RIGHT side down to keys
+    present on the left BEFORE the union+window — the runtime
+    row-level filter Spark's bloom-filter join injection would give a
+    shuffle join but cannot inject into this union+window shape.
+    Provably result-identical: the window partitions by the key, so a
+    right row whose key has no left receiver can never be selected —
+    it only costs shuffle+sort bytes. When the probe key set is small
+    (a SPARSE probe against a broad reference — the 100 TB win), AQE
+    plans the semi-join as a broadcast, i.e. a map-side filter on the
+    reference scan with NO extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = list(right_cols)
+    if prefilter:
+        right = right.join(left.select(*on).distinct(), on, "left_semi")
 
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs_proj = [F.col(c) for c in on] + [F.col(right_ts).alias("__ts"), F.lit(0).alias(_SIDE)]

@@ -39,7 +39,17 @@ def compact_parquet(
 ) -> int:
     """Rewrite the parquet directory at `path` into
     ceil(bytes / target_file_bytes) files. Returns the new file count.
-    Atomic: writes a staging dir, then swaps."""
+    Atomic: writes a staging dir, then swaps.
+
+    CLUSTERING CAVEAT (r10 ADVICE): the under-partitioned fallback
+    below uses ROUND-ROBIN repartition(n_files), which destroys any
+    existing row clustering (e.g. a range layout by key) in the
+    rewritten directory — unlike the coalesce path, which preserves
+    input order within partitions. Callers relying on key-clustered
+    files (bloom/zone prune effectiveness, sorted scans) should
+    re-layout with repartitionByRange on the sort key afterwards, or
+    use operators/snapshots.compact, which re-clusters on the table's
+    partition spec."""
     total = dir_bytes(path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".__compacting"

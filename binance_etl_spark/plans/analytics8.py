@@ -47,6 +47,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from binance_etl_spark.catalog import load
+from binance_etl_spark.operators.asof import asof_join
 from binance_etl_spark.plans.registry import register
 
 # Deterministic two-sided late-data tape: (event_ms offset, symbol,
@@ -247,3 +249,57 @@ def stream_join_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "depth_id BIGINT, d_ms BIGINT"
     )
     return spark.createDataFrame(rows, schema)
+
+
+# --- join_asof_prefiltered (r10 verdict optional op A) ----------------
+
+
+@register(
+    "join_asof_prefiltered",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           s.event_id AS asof_event_id,
+           s.value AS asof_value
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id % 97 = 0) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="SPARSE-probe as-of join with a runtime build-side row filter: "
+    "~1% of users' purchases probed against the full view reference. "
+    "asof_join(prefilter=True) semi-joins the reference down to probe "
+    "keys BEFORE the union+window — the row-level runtime filter "
+    "Spark's bloom-join injection gives shuffle joins but cannot "
+    "inject into the union+window as-of shape. AQE plans the "
+    "semi-join broadcast (probe key set is small), i.e. a map-side "
+    "filter on the reference scan, so at 100 TB the window shuffles "
+    "O(probe + matching reference) rows instead of the full "
+    "reference. Result provably identical to prefilter=False (the "
+    "window partitions by key; keyless-on-the-left reference rows "
+    "can never be selected) — pinned in tests/test_round11_ops.py "
+    "along with the broadcast-semi plan shape.",
+    tags=("join", "asof"),
+)
+def join_asof_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        prefilter=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("asof_event_id"),
+        F.col("asof_value").alias("asof_value"),
+    )

@@ -39,6 +39,7 @@ banding, substring-level gram dedup, and the inverted-index build.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -464,50 +465,54 @@ def lake_main(spark) -> None:
 
 
 
-def lake10x_main(spark) -> None:
-    """Write-path slope probe (round-10 verdict item 3): merge_into,
-    delete_keys (bloom-pruned), read_changes, and compact at 10x FILE
-    count (16 -> 160 files, 10x rows) and 10x KEY count (32 -> 320
-    source keys on the big table). Healthy =
-    - merge/delete walls grow FAR slower than the table (bloom prune
-      bounds files opened by the key count, not the table);
-    - read_changes of a fixed appended delta is ~flat (manifest diff
-      opens only the delta's files);
-    - incremental compact of a fixed small-file tail is ~flat (large
-      files carry by name, zero I/O);
-    - every op's manifest `rewrote` stays O(affected files) — printed
-      as evidence and pinned exactly in tests/test_lake_scale_pins.py.
-    """
+_LAKE_SCALES = {"base": 16, "10x": 160, "100x": 1600}
+
+
+def _lake_docs_df(spark, label: str):
+    if label == "100x":
+        # third decade (--lake100x): 10 key-shifted copies of the
+        # 10x replica — documents only, the probe needs no dims
+        base = spark.read.parquet(
+            os.path.join(DST, "documents.parquet")
+        ).select("doc_id", "lang", "n_chars", "text")
+        parts = [
+            base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(j * 10_000_000_000)
+            )
+            for j in range(COPIES)
+        ]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        return d
+    sf_dir = SRC if label == "base" else DST
+    return spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang", "n_chars", "text")
+
+
+def _lake_build(spark, label: str) -> str:
     import tempfile
 
     from binance_etl_spark.operators import snapshots as SNAP
 
-    def _docs_df(sf_dir: str):
-        if sf_dir == "100x":
-            # third decade (--lake100x): 10 key-shifted copies of the
-            # 10x replica — documents only, the probe needs no dims
-            base = spark.read.parquet(
-                os.path.join(DST, "documents.parquet")
-            ).select("doc_id", "lang", "n_chars", "text")
-            parts = [
-                base.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(j * 10_000_000_000)
-                )
-                for j in range(COPIES)
-            ]
-            d = parts[0]
-            for p in parts[1:]:
-                d = d.unionByName(p)
-            return d
-        return spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")
-        ).select("doc_id", "lang", "n_chars", "text")
+    n_files = _LAKE_SCALES[label]
+    d = _lake_docs_df(spark, label).repartitionByRange(n_files, "doc_id")
+    t = tempfile.mkdtemp(prefix="lake10x_") + "/docs"
+    SNAP.write_version(d, t, bloom_cols=["doc_id"], stats_cols=["doc_id"])
+    return t
 
-    def build_table(sf_dir: str, n_files: int) -> str:
-        d = _docs_df(sf_dir).repartitionByRange(n_files, "doc_id")
-        t = tempfile.mkdtemp(prefix="lake10x_") + "/docs"
-        SNAP.write_version(d, t, bloom_cols=["doc_id"], stats_cols=["doc_id"])
-        return t
+
+def _lake_op(spark, op: str, label: str) -> tuple[float, str]:
+    """Build a fresh table at `label` scale and run ONE timed op —
+    shared by the in-sequence sweep and the --lake-solo fresh-process
+    re-measurement (r10 verdict item 6: in-sequence numbers can carry
+    page-cache artifacts; any >2x slope re-measures solo)."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    n_files = _LAKE_SCALES[label]
+    keys32 = list(range(0, 3200, 100))
+    keys320 = list(range(0, 3200, 10))
 
     def merge_src(t: str, keys: list[int], n_new: int):
         head = SNAP.read_version(spark, t)
@@ -526,97 +531,45 @@ def lake10x_main(spark) -> None:
         )
         return upd.unionByName(ins)
 
-    rows: dict[tuple[str, str], tuple[float, str]] = {}
-    keys32 = list(range(0, 3200, 100))  # 32 spread keys, present all scales
-    keys320 = list(range(0, 3200, 10))  # 10x keys (320)
-
-    scales = [("base", SRC, 16), ("10x", DST, 160)]
-    if "--lake100x" in sys.argv:
-        # third decade: 1,600 files / 500k docs — documents-only build
-        scales.append(("100x", "100x", 1600))
-    for label, sf_dir, n_files in scales:
-        # merge: fixed 32-key source
-        t = build_table(sf_dir, n_files)
-        src = merge_src(t, keys32, n_new=8)
+    t = _lake_build(spark, label)
+    if op in ("merge_into(32 keys)", "merge_into(320 keys)"):
+        src = merge_src(t, keys32 if "32 " in op else keys320, n_new=8)
         t0 = time.time()
         v = SNAP.merge_into(spark, t, src, ["doc_id"])
         m = SNAP._load_manifest(t, v)
-        rows[("merge_into(32 keys)", label)] = (
-            time.time() - t0,
-            f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
+        ev = f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}"
+    elif op == "merge_into(5k wide keys)":
+        # WIDE CDC merge (round-11): 5,000 contiguous keys — far past
+        # the 1024-key driver cap that used to force a full 160/160
+        # (1600/1600) scan. The distributed zone+bloom probe
+        # (select_files_keys) must keep the scan O(files actually
+        # holding the key range).
+        head = SNAP.read_version(spark, t)
+        src = head.where(F.col("doc_id") < 5000).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1)
         )
-        if label in ("10x", "100x"):
-            # 10x KEY count on the big table: slope vs the 32-key merge
-            t = build_table(sf_dir, n_files)
-            src = merge_src(t, keys320, n_new=8)
-            t0 = time.time()
-            v = SNAP.merge_into(spark, t, src, ["doc_id"])
-            m = SNAP._load_manifest(t, v)
-            rows[("merge_into(320 keys)", label)] = (
-                time.time() - t0,
-                f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}",
-            )
-
-        if label in ("10x", "100x"):
-            # WIDE CDC merge (round-11): 5,000 contiguous keys — far
-            # past the 1024-key driver cap that used to force a full
-            # 160/160 (1600/1600) scan. The distributed zone+bloom
-            # probe (select_files_keys) must keep the scan O(files
-            # actually holding the key range).
-            t = build_table(sf_dir, n_files)
-            head = SNAP.read_version(spark, t)
-            src = head.where(F.col("doc_id") < 5000).withColumn(
-                "n_chars", F.col("n_chars") + F.lit(1)
-            )
-            t0 = time.time()
-            v = SNAP.merge_into(spark, t, src, ["doc_id"])
-            m = SNAP._load_manifest(t, v)
-            rows[("merge_into(5k wide keys)", label)] = (
-                time.time() - t0,
-                f"rewrote {m['rewrote']}/{n_files}, "
-                f"pruned {m.get('bloom_pruned')}",
-            )
-
-        # delete_keys: fixed 16 keys
-        t = build_table(sf_dir, n_files)
         t0 = time.time()
-        v = SNAP.delete_keys(spark, t, "doc_id", keys32[:16])
+        v = SNAP.merge_into(spark, t, src, ["doc_id"])
         m = SNAP._load_manifest(t, v)
-        rows[("delete_keys(16)", label)] = (
-            time.time() - t0,
-            f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}",
-        )
-        if label in ("10x", "100x"):
-            t = build_table(sf_dir, n_files)
-            t0 = time.time()
-            v = SNAP.delete_keys(spark, t, "doc_id", keys320[:160])
-            m = SNAP._load_manifest(t, v)
-            rows[("delete_keys(160)", label)] = (
-                time.time() - t0,
-                f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}",
-            )
-
-        # read_changes of a FIXED appended delta (1k rows)
-        t = build_table(sf_dir, n_files)
-        delta = (
-            spark.range(1000)
-            .select(
-                (F.col("id") + 60_000_000).alias("doc_id"),
-                F.lit("yy").alias("lang"),
-                F.lit(2).cast("bigint").alias("n_chars"),
-                F.lit("delta").alias("text"),
-            )
+        ev = f"rewrote {m['rewrote']}/{n_files}, pruned {m.get('bloom_pruned')}"
+    elif op in ("delete_keys(16)", "delete_keys(160)"):
+        keys = keys32[:16] if "(16)" in op else keys320[:160]
+        t0 = time.time()
+        v = SNAP.delete_keys(spark, t, "doc_id", keys)
+        m = SNAP._load_manifest(t, v)
+        ev = f"rewrote {m['rewrote']}/{n_files}, pruned {m['bloom_pruned']}"
+    elif op == "read_changes(1k delta)":
+        delta = spark.range(1000).select(
+            (F.col("id") + 60_000_000).alias("doc_id"),
+            F.lit("yy").alias("lang"),
+            F.lit(2).cast("bigint").alias("n_chars"),
+            F.lit("delta").alias("text"),
         )
         v = SNAP.write_version(delta, t)
         t0 = time.time()
         n = SNAP.read_changes(spark, t, v - 1, v).count()
-        rows[("read_changes(1k delta)", label)] = (
-            time.time() - t0,
-            f"{n} changes, delta files only",
-        )
-
-        # incremental compact of a FIXED 8-small-file tail
-        t = build_table(sf_dir, n_files)
+        ev = f"{n} changes, delta files only"
+    elif op == "compact(8 small)":
         for i in range(8):
             SNAP.write_version(
                 spark.createDataFrame(
@@ -630,45 +583,119 @@ def lake10x_main(spark) -> None:
         # tiny appends, so only the appended tail classifies as small
         v = SNAP.compact(spark, t, min_file_bytes=8 * 1024)
         m = SNAP._load_manifest(t, v)
-        rows[("compact(8 small)", label)] = (
-            time.time() - t0,
-            f"rewrote {m['rewrote']}, carried {m['carried']}",
-        )
+        ev = f"rewrote {m['rewrote']}, carried {m['carried']}"
+    else:
+        raise ValueError(f"unknown lake op {op!r}")
+    return time.time() - t0, ev
 
-    has100 = any(lbl == "100x" for _, lbl in rows)
+
+_LAKE_BASE_OPS = [
+    "merge_into(32 keys)",
+    "delete_keys(16)",
+    "read_changes(1k delta)",
+    "compact(8 small)",
+]
+_LAKE_BIG_OPS = [  # only meaningful at 10x/100x (vs-base_op comparisons)
+    ("merge_into(320 keys)", "merge_into(32 keys)"),
+    ("merge_into(5k wide keys)", "merge_into(32 keys)"),
+    ("delete_keys(160)", "delete_keys(16)"),
+]
+
+
+def _lake_solo(op: str, label: str) -> float | None:
+    """Re-measure one (op, scale) in a FRESH PROCESS (cold JVM, no
+    page-cache pressure from the in-sequence build history)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--lake-solo", op, label],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("SOLO_RESULT "):
+            return json.loads(line[len("SOLO_RESULT "):])["sec"]
+    return None
+
+
+def lake_solo_main(spark) -> None:
+    i = sys.argv.index("--lake-solo")
+    op, label = sys.argv[i + 1], sys.argv[i + 2]
+    sec, ev = _lake_op(spark, op, label)
+    print(
+        "SOLO_RESULT " + json.dumps({"sec": round(sec, 2), "evidence": ev}),
+        flush=True,
+    )
+
+
+def lake10x_main(spark) -> None:
+    """Write-path slope probe (round-10 verdict item 3): merge_into,
+    delete_keys (bloom-pruned), read_changes, and compact at 10x FILE
+    count (16 -> 160 files, 10x rows) and 10x KEY count (32 -> 320
+    source keys on the big table), plus the round-11 5k-wide-key CDC
+    merge (distributed zone+bloom probe). Healthy =
+    - merge/delete walls grow FAR slower than the table (pruning
+      bounds files opened by the key range, not the table);
+    - read_changes of a fixed appended delta is ~flat (manifest diff
+      opens only the delta's files);
+    - incremental compact of a fixed small-file tail is ~flat (large
+      files carry by name, zero I/O);
+    - every op's manifest `rewrote` stays O(affected files) — printed
+      as evidence and pinned exactly in tests/test_lake_scale_pins.py.
+    SOLO DISCIPLINE (r10 verdict item 6): any entry whose in-sequence
+    slope exceeds 2x is re-measured in a fresh process before it lands
+    in PERFORMANCE.md; the table carries a solo column for those.
+    """
+    rows: dict[tuple[str, str], tuple[float, str]] = {}
+    scales = ["base", "10x"]
+    if "--lake100x" in sys.argv:
+        scales.append("100x")  # third decade: 1,600 files / 500k docs
+    for label in scales:
+        for op in _LAKE_BASE_OPS:
+            rows[(op, label)] = _lake_op(spark, op, label)
+        if label != "base":
+            for op, _ in _LAKE_BIG_OPS:
+                rows[(op, label)] = _lake_op(spark, op, label)
+
+    solo: dict[tuple[str, str], float] = {}
+
+    def _maybe_solo(op: str, label: str, slope: float) -> str:
+        if slope <= 2.0:
+            return ""
+        sec = _lake_solo(op, label)
+        if sec is None:
+            return " [solo: FAILED]"
+        solo[(op, label)] = sec
+        return f" [solo: {sec:.2f}s]"
+
+    has100 = "100x" in scales
     hdr = f"\n{'op':24s} {'base':>7s} {'10x':>7s} {'slope':>6s}"
     if has100:
         hdr += f" {'100x':>7s} {'slp100':>6s}"
-    print(hdr + "  evidence")
-    for op in (
-        "merge_into(32 keys)",
-        "delete_keys(16)",
-        "read_changes(1k delta)",
-        "compact(8 small)",
-    ):
+    print(hdr + "  evidence (slope > 2x re-measured solo, fresh process)")
+    for op in _LAKE_BASE_OPS:
         (t0, e0), (t1, e1) = rows[(op, "base")], rows[(op, "10x")]
-        line = (
-            f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x"
-        )
-        tail = f"  base: {e0} | 10x: {e1}"
+        s10 = t1 / max(t0, 0.01)
+        line = f"{op:24s} {t0:7.2f} {t1:7.2f} {s10:5.1f}x"
+        tail = f"  base: {e0} | 10x: {e1}" + _maybe_solo(op, "10x", s10)
         if has100 and (op, "100x") in rows:
             (t2, e2) = rows[(op, "100x")]
-            line += f" {t2:7.2f} {t2 / max(t1, 0.01):5.1f}x"
-            tail += f" | 100x: {e2}"
+            s100 = t2 / max(t1, 0.01)
+            line += f" {t2:7.2f} {s100:5.1f}x"
+            tail += f" | 100x: {e2}" + _maybe_solo(op, "100x", s100)
         print(line + tail)
-    for op, base_op in (
-        ("merge_into(320 keys)", "merge_into(32 keys)"),
-        ("merge_into(5k wide keys)", "merge_into(32 keys)"),
-        ("delete_keys(160)", "delete_keys(16)"),
-    ):
+    for op, base_op in _LAKE_BIG_OPS:
         for lbl in ("10x", "100x"):
             if (op, lbl) not in rows:
                 continue
             (t0, e0) = rows[(base_op, lbl)]
             (t1, e1) = rows[(op, lbl)]
+            s = t1 / max(t0, 0.01)
             print(
-                f"{op:24s} {t0:7.2f} {t1:7.2f} {t1 / max(t0, 0.01):5.1f}x  "
+                f"{op:24s} {t0:7.2f} {t1:7.2f} {s:5.1f}x  "
                 f"(vs {base_op} on the {lbl} table) {e1}"
+                + _maybe_solo(op, lbl, s)
             )
 
 
@@ -1088,6 +1115,246 @@ def hubcap_main(spark) -> None:
         del ue
 
 
+def tws10x_main(spark) -> None:
+    """Stateful-streaming STATE-CARDINALITY scale probe (r10 verdict
+    item 5): the five tWS operators (attribution, funnel, sessionizer,
+    Bollinger, VPIN) at 1x vs 10x KEYED-ENTITY count under RocksDB,
+    with TOTAL ROWS HELD FIXED (800k) — the same event volume spread
+    over 10x more users/symbols, so the wall slope isolates what more
+    STATE-STORE ENTRIES cost, not what more data costs. Healthy =
+    - wall slope <= ~2x at 10x keys (state lookups are O(1)-ish per
+      key; no cross-key state, no per-key fixed cost that dominates);
+    - state rows PER KEY flat across scales (per-key state
+      independence is the 100 TB design claim: attribution O(pending
+      touches), funnel/vpin O(1), bollinger O(window), sessionizer
+      O(open sessions));
+    - rows/s non-collapsing.
+    Metrics from StreamingQuery progress: max stateOperators
+    numRowsTotal + RocksDB memory, wall over processAllAvailable of
+    4 mtime-ordered file micro-batches.
+    """
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from binance_etl_spark.streaming.attribution_tws import attribution_tws
+    from binance_etl_spark.streaming.bollinger_tws import bollinger_tws
+    from binance_etl_spark.streaming.funnel_tws import funnel_tws
+    from binance_etl_spark.streaming.session_tws import sessionize_tws
+    from binance_etl_spark.streaming.vpin_tws import vpin_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_provider = spark.conf.get(provider_key, None)
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(provider_key, rocksdb)
+    spark.conf.set(shuffle_key, "8")
+
+    TOTAL = 800_000  # rows, FIXED across scales (state-cardinality probe)
+    T0 = 1_700_000_000_000_000  # micros
+
+    def _base(n_keys: int):
+        """(key, seq, eid, b) backbone: seq = per-entity event index,
+        b = micro-batch (time-ordered quarters of each entity's tape).
+        per-key tape length = TOTAL / n_keys."""
+        per_key = TOTAL // n_keys
+        return spark.range(n_keys * per_key).select(
+            (F.col("id") % n_keys).alias("key"),
+            (F.col("id") / n_keys).cast("long").alias("seq"),
+            F.col("id").alias("eid"),
+        ).withColumn("b", (F.col("seq") * 4 / per_key).cast("int"))
+
+    def spool(df) -> str:
+        src = tempfile.mkdtemp(prefix="tws10x_") + "/src"
+        os.makedirs(src)
+        for i in range(4):
+            tmp = src + f"_w{i}"
+            df.where(F.col("b") == i).drop("b").coalesce(1).write.parquet(tmp)
+            [f] = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:04d}.parquet")
+            _sh.move(f, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            _sh.rmtree(tmp)
+        return src
+
+    def run(make_stream, schema: str, src: str, n_rows: int):
+        name = "tws10x_mem"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = (
+            make_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        wall = time.time() - t0
+        srows = smem = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators", []):
+                srows = max(srows, int(so.get("numRowsTotal", 0) or 0))
+                cm = so.get("customMetrics", {}) or {}
+                smem = max(
+                    smem,
+                    int(
+                        cm.get("rocksdbTotalMemoryUsage", 0)
+                        or so.get("memoryUsedBytes", 0)
+                        or 0
+                    ),
+                )
+        nout = spark.table(name).count()
+        q.stop()
+        spark.catalog.dropTempView(name)
+        _sh.rmtree(os.path.dirname(src), ignore_errors=True)
+        return wall, srows, smem, nout, n_rows / max(wall, 0.01)
+
+    def attribution(n_keys: int):
+        df = _base(n_keys).select(
+            F.col("key").alias("user_id"),
+            (F.lit(T0) + F.col("seq") * 1_000_000 + F.col("key")).alias("tu"),
+            "eid",
+            F.when(F.col("seq") % 13 == 12, F.lit(0))
+            .otherwise((F.col("key") + F.col("seq")) % 3 + 1)
+            .cast("int")
+            .alias("code"),
+            "b",
+        )
+        return run(
+            attribution_tws,
+            "user_id BIGINT, tu BIGINT, eid BIGINT, code INT",
+            spool(df),
+            TOTAL,
+        )
+
+    def funnel(n_keys: int):
+        df = _base(n_keys).select(
+            F.col("key").alias("user_id"),
+            (F.lit(T0) + F.col("seq") * 1_000_000 + F.col("key")).alias("tu"),
+            "eid",
+            ((F.col("key") * 7 + F.col("seq")) % 4 + 1).cast("int").alias("code"),
+            "b",
+        )
+        return run(
+            funnel_tws,
+            "user_id BIGINT, tu BIGINT, eid BIGINT, code INT",
+            spool(df),
+            TOTAL,
+        )
+
+    def bollinger(n_keys: int):
+        df = _base(n_keys).select(
+            F.col("key").cast("int").alias("sym"),
+            (F.lit(T0) + F.col("seq") * 1_000_000 + F.col("key")).alias("tu"),
+            "eid",
+            (10_000 + (F.col("eid") * 37) % 200).alias("p"),
+            "b",
+        )
+        return run(
+            bollinger_tws,
+            "sym INT, tu BIGINT, eid BIGINT, p BIGINT",
+            spool(df),
+            TOTAL,
+        )
+
+    def vpin(n_keys: int):
+        df = _base(n_keys).select(
+            F.col("key").cast("int").alias("sym"),
+            (F.lit(T0) + F.col("seq") * 1_000_000 + F.col("key")).alias("tu"),
+            "eid",
+            (1 + F.col("eid") % 5).alias("qty"),
+            F.when(F.col("eid") % 2 == 0, 1).otherwise(-1).cast("int").alias("side"),
+            "b",
+        )
+        return run(
+            vpin_tws,
+            "sym INT, tu BIGINT, eid BIGINT, qty BIGINT, side INT",
+            spool(df),
+            TOTAL,
+        )
+
+    def sessionizer(n_keys: int):
+        # per-entity tape: bursts of 5 events 200ms apart, then a 3s
+        # gap (> gap_ms=1000) -> ~8 sessions per entity
+        ts = (
+            F.lit(1_700_000_000_000)
+            + (F.col("seq") / 5).cast("long") * 3_000
+            + (F.col("seq") % 5) * 200
+            + F.col("key")
+        )
+        df = _base(n_keys).select(
+            F.concat(F.lit("s"), F.col("key")).alias("symbol"),
+            ts.alias("timestamp"),
+            "b",
+        )
+
+        def make(stream):
+            ev = stream.withColumn(
+                "event_time", F.timestamp_millis("timestamp")
+            ).withWatermark("event_time", "1 second")
+            return sessionize_tws(ev, gap_ms=1000)
+
+        return run(
+            make,
+            "symbol STRING, timestamp BIGINT",
+            spool(df),
+            TOTAL,
+        )
+
+    ops = [
+        ("attribution_tws", attribution),
+        ("funnel_tws", funnel),
+        ("sessionize_tws", sessionizer),
+        ("bollinger_tws", bollinger),
+        ("vpin_tws", vpin),
+    ]
+    try:
+        print(
+            f"\n{'op':18s} {'keys':>7s} {'parts':>5s} {'wall':>7s} "
+            f"{'rows/s':>8s} {'state_rows':>10s} {'rows/key':>8s} "
+            f"{'rocksdb_mb':>10s} {'out':>8s}"
+        )
+        walls: dict[tuple[str, int, int], float] = {}
+        # third leg: 10x keys at 4x partitions — the per-key cost is
+        # Python handleInputRows invocations + state-channel round
+        # trips, which parallelize across state partitions; a cluster
+        # scales partitions with keys, so the FIXED-parallelism slope
+        # overstates the 100 TB cost and this leg shows the recovery
+        for name, fn in ops:
+            for n_keys, parts in ((2_000, 8), (20_000, 8), (20_000, 32)):
+                spark.conf.set(shuffle_key, str(parts))
+                wall, srows, smem, nout, rps = fn(n_keys)
+                walls[(name, n_keys, parts)] = wall
+                print(
+                    f"{name:18s} {n_keys:7d} {parts:5d} {wall:6.2f}s "
+                    f"{rps:8.0f} {srows:10d} {srows / n_keys:8.2f} "
+                    f"{smem / 1e6:10.1f} {nout:8d}",
+                    flush=True,
+                )
+            base = max(walls[(name, 2_000, 8)], 0.01)
+            s8 = walls[(name, 20_000, 8)] / base
+            s32 = walls[(name, 20_000, 32)] / base
+            print(
+                f"{name:18s} slope at 10x keys: {s8:.2f}x fixed-parts, "
+                f"{s32:.2f}x at 4x parts",
+                flush=True,
+            )
+    finally:
+        if prior_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior_provider)
+        spark.conf.set(shuffle_key, prior_shuffle)
+
+
 def main() -> None:
     extra = {"spark.ui.enabled": "true"} if "--stages" in sys.argv else None
     spark = get_spark("scale-probe", extra)
@@ -1128,8 +1395,14 @@ def main() -> None:
     if "--r7" in sys.argv:
         r7_main(spark)
         return
+    if "--lake-solo" in sys.argv:
+        lake_solo_main(spark)
+        return
     if "--lake10x" in sys.argv or "--lake100x" in sys.argv:
         lake10x_main(spark)
+        return
+    if "--tws10x" in sys.argv:
+        tws10x_main(spark)
         return
     if "--lake" in sys.argv:
         lake_main(spark)

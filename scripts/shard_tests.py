@@ -263,10 +263,23 @@ def main() -> int:
         total_pass += ok
         total_fail += bad
         total_skip += skip
-        for key in r["keys"]:
-            mod = os.path.basename(key.split("::")[0]).removesuffix(".py")
-            if mod in per_mod:
-                observed[key] = round(per_mod[mod], 2)
+        # self-tuned estimates must include the per-PROCESS overhead
+        # (SparkSession boot + fixtures, ~30s) that junit testcase
+        # times exclude — otherwise every estimate is systematically
+        # low and LPT degrades for buckets of many small files
+        # (round-10 ADVICE). The group's wall minus its junit total is
+        # that overhead; amortize it equally over the group's units,
+        # matching what a unit costs when co-scheduled.
+        keyed = [
+            (key, os.path.basename(key.split("::")[0]).removesuffix(".py"))
+            for key in r["keys"]
+        ]
+        hit = [(key, mod) for key, mod in keyed if mod in per_mod]
+        overhead = max(
+            0.0, r["wall"] - sum(per_mod[mod] for _, mod in hit)
+        ) / max(1, len(hit))
+        for key, mod in hit:
+            observed[key] = round(per_mod[mod] + overhead, 2)
         status = "ok" if r["rc"] == 0 else f"EXIT {r['rc']}"
         print(
             f"# w{r['worker']}: {status} {ok}p/{bad}f/{skip}s "

@@ -104,3 +104,98 @@ def test_stream_join_matches_python_twin(spark):
     assert (10, 103) not in got and (10, 106) not in got, (
         "deep-late trade must drop even though matches sit in state"
     )
+
+
+# --- ADVICE r10: hub-cap must not bind at oracle-compare scales ------
+
+
+def test_common_neighbors_hub_cap_never_binds_at_oracle_scale(spark):
+    """graph_common_neighbors computes degrees on the hub-SCREENED
+    edge list while its registered DuckDB oracle uses full degrees —
+    identical only while the default hub_cap (100k) never binds. Pin
+    that at BOTH oracle-compare scales (driver sf0.01, local sweep
+    sf0.1) the max degree stays an order of magnitude under the cap,
+    so a data regrowth that approaches it fails here before parity
+    silently diverges."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = load(spark, sf_dir, "events")
+        dst = (F.col("user_id") * 13 + F.length("event_type")) % 100
+        fwd = e.select(F.col("user_id").alias("a"), dst.alias("b"))
+        rev = e.select(dst.alias("a"), F.col("user_id").alias("b"))
+        ue = fwd.unionAll(rev).where(F.col("a") != F.col("b")).distinct()
+        max_deg = (
+            ue.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert max_deg * 10 <= 100_000, (
+            f"{sf_dir}: max degree {max_deg} within 10x of the default "
+            "hub_cap — screen the oracle's deg CTE or raise the cap"
+        )
+
+
+def test_rotation_prefers_never_driver_sampled_keys():
+    """r10 verdict item 7: while never-driver-sampled oracle keys
+    remain, the 50-key rotation must consist ONLY of them — the
+    already-sampled set re-enters only once the remainder is
+    exhausted."""
+    from binance_etl_spark.plans.registry import REGISTRY, _ensure_loaded
+    from binance_etl_spark.plans.rotation import (
+        ROTATION_SIZE,
+        last_driver_sample_round,
+        rotation_keys,
+    )
+
+    _ensure_loaded()
+    seen = last_driver_sample_round()
+    oracled = {n for n, q in REGISTRY.items() if q.oracle is not None}
+    never = {n for n in oracled if seen.get(n, 0) == 0}
+    picked = set(rotation_keys())
+    if len(never) >= ROTATION_SIZE:
+        assert picked <= never, sorted(picked - never)
+    else:
+        assert never <= picked
+
+
+# --- join_asof_prefiltered: plan pin + result equivalence ------------
+
+
+def test_asof_prefilter_is_broadcast_semi_and_result_identical(spark):
+    """prefilter=True must (a) change NOTHING about the result — the
+    window partitions by key, so reference rows with keyless-on-the-
+    left keys can never be selected — and (b) plan the probe-key
+    filter as a BROADCAST semi-join (map-side filter on the reference
+    scan, no extra shuffle) at this scale."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.catalog import load
+    from binance_etl_spark.operators.asof import asof_join
+
+    e = load(spark, "/root/testdata/sf0.01", "events")
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    kw = dict(
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    cols = ["event_id", "user_id", "asof_event_id", "asof_value"]
+    fast = asof_join(purchases, views, prefilter=True, **kw).select(*cols)
+    slow = asof_join(purchases, views, prefilter=False, **kw).select(*cols)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan, (
+        "probe-key filter must broadcast at sparse-probe scale"
+    )
