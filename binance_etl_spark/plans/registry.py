@@ -129,6 +129,7 @@ def _ensure_loaded() -> None:
         scalar,
         scalar2,
         scalar3,
+        spans_index,
         stats2,
         stats3,
         streaming_analog,

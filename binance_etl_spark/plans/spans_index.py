@@ -1,0 +1,262 @@
+"""Incremental duplicated-substring spans over the snapshot log —
+text_substring_spans maintained through CDC appends the way
+plans/text_index.py maintains the inverted index (r10 verdict
+optional op B).
+
+The inline op (plans/analytics7.py::text_substring_spans) re-extracts
+every document's k-grams per run. Under a growing corpus that is
+O(corpus) tokenize per refresh; the incremental form pays O(delta +
+affected) instead:
+
+- POSTINGS table: (doc_id, pos, gram) rows, appended per batch —
+  gram extraction is paid once per document ever;
+- COUNTS table: (gram, nd) distinct-doc counts, bloom-indexed on
+  gram and maintained by MERGE — the refresh reads old counts for
+  the DELTA's grams only (key-projected semi-join) and upserts
+  nd_old + nd_delta;
+- SPANS table: the per-doc results, maintained by MERGE over ONLY
+  the AFFECTED docs. The delta-maintenance insight: appending docs
+  can only GROW a gram's nd, so an existing doc's spans change iff
+  it holds a gram whose duplicated-status FLIPPED (nd crossed 2) in
+  this batch. affected = (docs holding flipped grams) + (delta
+  docs); everything else carries by manifest name, zero I/O.
+
+Consistency statement (the oracle): the served spans table after
+build + refresh equals the inline full-corpus recompute EXACTLY —
+same WITH-chain oracle as text_substring_spans.
+
+100 TB shape: per refresh, gram extraction is O(delta tokens); the
+counts lookup and MERGE are key-joins bloom/zone-prunable on gram;
+the only full-width reads are two column-pruned scans of the postings
+table (find holders of flipped grams; re-read affected docs'
+positions) — both shuffle O(matching postings) after the semi-joins,
+and a gram-bucketed layout would file-prune them too. Span windows
+run per-doc over duplicated positions of AFFECTED docs only.
+
+Reference parity note: the reference ETL (anselumana/binance-etl,
+~539 LoC) has no index structures; north-star extension per
+SURVEY.md §2.21.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.plans.llm_ops10 import _K, _SQL_GRAMS, _gram_stream
+from binance_etl_spark.plans.registry import register
+
+
+def _spans_from_positions(dpos: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram START positions into
+    maximal spans — the shared core of the inline op and the
+    incremental recompute (identical arithmetic, so serve == inline)."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = dpos.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-10 * _K))
+            > _K - 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_span")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("span_no"),
+    )
+    agg = spans.groupBy("doc_id", "span_no").agg(
+        (F.max("pos") - F.min("pos") + _K).alias("covered")
+    )
+    return agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").cast("bigint").alias("dup_tokens"),
+        F.max("covered").cast("bigint").alias("longest_span"),
+    )
+
+
+def build_spans_index(
+    docs: DataFrame, root: str, batch_id: int | None = None
+) -> dict:
+    """Apply one batch of (doc_id, text) docs to the spans index at
+    `root` (three snapshot tables: postings/, counts/, spans/). First
+    call builds; later calls refresh incrementally. Returns evidence:
+    {n_delta_docs, n_flipped_grams, n_affected_docs}."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    spark = docs.sparkSession
+    postings_t = f"{root}/postings"
+    counts_t = f"{root}/counts"
+    spans_t = f"{root}/spans"
+    g = _gram_stream(docs)  # (doc_id, pos, gram) of the DELTA only
+    delta_docs = docs.select("doc_id").distinct()
+    n_delta = delta_docs.count()
+    dnd = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd_delta")
+    )
+
+    first = not SNAP.main_versions(postings_t)
+    if first:
+        SNAP.write_version(g, postings_t, batch_id=batch_id)
+        counts = dnd.select("gram", F.col("nd_delta").alias("nd"))
+        SNAP.write_version(
+            counts, counts_t, bloom_cols=["gram"], batch_id=batch_id
+        )
+        dup = g.join(
+            SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
+            "gram",
+            "left_semi",
+        ).select("doc_id", "pos")
+        SNAP.write_version(
+            _spans_from_positions(dup), spans_t, batch_id=batch_id
+        )
+        return {
+            "n_delta_docs": n_delta,
+            "n_flipped_grams": -1,
+            "n_affected_docs": n_delta,
+        }
+
+    # exactly-once replay token: if this batch already committed to
+    # the spans table (the LAST commit of the apply), the whole apply
+    # ran — skip (postings/counts carry their own tokens too)
+    if batch_id is not None and SNAP._find_batch_commit(
+        spans_t, batch_id
+    ) is not None:
+        return {"n_delta_docs": n_delta, "replayed": True}
+
+    # 1. old counts for the DELTA's grams only (key-projected lookup;
+    # gram blooms bound the MERGE rewrite below to affected files)
+    old_hit = (
+        SNAP.read_version(spark, counts_t)
+        .join(dnd.select("gram"), "gram", "left_semi")
+        .withColumnRenamed("nd", "nd_old")
+    )
+    merged_counts = dnd.join(old_hit, "gram", "left").select(
+        "gram",
+        (F.col("nd_delta") + F.coalesce(F.col("nd_old"), F.lit(0))).alias(
+            "nd"
+        ),
+        "nd_old",
+    )
+    # appends only GROW nd -> an existing doc's spans change iff one
+    # of its grams crossed the nd>=2 threshold THIS batch
+    flipped = merged_counts.where(
+        (F.col("nd") >= 2)
+        & (F.coalesce(F.col("nd_old"), F.lit(0)) < 2)
+    ).select("gram")
+    flipped = flipped.localCheckpoint()  # cut lineage: used twice below
+    n_flipped = flipped.count()
+
+    # 2. commit postings append + counts MERGE
+    SNAP.write_version(g, postings_t, batch_id=batch_id)
+    SNAP.merge_into(
+        spark,
+        counts_t,
+        merged_counts.drop("nd_old"),
+        ["gram"],
+        batch_id=batch_id,
+    )
+
+    # 3. affected docs = holders of flipped grams (stored postings,
+    # column-pruned semi-join) + the delta docs
+    post = SNAP.read_version(spark, postings_t)
+    holders = (
+        post.join(flipped, "gram", "left_semi").select("doc_id").distinct()
+    )
+    affected = holders.unionByName(delta_docs).distinct().localCheckpoint()
+    n_affected = affected.count()
+
+    # 4. recompute spans for affected docs only, against the UPDATED
+    # full-corpus counts, and MERGE (unaffected docs carry by name)
+    aff_post = post.join(affected, "doc_id", "left_semi")
+    dup = aff_post.join(
+        SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
+        "gram",
+        "left_semi",
+    ).select("doc_id", "pos")
+    new_spans = _spans_from_positions(dup)
+    # a recomputed doc may have ZERO spans (not possible on append —
+    # spans never shrink — but merge semantics want exactly the docs
+    # with spans): new_spans only contains span-bearing docs, and an
+    # affected doc that HAD a row keeps gaining, so upsert suffices
+    SNAP.merge_into(spark, spans_t, new_spans, ["doc_id"], batch_id=batch_id)
+    return {
+        "n_delta_docs": n_delta,
+        "n_flipped_grams": n_flipped,
+        "n_affected_docs": n_affected,
+    }
+
+
+def _spans_lifecycle_oracle() -> str:
+    return f"""
+    WITH {_SQL_GRAMS},
+    dpos AS (
+      SELECT g.doc_id, g.pos FROM g JOIN pg USING (gram) WHERE pg.nd >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id
+                  ORDER BY pos), -{10 * _K}) > {_K - 1}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dpos
+    ), spans AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
+      FROM flagged
+    ), agg AS (
+      SELECT doc_id, span_no,
+             MAX(pos) - MIN(pos) + {_K} AS covered
+      FROM spans GROUP BY doc_id, span_no
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+           CAST(MAX(covered) AS BIGINT) AS longest_span,
+           CAST(2 AS INT) AS n_versions,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    FROM agg GROUP BY doc_id
+    """
+
+
+@register(
+    "text_spans_incremental",
+    oracle=_spans_lifecycle_oracle(),
+    doc="Incremental duplicated-substring spans over the snapshot log: "
+    "BUILD (gram postings + bloom-indexed gram counts + per-doc spans "
+    "for the doc_id % 10 != 7 corpus), REFRESH (the late % 10 == 7 "
+    "slice: O(delta) gram extraction, counts MERGE, spans recomputed "
+    "ONLY for docs holding a gram whose duplicated-status flipped "
+    "this batch plus the delta docs — appends only grow nd, so "
+    "nothing else can change), SERVE (read the spans table). The "
+    "oracle is the inline text_substring_spans oracle over the full "
+    "corpus — served must equal recomputed, the index-consistency "
+    "statement. Incrementality evidence (affected << corpus on a "
+    "crafted fixture) pinned in tests/test_round11_ops.py.",
+    tags=("text", "llm", "dedup", "sink"),
+)
+def text_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    d = fanout(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="besk_spansidx_") + "/t"
+    build_spans_index(d.where(F.col("doc_id") % 10 != 7), root)
+    build_spans_index(d.where(F.col("doc_id") % 10 == 7), root)
+    n_versions = len(SNAP.main_versions(f"{root}/spans"))
+    n_docs = d.count()
+    return SNAP.read_version(spark, f"{root}/spans").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "longest_span",
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+    )

@@ -199,3 +199,52 @@ def test_asof_prefilter_is_broadcast_semi_and_result_identical(spark):
     assert "BroadcastHashJoin" in plan, (
         "probe-key filter must broadcast at sparse-probe scale"
     )
+
+
+# --- incremental spans: affected-docs evidence ------------------------
+
+
+def test_spans_refresh_touches_only_affected_docs(spark, tmp_path):
+    """The refresh recomputes spans ONLY for (holders of flipped
+    grams) + (delta docs): on a corpus of 100 unique docs, appending
+    one doc that repeats doc 7's text must flip exactly doc 7's grams
+    and recompute 2 docs, not 101 — and the resulting spans must be
+    the full-text span for both."""
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.spans_index import build_spans_index
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    base = spark.createDataFrame(
+        [(i, words(i)) for i in range(100)], "doc_id BIGINT, text STRING"
+    )
+    root = str(tmp_path / "idx")
+    ev1 = build_spans_index(base, root)
+    assert ev1["n_delta_docs"] == 100
+    assert SNAP.read_version(spark, f"{root}/spans").count() == 0
+
+    delta = spark.createDataFrame(
+        [(1000, words(7))], "doc_id BIGINT, text STRING"
+    )
+    ev2 = build_spans_index(delta, root)
+    assert ev2["n_affected_docs"] == 2, ev2
+    assert ev2["n_flipped_grams"] == 12 - 5 + 1  # doc 7's gram count
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in SNAP.read_version(spark, f"{root}/spans").collect()
+    }
+    assert got == {7: (1, 12, 12), 1000: (1, 12, 12)}
+
+    # second refresh repeating doc 3's text: doc 7/1000 spans carry
+    # untouched (their files carry by name in the MERGE)
+    ev3 = build_spans_index(
+        spark.createDataFrame(
+            [(2000, words(3))], "doc_id BIGINT, text STRING"
+        ),
+        root,
+    )
+    assert ev3["n_affected_docs"] == 2
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in SNAP.read_version(spark, f"{root}/spans").collect()
+    }
+    assert got == {7: 1, 1000: 1, 3: 1, 2000: 1}
