@@ -321,6 +321,14 @@ HEADLINE_LLM = [
     # near-dup contamination matrix.
     "ms_time_weighted_imbalance",
     "dedup_cross_source_matrix",
+    # round-11: sparse-probe as-of with the broadcast-semi reference
+    # filter, and the incremental spans index lifecycle (build +
+    # refresh + serve — the multi-commit sibling of
+    # text_index_lifecycle). stream_join_late_watermark is NOT
+    # benched for the stream_ohlcv_late_watermark reason: fixed
+    # streaming machinery over a ~20-row tape, not throughput.
+    "join_asof_prefiltered",
+    "text_spans_incremental",
 ]
 
 

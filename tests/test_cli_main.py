@@ -79,8 +79,18 @@ def test_cli_sigterm_stops_gracefully(spark):
             f"{d}/out/spot/{sym}/{t}/_spark_metadata" for t in ("trades", "depth")
         ]
 
-        def committed(m: str) -> bool:  # first batch id file published
-            return os.path.isdir(m) and len(os.listdir(m)) > 0
+        def committed(m: str) -> bool:
+            # require a COMMITTED batch AND a real data file: under a
+            # loaded machine the first trigger can fire before the
+            # spool has frames, committing an EMPTY batch 0 — metadata
+            # exists, zero part files, and the post-stop read cannot
+            # infer a schema (observed flake, sharded run 2026-08-16)
+            if not (os.path.isdir(m) and len(os.listdir(m)) > 0):
+                return False
+            return any(
+                f.startswith("part-") and f.endswith(".parquet")
+                for f in os.listdir(os.path.dirname(m))
+            )
 
         while time.monotonic() < deadline and not all(map(committed, markers)):
             if proc.poll() is not None:

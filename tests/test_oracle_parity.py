@@ -42,12 +42,17 @@ def test_oracle_parity(spark, sf_dir, name):
     compare(spark, sf_dir, name, q.fn, q.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+if ROWS_ONLY:
+    # defined only when this shard HOLDS rows-only keys — an empty
+    # parametrize would register as a skip in 5 of 8 shards (only 4
+    # rows-only queries exist), and the sharded suite aims for 0
+    # skipped (r10 verdict item 4)
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_runs(spark, sf_dir, name):
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 if os.environ.get("BESK_PARITY_SHARD", "0/1").split("/")[0] == "0":
