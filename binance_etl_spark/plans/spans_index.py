@@ -10,10 +10,11 @@ affected) instead:
 
 - POSTINGS table: (doc_id, pos, gram) rows, appended per batch —
   gram extraction is paid once per document ever;
-- COUNTS table: (gram, nd) distinct-doc counts, bloom-indexed on
-  gram and maintained by MERGE — the refresh reads old counts for
-  the DELTA's grams only (key-projected semi-join) and upserts
-  nd_old + nd_delta;
+- COUNTS table: (gram, nd) distinct-doc counts maintained by MERGE
+  — the refresh reads old counts for the DELTA's grams only
+  (key-projected semi-join) and upserts nd_old + nd_delta
+  (deliberately NO bloom index: measured cost/benefit in
+  build_spans_index);
 - SPANS table: the per-doc results, maintained by MERGE over ONLY
   the AFFECTED docs. The delta-maintenance insight: appending docs
   can only GROW a gram's nd, so an existing doc's spans change iff
@@ -26,7 +27,9 @@ build + refresh equals the inline full-corpus recompute EXACTLY —
 same WITH-chain oracle as text_substring_spans.
 
 100 TB shape: per refresh, gram extraction is O(delta tokens); the
-counts lookup and MERGE are key-joins bloom/zone-prunable on gram;
+counts lookup and MERGE are key-joins (percent-scale deltas rewrite
+most counts files, so the MERGE full-scan is the right plan; narrow
+deltas can re-enable gram blooms — see build_spans_index);
 the only full-width reads are two column-pruned scans of the postings
 table (find holders of flipped grams; re-read affected docs'
 positions) — both shuffle O(matching postings) after the semi-joins,
@@ -97,7 +100,10 @@ def build_spans_index(
     postings_t = f"{root}/postings"
     counts_t = f"{root}/counts"
     spans_t = f"{root}/spans"
-    g = _gram_stream(docs)  # (doc_id, pos, gram) of the DELTA only
+    # (doc_id, pos, gram) of the DELTA only — checkpointed: three
+    # downstream consumers (postings write, counts agg, dup/holder
+    # joins) would each re-run the HOF gram extraction otherwise
+    g = _gram_stream(docs).localCheckpoint()
     delta_docs = docs.select("doc_id").distinct()
     n_delta = delta_docs.count()
     dnd = g.groupBy("gram").agg(
@@ -108,9 +114,16 @@ def build_spans_index(
     if first:
         SNAP.write_version(g, postings_t, batch_id=batch_id)
         counts = dnd.select("gram", F.col("nd_delta").alias("nd"))
-        SNAP.write_version(
-            counts, counts_t, bloom_cols=["gram"], batch_id=batch_id
-        )
+        # MEASURED: no bloom index on the counts table. Building one
+        # costs a ~4.5s executor md5 pass over every distinct gram at
+        # sf0.1 AND re-runs on every MERGE's new files, while the
+        # probe prunes nothing for this table's shape — md5-scattered
+        # string keys defeat the zone stage, and a percent-scale delta
+        # carries >>10^3 keys, where accumulated per-key FPR reads
+        # every file MAYBE (see select_files_keys). A deployment with
+        # NARROW deltas (<=1024 grams) should pass bloom_cols=["gram"]
+        # here and get the driver-path prune back.
+        SNAP.write_version(counts, counts_t, batch_id=batch_id)
         dup = g.join(
             SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
             "gram",
@@ -133,8 +146,7 @@ def build_spans_index(
     ) is not None:
         return {"n_delta_docs": n_delta, "replayed": True}
 
-    # 1. old counts for the DELTA's grams only (key-projected lookup;
-    # gram blooms bound the MERGE rewrite below to affected files)
+    # 1. old counts for the DELTA's grams only (key-projected lookup)
     old_hit = (
         SNAP.read_version(spark, counts_t)
         .join(dnd.select("gram"), "gram", "left_semi")
@@ -156,14 +168,14 @@ def build_spans_index(
     flipped = flipped.localCheckpoint()  # cut lineage: used twice below
     n_flipped = flipped.count()
 
-    # 2. commit postings append + counts MERGE
+    # 2. commit postings append + counts MERGE. merge_into runs
+    # several actions on its source (dup gate, key semi-join, the
+    # write) — checkpoint the source once so the delta gram extraction
+    # and the counts-table read don't re-evaluate per action
     SNAP.write_version(g, postings_t, batch_id=batch_id)
+    new_counts = merged_counts.drop("nd_old").localCheckpoint()
     SNAP.merge_into(
-        spark,
-        counts_t,
-        merged_counts.drop("nd_old"),
-        ["gram"],
-        batch_id=batch_id,
+        spark, counts_t, new_counts, ["gram"], batch_id=batch_id
     )
 
     # 3. affected docs = holders of flipped grams (stored postings,
@@ -183,7 +195,7 @@ def build_spans_index(
         "gram",
         "left_semi",
     ).select("doc_id", "pos")
-    new_spans = _spans_from_positions(dup)
+    new_spans = _spans_from_positions(dup).localCheckpoint()
     # a recomputed doc may have ZERO spans (not possible on append —
     # spans never shrink — but merge semantics want exactly the docs
     # with spans): new_spans only contains span-bearing docs, and an
@@ -231,8 +243,9 @@ def _spans_lifecycle_oracle() -> str:
     "text_spans_incremental",
     oracle=_spans_lifecycle_oracle(),
     doc="Incremental duplicated-substring spans over the snapshot log: "
-    "BUILD (gram postings + bloom-indexed gram counts + per-doc spans "
-    "for the doc_id % 10 != 7 corpus), REFRESH (the late % 10 == 7 "
+    "BUILD (gram postings + gram-count + per-doc span tables for the "
+    "doc_id % 10 != 7 corpus; counts deliberately un-bloomed — "
+    "measured trade in build_spans_index), REFRESH (the late % 10 == 7 "
     "slice: O(delta) gram extraction, counts MERGE, spans recomputed "
     "ONLY for docs holding a gram whose duplicated-status flipped "
     "this batch plus the delta docs — appends only grow nd, so "
