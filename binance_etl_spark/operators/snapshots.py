@@ -1018,11 +1018,18 @@ def select_files_point(
 ) -> tuple[list[str], list[str]]:
     """Index-level POINT-LOOKUP file skipping: split a snapshot's
     files into (candidates, skipped) for ``col IN values`` using the
-    per-file blooms. Files without a bloom for ``col`` are always
-    candidates (skipping is an I/O optimization, never a filter).
-    Digests are computed ONCE per value (not per file — the naive loop
-    is |files| x |values| x k md5 calls) and each file's bitmap is
-    tested with one vectorized numpy gather."""
+    per-file blooms PLUS the manifest min/max zones (round-11): each
+    file's bitmap is probed with ONLY the values inside its [min,max]
+    range — per-value bloom FPR accumulates (a file missing all of n
+    values still reads MAYBE with p = 1-(1-fpr)^n, material from
+    n ~ 10^2), so on a range-clustered table the zone restriction is
+    what keeps mid-size erasure batches pruning at 10^3+ files.
+    Files without a bloom for ``col`` are always candidates unless
+    their zone excludes every value (skipping is an I/O optimization,
+    never a filter: zones are true min/max, blooms have no false
+    negatives). Digests are computed ONCE per value (not per file —
+    the naive loop is |files| x |values| x k md5 calls) and each
+    bitmap is tested with one vectorized numpy gather."""
     import hashlib
 
     import numpy as np
@@ -1033,22 +1040,47 @@ def select_files_point(
     entries = _load_bloom_entries(table_dir, manifest)
     col = _mapping(manifest).get(col, col)
     kmax = max((e[1] for e in entries.values()), default=_BLOOM_K)
+    # zone stage applies only when EVERY value is integral (a mixed
+    # or string value set cannot be ordered against parquet stats
+    # portably); values are sorted so each file's in-zone slice is a
+    # binary search
+    ivals = sorted(
+        v for v in values if isinstance(v, int) and not isinstance(v, bool)
+    )
+    zoned = len(ivals) == len(values)
+    ordered = ivals if zoned else list(values)
     H = np.array(
         [
             [
                 int(hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8], 16)
                 for i in range(kmax)
             ]
-            for val in values
+            for val in ordered
         ],
         dtype=np.int64,
-    ).reshape(len(values), kmax)
+    ).reshape(len(ordered), kmax)
+    RV = np.array(ivals, dtype=np.int64) if zoned else None
+    stats = manifest.get("stats", {})
     cand, skipped = [], []
     for rel in manifest["files"]:
+        Hs = H
+        if RV is not None:
+            lohi = stats.get(rel, {}).get(col)
+            if (
+                lohi
+                and isinstance(lohi[0], int)
+                and not isinstance(lohi[0], bool)
+            ):
+                lo = np.searchsorted(RV, lohi[0], "left")
+                hi = np.searchsorted(RV, lohi[1], "right")
+                if hi <= lo:  # zone excludes every value
+                    skipped.append(rel)
+                    continue
+                Hs = H[lo:hi]
         e = entries.get((os.path.normpath(rel), col))
         if e is not None:
             m, k, bits = e
-            P = H[:, :k] % m
+            P = Hs[:, :k] % m
             barr = np.frombuffer(bits, dtype=np.uint8)
             if not bool((((barr[P >> 3] >> (P & 7)) & 1).all(axis=1)).any()):
                 skipped.append(rel)
@@ -2798,7 +2830,18 @@ def read_changes(
     removed = sorted(files_from - files_to)
     common = sorted(files_from & files_to)
 
-    empty = read_version(spark, table_dir, to_version).limit(0)
+    # empty/schema frame WITHOUT touching data files: read_version
+    # would list and plan over every snapshot file just to learn the
+    # schema — measured as the probe's 4.6x read_changes slope at
+    # 1,600 files (the one O(table) step in an otherwise O(delta)
+    # changelog read). Manifests pin the logical schema; fall back to
+    # the listing read only for pre-schema manifests.
+    _schema = _manifest_schema(m_to)
+    empty = (
+        spark.createDataFrame([], _schema)
+        if _schema is not None
+        else read_version(spark, table_dir, to_version).limit(0)
+    )
     cols = empty.columns
     # live reads: each side's deletion vector applied, so a row erased
     # before `from` can never re-surface in the diff
