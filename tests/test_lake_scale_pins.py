@@ -441,3 +441,94 @@ def test_wide_probe_null_key_still_falls_back(spark):
         .collect()
     }
     assert got == {None: 99, 10: -3}
+
+
+def test_select_files_keys_on_shallow_clone_borrowed_blooms(spark):
+    """The distributed probe must canonicalize borrowed bloom-index
+    `f` entries exactly like _load_bloom_entries (a shallow clone's
+    manifest lists its source's files ABSOLUTE while the borrowed
+    index records them source-relative) — a spelling mismatch would
+    silently disable pruning (or worse, mis-assign verdicts)."""
+    t = _table(spark)  # bloom_cols=["doc_id"], 8 range files
+    dst = tempfile.mkdtemp(prefix="lake_pin_clone_") + "/c"
+    SNAP.shallow_clone(t, dst)
+    m = SNAP._load_manifest(dst, SNAP.main_versions(dst)[-1])
+    keys_sdf = spark.range(20).select(
+        F.col("id").cast("string").alias("_kv"),
+        F.col("id").cast("long").alias("_rv"),
+    )
+    res = SNAP.select_files_keys(
+        spark, dst, None, ["doc_id"], keys_sdf, manifest=m
+    )
+    assert res is not None, "borrowed blooms must engage on a clone"
+    cand, skipped = res
+    assert len(skipped) >= 1, "clone probe must prune via borrowed index"
+    assert len(cand) + len(skipped) == len(m["files"])
+    # correctness: every file truly holding a probed key is a candidate
+    live = SNAP._live_rows(spark, dst, m, m["files"], with_file=True)
+    holding = {
+        os.path.normpath(r["__f"])
+        for r in live.where(F.col("doc_id") < 20)
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    assert holding, "fixture must hold probed keys"
+    assert holding <= {os.path.normpath(c) for c in cand}
+
+
+def test_select_files_keys_last_index_wins(spark):
+    """A file covered by TWO index datasets must take the verdict of
+    the LATER one (the _load_bloom_entries last-wins rule): simulate a
+    stale early index whose bitmap would wrongly prune by writing an
+    all-zeros index first and the real one after."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _table(spark)
+    v = SNAP.main_versions(t)[-1]
+    m = SNAP._load_manifest(t, v)
+    real_rel = m["bloom_indexes"][-1]
+    real = pq.read_table(os.path.join(t, real_rel))
+    # stale twin: same files/col/m/k, all-zero bitmaps (prunes all)
+    zero = pa.table(
+        {
+            "f": real["f"],
+            "col": real["col"],
+            "m": real["m"],
+            "k": real["k"],
+            "bits": pa.array(
+                [b"\x00" * len(b.as_py()) for b in real["bits"]],
+                pa.binary(),
+            ),
+        }
+    )
+    stale_rel = os.path.join("bloom", "stale0")
+    os.makedirs(os.path.join(t, stale_rel), exist_ok=True)
+    pq.write_table(zero, os.path.join(t, stale_rel, "part-0.parquet"))
+    m2 = dict(m)
+    m2["bloom_indexes"] = [stale_rel] + list(m["bloom_indexes"])
+    keys_sdf = (
+        spark.range(50)
+        .select(
+            F.col("id").cast("string").alias("_kv"),
+            F.col("id").cast("long").alias("_rv"),
+        )
+    )
+    res = SNAP.select_files_keys(
+        spark, t, None, ["doc_id"], keys_sdf, manifest=m2
+    )
+    assert res is not None
+    cand, _sk = res
+    live = SNAP._live_rows(spark, t, m, m["files"], with_file=True)
+    holding = {
+        os.path.normpath(r["__f"])
+        for r in live.where(F.col("doc_id") < 50)
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    assert holding, "fixture must hold probed keys"
+    assert holding <= {os.path.normpath(c) for c in cand}, (
+        "stale earlier index must not override the later one"
+    )
