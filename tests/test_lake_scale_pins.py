@@ -532,3 +532,54 @@ def test_select_files_keys_last_index_wins(spark):
     assert holding <= {os.path.normpath(c) for c in cand}, (
         "stale earlier index must not override the later one"
     )
+
+
+def test_zone_stage_boundary_inclusive_randomized(spark):
+    """Zone pruning must keep keys exactly AT a file's min/max (the
+    searchsorted left/right inclusivity): randomized range tables +
+    key sets planted on exact file boundaries, asserting no pruned
+    file ever holds a probed key, for both the driver path
+    (select_files_point) and the distributed path (select_files_keys
+    driven through merge_into's wide branch)."""
+    import random
+
+    rng = random.Random(1107)
+    for trial in range(3):
+        n = rng.choice([3_000, 7_000])
+        nf = rng.choice([4, 6])
+        t = tempfile.mkdtemp(prefix=f"lake_pin_zb{trial}_") + "/t"
+        SNAP.write_version(
+            _synth(spark, n_rows=n, n_files=nf),
+            t,
+            bloom_cols=["doc_id"],
+            stats_cols=["doc_id"],
+        )
+        m = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+        # exact per-file boundaries from the manifest stats
+        bounds = [
+            tuple(st["doc_id"]) for st in m["stats"].values() if "doc_id" in st
+        ]
+        edge_keys = sorted({b for lo, hi in bounds for b in (lo, hi)})
+        probe = edge_keys + [rng.randrange(n) for _ in range(20)]
+        cand, skipped = SNAP.select_files_point(t, None, "doc_id", probe)
+        live = SNAP._live_rows(spark, t, m, m["files"], with_file=True)
+        holding = {
+            os.path.normpath(r["__f"])
+            for r in live.where(F.col("doc_id").isin(probe))
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+        assert holding <= {os.path.normpath(c) for c in cand}, (
+            f"trial {trial}: boundary key pruned from its own file"
+        )
+        # distributed path on the same probe set
+        kdf = spark.createDataFrame(
+            [(v,) for v in sorted(set(probe))], "_v BIGINT"
+        ).select(
+            F.col("_v").cast("string").alias("_kv"),
+            F.col("_v").cast("long").alias("_rv"),
+        )
+        res = SNAP.select_files_keys(spark, t, None, ["doc_id"], kdf)
+        assert res is not None
+        assert holding <= {os.path.normpath(c) for c in res[0]}
