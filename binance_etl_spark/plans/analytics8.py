@@ -303,3 +303,199 @@ def join_asof_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("asof_event_id"),
         F.col("asof_value").alias("asof_value"),
     )
+
+
+# --- stream_join_outer_watermark --------------------------------------
+
+# LEFT OUTER tape (delay 10s, tol 1s): branches the inner op cannot
+# exercise —
+# - unmatched ADMITTED trades 50/7/60 emit NULL rows once evictable
+#   (t_ev + tol < final wm 290s);
+# - trade 61 @289.0s sits EXACTLY at final_wm - tol (290.0 == 290):
+#   observed HELD, so the emission rule is STRICT less-than;
+# - trade 62 @295s stays above the threshold: never emits;
+# - trade 3 @2.0s <= wm 2.6s drops as late INPUT: no NULL row either
+#   (dropped-late lefts vanish entirely — verified);
+# - depth 150 @40s is admitted and unmatched: LEFT outer emits
+#   nothing for the right side;
+# - pairs (1,101), (5,105), (6,106), (99,199) ride the inner rule.
+_SJO_TRADES: list[list[tuple[int, str, int]]] = [
+    [(10_000, "AAA", 1), (30_000, "AAA", 50)],
+    [(2_000, "AAA", 3), (60_000, "AAA", 5)],
+    [(55_000, "AAA", 6), (52_000, "BBB", 7)],
+    [
+        (300_000, "AAA", 99),
+        (288_900, "AAA", 60),
+        (289_000, "AAA", 61),
+        (295_000, "AAA", 62),
+    ],
+]
+_SJO_DEPTH: list[list[tuple[int, str, int]]] = [
+    [(10_400, "AAA", 101), (12_600, "AAA", 103)],
+    [(59_700, "AAA", 105), (40_000, "AAA", 150)],
+    [(55_800, "AAA", 106)],
+    [(300_000, "AAA", 199)],
+]
+
+
+@register(
+    "stream_join_outer_watermark",
+    oracle=f"""
+    WITH traw(phase, ev_ms, sym, tid) AS {_sj_values(_SJO_TRADES)},
+    draw(phase, ev_ms, sym, did) AS {_sj_values(_SJO_DEPTH)},
+    pm AS (
+      SELECT phase,
+             MAX(CASE WHEN side = 't' THEN ev_ms END) AS tmx,
+             MAX(CASE WHEN side = 'd' THEN ev_ms END) AS dmx
+      FROM (SELECT phase, ev_ms, 't' AS side FROM traw
+            UNION ALL SELECT phase, ev_ms, 'd' AS side FROM draw)
+      GROUP BY phase
+    ), wm AS (
+      SELECT phase,
+             LEAST(MAX(tmx) OVER w, MAX(dmx) OVER w) - {_SJ_DELAY_MS}
+               AS wm_ms
+      FROM pm
+      WINDOW w AS (ORDER BY phase
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), t AS (
+      SELECT r.sym, r.ev_ms, r.tid
+      FROM traw r JOIN wm USING (phase)
+      WHERE wm.wm_ms IS NULL OR r.ev_ms > wm.wm_ms
+    ), d AS (
+      SELECT r.sym, r.ev_ms, r.did
+      FROM draw r JOIN wm USING (phase)
+      WHERE wm.wm_ms IS NULL OR r.ev_ms > wm.wm_ms
+    ), fin AS (  -- FINAL global watermark (min of the two inputs)
+      SELECT LEAST((SELECT MAX(ev_ms) FROM traw),
+                   (SELECT MAX(ev_ms) FROM draw)) - {_SJ_DELAY_MS} AS f
+    )
+    SELECT t.sym AS symbol,
+           CAST(t.tid AS BIGINT) AS trade_id,
+           CAST(t.ev_ms AS BIGINT) AS t_ms,
+           CAST(d.did AS BIGINT) AS depth_id,
+           CAST(d.ev_ms AS BIGINT) AS d_ms
+    FROM t JOIN d
+      ON d.sym = t.sym
+     AND d.ev_ms BETWEEN t.ev_ms - {_SJ_TOL_MS}
+                     AND t.ev_ms + {_SJ_TOL_MS}
+    UNION ALL
+    SELECT t.sym AS symbol,
+           CAST(t.tid AS BIGINT) AS trade_id,
+           CAST(t.ev_ms AS BIGINT) AS t_ms,
+           CAST(NULL AS BIGINT) AS depth_id,
+           CAST(NULL AS BIGINT) AS d_ms
+    FROM t
+    WHERE NOT EXISTS (
+            SELECT 1 FROM d
+            WHERE d.sym = t.sym
+              AND d.ev_ms BETWEEN t.ev_ms - {_SJ_TOL_MS}
+                              AND t.ev_ms + {_SJ_TOL_MS}
+          )
+      AND t.ev_ms + {_SJ_TOL_MS} < (SELECT f FROM fin)
+    """,
+    doc="LEFT OUTER stream-stream interval join — the eviction-timed "
+    "NULL-row semantics on top of the inner op's drop rule, run as a "
+    "REAL Structured Streaming query over two deterministic replay "
+    "spools and verified empirically on Spark 4.1: an admitted left "
+    "row with no admitted in-interval match emits (left, NULL) when "
+    "its state evicts, i.e. iff t_ev + tol < the FINAL global "
+    "watermark (STRICT — a row exactly AT final_wm - tol was observed "
+    "held); a dropped-late left row vanishes entirely (no NULL row); "
+    "unmatched right rows emit nothing (left outer). 100 TB shape: "
+    "identical to the inner op — one symbol shuffle per side into the "
+    "symmetric hash join, state bounded by (delay + interval) x "
+    "arrival rate; the NULL emission adds no state, it rides the "
+    "eviction pass.",
+    tags=("streaming", "join", "market"),
+)
+def stream_join_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.sources.replay import register as _reg_replay
+
+    _reg_replay(spark)
+    root = tempfile.mkdtemp(prefix="besk_sjo_wm_")
+    tlog = os.path.join(root, "trades.jsonl")
+    dlog = os.path.join(root, "depth.jsonl")
+    open(tlog, "w").close()
+    open(dlog, "w").close()
+    seq = [0]
+
+    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
+        with open(log, "a") as f:
+            for off, sym, ident in phase:
+                frame = json.dumps(
+                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
+                )
+                seq[0] += 1
+                f.write(
+                    json.dumps(
+                        {
+                            "frame": frame,
+                            "arrival_ms": 1000 + seq[0],
+                            "seq": seq[0],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def _side(log: str, tag: str):
+        sdf = (
+            spark.readStream.format("replay")
+            .option("path", log)
+            .option("maxFramesPerBatch", "100000")
+            .load()
+        )
+        return sdf.select(
+            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
+            F.timestamp_millis(
+                F.get_json_object("frame", "$.E").cast("long")
+            ).alias(f"{tag}_ev"),
+            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
+            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
+        ).withWatermark(f"{tag}_ev", f"{_SJ_DELAY_MS // 1000} seconds")
+
+    joined = _side(tlog, "t").join(
+        _side(dlog, "d"),
+        F.expr(
+            "t_sym = d_sym AND d_ev BETWEEN "
+            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
+            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
+        ),
+        "left_outer",
+    )
+    name = "sjo_wm_" + uuid.uuid4().hex[:12]
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for tphase, dphase in zip(_SJO_TRADES, _SJO_DEPTH):
+            _append(tlog, tphase)
+            _append(dlog, dphase)
+            q.processAllAvailable()
+        q.processAllAvailable()
+        rows = (
+            spark.table(name)
+            .select(
+                F.col("t_sym").alias("symbol"),
+                F.col("t_id").alias("trade_id"),
+                "t_ms",
+                F.col("d_id").alias("depth_id"),
+                "d_ms",
+            )
+            .collect()
+        )
+    finally:
+        q.stop()
+        spark.conf.set(shuffle_key, prior_shuffle)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(root, ignore_errors=True)
+    schema = (
+        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
+        "depth_id BIGINT, d_ms BIGINT"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -248,3 +248,31 @@ def test_spans_refresh_touches_only_affected_docs(spark, tmp_path):
         for r in SNAP.read_version(spark, f"{root}/spans").collect()
     }
     assert got == {7: 1, 1000: 1, 3: 1, 2000: 1}
+
+
+# --- LEFT OUTER stream-stream join: eviction-timed NULL rows ----------
+
+
+def test_stream_outer_join_null_row_semantics(spark):
+    """Branch facts for stream_join_outer_watermark (verified on Spark
+    4.1, module fixture comments): NULL rows emit iff the admitted
+    left row is unmatched AND t_ev + tol < the FINAL watermark,
+    STRICTLY — plus the inner drop rule and left-outer asymmetry."""
+    from binance_etl_spark.plans.analytics8 import (
+        stream_join_outer_watermark,
+    )
+
+    df = stream_join_outer_watermark(spark, SF)
+    got = {(r["trade_id"], r["depth_id"]) for r in df.collect()}
+    assert {(1, 101), (5, 105), (6, 106), (99, 199)} <= got
+    assert {(50, None), (7, None), (60, None)} <= got, (
+        "evictable unmatched lefts must emit NULL rows"
+    )
+    tids = {t for t, _ in got}
+    assert 61 not in tids, "row exactly AT final_wm - tol must be HELD"
+    assert 62 not in tids, "row above the eviction threshold never emits"
+    assert 3 not in tids, "dropped-late left must vanish (no NULL row)"
+    assert not any(d == 150 for _, d in got), (
+        "unmatched RIGHT rows emit nothing in a LEFT outer join"
+    )
+    assert len(got) == 7
