@@ -583,3 +583,90 @@ def test_zone_stage_boundary_inclusive_randomized(spark):
         res = SNAP.select_files_keys(spark, t, None, ["doc_id"], kdf)
         assert res is not None
         assert holding <= {os.path.normpath(c) for c in res[0]}
+
+
+def test_merge_paths_randomized_vs_model(spark):
+    """Randomized MERGE fuzz across all four probe paths (driver
+    <=1024, distributed wide, composite, NULL fallback): every trial
+    compares the post-merge table against a pure-Python dict model AND
+    pins rewrote == ground-truth affected files. Catches interaction
+    bugs a fixed fixture can't (keys straddling file boundaries, empty
+    prune sets, insert-only sources)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.choice([4_000, 9_000])
+        nf = rng.choice([4, 7])
+        composite = trial == 2
+        keys = ["doc_id", "lang"] if composite else ["doc_id"]
+        t = tempfile.mkdtemp(prefix=f"lake_fuzz{trial}_") + "/t"
+        base = _synth(spark, n_rows=n, n_files=nf)
+        SNAP.write_version(
+            base,
+            t,
+            bloom_cols=[tuple(keys) if composite else keys[0]],
+            stats_cols=["doc_id"],
+        )
+        model = {
+            (r["doc_id"], r["lang"]) if composite else r["doc_id"]: r[
+                "n_chars"
+            ]
+            for r in base.collect()
+        }
+        # source: random updates (some contiguous, some scattered,
+        # size straddles the 1024 driver cap) + inserts
+        width = rng.choice([40, 1_600, 2_500])
+        lo = rng.randrange(n)
+        upd_ids = sorted(
+            {(lo + i) % n for i in range(width // 2)}
+            | {rng.randrange(n) for _ in range(width // 2)}
+        )
+        ins_ids = [n + 1_000_000 + i for i in range(rng.randrange(1, 4))]
+        head = SNAP.read_version(spark, t)
+        src = head.where(F.col("doc_id").isin(upd_ids)).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(10_000_000)
+        )
+        ins = spark.createDataFrame(
+            [(i, "zz", -7) for i in ins_ids],
+            "doc_id BIGINT, lang STRING, n_chars BIGINT",
+        )
+        src = src.unionByName(ins.select(*head.columns))
+        src_rows = src.collect()
+        m0 = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+        live = SNAP._live_rows(spark, t, m0, m0["files"], with_file=True)
+        if composite:
+            kstruct = F.struct("doc_id", "lang")
+            skeys = {(r["doc_id"], r["lang"]) for r in src_rows}
+            hold = live.withColumn("_k", kstruct).where(
+                F.col("doc_id").isin(upd_ids)
+            )
+            expected_files = {
+                os.path.normpath(r["__f"])
+                for r in hold.collect()
+                if (r["doc_id"], r["lang"]) in skeys
+            }
+        else:
+            expected_files = {
+                os.path.normpath(r["__f"])
+                for r in live.where(F.col("doc_id").isin(upd_ids))
+                .select("__f")
+                .distinct()
+                .collect()
+            }
+        v = SNAP.merge_into(spark, t, src, keys)
+        m = SNAP._load_manifest(t, v)
+        assert m["rewrote"] == len(expected_files), (
+            f"trial {trial}: rewrote {m['rewrote']} != "
+            f"{len(expected_files)} ground-truth affected files"
+        )
+        for r in src_rows:
+            k = (r["doc_id"], r["lang"]) if composite else r["doc_id"]
+            model[k] = r["n_chars"]
+        got = {
+            (r["doc_id"], r["lang"]) if composite else r["doc_id"]: r[
+                "n_chars"
+            ]
+            for r in SNAP.read_version(spark, t).collect()
+        }
+        assert got == model, f"trial {trial}: table != model"
