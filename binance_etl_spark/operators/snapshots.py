@@ -2835,10 +2835,15 @@ def read_changes(
     # schema — measured as the probe's 4.6x read_changes slope at
     # 1,600 files (the one O(table) step in an otherwise O(delta)
     # changelog read). Manifests pin the logical schema; fall back to
-    # the listing read only for pre-schema manifests.
+    # the listing read only for pre-schema manifests. The .limit(0)
+    # is LOAD-BEARING: createDataFrame([], schema) is RDD-backed, and
+    # only limit-0 folding gives Catalyst a provably-empty
+    # LocalRelation it can ELIMINATE from the unions/excepts below —
+    # an ExistingRDD empty side keeps whole join/union branches alive
+    # (measured: sink_cdc_incremental_join 4.9 -> 7.5s without it).
     _schema = _manifest_schema(m_to)
     empty = (
-        spark.createDataFrame([], _schema)
+        spark.createDataFrame([], _schema).limit(0)
         if _schema is not None
         else read_version(spark, table_dir, to_version).limit(0)
     )
