@@ -361,7 +361,7 @@ def _enforce_unique(
         len(probe) <= _BLOOM_DRIVER_KEYS_MAX
         and keys[0] in prev.get("bloom_cols", [])
     ):
-        entries = _load_bloom_entries(table_dir, prev)
+        entries = _load_bloom_entries(table_dir, prev, col=keys[0])
         vals = [r[keys[0]] for r in probe]
         files = [
             rel
@@ -945,12 +945,33 @@ def _write_bloom_index(
     return rel
 
 
-def _load_bloom_entries(table_dir: str, manifest: dict) -> dict:
+def _load_bloom_entries(
+    table_dir: str,
+    manifest: dict,
+    col: str | None = None,
+    files: list[str] | None = None,
+) -> dict:
     """{(file_rel, col): (m, k, bits)} from the manifest's index list —
     driver-side pyarrow reads, no Spark job. Entries for files the
-    snapshot no longer lists are simply ignored by probes."""
-    import pyarrow.parquet as pq
+    snapshot no longer lists are simply ignored by probes.
 
+    ``col``/``files`` (round-11) push SELECTION into the parquet read:
+    a point probe needs only its column's bitmaps for its zone-
+    surviving files, and loading everything is the difference between
+    KBs and GBs of driver I/O at 10k files. The file filter applies
+    only to a table's OWN indexes — a shallow clone's borrowed index
+    records source-relative `f` spellings that the caller's canonical
+    list wouldn't match, so borrowed datasets load column-filtered
+    only (clones are the rare case; correctness never depends on the
+    filters, they are pure I/O reduction)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    fset = (
+        {s for rel in files for s in (rel, os.path.normpath(rel))}
+        if files is not None
+        else None
+    )
     out: dict[tuple[str, str], tuple[int, int, bytes]] = {}
     for idx_rel in manifest.get("bloom_indexes", []):
         path = os.path.join(table_dir, idx_rel)
@@ -964,7 +985,13 @@ def _load_bloom_entries(table_dir: str, manifest: dict) -> dict:
             if os.path.isabs(idx_rel)
             else None
         )
-        t = pq.read_table(path)
+        flt = None
+        if col is not None:
+            flt = pc.field("col") == col
+        if fset is not None and base is None:
+            ff = pc.field("f").isin(sorted(fset))
+            flt = ff if flt is None else (flt & ff)
+        t = pds.dataset(path, format="parquet").to_table(filter=flt)
         for f, c, m, k, bits in zip(
             t["f"].to_pylist(),
             t["col"].to_pylist(),
@@ -1037,18 +1064,41 @@ def select_files_point(
     if version is None:
         version = main_versions(table_dir)[-1]
     manifest = _load_manifest(table_dir, version)
-    entries = _load_bloom_entries(table_dir, manifest)
     col = _mapping(manifest).get(col, col)
-    kmax = max((e[1] for e in entries.values()), default=_BLOOM_K)
     # zone stage applies only when EVERY value is integral (a mixed
     # or string value set cannot be ordered against parquet stats
     # portably); values are sorted so each file's in-zone slice is a
-    # binary search
+    # binary search. Zones run FIRST and from the manifest alone, so
+    # the sidecar bitmaps are loaded ONLY for zone-surviving files
+    # (the difference between KBs and GBs of driver I/O at 10k files).
     ivals = sorted(
         v for v in values if isinstance(v, int) and not isinstance(v, bool)
     )
     zoned = len(ivals) == len(values)
     ordered = ivals if zoned else list(values)
+    RV = np.array(ivals, dtype=np.int64) if zoned else None
+    stats = manifest.get("stats", {})
+    zone_slice: dict[str, tuple[int, int]] = {}
+    cand, skipped, survivors = [], [], []
+    for rel in manifest["files"]:
+        if RV is not None:
+            lohi = stats.get(rel, {}).get(col)
+            if (
+                lohi
+                and isinstance(lohi[0], int)
+                and not isinstance(lohi[0], bool)
+            ):
+                lo = int(np.searchsorted(RV, lohi[0], "left"))
+                hi = int(np.searchsorted(RV, lohi[1], "right"))
+                if hi <= lo:  # zone excludes every value
+                    skipped.append(rel)
+                    continue
+                zone_slice[rel] = (lo, hi)
+        survivors.append(rel)
+    entries = _load_bloom_entries(
+        table_dir, manifest, col=col, files=survivors
+    )
+    kmax = max((e[1] for e in entries.values()), default=_BLOOM_K)
     H = np.array(
         [
             [
@@ -1059,28 +1109,12 @@ def select_files_point(
         ],
         dtype=np.int64,
     ).reshape(len(ordered), kmax)
-    RV = np.array(ivals, dtype=np.int64) if zoned else None
-    stats = manifest.get("stats", {})
-    cand, skipped = [], []
-    for rel in manifest["files"]:
-        Hs = H
-        if RV is not None:
-            lohi = stats.get(rel, {}).get(col)
-            if (
-                lohi
-                and isinstance(lohi[0], int)
-                and not isinstance(lohi[0], bool)
-            ):
-                lo = np.searchsorted(RV, lohi[0], "left")
-                hi = np.searchsorted(RV, lohi[1], "right")
-                if hi <= lo:  # zone excludes every value
-                    skipped.append(rel)
-                    continue
-                Hs = H[lo:hi]
+    for rel in survivors:
         e = entries.get((os.path.normpath(rel), col))
         if e is not None:
             m, k, bits = e
-            P = Hs[:, :k] % m
+            lo, hi = zone_slice.get(rel, (0, len(ordered)))
+            P = H[lo:hi, :k] % m
             barr = np.frombuffer(bits, dtype=np.uint8)
             if not bool((((barr[P >> 3] >> (P & 7)) & 1).all(axis=1)).any()):
                 skipped.append(rel)
