@@ -499,3 +499,208 @@ def stream_join_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "depth_id BIGINT, d_ms BIGINT"
     )
     return spark.createDataFrame(rows, schema)
+
+
+# --- stream_join_full_watermark ---------------------------------------
+
+# FULL OUTER tape (delay 10s, tol 1s): the symmetric completion of
+# the join-type matrix. Branches:
+# - pairs (1,101), (5,105), (99,199);
+# - unmatched LEFT 70 @20s and 72 @288.9s emit (left, NULL)
+#   (t+tol < final wm 290); 73 @289.0 boundary-held; 74 @295 never;
+# - unmatched RIGHT 103/170/172 emit (NULL, right) under the
+#   SYMMETRIC strict rule (verified empirically: a right row exactly
+#   at final_wm - tol was held); 173 boundary-held; 174 never;
+# - dropped-late rows on EACH side (71 @9s, 171 @9.5s vs wm 10s)
+#   vanish entirely.
+_SJF_TRADES: list[list[tuple[int, str, int]]] = [
+    [(10_000, "AAA", 1), (20_000, "AAA", 70)],
+    [(9_000, "AAA", 71), (60_000, "AAA", 5)],
+    [
+        (300_000, "AAA", 99),
+        (288_900, "AAA", 72),
+        (289_000, "AAA", 73),
+        (295_000, "AAA", 74),
+    ],
+]
+_SJF_DEPTH: list[list[tuple[int, str, int]]] = [
+    [(10_400, "AAA", 101), (30_000, "AAA", 170), (12_600, "AAA", 103)],
+    [(9_500, "AAA", 171), (59_600, "AAA", 105)],
+    [
+        (300_000, "AAA", 199),
+        (288_800, "BBB", 172),
+        (289_000, "BBB", 173),
+        (295_000, "BBB", 174),
+    ],
+]
+
+_SJF_ADMIT = f"""
+    pm AS (
+      SELECT phase,
+             MAX(CASE WHEN side = 't' THEN ev_ms END) AS tmx,
+             MAX(CASE WHEN side = 'd' THEN ev_ms END) AS dmx
+      FROM (SELECT phase, ev_ms, 't' AS side FROM traw
+            UNION ALL SELECT phase, ev_ms, 'd' AS side FROM draw)
+      GROUP BY phase
+    ), wm AS (
+      SELECT phase,
+             LEAST(MAX(tmx) OVER w, MAX(dmx) OVER w) - {_SJ_DELAY_MS}
+               AS wm_ms
+      FROM pm
+      WINDOW w AS (ORDER BY phase
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), t AS (
+      SELECT r.sym, r.ev_ms, r.tid
+      FROM traw r JOIN wm USING (phase)
+      WHERE wm.wm_ms IS NULL OR r.ev_ms > wm.wm_ms
+    ), d AS (
+      SELECT r.sym, r.ev_ms, r.did
+      FROM draw r JOIN wm USING (phase)
+      WHERE wm.wm_ms IS NULL OR r.ev_ms > wm.wm_ms
+    ), fin AS (
+      SELECT LEAST((SELECT MAX(ev_ms) FROM traw),
+                   (SELECT MAX(ev_ms) FROM draw)) - {_SJ_DELAY_MS} AS f
+    )"""
+
+
+@register(
+    "stream_join_full_watermark",
+    oracle=f"""
+    WITH traw(phase, ev_ms, sym, tid) AS {_sj_values(_SJF_TRADES)},
+    draw(phase, ev_ms, sym, did) AS {_sj_values(_SJF_DEPTH)},
+    {_SJF_ADMIT}
+    SELECT t.sym AS symbol,
+           CAST(t.tid AS BIGINT) AS trade_id,
+           CAST(t.ev_ms AS BIGINT) AS t_ms,
+           CAST(d.did AS BIGINT) AS depth_id,
+           CAST(d.ev_ms AS BIGINT) AS d_ms
+    FROM t JOIN d
+      ON d.sym = t.sym
+     AND d.ev_ms BETWEEN t.ev_ms - {_SJ_TOL_MS}
+                     AND t.ev_ms + {_SJ_TOL_MS}
+    UNION ALL
+    SELECT t.sym, CAST(t.tid AS BIGINT), CAST(t.ev_ms AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM t
+    WHERE NOT EXISTS (
+            SELECT 1 FROM d
+            WHERE d.sym = t.sym
+              AND d.ev_ms BETWEEN t.ev_ms - {_SJ_TOL_MS}
+                              AND t.ev_ms + {_SJ_TOL_MS}
+          )
+      AND t.ev_ms + {_SJ_TOL_MS} < (SELECT f FROM fin)
+    UNION ALL
+    SELECT d.sym, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(d.did AS BIGINT), CAST(d.ev_ms AS BIGINT)
+    FROM d
+    WHERE NOT EXISTS (
+            SELECT 1 FROM t
+            WHERE t.sym = d.sym
+              AND d.ev_ms BETWEEN t.ev_ms - {_SJ_TOL_MS}
+                              AND t.ev_ms + {_SJ_TOL_MS}
+          )
+      AND d.ev_ms + {_SJ_TOL_MS} < (SELECT f FROM fin)
+    """,
+    doc="FULL OUTER stream-stream interval join — completes the "
+    "inner/left/full join-type matrix over the same deterministic "
+    "two-spool replay machinery. Verified empirically on Spark 4.1: "
+    "BOTH sides' eviction-timed NULL rows follow the symmetric strict "
+    "rule (emit iff ev + tol < final global watermark; rows exactly "
+    "AT the threshold held on either side); dropped-late rows on "
+    "either side vanish entirely. Oracle = admitted inner join UNION "
+    "both NOT-EXISTS null branches. Same 100 TB shape as the inner "
+    "op: one symbol shuffle per side, bounded state, NULL emission "
+    "rides the eviction pass.",
+    tags=("streaming", "join", "market"),
+)
+def stream_join_full_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.sources.replay import register as _reg_replay
+
+    _reg_replay(spark)
+    root = tempfile.mkdtemp(prefix="besk_sjf_wm_")
+    tlog = os.path.join(root, "trades.jsonl")
+    dlog = os.path.join(root, "depth.jsonl")
+    open(tlog, "w").close()
+    open(dlog, "w").close()
+    seq = [0]
+
+    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
+        with open(log, "a") as f:
+            for off, sym, ident in phase:
+                frame = json.dumps(
+                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
+                )
+                seq[0] += 1
+                f.write(
+                    json.dumps(
+                        {
+                            "frame": frame,
+                            "arrival_ms": 1000 + seq[0],
+                            "seq": seq[0],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def _side(log: str, tag: str):
+        sdf = (
+            spark.readStream.format("replay")
+            .option("path", log)
+            .option("maxFramesPerBatch", "100000")
+            .load()
+        )
+        return sdf.select(
+            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
+            F.timestamp_millis(
+                F.get_json_object("frame", "$.E").cast("long")
+            ).alias(f"{tag}_ev"),
+            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
+            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
+        ).withWatermark(f"{tag}_ev", f"{_SJ_DELAY_MS // 1000} seconds")
+
+    joined = _side(tlog, "t").join(
+        _side(dlog, "d"),
+        F.expr(
+            "t_sym = d_sym AND d_ev BETWEEN "
+            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
+            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
+        ),
+        "full_outer",
+    )
+    name = "sjf_wm_" + uuid.uuid4().hex[:12]
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for tphase, dphase in zip(_SJF_TRADES, _SJF_DEPTH):
+            _append(tlog, tphase)
+            _append(dlog, dphase)
+            q.processAllAvailable()
+        q.processAllAvailable()
+        rows = (
+            spark.table(name)
+            .select(
+                F.coalesce(F.col("t_sym"), F.col("d_sym")).alias("symbol"),
+                F.col("t_id").alias("trade_id"),
+                "t_ms",
+                F.col("d_id").alias("depth_id"),
+                "d_ms",
+            )
+            .collect()
+        )
+    finally:
+        q.stop()
+        spark.conf.set(shuffle_key, prior_shuffle)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(root, ignore_errors=True)
+    schema = (
+        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
+        "depth_id BIGINT, d_ms BIGINT"
+    )
+    return spark.createDataFrame(rows, schema)

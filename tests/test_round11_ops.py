@@ -276,3 +276,24 @@ def test_stream_outer_join_null_row_semantics(spark):
         "unmatched RIGHT rows emit nothing in a LEFT outer join"
     )
     assert len(got) == 7
+
+
+def test_stream_full_outer_join_symmetric_null_rows(spark):
+    """Branch facts for stream_join_full_watermark: both sides' NULL
+    rows follow the symmetric STRICT eviction rule; dropped-late rows
+    on either side vanish."""
+    from binance_etl_spark.plans.analytics8 import (
+        stream_join_full_watermark,
+    )
+
+    df = stream_join_full_watermark(spark, SF)
+    got = {(r["trade_id"], r["depth_id"]) for r in df.collect()}
+    assert {(1, 101), (5, 105), (99, 199)} <= got
+    assert {(70, None), (72, None)} <= got, "left NULL rows"
+    assert {(None, 103), (None, 170), (None, 172)} <= got, "right NULL rows"
+    tids = {t for t, _ in got if t is not None}
+    dids = {d for _, d in got if d is not None}
+    assert 73 not in tids and 173 not in dids, "boundary rows held (strict)"
+    assert 74 not in tids and 174 not in dids, "above-threshold rows never"
+    assert 71 not in tids and 171 not in dids, "dropped-late rows vanish"
+    assert len(got) == 8
