@@ -329,6 +329,10 @@ HEADLINE_LLM = [
     # streaming machinery over a ~20-row tape, not throughput.
     "join_asof_prefiltered",
     "text_spans_incremental",
+    # round-11 late addition: the incremental MinHash-LSH near-dup
+    # index (build + banded-candidate refresh + composite-bloom MERGE
+    # serve) — the persistent sibling of dedup_minhash_lsh.
+    "dedup_index_incremental",
 ]
 
 

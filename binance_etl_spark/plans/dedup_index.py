@@ -1,0 +1,259 @@
+"""Incremental MinHash-LSH near-dup index over the snapshot log —
+dedup_minhash_lsh maintained through CDC appends the way
+plans/spans_index.py maintains duplicated-substring spans and
+plans/text_index.py maintains the inverted index.
+
+The inline op (plans/llm_ops.py::dedup_minhash_lsh) re-shingles and
+re-hashes the whole corpus per run. Under a growing corpus that is
+O(corpus) per refresh; the incremental form pays O(delta + collisions):
+
+- SHINGLES table: (doc_id, sh) distinct-shingle arrays, appended per
+  batch — shingling is paid once per document ever. Verification
+  reads it key-projected (semi-join on candidate ids only);
+- BANDS table: (doc_id, band_no, band_val) LSH band rows, appended
+  per batch — the index proper. Candidates for a refresh are
+  (delta BANDS ⋈ stored BANDS) ∪ (delta self-join): appends only ADD
+  documents, so every NEW near-dup pair involves >= 1 delta doc and
+  old-old pairs are already in the pairs table — nothing else can
+  change;
+- PAIRS table: verified (a_id, b_id, jacc) rows, canonical
+  a_id < b_id, maintained by MERGE on the COMPOSITE key (a_id, b_id)
+  with a composite-key bloom sidecar (round-11
+  `_bloom_value_expr` contract) — a refresh whose pairs are all new
+  keys probes the blooms and rewrites ZERO files (pure insert), so
+  the merge write cost is O(new pairs), never O(pairs table).
+
+Consistency statement (the oracle): the served pairs table after
+build + refresh equals the inline full-corpus self-join recompute
+EXACTLY — same banding, same exact-Jaccard >= 0.5 verification.
+
+100 TB shape: per refresh, shingle + signature extraction is O(delta
+tokens); candidate generation is the banded equi-join (shuffle
+O(delta bands + matching stored bands) — never all-pairs); exact
+verification touches candidate rows only, via two key-projected
+semi-joins into the stored shingles table (a doc_id bloom on that
+table would file-prune those lookups for narrow deltas — the same
+measured trade as the spans index's counts table, see
+build_spans_index).
+
+Reference parity note: the reference ETL (anselumana/binance-etl,
+~539 LoC) has no index structures; north-star extension per
+SURVEY.md §2.21.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.operators import dedup as D
+from binance_etl_spark.plans.llm_ops import (
+    CAP_JACCARD,
+    _SQL_SHINGLES,
+    _SQL_SIG,
+    _variant_docs,
+)
+from binance_etl_spark.plans.registry import register
+
+_JACC_MIN = 0.5
+
+
+def _band_pairs(x: DataFrame, y: DataFrame) -> DataFrame:
+    """Canonical (a_id < b_id) candidate ids from a banded equi-join.
+    Passing x == y gives the self-join (each pair arrives in both
+    orders; least/greatest + distinct canonicalizes)."""
+    xa = x.select(F.col("doc_id").alias("x_id"), "band_no", "band_val")
+    ya = y.select(F.col("doc_id").alias("y_id"), "band_no", "band_val")
+    return (
+        xa.join(ya, ["band_no", "band_val"])
+        .where(F.col("x_id") != F.col("y_id"))
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def _verified_pairs(cand_ids: DataFrame, all_sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against the
+    shingles table — the shared core of build and refresh (identical
+    arithmetic to the inline op, so serve == inline)."""
+    a = all_sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = all_sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cand_ids.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id", "b_id", D.jaccard(F.col("a_sh"), F.col("b_sh")).alias("jacc")
+        )
+        .where(F.col("jacc") >= _JACC_MIN)
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame, root: str, batch_id: int | None = None
+) -> dict:
+    """Apply one batch of (doc_id, text) docs to the near-dup index at
+    `root` (three snapshot tables: shingles/, bands/, pairs/). First
+    call builds; later calls refresh incrementally. Returns evidence:
+    {n_delta_docs, n_candidates, n_new_pairs}."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    spark = docs.sparkSession
+    shingles_t = f"{root}/shingles"
+    bands_t = f"{root}/bands"
+    pairs_t = f"{root}/pairs"
+
+    # delta shingles + bands — checkpointed: each feeds a table write
+    # AND one-or-more joins below, and the HOF shingle pipeline must
+    # not re-run per consumer
+    sh = docs.select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    ).localCheckpoint()
+    n_delta = sh.count()
+    sig = D.minhash_signature(sh, "doc_id", "sh")
+    bands = D.lsh_bands(sig, "doc_id").localCheckpoint()
+
+    first = not SNAP.main_versions(bands_t)
+    if first:
+        cand_ids = _band_pairs(bands, bands).localCheckpoint()
+        n_cand = cand_ids.count()
+        SNAP.write_version(sh, shingles_t, batch_id=batch_id)
+        SNAP.write_version(bands, bands_t, batch_id=batch_id)
+        pairs = _verified_pairs(cand_ids, sh)
+        # composite (a_id, b_id) bloom sidecar: later MERGE refreshes
+        # probe it and prove pure-insert batches rewrite zero files
+        SNAP.write_version(
+            pairs, pairs_t, batch_id=batch_id, bloom_cols=[("a_id", "b_id")]
+        )
+        return {
+            "n_delta_docs": n_delta,
+            "n_candidates": n_cand,
+            "n_new_pairs": -1,
+        }
+
+    # exactly-once replay token: the pairs commit is the LAST action
+    # of the apply — its presence proves the whole batch ran
+    if batch_id is not None and SNAP._find_batch_commit(
+        pairs_t, batch_id
+    ) is not None:
+        return {"n_delta_docs": n_delta, "replayed": True}
+
+    # candidates = delta-vs-stored ∪ delta-vs-delta (appends only add
+    # docs, so every new pair involves a delta doc — old-old pairs are
+    # already served)
+    old_bands = SNAP.read_version(spark, bands_t)
+    cand_ids = (
+        _band_pairs(bands, old_bands)
+        .unionByName(_band_pairs(bands, bands))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cand = cand_ids.count()
+
+    # commit the delta postings, then verify against the FULL shingles
+    # table (delta rows included) — two key-projected lookups
+    SNAP.write_version(sh, shingles_t, batch_id=batch_id)
+    SNAP.write_version(bands, bands_t, batch_id=batch_id)
+    new_pairs = _verified_pairs(
+        cand_ids, SNAP.read_version(spark, shingles_t)
+    ).localCheckpoint()
+    n_new = new_pairs.count()
+    SNAP.merge_into(
+        spark, pairs_t, new_pairs, ["a_id", "b_id"], batch_id=batch_id
+    )
+    return {
+        "n_delta_docs": n_delta,
+        "n_candidates": n_cand,
+        "n_new_pairs": n_new,
+    }
+
+
+def _dedup_index_oracle() -> str:
+    sigs = ", ".join(
+        f"{_SQL_SIG.format(sh='sh', i=i)} AS mh{i}" for i in range(1, 7)
+    )
+    bands = ", ".join(
+        f"md5(concat(mh{2 * b + 1}, mh{2 * b + 2})) AS band{b}" for b in range(3)
+    )
+    band_joins = "\n        UNION ALL\n".join(
+        f"""        SELECT x.id AS a_id, y.id AS b_id
+        FROM cband x JOIN cband y
+          ON x.band{b} = y.band{b} AND x.id < y.id"""
+        for b in range(3)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {CAP_JACCARD}
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             string_split(substr(text, instr(text, ' ') + 1), ' ') AS toks
+      FROM documents WHERE doc_id < {CAP_JACCARD}
+    ), c AS (
+      SELECT id, {_SQL_SHINGLES} AS sh FROM corpus
+    ), csig AS (
+      SELECT id, sh, {sigs} FROM c
+    ), cband AS (
+      SELECT id, {bands} FROM csig
+    ), cand AS (
+      SELECT DISTINCT a_id, b_id FROM (
+{band_joins}
+      )
+    ), verified AS (
+      SELECT a_id, b_id,
+             len(list_filter(ca.sh, x -> list_contains(cb.sh, x))) AS n_common,
+             len(ca.sh) AS n_a, len(cb.sh) AS n_b
+      FROM cand JOIN c ca ON ca.id = cand.a_id JOIN c cb ON cb.id = cand.b_id
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jacc,
+           CAST(2 AS INT) AS n_versions,
+           (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id < {CAP_JACCARD}) AS n_docs
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_JACC_MIN}
+    """
+
+
+@register(
+    "dedup_index_incremental",
+    oracle=_dedup_index_oracle(),
+    doc="Incremental MinHash-LSH near-dup index over the snapshot log: "
+    "BUILD (shingles + LSH-band + verified-pairs tables for the "
+    "original doc_id < 1000 corpus), REFRESH (the perturbed variants: "
+    "O(delta) shingling, candidates = delta-bands vs stored-bands "
+    "equi-join plus delta self-join — appends only add docs, so every "
+    "new pair involves a delta doc and old-old pairs carry untouched), "
+    "SERVE (read the pairs table). Pairs MERGE on the composite "
+    "(a_id, b_id) key with a composite bloom sidecar — pure-insert "
+    "refreshes probe it and rewrite zero files. The oracle is the "
+    "inline full-corpus self-join MinHash-LSH recompute (band-join "
+    "candidates, exact Jaccard >= 0.5) — served must equal recomputed, "
+    "the index-consistency statement. Incrementality + replay-token "
+    "evidence pinned in tests/test_dedup_index.py.",
+    tags=("dedup", "lsh", "llm", "sink"),
+)
+def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    originals = fanout(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_JACCARD)
+    ).select("doc_id", "text")
+    variants = _variant_docs(spark, sf_dir, CAP_JACCARD).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="besk_dedupidx_") + "/t"
+    build_dedup_index(originals, root)
+    build_dedup_index(variants, root)
+    n_versions = len(SNAP.main_versions(f"{root}/pairs"))
+    n_docs = originals.count() + variants.count()
+    return SNAP.read_version(spark, f"{root}/pairs").select(
+        "a_id",
+        "b_id",
+        "jacc",
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+    )

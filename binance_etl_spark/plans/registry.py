@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         analytics7,
         analytics8,
         ann_index,
+        dedup_index,
         dq,
         formats,
         graph,

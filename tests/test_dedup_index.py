@@ -1,0 +1,134 @@
+"""Incremental MinHash-LSH dedup index (plans/dedup_index.py).
+
+The parity sweep exact-value-checks dedup_index_incremental against
+its full-recompute DuckDB oracle; these tests pin the INCREMENTAL
+facts the entry cannot show — refresh candidate generation touches
+only delta-involving pairs, the batch_id replay token makes the apply
+exactly-once, and a pure-insert refresh MERGE rewrites zero pairs
+files (the composite (a_id, b_id) bloom probe at work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_etl_spark.operators import snapshots as SNAP
+from binance_etl_spark.plans.dedup_index import build_dedup_index
+
+
+def _doc(i: int, text: str):
+    return (i, text)
+
+
+_BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+_NEAR = "quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def _docs_batch1(spark):
+    # doc 1 ~ doc 2 (near-dup: first token dropped); docs 3-6 unrelated
+    rows = [
+        _doc(1, _BASE),
+        _doc(2, _NEAR),
+        _doc(3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        _doc(4, "one two three four five six seven eight nine ten eleven"),
+        _doc(5, "red orange yellow green blue indigo violet colors of light"),
+        _doc(6, "spark shuffles partitions across executors during wide joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _docs_batch2(spark):
+    # doc 7 ~ doc 1/2 (another variant); doc 8 unrelated
+    rows = [
+        _doc(7, _BASE + " again"),
+        _doc(8, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _served(spark, root):
+    return sorted(
+        (r.a_id, r.b_id, round(r.jacc, 12))
+        for r in SNAP.read_version(spark, f"{root}/pairs").collect()
+    )
+
+
+def test_refresh_equals_full_recompute(spark, tmp_path):
+    """Index-consistency: build+refresh == single-batch full build on
+    the combined corpus, and refresh candidates stay O(delta)."""
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    b1, b2 = _docs_batch1(spark), _docs_batch2(spark)
+
+    ev1 = build_dedup_index(b1, inc)
+    ev2 = build_dedup_index(b2, inc)
+    build_dedup_index(b1.unionByName(b2), full)
+
+    assert _served(spark, inc) == _served(spark, full)
+    # ground truth: 1~2 from build; 7~1 from refresh. (2, 7) is a true
+    # near-dup (jacc 11/13) that the 6-hash/3-band LSH deterministically
+    # misses on BOTH paths — the contract is band-candidate equality
+    # with the inline op, not all-pairs recall.
+    got = [(a, b) for a, b, _ in _served(spark, inc)]
+    assert got == [(1, 2), (1, 7)]
+    assert ev1["n_delta_docs"] == 6
+    assert ev2["n_delta_docs"] == 2
+    # incrementality: refresh candidates involve ONLY delta docs — the
+    # old-old candidate (1, 2) must NOT be regenerated
+    assert ev2["n_new_pairs"] == 1
+    assert 1 <= ev2["n_candidates"] <= 4  # delta-involving pairs only
+    assert all(a in (7, 8) or b in (7, 8) for a, b in got[1:])
+
+
+def test_replay_token_exactly_once(spark, tmp_path):
+    """A refresh re-applied with the same batch_id is a no-op replay:
+    no new versions, served pairs unchanged."""
+    root = str(tmp_path / "t")
+    build_dedup_index(_docs_batch1(spark), root, batch_id=0)
+    build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    before = _served(spark, root)
+    versions = [
+        SNAP.main_versions(f"{root}/{t}") for t in ("shingles", "bands", "pairs")
+    ]
+    ev = build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    assert ev.get("replayed") is True
+    assert _served(spark, root) == before
+    assert [
+        SNAP.main_versions(f"{root}/{t}") for t in ("shingles", "bands", "pairs")
+    ] == versions
+
+
+def test_pure_insert_merge_rewrites_zero_files(spark, tmp_path):
+    """Refresh pairs are all NEW (a_id, b_id) keys — the composite
+    bloom probe proves no existing pairs file holds them, so the MERGE
+    carries every file and rewrites none."""
+    root = str(tmp_path / "t")
+    build_dedup_index(_docs_batch1(spark), root)
+    build_dedup_index(_docs_batch2(spark), root)
+    pairs_t = f"{root}/pairs"
+    m = SNAP._load_manifest(pairs_t, SNAP.main_versions(pairs_t)[-1])
+    assert m["mode"] == "merge"
+    assert m["rewrote"] == 0
+    assert m["carried"] >= 1
+    # the build committed a composite bloom spec for the merge key,
+    # and the merge inherited it (comma-joined spec, snapshots.py:469)
+    assert "a_id,b_id" in m["bloom_cols"]
+
+
+def test_no_near_dups_in_delta_is_cheap_and_correct(spark, tmp_path):
+    """A delta with no shared bands generates zero candidates and zero
+    new pairs; the served table is untouched."""
+    root = str(tmp_path / "t")
+    build_dedup_index(_docs_batch1(spark), root)
+    before = _served(spark, root)
+    lone = spark.createDataFrame(
+        [(9, "completely disjoint vocabulary about quantum entanglement physics")],
+        "doc_id long, text string",
+    )
+    ev = build_dedup_index(lone, root)
+    assert ev["n_candidates"] == 0
+    assert ev["n_new_pairs"] == 0
+    assert _served(spark, root) == before
+    # doc 9's postings DID commit (future refreshes can match it)
+    sh = SNAP.read_version(spark, f"{root}/shingles")
+    assert sh.where(F.col("doc_id") == 9).count() == 1
