@@ -35,34 +35,44 @@ def dir_bytes(path: str) -> int:
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_key: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet directory at `path` into
     ceil(bytes / target_file_bytes) files. Returns the new file count.
     Atomic: writes a staging dir, then swaps.
 
-    CLUSTERING CAVEAT (r10 ADVICE): the under-partitioned fallback
-    below uses ROUND-ROBIN repartition(n_files), which destroys any
-    existing row clustering (e.g. a range layout by key) in the
-    rewritten directory — unlike the coalesce path, which preserves
-    input order within partitions. Callers relying on key-clustered
-    files (bloom/zone prune effectiveness, sorted scans) should
-    re-layout with repartitionByRange on the sort key afterwards, or
-    use operators/snapshots.compact, which re-clusters on the table's
-    partition spec."""
+    sort_key (r10 ADVICE, fixed r11): with no key, the
+    under-partitioned fallback below uses ROUND-ROBIN
+    repartition(n_files), which destroys any existing row clustering
+    (e.g. a range layout by key) in the rewritten directory — unlike
+    the coalesce path, which preserves input order within partitions.
+    Callers relying on key-clustered files (bloom/zone prune
+    effectiveness, sorted scans) pass sort_key=[cols]: the rewrite
+    becomes repartitionByRange(n_files, keys) + sortWithinPartitions —
+    one range shuffle that RESTORES clustering no matter how
+    fragmented the input layout was (also what
+    operators/snapshots.compact does via the table's partition spec)."""
     total = dir_bytes(path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".__compacting"
     df = spark.read.parquet(path)
-    # coalesce is the no-shuffle narrow path but can only REDUCE the
-    # partition count — a scan planned with fewer partitions than
-    # n_files (few cores, small openCost-packed splits) would silently
-    # under-split; fall back to a round-robin repartition there.
-    df = (
-        df.coalesce(n_files)
-        if df.rdd.getNumPartitions() >= n_files
-        else df.repartition(n_files)
-    )
+    if sort_key:
+        df = df.repartitionByRange(n_files, *sort_key).sortWithinPartitions(
+            *sort_key
+        )
+    else:
+        # coalesce is the no-shuffle narrow path but can only REDUCE
+        # the partition count — a scan planned with fewer partitions
+        # than n_files (few cores, small openCost-packed splits) would
+        # silently under-split; fall back to round-robin repartition.
+        df = (
+            df.coalesce(n_files)
+            if df.rdd.getNumPartitions() >= n_files
+            else df.repartition(n_files)
+        )
     df.write.mode("overwrite").parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)

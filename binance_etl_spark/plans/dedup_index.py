@@ -173,6 +173,25 @@ def build_dedup_index(
     }
 
 
+def foreach_batch_dedup_index(root: str):
+    """writeStream.foreachBatch body keeping the near-dup index CURRENT
+    as documents arrive: each micro-batch is shingled/banded (O(batch),
+    never O(corpus)), candidates are generated against the STORED band
+    table, and new verified pairs MERGE in — exactly-once via the
+    batch-id token (a checkpoint-replayed batch finds its id in the
+    pairs table's committed manifests and no-ops; a partially-applied
+    batch re-runs, with the per-table tokens making each sub-commit
+    idempotent). The streaming sibling of
+    streaming/dedup_stream.py::foreach_batch_minhash_dedup, but
+    serving a PERSISTENT, time-travelable pairs table instead of a
+    first-seen-wins accept set."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        build_dedup_index(batch_df, root, batch_id=batch_id)
+
+    return apply
+
+
 def _dedup_index_oracle() -> str:
     sigs = ", ".join(
         f"{_SQL_SIG.format(sh='sh', i=i)} AS mh{i}" for i in range(1, 7)

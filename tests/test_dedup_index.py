@@ -115,6 +115,42 @@ def test_pure_insert_merge_rewrites_zero_files(spark, tmp_path):
     assert "a_id,b_id" in m["bloom_cols"]
 
 
+def test_streaming_foreach_batch_keeps_index_current(spark, tmp_path):
+    """foreach_batch_dedup_index driven by a REAL file-source stream
+    (one micro-batch per file): served pairs equal the single-batch
+    full build, one pairs version per batch, and a manually replayed
+    batch is a no-op."""
+    import os
+
+    from binance_etl_spark.plans.dedup_index import foreach_batch_dedup_index
+
+    src = str(tmp_path / "src")
+    _docs_batch1(spark).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    _docs_batch2(spark).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    root = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_dedup_index(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(SNAP.main_versions(f"{root}/pairs")) == 2  # one per batch
+    full = str(tmp_path / "full")
+    build_dedup_index(_docs_batch1(spark).unionByName(_docs_batch2(spark)), full)
+    assert _served(spark, root) == _served(spark, full)
+    # checkpoint-recovery replay: re-deliver the last batch by id
+    ev = build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    assert ev.get("replayed") is True
+    assert len(SNAP.main_versions(f"{root}/pairs")) == 2
+
+
 def test_no_near_dups_in_delta_is_cheap_and_correct(spark, tmp_path):
     """A delta with no shared bands generates zero candidates and zero
     new pairs; the served table is untouched."""
