@@ -619,6 +619,49 @@ def _lake_solo(op: str, label: str) -> float | None:
     return None
 
 
+def dedupidx_main(spark) -> None:
+    """Incremental dedup-index probe (round 11): build the UNCAPPED
+    MinHash-LSH index over the full documents table, then refresh with
+    a FIXED 500-doc variant delta, at sf0.1 (5k docs) vs the 10x
+    replica (50k docs). Healthy = build wall ~linear in corpus
+    (shingle + 6 md5 min-hashes per doc dominate), refresh wall well
+    under build at BOTH scales with the gap WIDENING at 10x — refresh
+    re-shingles only the delta; its only corpus-sized costs are the
+    column-pruned stored-bands scan feeding the candidate equi-join
+    and the pairs-MERGE bloom probe."""
+    import tempfile as _tempfile
+
+    from binance_etl_spark.catalog import load as _load
+    from binance_etl_spark.plans.dedup_index import build_dedup_index
+
+    print(f"\n{'scale':6s} {'docs':>6s} {'build':>7s} {'refresh':>8s} "
+          f"{'ratio':>6s} {'cand':>6s} {'pairs':>6s}")
+    for label, sf_dir in (("sf0.1", SRC), ("sf~1", DST)):
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        delta = (
+            docs.orderBy("doc_id")
+            .limit(500)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        root = _tempfile.mkdtemp(prefix="besk_dedupidx_probe_") + "/t"
+        t0 = time.time()
+        build_dedup_index(docs, root)
+        t_build = time.time() - t0
+        t0 = time.time()
+        ev = build_dedup_index(delta, root)
+        t_refresh = time.time() - t0
+        print(
+            f"{label:6s} {n_docs:6d} {t_build:6.2f}s {t_refresh:7.2f}s "
+            f"{t_refresh / max(t_build, 0.01):5.2f}x "
+            f"{ev['n_candidates']:6d} {ev['n_new_pairs']:6d}"
+        )
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 def lake_solo_main(spark) -> None:
     i = sys.argv.index("--lake-solo")
     op, label = sys.argv[i + 1], sys.argv[i + 2]
@@ -1394,6 +1437,9 @@ def main() -> None:
         return
     if "--r7" in sys.argv:
         r7_main(spark)
+        return
+    if "--dedupidx" in sys.argv:
+        dedupidx_main(spark)
         return
     if "--lake-solo" in sys.argv:
         lake_solo_main(spark)
