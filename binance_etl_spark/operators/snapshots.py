@@ -964,6 +964,7 @@ def _load_bloom_entries(
     list wouldn't match, so borrowed datasets load column-filtered
     only (clones are the rare case; correctness never depends on the
     filters, they are pure I/O reduction)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
 
@@ -989,7 +990,10 @@ def _load_bloom_entries(
         if col is not None:
             flt = pc.field("col") == col
         if fset is not None and base is None:
-            ff = pc.field("f").isin(sorted(fset))
+            # typed value set: an EMPTY fset (zone stage pruned every
+            # candidate) must read as string-isin-nothing, not a
+            # null-typed array that Arrow refuses to compare
+            ff = pc.field("f").isin(pa.array(sorted(fset), type=pa.string()))
             flt = ff if flt is None else (flt & ff)
         t = pds.dataset(path, format="parquet").to_table(filter=flt)
         for f, c, m, k, bits in zip(

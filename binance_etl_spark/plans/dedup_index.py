@@ -173,6 +173,81 @@ def build_dedup_index(
     }
 
 
+def build_cluster_index(
+    pairs: DataFrame, root: str, batch_id: int | None = None
+) -> dict:
+    """Apply one batch of (a_id, b_id) near-dup pair edges to the
+    cluster-labels table at `root` (one snapshot table: labels/ =
+    (node, cluster_id), cluster_id = min member id). First call
+    builds via full connected-components; later calls refresh
+    incrementally: appends only ADD edges, so clusters can only
+    MERGE — the affected set is exactly the stored clusters touched
+    by a delta-edge node, and each stored cluster's (node ->
+    cluster_id) rows form a STAR that preserves its connectivity, so
+    CC over (affected stars ∪ delta edges) relabels the affected
+    subgraph exactly while every other cluster carries by manifest
+    name, zero I/O. O(delta + affected) per refresh — the union-find
+    sibling of the spans index's flipped-gram rule. Returns evidence:
+    {n_delta_edges, n_affected_nodes, n_relabeled}."""
+    from binance_etl_spark.operators import snapshots as SNAP
+
+    spark = pairs.sparkSession
+    labels_t = f"{root}/labels"
+    e = pairs.select(
+        F.col("a_id").cast("long").alias("a"),
+        F.col("b_id").cast("long").alias("b"),
+    ).localCheckpoint()
+    n_edges = e.count()
+
+    first = not SNAP.main_versions(labels_t)
+    if first:
+        labs = D.connected_components(e, src="a", dst="b")
+        # node bloom + min/max stats: refresh MERGEs take the pruned
+        # zone+bloom path, so a wide table rewrites only files holding
+        # affected nodes — never O(labels)
+        SNAP.write_version(
+            labs, labels_t, batch_id=batch_id,
+            stats_cols=["node"], bloom_cols=["node"],
+        )
+        return {
+            "n_delta_edges": n_edges,
+            "n_affected_nodes": 0,
+            "n_relabeled": labs.count(),
+        }
+
+    if batch_id is not None and SNAP._find_batch_commit(
+        labels_t, batch_id
+    ) is not None:
+        return {"n_delta_edges": n_edges, "replayed": True}
+
+    old = SNAP.read_version(spark, labels_t)
+    delta_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # whole clusters, not just touched nodes: a merge rewrites every
+    # member's label when the min drops
+    touched_cids = (
+        old.join(delta_nodes, "node", "left_semi").select("cluster_id").distinct()
+    )
+    affected = old.join(touched_cids, "cluster_id", "left_semi").localCheckpoint()
+    n_affected = affected.count()
+    star = affected.select(
+        F.col("node").alias("a"), F.col("cluster_id").alias("b")
+    )
+    new_labs = D.connected_components(
+        star.unionByName(e), src="a", dst="b"
+    ).localCheckpoint()
+    n_relabel = new_labs.count()
+    SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
+    return {
+        "n_delta_edges": n_edges,
+        "n_affected_nodes": n_affected,
+        "n_relabeled": n_relabel,
+    }
+
+
 def foreach_batch_dedup_index(root: str):
     """writeStream.foreachBatch body keeping the near-dup index CURRENT
     as documents arrive: each micro-batch is shingled/banded (O(batch),
@@ -275,4 +350,58 @@ def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jacc",
         F.lit(n_versions).cast("int").alias("n_versions"),
         F.lit(n_docs).cast("long").alias("n_docs"),
+    )
+
+
+def _cluster_index_oracle() -> str:
+    from binance_etl_spark.plans.llm_ops3 import _SQL_CC_BODY
+
+    return (
+        _SQL_CC_BODY
+        + """
+    SELECT node, MIN(lbl) AS cluster_id, CAST(2 AS INT) AS n_versions
+    FROM comp WHERE node IN (SELECT src FROM edges)
+    GROUP BY node
+    """
+    )
+
+
+@register(
+    "dedup_cluster_index_incremental",
+    oracle=_cluster_index_oracle(),
+    doc="Incremental dedup-CLUSTER index: connected-component labels "
+    "maintained through pair-edge appends instead of recomputed per "
+    "run — the union-find closer of the index chain (inverted index, "
+    "spans, near-dup pairs, now clusters). BUILD applies the a~b "
+    "near-dup edges of the dedup_cluster_cc fixture (full CC, labels "
+    "snapshot); REFRESH applies the b~c edge batch incrementally: "
+    "appends only ADD edges, so clusters only MERGE, the affected set "
+    "is exactly the stored clusters touched by a delta-edge node, and "
+    "each stored cluster's (node -> cluster_id) rows form a STAR that "
+    "preserves its connectivity — CC over (affected stars + delta "
+    "edges) relabels the affected subgraph exactly while every other "
+    "cluster's label rows carry by manifest name, zero I/O. SERVE "
+    "reads the labels table. Oracle: the dedup_cluster_cc recursive-"
+    "CTE recompute over ALL edges, restricted to edged nodes (the "
+    "index learns nodes from edges; singletons have no pair rows). "
+    "Affected-only evidence pinned in tests/test_dedup_index.py.",
+    tags=("dedup", "iterative", "sink"),
+)
+def dedup_cluster_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.llm_ops3 import cc_edge_batches
+
+    e_ab, e_bc, _nodes = cc_edge_batches(spark, sf_dir)
+
+    def as_pairs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+
+    root = tempfile.mkdtemp(prefix="besk_ccidx_") + "/t"
+    build_cluster_index(as_pairs(e_ab), root)
+    build_cluster_index(as_pairs(e_bc), root)
+    n_versions = len(SNAP.main_versions(f"{root}/labels"))
+    return SNAP.read_version(spark, f"{root}/labels").select(
+        "node",
+        "cluster_id",
+        F.lit(n_versions).cast("int").alias("n_versions"),
     )

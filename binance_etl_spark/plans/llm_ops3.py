@@ -167,25 +167,15 @@ _SQL_CC_BODY = f"""
 """
 
 
-@register(
-    "dedup_cluster_cc",
-    oracle=_SQL_CC_BODY
-    + """
-    SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node
-    """,
-    doc="Dedup-cluster assignment: near-dup PAIRS (min-md5-shingle "
-    "blocking + exact Jaccard >= 0.6, over a corpus with drop-1-token "
-    "and drop-2-token variants) collapsed into connected components by "
-    "min-label propagation (operators/dedup.py::connected_components); "
-    "cluster_id = min doc id = the canonical doc to keep. The variant "
-    "chain a~b~c has NO direct a~c edge, so the result proves "
-    "multi-hop propagation, which pair-level dedup cannot produce. "
-    "Oracle: DuckDB recursive CTE over the same edges.",
-    tags=("dedup", "iterative"),
-)
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cc_edge_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The dedup_cluster_cc fixture, split for incremental consumers:
+    (a~b pair edges, b~c pair edges, all nodes). Shared by the inline
+    op below and plans/dedup_index.py::dedup_cluster_index_incremental,
+    which applies the two edge batches as successive index refreshes —
+    one edge generation, one oracle (_SQL_CC_BODY)."""
     from binance_etl_spark.operators import dedup as D
-    from binance_etl_spark.operators.dedup import connected_components
 
     base = fanout(load(spark, sf_dir, "documents").where(F.col("doc_id") < CAP_CC))
     drop1 = F.expr("substr(text, instr(text, ' ') + 1)")
@@ -209,13 +199,35 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col(f"{lt}_id").alias("src"), F.col(f"{rt}_id").alias("dst"))
         )
 
-    edges = pairs(am, bm, "a", "b").union(pairs(bm, cm, "b", "c"))
     nodes = (
         am.select(F.col("a_id").alias("node"))
         .union(bm.select("b_id"))
         .union(cm.select("c_id"))
     )
-    return connected_components(edges, nodes=nodes)
+    return pairs(am, bm, "a", "b"), pairs(bm, cm, "b", "c"), nodes
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=_SQL_CC_BODY
+    + """
+    SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node
+    """,
+    doc="Dedup-cluster assignment: near-dup PAIRS (min-md5-shingle "
+    "blocking + exact Jaccard >= 0.6, over a corpus with drop-1-token "
+    "and drop-2-token variants) collapsed into connected components by "
+    "min-label propagation (operators/dedup.py::connected_components); "
+    "cluster_id = min doc id = the canonical doc to keep. The variant "
+    "chain a~b~c has NO direct a~c edge, so the result proves "
+    "multi-hop propagation, which pair-level dedup cannot produce. "
+    "Oracle: DuckDB recursive CTE over the same edges.",
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators.dedup import connected_components
+
+    e_ab, e_bc, nodes = cc_edge_batches(spark, sf_dir)
+    return connected_components(e_ab.union(e_bc), nodes=nodes)
 
 
 _SQL_NIBBLE = "instr('0123456789abcdef', substr(md5(CAST({x} AS VARCHAR)), 1, 1)) - 1"

@@ -168,3 +168,97 @@ def test_no_near_dups_in_delta_is_cheap_and_correct(spark, tmp_path):
     # doc 9's postings DID commit (future refreshes can match it)
     sh = SNAP.read_version(spark, f"{root}/shingles")
     assert sh.where(F.col("doc_id") == 9).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster index (build_cluster_index)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a_id long, b_id long")
+
+
+def _labels(spark, root):
+    return {
+        r.node: r.cluster_id
+        for r in SNAP.read_version(spark, f"{root}/labels").collect()
+    }
+
+
+def test_cluster_refresh_touches_affected_clusters_only(spark, tmp_path):
+    """A delta edge into cluster {1,2} relabels {1,2,3} and NOTHING
+    else — cluster {10,11} carries untouched."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2), (10, 11)]), root)
+    assert _labels(spark, root) == {1: 1, 2: 1, 10: 10, 11: 10}
+    ev = build_cluster_index(_edges(spark, [(2, 3)]), root)
+    assert ev["n_affected_nodes"] == 2  # the {1,2} star only
+    assert ev["n_relabeled"] == 3  # 1, 2, 3
+    assert _labels(spark, root) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cluster_merge_two_stored_clusters(spark, tmp_path):
+    """A bridge edge merges BOTH stored clusters: the min label wins
+    across the union, proving the star edges preserve connectivity."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(5, 6), (10, 11)]), root)
+    ev = build_cluster_index(_edges(spark, [(6, 10)]), root)
+    assert ev["n_affected_nodes"] == 4
+    assert _labels(spark, root) == {5: 5, 6: 5, 10: 5, 11: 5}
+
+
+def test_cluster_new_nodes_only_delta_inserts(spark, tmp_path):
+    """A delta among entirely NEW nodes touches zero stored clusters:
+    pure-insert MERGE, old labels byte-identical, rewrote == 0 (the
+    node bloom proves no stored file holds the new keys)."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2)]), root)
+    ev = build_cluster_index(_edges(spark, [(20, 21), (21, 22)]), root)
+    assert ev["n_affected_nodes"] == 0
+    assert _labels(spark, root) == {1: 1, 2: 1, 20: 20, 21: 20, 22: 20}
+    labels_t = f"{root}/labels"
+    m = SNAP._load_manifest(labels_t, SNAP.main_versions(labels_t)[-1])
+    assert m["mode"] == "merge"
+    assert m["rewrote"] == 0
+    assert m["carried"] >= 1
+    assert "node" in m["bloom_cols"]
+
+
+def test_cluster_chain_equals_full_cc(spark, tmp_path):
+    """Three successive single-edge refreshes growing a chain equal
+    one full connected-components run over all edges."""
+    from binance_etl_spark.operators.dedup import connected_components
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    batches = [[(1, 2)], [(2, 3)], [(3, 4), (40, 41)]]
+    root = str(tmp_path / "t")
+    for b in batches:
+        build_cluster_index(_edges(spark, b), root)
+    all_e = _edges(spark, [p for b in batches for p in b])
+    full = {
+        r.node: r.cluster_id
+        for r in connected_components(all_e, src="a_id", dst="b_id").collect()
+    }
+    assert _labels(spark, root) == full == {1: 1, 2: 1, 3: 1, 4: 1, 40: 40, 41: 40}
+
+
+def test_cluster_replay_token_exactly_once(spark, tmp_path):
+    """A refresh re-applied with the same batch_id no-ops."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2)]), root, batch_id=0)
+    build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    before = _labels(spark, root)
+    versions = SNAP.main_versions(f"{root}/labels")
+    ev = build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    assert ev.get("replayed") is True
+    assert _labels(spark, root) == before
+    assert SNAP.main_versions(f"{root}/labels") == versions
