@@ -333,6 +333,11 @@ HEADLINE_LLM = [
     # index (build + banded-candidate refresh + composite-bloom MERGE
     # serve) — the persistent sibling of dedup_minhash_lsh.
     "dedup_index_incremental",
+    # round-11 closer: the incremental cluster-label index (full CC
+    # build over the a~b edge batch, affected-stars CC refresh for
+    # b~c, bloom-pruned labels MERGE) — union-find maintained as a
+    # table instead of recomputed per run.
+    "dedup_cluster_index_incremental",
 ]
 
 

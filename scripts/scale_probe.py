@@ -662,6 +662,47 @@ def dedupidx_main(spark) -> None:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
+def clusteridx_main(spark) -> None:
+    """Incremental cluster-index probe (round 11): labels table built
+    by full CC over n disjoint (2i, 2i+1) pair edges, then refreshed
+    with a FIXED 100-bridge-edge delta (each bridge merges two
+    adjacent stored pair-clusters -> 400 affected nodes at EVERY
+    scale), at n=50k vs n=500k stored edges. Healthy = build grows
+    with n while refresh stays near-flat: the refresh's only
+    stored-size costs are two column-pruned semi-join scans of the
+    labels table (touched-cluster lookup + affected-star fetch) and
+    the bloom-pruned MERGE's affected-file rewrites; the CC recompute
+    itself runs over 400 stars + 100 delta edges regardless of n."""
+    import tempfile as _tempfile
+
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    print(f"\n{'scale':6s} {'edges':>7s} {'build':>7s} {'refresh':>8s} "
+          f"{'ratio':>6s} {'affected':>8s} {'relabeled':>9s}")
+    for label, n in (("50k", 50_000), ("500k", 500_000)):
+        pairs = spark.range(n).select(
+            (F.col("id") * 2).alias("a_id"),
+            (F.col("id") * 2 + 1).alias("b_id"),
+        )
+        delta = spark.range(100).select(
+            (F.col("id") * 4).alias("a_id"),
+            (F.col("id") * 4 + 2).alias("b_id"),
+        )
+        root = _tempfile.mkdtemp(prefix="besk_ccidx_probe_") + "/t"
+        t0 = time.time()
+        build_cluster_index(pairs, root)
+        t_build = time.time() - t0
+        t0 = time.time()
+        ev = build_cluster_index(delta, root)
+        t_refresh = time.time() - t0
+        print(
+            f"{label:6s} {n:7d} {t_build:6.2f}s {t_refresh:7.2f}s "
+            f"{t_refresh / max(t_build, 0.01):5.2f}x "
+            f"{ev['n_affected_nodes']:8d} {ev['n_relabeled']:9d}"
+        )
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 def lake_solo_main(spark) -> None:
     i = sys.argv.index("--lake-solo")
     op, label = sys.argv[i + 1], sys.argv[i + 2]
@@ -1440,6 +1481,9 @@ def main() -> None:
         return
     if "--dedupidx" in sys.argv:
         dedupidx_main(spark)
+        return
+    if "--clusteridx" in sys.argv:
+        clusteridx_main(spark)
         return
     if "--lake-solo" in sys.argv:
         lake_solo_main(spark)
