@@ -124,7 +124,10 @@ def build_dedup_index(
         n_cand = cand_ids.count()
         SNAP.write_version(sh, shingles_t, batch_id=batch_id)
         SNAP.write_version(bands, bands_t, batch_id=batch_id)
-        pairs = _verified_pairs(cand_ids, sh)
+        # lazy checkpoint: the write below materializes it once, and a
+        # downstream consumer (the cluster-label refresh) reuses the
+        # cached rows instead of re-verifying
+        pairs = _verified_pairs(cand_ids, sh).localCheckpoint(eager=False)
         # composite (a_id, b_id) bloom sidecar: later MERGE refreshes
         # probe it and prove pure-insert batches rewrite zero files
         SNAP.write_version(
@@ -134,6 +137,7 @@ def build_dedup_index(
             "n_delta_docs": n_delta,
             "n_candidates": n_cand,
             "n_new_pairs": -1,
+            "pairs": pairs,
         }
 
     # exactly-once replay token: the pairs commit is the LAST action
@@ -170,6 +174,7 @@ def build_dedup_index(
         "n_delta_docs": n_delta,
         "n_candidates": n_cand,
         "n_new_pairs": n_new,
+        "pairs": new_pairs,
     }
 
 
@@ -263,6 +268,49 @@ def foreach_batch_dedup_index(root: str):
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         build_dedup_index(batch_df, root, batch_id=batch_id)
+
+    return apply
+
+
+def foreach_batch_dedup_clusters(root: str):
+    """foreachBatch body for the FULL streaming dedup pipeline:
+    documents arrive -> near-dup pairs index refresh (O(batch)
+    shingling, banded candidates vs stored bands) -> cluster-label
+    refresh (affected-stars CC over the batch's new pair edges).
+    Exactly-once END-TO-END via per-table batch tokens: a replay that
+    finds the pairs commit recovers the batch's edges from the pairs
+    table's own CDC (read_changes of that batch's version — O(delta)
+    I/O) and re-offers them to the labels table, whose token then
+    decides idempotently — so a crash BETWEEN the pairs commit and the
+    labels commit heals on redelivery, and a fully-applied batch
+    no-ops twice."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from binance_etl_spark.operators import snapshots as SNAP
+
+        spark = batch_df.sparkSession
+        ev = build_dedup_index(batch_df, root, batch_id=batch_id)
+        pairs = ev.get("pairs")
+        if pairs is None:
+            # pairs commit replayed — recover this batch's edges from
+            # the pairs table CDC. Rewritten (updated-jacc) rows also
+            # surface as inserts; they are existing edges, and re-
+            # offering an existing edge cannot change any label.
+            pairs_t = f"{root}/pairs"
+            v = SNAP._find_batch_commit(pairs_t, batch_id)
+            vs = SNAP.main_versions(pairs_t)
+            i = vs.index(v)
+            if i == 0:
+                pairs = SNAP.read_version(spark, pairs_t, version=v)
+            else:
+                pairs = (
+                    SNAP.read_changes(spark, pairs_t, vs[i - 1], v)
+                    .where(F.col("change_type") == "insert")
+                    .drop("change_type")
+                )
+        build_cluster_index(
+            pairs.select("a_id", "b_id"), root, batch_id=batch_id
+        )
 
     return apply
 

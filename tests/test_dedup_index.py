@@ -262,3 +262,69 @@ def test_cluster_replay_token_exactly_once(spark, tmp_path):
     assert ev.get("replayed") is True
     assert _labels(spark, root) == before
     assert SNAP.main_versions(f"{root}/labels") == versions
+
+
+def test_streaming_pipeline_pairs_to_clusters(spark, tmp_path):
+    """foreach_batch_dedup_clusters: docs stream -> pairs refresh ->
+    cluster-label refresh, exactly-once end-to-end. Served labels
+    equal full CC over the served pairs table; a crash BETWEEN the
+    pairs commit and the labels commit heals on redelivery; a second
+    redelivery no-ops both tables."""
+    import os
+
+    from binance_etl_spark.operators.dedup import connected_components
+    from binance_etl_spark.plans.dedup_index import (
+        build_dedup_index,
+        foreach_batch_dedup_clusters,
+    )
+
+    src = str(tmp_path / "src")
+    _docs_batch1(spark).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    _docs_batch2(spark).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    root = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_dedup_clusters(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = SNAP.read_version(spark, f"{root}/pairs")
+    full = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, src="a_id", dst="b_id").collect()
+    }
+    # ground truth: pairs (1,2) then (1,7) -> one cluster labeled 1
+    assert full == {1: 1, 2: 1, 7: 1}
+    assert _labels(spark, root) == full
+
+    # crash-between simulation: a third batch commits its PAIRS only
+    # (doc 9 is another variant of the 1/2/7 family)
+    b3 = spark.createDataFrame(
+        [(9, _BASE + " twice")], "doc_id long, text string"
+    )
+    ev = build_dedup_index(b3, root, batch_id=2)
+    assert ev["n_new_pairs"] >= 1
+    labels_before = _labels(spark, root)
+    assert 9 not in labels_before  # labels commit "crashed"
+    # redelivery of the composite heals: pairs replays (token), the
+    # batch's edges are recovered from the pairs CDC, labels apply
+    foreach_batch_dedup_clusters(root)(b3, 2)
+    healed = _labels(spark, root)
+    assert healed[9] == 1
+    assert healed == connected_components(
+        SNAP.read_version(spark, f"{root}/pairs"), src="a_id", dst="b_id"
+    ).toPandas().set_index("node")["cluster_id"].to_dict()
+    # second redelivery no-ops both tables
+    pv = SNAP.main_versions(f"{root}/pairs")
+    lv = SNAP.main_versions(f"{root}/labels")
+    foreach_batch_dedup_clusters(root)(b3, 2)
+    assert SNAP.main_versions(f"{root}/pairs") == pv
+    assert SNAP.main_versions(f"{root}/labels") == lv
+    assert _labels(spark, root) == healed
