@@ -328,3 +328,52 @@ def test_streaming_pipeline_pairs_to_clusters(spark, tmp_path):
     assert SNAP.main_versions(f"{root}/pairs") == pv
     assert SNAP.main_versions(f"{root}/labels") == lv
     assert _labels(spark, root) == healed
+
+
+def test_cluster_randomized_batches_equal_full_cc(spark, tmp_path):
+    """Seeded random edge batches (merges, growths, new clusters,
+    repeats, the occasional empty batch) applied incrementally always
+    equal one full CC over the union — the union-find analogue of the
+    snapshot-log model fuzzer."""
+    import random
+
+    from binance_etl_spark.operators.dedup import connected_components
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    for seed in (7, 11):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"t{seed}")
+        applied = []
+        for _ in range(5):
+            batch = [
+                (rng.randrange(0, 60), rng.randrange(0, 60))
+                for _ in range(rng.randrange(0, 8))
+            ]
+            batch = [(a, b) for a, b in batch if a != b]
+            build_cluster_index(_edges(spark, batch or []), root)
+            applied.extend(batch)
+        if not applied:
+            continue
+        full = {
+            r.node: r.cluster_id
+            for r in connected_components(
+                _edges(spark, applied), src="a_id", dst="b_id"
+            ).collect()
+        }
+        assert _labels(spark, root) == full, f"seed {seed}"
+
+
+def test_cluster_empty_and_duplicate_edge_batches(spark, tmp_path):
+    """An empty delta and an already-known-edge delta both no-op the
+    labels (affected relabels produce identical rows; merge keeps the
+    values), never corrupt them."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2), (3, 4)]), root)
+    before = _labels(spark, root)
+    build_cluster_index(_edges(spark, []), root)
+    assert _labels(spark, root) == before
+    ev = build_cluster_index(_edges(spark, [(1, 2)]), root)
+    assert ev["n_affected_nodes"] == 2
+    assert _labels(spark, root) == before
