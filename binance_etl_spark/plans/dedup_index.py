@@ -118,7 +118,18 @@ def build_dedup_index(
     sig = D.minhash_signature(sh, "doc_id", "sh")
     bands = D.lsh_bands(sig, "doc_id").localCheckpoint()
 
-    first = not SNAP.main_versions(bands_t)
+    # first-ness is judged on the PAIRS table — the batch's commit
+    # point (last sub-commit of every apply). Judging on bands wedges
+    # a first batch that crashed between the bands and pairs commits:
+    # redelivery would take the refresh path and merge_into refuses a
+    # table with no committed snapshot. With pairs as the judge, that
+    # redelivery re-takes the build path, where the shingles/bands
+    # write_version calls no-op on their batch tokens and the pairs
+    # commit completes the batch. Only one batch can ever be in this
+    # partial state (foreachBatch redelivers the same id until the
+    # apply succeeds), so pairs-empty implies bands holds at most this
+    # batch's rows.
+    first = not SNAP.main_versions(pairs_t)
     if first:
         cand_ids = _band_pairs(bands, bands).localCheckpoint()
         n_cand = cand_ids.count()

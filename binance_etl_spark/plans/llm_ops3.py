@@ -199,12 +199,21 @@ def cc_edge_batches(
             .select(F.col(f"{lt}_id").alias("src"), F.col(f"{rt}_id").alias("dst"))
         )
 
+    # materialize the (small) edge/node outputs and drop the shingle
+    # caches before returning: the caches exist only so bm's shingle
+    # arrays compute once across the two pair joins — left cached,
+    # each consumer (two registered queries, both benched) would pin
+    # 3 fixture generations in executor storage for the session
+    e_ab = pairs(am, bm, "a", "b").localCheckpoint(eager=True)
+    e_bc = pairs(bm, cm, "b", "c").localCheckpoint(eager=True)
     nodes = (
         am.select(F.col("a_id").alias("node"))
         .union(bm.select("b_id"))
         .union(cm.select("c_id"))
-    )
-    return pairs(am, bm, "a", "b"), pairs(bm, cm, "b", "c"), nodes
+    ).localCheckpoint(eager=True)
+    for df in (am, bm, cm):
+        df.unpersist()
+    return e_ab, e_bc, nodes
 
 
 @register(

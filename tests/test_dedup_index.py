@@ -377,3 +377,31 @@ def test_cluster_empty_and_duplicate_edge_batches(spark, tmp_path):
     ev = build_cluster_index(_edges(spark, [(1, 2)]), root)
     assert ev["n_affected_nodes"] == 2
     assert _labels(spark, root) == before
+
+
+def test_first_batch_crash_between_bands_and_pairs_heals(spark, tmp_path):
+    """Crash AFTER the bands commit but BEFORE the pairs commit on the
+    FIRST batch: redelivery must re-take the build path (first-ness is
+    judged on the pairs table, the batch's commit point) and complete
+    the batch — not wedge on merge_into against an empty pairs table."""
+    from binance_etl_spark.plans.dedup_index import foreach_batch_dedup_clusters
+
+    root = str(tmp_path / "t")
+    b1 = _docs_batch1(spark)
+    # simulate the partial apply: commit shingles + bands only
+    from binance_etl_spark.operators import dedup as D
+
+    sh = b1.select("doc_id", D.shingles(F.col("text")).alias("sh")).localCheckpoint()
+    sig = D.minhash_signature(sh, "doc_id", "sh")
+    bands = D.lsh_bands(sig, "doc_id")
+    SNAP.write_version(sh, f"{root}/shingles", batch_id=0)
+    SNAP.write_version(bands, f"{root}/bands", batch_id=0)
+    assert not SNAP.main_versions(f"{root}/pairs")
+    # redelivery of the full composite heals: build path, token no-ops
+    # on shingles/bands, pairs + labels commit
+    foreach_batch_dedup_clusters(root)(b1, 0)
+    assert _served(spark, root) == [(1, 2, round(12 / 14, 12))] or [
+        (a, b) for a, b, _ in _served(spark, root)
+    ] == [(1, 2)]
+    assert len(SNAP.main_versions(f"{root}/shingles")) == 1  # no double-append
+    assert _labels(spark, root) == {1: 1, 2: 1}
