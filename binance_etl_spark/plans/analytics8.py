@@ -22,8 +22,12 @@ round-10 watermark-oracle treatment.
      t_ev >= d_ev - 1s > wm_j - 1s — exactly the side's state
      watermark, so t is still in state. Observed: a phase-0 depth row
      matched a phase-2 trade. Hence the oracle is DROPS + JOIN, with
-     eviction provably absorbed — true for any symmetric interval with
-     equal delays, which is this op's shape.
+     eviction provably absorbed. The proof needs only the SINGLE
+     global watermark (partner of an admitted row has ev > wm - tol,
+     strictly above the eviction line), NOT equal delays — verified
+     empirically for unequal delays (10s vs 3s) with the binding side
+     flipping mid-stream in tests/test_round11_ops.py::
+     test_stream_join_asymmetric_delays_match_twin.
 
   The batch boundaries ARE part of the semantics; they are
   deterministic because the replay source's offset-gated admission

@@ -297,3 +297,149 @@ def test_stream_full_outer_join_symmetric_null_rows(spark):
     assert 74 not in tids and 174 not in dids, "above-threshold rows never"
     assert 71 not in tids and 171 not in dids, "dropped-late rows vanish"
     assert len(got) == 8
+
+
+# --- asymmetric watermark delays: absorption generalizes -------------
+
+
+def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
+    """UNEQUAL watermark delays (trades 10s, depth 3s): there is still
+    ONE global watermark = min(tmax - 10s, dmax - 3s), rows drop iff
+    ev <= it, and state eviction still cannot exclude a pair both of
+    whose rows were admitted — the absorption proof needs only a
+    single global watermark, not equal delays (partner of an admitted
+    row at wm has ev > wm - tol, strictly above the eviction line).
+    The tape makes the BINDING side flip: phase 1 binds on the
+    long-delay trades side (trade @0.5s admitted although the depth
+    side's own max-minus-delay is 7.5s), phase 2 binds on the
+    short-delay depth side (depth @7.5s drops AT the boundary), and a
+    phase-1 trade in state matches a phase-3 depth across the flip."""
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.sources.replay import register as _reg_replay
+
+    T_DELAY, D_DELAY, TOL = 10_000, 3_000, 1_000
+    BASE = 1_700_000_000_000
+    TR = [
+        [(10_000, 1)],
+        [(500, 2), (30_000, 3)],
+        [(8_000, 4)],
+        [(19_000, 5), (29_500, 6)],
+    ]
+    DP = [
+        [(10_500, 101)],
+        [(900, 102)],
+        [(7_500, 103), (8_400, 104), (40_000, 105)],
+        [(30_200, 106)],
+    ]
+
+    # pure-Python twin: global wm entering each phase, drops, join
+    wms = [float("-inf")]
+    tmax = dmax = None
+    for tph, dph in zip(TR[:-1], DP[:-1]):
+        for off, _ in tph:
+            tmax = off if tmax is None else max(tmax, off)
+        for off, _ in dph:
+            dmax = off if dmax is None else max(dmax, off)
+        wms.append(min(tmax - T_DELAY, dmax - D_DELAY))
+    t_adm = [
+        (off, i) for ph, rows in enumerate(TR) for off, i in rows if off > wms[ph]
+    ]
+    d_adm = [
+        (off, i) for ph, rows in enumerate(DP) for off, i in rows if off > wms[ph]
+    ]
+    expected = {
+        (ti, di)
+        for toff, ti in t_adm
+        for doff, di in d_adm
+        if abs(toff - doff) <= TOL
+    }
+    # fixture sanity: the flip fires
+    assert wms[1] == 0 and wms[2] == 7_500 and wms[3] == 20_000
+    assert expected == {(1, 101), (2, 102), (4, 104), (6, 106), (3, 106)}
+
+    _reg_replay(spark)
+    root = str(tmp_path / "sj_asym")
+    os.makedirs(root)
+    tlog, dlog = os.path.join(root, "t.jsonl"), os.path.join(root, "d.jsonl")
+    open(tlog, "w").close()
+    open(dlog, "w").close()
+    seq = [0]
+
+    def _append(log, phase):
+        with open(log, "a") as f:
+            for off, ident in phase:
+                seq[0] += 1
+                f.write(
+                    _json.dumps(
+                        {
+                            "frame": _json.dumps(
+                                {"E": BASE + off, "s": "AAA", "i": ident}
+                            ),
+                            "arrival_ms": 1000 + seq[0],
+                            "seq": seq[0],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def _side(log, tag, delay_ms):
+        sdf = (
+            spark.readStream.format("replay")
+            .option("path", log)
+            .option("maxFramesPerBatch", "100000")
+            .load()
+        )
+        return sdf.select(
+            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
+            F.timestamp_millis(
+                F.get_json_object("frame", "$.E").cast("long")
+            ).alias(f"{tag}_ev"),
+            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
+        ).withWatermark(f"{tag}_ev", f"{delay_ms // 1000} seconds")
+
+    joined = _side(tlog, "t", T_DELAY).join(
+        _side(dlog, "d", D_DELAY),
+        F.expr(
+            "t_sym = d_sym AND d_ev BETWEEN "
+            f"t_ev - INTERVAL {TOL} MILLISECONDS "
+            f"AND t_ev + INTERVAL {TOL} MILLISECONDS"
+        ),
+        "inner",
+    )
+    name = "sj_asym_" + uuid.uuid4().hex[:12]
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for tph, dph in zip(TR, DP):
+            _append(tlog, tph)
+            _append(dlog, dph)
+            q.processAllAvailable()
+        q.processAllAvailable()
+        got = {
+            (r["t_id"], r["d_id"]) for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+        spark.conf.set(shuffle_key, prior)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == expected
+    # branch facts: long-delay side sets the early watermark (trade 2
+    # admitted), short-delay side binds later (depth 103 boundary
+    # drop), and the cross-flip state pair (3, 106) survives eviction
+    assert (2, 102) in got
+    assert all(di != 103 for _, di in got)
+    assert (3, 106) in got
