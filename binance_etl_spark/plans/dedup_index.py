@@ -134,7 +134,22 @@ def build_dedup_index(
         cand_ids = _band_pairs(bands, bands).localCheckpoint()
         n_cand = cand_ids.count()
         SNAP.write_version(sh, shingles_t, batch_id=batch_id)
-        SNAP.write_version(bands, bands_t, batch_id=batch_id)
+        v1 = SNAP.write_version(bands, bands_t, batch_id=batch_id)
+        # single-writer guard: candidates here are delta-self only —
+        # a CONCURRENT first builder would silently lose every
+        # cross-writer pair (both read no stored bands). The snapshot
+        # log serializes the commits, so an interloper is detectable:
+        # any bands version that is not ours means two appliers raced.
+        # Fail loudly; the index apply contract is one writer (one
+        # foreachBatch lane) per root.
+        others = [w for w in SNAP.main_versions(bands_t) if w != v1]
+        if others:
+            raise RuntimeError(
+                f"concurrent dedup-index writers detected on {root} "
+                f"(bands versions {others} committed alongside {v1}); "
+                "the index apply is single-writer — cross-writer "
+                "pairs would be silently missed"
+            )
         # lazy checkpoint: the write below materializes it once, and a
         # downstream consumer (the cluster-label refresh) reuses the
         # cached rows instead of re-verifying
@@ -161,7 +176,8 @@ def build_dedup_index(
     # candidates = delta-vs-stored ∪ delta-vs-delta (appends only add
     # docs, so every new pair involves a delta doc — old-old pairs are
     # already served)
-    old_bands = SNAP.read_version(spark, bands_t)
+    v0 = SNAP.main_versions(bands_t)[-1]
+    old_bands = SNAP.read_version(spark, bands_t, version=v0)
     cand_ids = (
         _band_pairs(bands, old_bands)
         .unionByName(_band_pairs(bands, bands))
@@ -173,7 +189,29 @@ def build_dedup_index(
     # commit the delta postings, then verify against the FULL shingles
     # table (delta rows included) — two key-projected lookups
     SNAP.write_version(sh, shingles_t, batch_id=batch_id)
-    SNAP.write_version(bands, bands_t, batch_id=batch_id)
+    v1 = SNAP.write_version(bands, bands_t, batch_id=batch_id)
+    # single-writer guard: candidates were generated against bands@v0,
+    # so a bands version committed BETWEEN the read and our own commit
+    # belongs to a concurrent applier whose docs never met this delta
+    # in any candidate join — those cross-writer pairs would be
+    # silently missing from the index forever. The snapshot log
+    # serializes commits, which makes the race detectable after the
+    # fact: fail loudly instead — and failing is also the repair: a
+    # redelivery of this batch reads the interloper's bands in its
+    # stored side (plus our own, whose extra self-candidates dedup
+    # away), so the retry covers exactly the pairs the race lost.
+    # (A replayed bands token returns its ORIGINAL version <= v0,
+    # leaving the gap range empty — crash redeliveries never trip
+    # this.)
+    gap = [w for w in SNAP.main_versions(bands_t) if v0 < w < v1]
+    if gap:
+        raise RuntimeError(
+            f"concurrent dedup-index writers detected on {root} "
+            f"(bands versions {gap} committed between our read @v{v0} "
+            f"and our commit @v{v1}); the index apply is "
+            "single-writer — cross-writer pairs would be silently "
+            "missed"
+        )
     new_pairs = _verified_pairs(
         cand_ids, SNAP.read_version(spark, shingles_t)
     ).localCheckpoint()

@@ -468,3 +468,51 @@ def test_crash_at_every_subcommit_boundary_heals(spark, tmp_path):
             crash_batch,
             upto,
         )
+
+
+def test_concurrent_writer_race_detected_and_retry_heals(spark, tmp_path, monkeypatch):
+    """Two appliers racing on one index root would each miss the
+    cross-writer pairs (both generate candidates against the bands
+    they read). The snapshot log serializes the commits, so the race
+    is detectable: a bands version landing between our read and our
+    commit raises. The failure is also the repair — redelivery reads
+    the interloper's bands in its stored side, so the retry covers
+    exactly the pairs the race lost."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    build_dedup_index(_docs_batch1(spark), root, batch_id=0)
+    bands_t = f"{root}/bands"
+
+    import binance_etl_spark.operators.snapshots as SNAP_mod
+
+    real = SNAP_mod.write_version
+    fired = {"done": False}
+
+    def racy(df, table_dir, *a, **kw):
+        if table_dir.endswith("/bands") and not fired["done"]:
+            fired["done"] = True
+            # the concurrent applier's commit, landing between our
+            # bands read and our bands write: doc 9 is ANOTHER variant
+            # of the 1/2 family, so the race genuinely loses 7~9
+            interloper = SNAP_mod.read_version(spark, table_dir).where(
+                F.col("doc_id") == 1
+            ).withColumn("doc_id", F.lit(9).cast("long"))
+            real(interloper, table_dir)
+        return real(df, table_dir, *a, **kw)
+
+    monkeypatch.setattr(SNAP_mod, "write_version", racy)
+    with pytest.raises(RuntimeError, match="concurrent dedup-index writers"):
+        build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    monkeypatch.setattr(SNAP_mod, "write_version", real)
+    # redelivery heals: the interloper's bands are stored now, so the
+    # delta-vs-stored join sees them; candidates include 7-vs-9
+    ev = build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    assert ev.get("replayed") is not True  # pairs never committed
+    got = [(a, b) for a, b, _ in _served(spark, root)]
+    assert (1, 2) in got and (1, 7) in got
+    # the interloper doc shares doc 1's bands, so the healed retry
+    # surfaced the cross-writer candidate; with no shingles row for 9
+    # committed by the fake interloper, verification drops it — the
+    # candidate-level coverage is what the guard protects
+    assert ev["n_candidates"] >= 2
