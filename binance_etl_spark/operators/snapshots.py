@@ -204,6 +204,36 @@ def main_versions(table_dir: str) -> list[int]:
     return covered + tail
 
 
+def assert_serial_apply(
+    table_dir: str, v_read: int, v_committed: int, what: str = "index apply"
+) -> None:
+    """Optimistic single-writer guard for derived-state maintenance
+    (read stored state -> compute delta-derived rows -> commit): any
+    version committed BETWEEN the state read and this applier's own
+    commit belongs to a concurrent applier whose rows were not in the
+    state this apply derived from — its effects would be silently
+    overwritten (lost counter increments, lost relabels) or never
+    joined against (missed candidate pairs). The snapshot log
+    serializes commits, which makes the race detectable after the
+    fact; failing the batch is also the REPAIR, because a redelivery
+    re-reads state that now includes the interloper's commit.
+    Replayed batch tokens return their original version <= v_read,
+    leaving the gap range empty, so crash redeliveries never trip
+    this. Pure-APPEND refreshes (inverted-index postings, ANN code
+    segments) need no guard: concurrent appends serialize and union.
+    Pass ``v_read=-1`` for a first build that read no stored state —
+    then ANY earlier version is an interloper."""
+    gap = [w for w in main_versions(table_dir) if v_read < w < v_committed]
+    if gap:
+        raise RuntimeError(
+            f"concurrent writers detected on {table_dir} during {what}: "
+            f"versions {gap} committed between the state read @v{v_read} "
+            f"and this applier's commit @v{v_committed}; the apply is "
+            "single-writer — redeliver the batch (the retry reads the "
+            "interloper's state and heals)"
+        )
+
+
 def _manifest_schema(manifest: dict):
     """The StructType a manifest pins for its snapshot, or None for
     manifests from before schemas were versioned (back-compat)."""

@@ -88,7 +88,10 @@ def build_pq_index(
     corpus and once per refresh with ONLY the delta — each call is one
     narrow encode scan (no shuffle; vectorized, see pq_encode_arrow)
     plus one snapshot commit. `batch_id` is the streaming idempotency
-    token (see foreach_batch_ann_index)."""
+    token (see foreach_batch_ann_index). Pure-APPEND refresh: no
+    stored state is read, so concurrent appliers serialize and union
+    — no snapshots.assert_serial_apply guard needed (contrast the
+    read-modify-write dedup/cluster/spans index refreshes)."""
     from binance_etl_spark.operators import snapshots as SNAP
 
     codes = pq_encode_arrow(vectors, codebook, id_col)

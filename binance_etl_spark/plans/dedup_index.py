@@ -135,21 +135,11 @@ def build_dedup_index(
         n_cand = cand_ids.count()
         SNAP.write_version(sh, shingles_t, batch_id=batch_id)
         v1 = SNAP.write_version(bands, bands_t, batch_id=batch_id)
-        # single-writer guard: candidates here are delta-self only —
-        # a CONCURRENT first builder would silently lose every
-        # cross-writer pair (both read no stored bands). The snapshot
-        # log serializes the commits, so an interloper is detectable:
-        # any bands version that is not ours means two appliers raced.
-        # Fail loudly; the index apply contract is one writer (one
-        # foreachBatch lane) per root.
-        others = [w for w in SNAP.main_versions(bands_t) if w != v1]
-        if others:
-            raise RuntimeError(
-                f"concurrent dedup-index writers detected on {root} "
-                f"(bands versions {others} committed alongside {v1}); "
-                "the index apply is single-writer — cross-writer "
-                "pairs would be silently missed"
-            )
+        # single-writer guard: candidates here are delta-self only — a
+        # CONCURRENT first builder would silently lose every
+        # cross-writer pair (both read no stored bands, hence
+        # v_read=-1: any earlier bands version is an interloper)
+        SNAP.assert_serial_apply(bands_t, -1, v1, "dedup-index first build")
         # lazy checkpoint: the write below materializes it once, and a
         # downstream consumer (the cluster-label refresh) reuses the
         # cached rows instead of re-verifying
@@ -191,27 +181,13 @@ def build_dedup_index(
     SNAP.write_version(sh, shingles_t, batch_id=batch_id)
     v1 = SNAP.write_version(bands, bands_t, batch_id=batch_id)
     # single-writer guard: candidates were generated against bands@v0,
-    # so a bands version committed BETWEEN the read and our own commit
-    # belongs to a concurrent applier whose docs never met this delta
-    # in any candidate join — those cross-writer pairs would be
-    # silently missing from the index forever. The snapshot log
-    # serializes commits, which makes the race detectable after the
-    # fact: fail loudly instead — and failing is also the repair: a
-    # redelivery of this batch reads the interloper's bands in its
-    # stored side (plus our own, whose extra self-candidates dedup
-    # away), so the retry covers exactly the pairs the race lost.
-    # (A replayed bands token returns its ORIGINAL version <= v0,
-    # leaving the gap range empty — crash redeliveries never trip
-    # this.)
-    gap = [w for w in SNAP.main_versions(bands_t) if v0 < w < v1]
-    if gap:
-        raise RuntimeError(
-            f"concurrent dedup-index writers detected on {root} "
-            f"(bands versions {gap} committed between our read @v{v0} "
-            f"and our commit @v{v1}); the index apply is "
-            "single-writer — cross-writer pairs would be silently "
-            "missed"
-        )
+    # so a bands version landing in between belongs to a concurrent
+    # applier whose docs never met this delta in any candidate join —
+    # those cross-writer pairs would be silently missing forever. The
+    # failure is the repair: a redelivery reads the interloper's bands
+    # in its stored side (plus our own, whose extra self-candidates
+    # dedup away), covering exactly the pairs the race lost.
+    SNAP.assert_serial_apply(bands_t, v0, v1, "dedup-index refresh")
     new_pairs = _verified_pairs(
         cand_ids, SNAP.read_version(spark, shingles_t)
     ).localCheckpoint()
@@ -274,7 +250,8 @@ def build_cluster_index(
     ) is not None:
         return {"n_delta_edges": n_edges, "replayed": True}
 
-    old = SNAP.read_version(spark, labels_t)
+    v0 = SNAP.main_versions(labels_t)[-1]
+    old = SNAP.read_version(spark, labels_t, version=v0)
     delta_nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -294,7 +271,13 @@ def build_cluster_index(
         star.unionByName(e), src="a", dst="b"
     ).localCheckpoint()
     n_relabel = new_labs.count()
-    SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
+    v1 = SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
+    # single-writer guard: the relabels were derived from labels@v0 —
+    # an interloper's merge in between would be partially overwritten
+    # (lost relabels on shared affected nodes). Failing is the repair:
+    # redelivery recomputes the affected set from state that includes
+    # the interloper's labels.
+    SNAP.assert_serial_apply(labels_t, v0, v1, "cluster-label refresh")
     return {
         "n_delta_edges": n_edges,
         "n_affected_nodes": n_affected,

@@ -110,7 +110,14 @@ def build_spans_index(
         F.countDistinct("doc_id").alias("nd_delta")
     )
 
-    first = not SNAP.main_versions(postings_t)
+    # first-ness is judged on the SPANS table — the batch's commit
+    # point (last sub-commit of the apply). Judging on postings would
+    # wedge a first batch that crashed mid-apply: redelivery would
+    # take the refresh path against a counts table that may not even
+    # exist yet. With spans as the judge, that redelivery re-takes the
+    # build path, where the postings/counts writes no-op on their
+    # batch tokens (the dedup-index first-ness rule, dedup_index.py).
+    first = not SNAP.main_versions(spans_t)
     if first:
         SNAP.write_version(g, postings_t, batch_id=batch_id)
         counts = dnd.select("gram", F.col("nd_delta").alias("nd"))
@@ -146,9 +153,36 @@ def build_spans_index(
     ) is not None:
         return {"n_delta_docs": n_delta, "replayed": True}
 
-    # 1. old counts for the DELTA's grams only (key-projected lookup)
+    # 1. old counts for the DELTA's grams only (key-projected lookup).
+    # The PRE-BATCH counts version is load-bearing: a redelivery after
+    # a crash between the counts merge and the spans merge finds this
+    # batch's nd increments already applied — reading latest would
+    # double the merged nd AND see no threshold flips, silently
+    # losing the affected docs' spans forever. If our batch token is
+    # already on the counts table, rewind the read to its predecessor
+    # so the flip computation is replay-invariant.
+    cw = (
+        SNAP._find_batch_commit(counts_t, batch_id)
+        if batch_id is not None
+        else None
+    )
+    cvs = SNAP.main_versions(counts_t)
+    if cw is None:
+        v0 = cvs[-1]
+    else:
+        ci = cvs.index(cw)
+        if ci == 0:
+            # our token on the table's FIRST counts version can only
+            # mean a batch-id collision with the build lane — the
+            # pre-batch state is undefined, refuse loudly
+            raise RuntimeError(
+                f"batch id {batch_id} already committed the first "
+                f"counts version of {root}; refresh batch ids must "
+                "not collide with the build's"
+            )
+        v0 = cvs[ci - 1]
     old_hit = (
-        SNAP.read_version(spark, counts_t)
+        SNAP.read_version(spark, counts_t, version=v0)
         .join(dnd.select("gram"), "gram", "left_semi")
         .withColumnRenamed("nd", "nd_old")
     )
@@ -174,9 +208,15 @@ def build_spans_index(
     # and the counts-table read don't re-evaluate per action
     SNAP.write_version(g, postings_t, batch_id=batch_id)
     new_counts = merged_counts.drop("nd_old").localCheckpoint()
-    SNAP.merge_into(
+    v1 = SNAP.merge_into(
         spark, counts_t, new_counts, ["gram"], batch_id=batch_id
     )
+    # single-writer guard: the merged nd values were derived from
+    # counts@v0 — an interloper's merge in between would lose its
+    # increments on shared grams (and the flip detection with them).
+    # Failing is the repair: redelivery re-reads counts that include
+    # the interloper's merge.
+    SNAP.assert_serial_apply(counts_t, v0, v1, "spans-index counts refresh")
 
     # 3. affected docs = holders of flipped grams (stored postings,
     # column-pruned semi-join) + the delta docs

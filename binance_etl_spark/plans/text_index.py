@@ -47,7 +47,11 @@ def build_text_index(
     doc-stat rows as the next snapshot version. Row kinds share one
     schema: postings (is_doc=0: term, doc_id, tf, dl) and doc-stat
     rows (is_doc=1: term='', tf=0, dl) — metadata-partitioned on
-    is_doc so the serve path's stats scan file-prunes to the doc rows."""
+    is_doc so the serve path's stats scan file-prunes to the doc rows.
+    Pure-APPEND refresh: no stored state is read, so concurrent
+    appliers serialize and union — no snapshots.assert_serial_apply
+    guard needed (contrast the read-modify-write dedup/cluster/spans
+    index refreshes)."""
     from binance_etl_spark.operators import snapshots as SNAP
 
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))

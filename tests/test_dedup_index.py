@@ -502,7 +502,7 @@ def test_concurrent_writer_race_detected_and_retry_heals(spark, tmp_path, monkey
         return real(df, table_dir, *a, **kw)
 
     monkeypatch.setattr(SNAP_mod, "write_version", racy)
-    with pytest.raises(RuntimeError, match="concurrent dedup-index writers"):
+    with pytest.raises(RuntimeError, match="concurrent writers"):
         build_dedup_index(_docs_batch2(spark), root, batch_id=1)
     monkeypatch.setattr(SNAP_mod, "write_version", real)
     # redelivery heals: the interloper's bands are stored now, so the
@@ -516,3 +516,46 @@ def test_concurrent_writer_race_detected_and_retry_heals(spark, tmp_path, monkey
     # committed by the fake interloper, verification drops it — the
     # candidate-level coverage is what the guard protects
     assert ev["n_candidates"] >= 2
+
+
+def test_cluster_concurrent_writer_detected_and_retry_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Same race, labels table: an interloper's merge between our
+    labels read and our merge would be partially overwritten (lost
+    relabels on shared affected nodes). Guard raises; redelivery
+    recomputes the affected set from state including the interloper
+    and converges to the true CC labels."""
+    import pytest
+
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2), (10, 11)]), root, batch_id=0)
+    labels_t = f"{root}/labels"
+
+    import binance_etl_spark.operators.snapshots as SNAP_mod
+
+    real = SNAP_mod.merge_into
+    fired = {"done": False}
+
+    def racy(spark_, table_dir, source, keys, *a, **kw):
+        if table_dir.endswith("/labels") and not fired["done"]:
+            fired["done"] = True
+            # concurrent applier merges edge (10, 12): cluster {10,11}
+            # grows while WE are relabeling cluster {1,2} for (2, 3)
+            interloper = spark.createDataFrame(
+                [(12, 10)], "node long, cluster_id long"
+            )
+            real(spark, table_dir, interloper, ["node"])
+        return real(spark_, table_dir, source, keys, *a, **kw)
+
+    monkeypatch.setattr(SNAP_mod, "merge_into", racy)
+    with pytest.raises(RuntimeError, match="concurrent writers"):
+        build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    monkeypatch.setattr(SNAP_mod, "merge_into", real)
+    # redelivery heals on state including the interloper's node 12
+    build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    assert _labels(spark, root) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+    }

@@ -443,3 +443,152 @@ def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
     assert (2, 102) in got
     assert all(di != 103 for _, di in got)
     assert (3, 106) in got
+
+
+def test_spans_concurrent_counts_writer_detected(spark, tmp_path, monkeypatch):
+    """The spans refresh derives merged nd values from the counts
+    table it read — an interloper's counts merge in between would
+    lose its increments on shared grams (and the flip detection with
+    them). snapshots.assert_serial_apply raises; redelivery re-reads
+    counts including the interloper and heals."""
+    import pytest
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.spans_index import build_spans_index
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    base = spark.createDataFrame(
+        [(i, words(i)) for i in range(10)], "doc_id BIGINT, text STRING"
+    )
+    root = str(tmp_path / "idx")
+    build_spans_index(base, root, batch_id=0)
+    counts_t = f"{root}/counts"
+
+    import binance_etl_spark.operators.snapshots as SNAP_mod
+
+    real = SNAP_mod.merge_into
+    fired = {"done": False}
+
+    def racy(spark_, table_dir, source, keys, *a, **kw):
+        if table_dir.endswith("/counts") and not fired["done"]:
+            fired["done"] = True
+            interloper = spark.createDataFrame(
+                [("w0_0 w0_1 w0_2 w0_3 w0_4", 2)], "gram string, nd int"
+            )
+            real(spark, table_dir, interloper, ["gram"])
+        return real(spark_, table_dir, source, keys, *a, **kw)
+
+    monkeypatch.setattr(SNAP_mod, "merge_into", racy)
+    with pytest.raises(RuntimeError, match="concurrent writers"):
+        build_spans_index(
+            spark.createDataFrame(
+                [(1000, words(7))], "doc_id BIGINT, text STRING"
+            ),
+            root,
+            batch_id=1,
+        )
+    monkeypatch.setattr(SNAP_mod, "merge_into", real)
+    ev = build_spans_index(
+        spark.createDataFrame(
+            [(1000, words(7))], "doc_id BIGINT, text STRING"
+        ),
+        root,
+        batch_id=1,
+    )
+    assert ev.get("replayed") is not True
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in SNAP.read_version(spark, f"{root}/spans").collect()
+    }
+    assert got == {7: 1, 1000: 1}
+
+
+def test_spans_crash_at_every_subcommit_boundary_heals(spark, tmp_path):
+    """Spans-index exactly-once artillery (the dedup-index discipline,
+    tests/test_dedup_index.py): for crash points after the postings
+    commit and after the counts commit, on a FIRST and a LATER batch,
+    simulate the partial apply with the batch's token, redeliver, and
+    assert served spans equal a clean two-batch run. Pins the two
+    round-11 fixes: first-ness judged on the spans table (a crashed
+    first batch re-takes the build path instead of wedging on a
+    missing counts table), and the pre-batch counts rewind (a crash
+    between the counts merge and the spans merge must not erase the
+    flip detection on redelivery)."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.llm_ops10 import _gram_stream
+    from binance_etl_spark.plans.spans_index import build_spans_index
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    b = {
+        0: spark.createDataFrame(
+            [(i, words(i)) for i in range(8)], "doc_id BIGINT, text STRING"
+        ),
+        1: spark.createDataFrame(
+            [(1000, words(3)), (1001, words(4))], "doc_id BIGINT, text STRING"
+        ),
+    }
+
+    clean = str(tmp_path / "clean")
+    for i in (0, 1):
+        build_spans_index(b[i], clean, batch_id=i)
+
+    def _spans(root):
+        return sorted(
+            (r["doc_id"], r["n_spans"], r["dup_tokens"])
+            for r in SNAP.read_version(spark, f"{root}/spans").collect()
+        )
+
+    want = _spans(clean)
+    assert {d for d, _, _ in want} == {3, 4, 1000, 1001}
+
+    def _partial_apply(root, batch_id, upto):
+        # mirror build_spans_index's commit prefix: postings, counts
+        g = _gram_stream(b[batch_id]).localCheckpoint()
+        dnd = g.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("nd_delta")
+        )
+        if upto >= 1:
+            SNAP.write_version(g, f"{root}/postings", batch_id=batch_id)
+        if upto >= 2:
+            counts_t = f"{root}/counts"
+            if not SNAP.main_versions(counts_t):
+                SNAP.write_version(
+                    dnd.select("gram", F.col("nd_delta").alias("nd")),
+                    counts_t,
+                    batch_id=batch_id,
+                )
+            else:
+                old = (
+                    SNAP.read_version(spark, counts_t)
+                    .join(dnd.select("gram"), "gram", "left_semi")
+                    .withColumnRenamed("nd", "nd_old")
+                )
+                merged = (
+                    dnd.join(old, "gram", "left")
+                    .select(
+                        "gram",
+                        (
+                            F.col("nd_delta")
+                            + F.coalesce(F.col("nd_old"), F.lit(0))
+                        ).alias("nd"),
+                    )
+                    .localCheckpoint()
+                )
+                SNAP.merge_into(
+                    spark, counts_t, merged, ["gram"], batch_id=batch_id
+                )
+
+    for crash_batch, upto in [(0, 1), (0, 2), (1, 1), (1, 2)]:
+        root = str(tmp_path / f"c{crash_batch}_{upto}")
+        for i in range(crash_batch):
+            build_spans_index(b[i], root, batch_id=i)
+        _partial_apply(root, crash_batch, upto)
+        for i in range(crash_batch, 2):
+            build_spans_index(b[i], root, batch_id=i)
+        assert _spans(root) == want, (crash_batch, upto)
+        assert len(SNAP.main_versions(f"{root}/postings")) == 2, (
+            crash_batch,
+            upto,
+        )
