@@ -154,38 +154,31 @@ def build_spans_index(
         return {"n_delta_docs": n_delta, "replayed": True}
 
     # 1. old counts for the DELTA's grams only (key-projected lookup).
-    # The PRE-BATCH counts version is load-bearing: a redelivery after
-    # a crash between the counts merge and the spans merge finds this
-    # batch's nd increments already applied — reading latest would
-    # double the merged nd AND see no threshold flips, silently
-    # losing the affected docs' spans forever. If our batch token is
-    # already on the counts table, rewind the read to its predecessor
-    # so the flip computation is replay-invariant.
+    # The PRE-BATCH counts state is load-bearing: a redelivery after a
+    # crash between the counts merge and the spans merge finds this
+    # batch's nd increments already applied — reading them as-is would
+    # double the merged nd AND see no threshold flips, silently losing
+    # the affected docs' spans forever. If our batch token is already
+    # on the counts table, REWIND ALGEBRAICALLY: under the
+    # single-writer contract nothing else touched these grams since
+    # our merge, so pre-batch nd = current nd - our delta. (An
+    # algebraic rewind instead of reading the predecessor VERSION
+    # keeps redelivery working even after vacuum expired it.)
+    v0 = SNAP.main_versions(counts_t)[-1]
     cw = (
         SNAP._find_batch_commit(counts_t, batch_id)
         if batch_id is not None
         else None
     )
-    cvs = SNAP.main_versions(counts_t)
-    if cw is None:
-        v0 = cvs[-1]
-    else:
-        ci = cvs.index(cw)
-        if ci == 0:
-            # our token on the table's FIRST counts version can only
-            # mean a batch-id collision with the build lane — the
-            # pre-batch state is undefined, refuse loudly
-            raise RuntimeError(
-                f"batch id {batch_id} already committed the first "
-                f"counts version of {root}; refresh batch ids must "
-                "not collide with the build's"
-            )
-        v0 = cvs[ci - 1]
-    old_hit = (
-        SNAP.read_version(spark, counts_t, version=v0)
-        .join(dnd.select("gram"), "gram", "left_semi")
-        .withColumnRenamed("nd", "nd_old")
+    cur_hit = SNAP.read_version(spark, counts_t, version=v0).join(
+        dnd.select("gram", "nd_delta"), "gram", "inner"
     )
+    if cw is None:
+        old_hit = cur_hit.select("gram", F.col("nd").alias("nd_old"))
+    else:
+        old_hit = cur_hit.select(
+            "gram", (F.col("nd") - F.col("nd_delta")).alias("nd_old")
+        ).where(F.col("nd_old") > 0)
     merged_counts = dnd.join(old_hit, "gram", "left").select(
         "gram",
         (F.col("nd_delta") + F.coalesce(F.col("nd_old"), F.lit(0))).alias(

@@ -592,3 +592,63 @@ def test_spans_crash_at_every_subcommit_boundary_heals(spark, tmp_path):
             crash_batch,
             upto,
         )
+
+
+def test_spans_redelivery_survives_vacuum_of_prebatch_counts(spark, tmp_path):
+    """The crash-redelivery rewind is ALGEBRAIC (pre-batch nd =
+    current nd - our delta), not a historical-version read — so a
+    vacuum that expires the pre-batch counts version between the
+    crash and the redelivery cannot wedge or corrupt the heal."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.llm_ops10 import _gram_stream
+    from binance_etl_spark.plans.spans_index import build_spans_index
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    b0 = spark.createDataFrame(
+        [(i, words(i)) for i in range(8)], "doc_id BIGINT, text STRING"
+    )
+    b1 = spark.createDataFrame(
+        [(1000, words(3))], "doc_id BIGINT, text STRING"
+    )
+    clean = str(tmp_path / "clean")
+    build_spans_index(b0, clean, batch_id=0)
+    build_spans_index(b1, clean, batch_id=1)
+    want = sorted(
+        (r["doc_id"], r["n_spans"])
+        for r in SNAP.read_version(spark, f"{clean}/spans").collect()
+    )
+    assert want == [(3, 1), (1000, 1)]
+
+    root = str(tmp_path / "t")
+    build_spans_index(b0, root, batch_id=0)
+    # crash after batch 1's postings + counts commits
+    g = _gram_stream(b1).localCheckpoint()
+    dnd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd_delta"))
+    counts_t = f"{root}/counts"
+    SNAP.write_version(g, f"{root}/postings", batch_id=1)
+    old = (
+        SNAP.read_version(spark, counts_t)
+        .join(dnd.select("gram"), "gram", "left_semi")
+        .withColumnRenamed("nd", "nd_old")
+    )
+    merged = (
+        dnd.join(old, "gram", "left")
+        .select(
+            "gram",
+            (F.col("nd_delta") + F.coalesce("nd_old", F.lit(0))).alias("nd"),
+        )
+        .localCheckpoint()
+    )
+    SNAP.merge_into(spark, counts_t, merged, ["gram"], batch_id=1)
+    # vacuum expires the pre-batch counts version's bytes
+    ev = SNAP.vacuum(counts_t, keep_last=1, retain_seconds=0.0)
+    assert len(SNAP.main_versions(counts_t)) == 1
+    # redelivery heals anyway
+    build_spans_index(b1, root, batch_id=1)
+    got = sorted(
+        (r["doc_id"], r["n_spans"])
+        for r in SNAP.read_version(spark, f"{root}/spans").collect()
+    )
+    assert got == want
