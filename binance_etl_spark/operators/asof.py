@@ -43,13 +43,15 @@ def asof_join(
     prefixed `asof_`. `tolerance` (e.g. '1 hour') nulls out matches
     further than that from left_ts in the match direction.
 
-    `prefilter` (round-11): semi-join the RIGHT side down to keys
-    present on the left BEFORE the union+window — the runtime
+    `prefilter` (round-11): NULL-SAFE semi-join the RIGHT side down to
+    keys present on the left BEFORE the union+window — the runtime
     row-level filter Spark's bloom-filter join injection would give a
     shuffle join but cannot inject into this union+window shape.
     Provably result-identical: the window partitions by the key, so a
     right row whose key has no left receiver can never be selected —
-    it only costs shuffle+sort bytes. When the probe key set is small
+    it only costs shuffle+sort bytes. (The semi-join must be <=>, not
+    =: partitionBy groups NULL keys together, so NULL-keyed rows match
+    each other in the window and the filter must keep them.) When the probe key set is small
     (a SPARSE probe against a broad reference — the 100 TB win), AQE
     plans the semi-join as a broadcast, i.e. a map-side filter on the
     reference scan with NO extra shuffle.
@@ -59,7 +61,17 @@ def asof_join(
     on = list(on)
     right_cols = list(right_cols)
     if prefilter:
-        right = right.join(left.select(*on).distinct(), on, "left_semi")
+        # NULL-SAFE semi-join: the window below partitions by the key,
+        # which groups NULL keys into one partition — so NULL-keyed
+        # left rows DO receive NULL-keyed right matches. A plain
+        # equi-semi-join (NULL != NULL) would drop those right rows
+        # and change results; <=> keeps the filter result-identical.
+        probe = left.select(*on).distinct()
+        cond = None
+        for c in on:
+            t = right[c].eqNullSafe(probe[c])
+            cond = t if cond is None else (cond & t)
+        right = right.join(probe, cond, "left_semi")
 
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs_proj = [F.col(c) for c in on] + [F.col(right_ts).alias("__ts"), F.lit(0).alias(_SIDE)]

@@ -205,7 +205,11 @@ def main_versions(table_dir: str) -> list[int]:
 
 
 def assert_serial_apply(
-    table_dir: str, v_read: int, v_committed: int, what: str = "index apply"
+    table_dir: str,
+    v_read: int,
+    v_committed: int | None = None,
+    what: str = "index apply",
+    healable: bool = True,
 ) -> None:
     """Optimistic single-writer guard for derived-state maintenance
     (read stored state -> compute delta-derived rows -> commit): any
@@ -215,22 +219,47 @@ def assert_serial_apply(
     overwritten (lost counter increments, lost relabels) or never
     joined against (missed candidate pairs). The snapshot log
     serializes commits, which makes the race detectable after the
-    fact; failing the batch is also the REPAIR, because a redelivery
-    re-reads state that now includes the interloper's commit.
-    Replayed batch tokens return their original version <= v_read,
-    leaving the gap range empty, so crash redeliveries never trip
-    this. Pure-APPEND refreshes (inverted-index postings, ANN code
-    segments) need no guard: concurrent appends serialize and union.
-    Pass ``v_read=-1`` for a first build that read no stored state —
-    then ANY earlier version is an interloper."""
-    gap = [w for w in main_versions(table_dir) if v_read < w < v_committed]
+    fact. Replayed batch tokens return their original version <=
+    v_read, leaving the gap range empty, so crash redeliveries never
+    trip a post-commit check. Pure-APPEND refreshes (inverted-index
+    postings, ANN code segments) need no guard: concurrent appends
+    serialize and union — and first builds of KEYED tables are
+    guarded by ``unique_keys`` PK enforcement instead (overlapping
+    keys ARE the cross-writer interaction cases, so the loser's
+    append is refused before any damage and its redelivery heals
+    through the refresh path).
+
+    ``v_committed=None`` = PRE-commit check: anything above v_read is
+    an interloper; raising here is safe AND self-healing (nothing of
+    ours committed — redelivery re-reads state that includes the
+    interloper). ``healable=False`` marks a POST-commit backstop
+    where our commit may already have overwritten the interloper —
+    the raise then reports possible corruption honestly instead of
+    promising a repair the replay token would skip."""
+    gap = [
+        w
+        for w in main_versions(table_dir)
+        if v_read < w and (v_committed is None or w < v_committed)
+    ]
     if gap:
+        where = (
+            f"before this applier's commit (state read @v{v_read})"
+            if v_committed is None
+            else f"between the state read @v{v_read} and this applier's "
+            f"commit @v{v_committed}"
+        )
+        repair = (
+            "redeliver the batch (the retry reads the interloper's "
+            "state and heals)"
+            if healable
+            else "this applier's commit may have OVERWRITTEN the "
+            "interloper's effects — the stored state may be corrupted; "
+            "rebuild the table from its source of truth"
+        )
         raise RuntimeError(
             f"concurrent writers detected on {table_dir} during {what}: "
-            f"versions {gap} committed between the state read @v{v_read} "
-            f"and this applier's commit @v{v_committed}; the apply is "
-            "single-writer — redeliver the batch (the retry reads the "
-            "interloper's state and heals)"
+            f"versions {gap} committed {where}; the apply is "
+            f"single-writer — {repair}"
         )
 
 

@@ -108,6 +108,15 @@ def build_dedup_index(
     bands_t = f"{root}/bands"
     pairs_t = f"{root}/pairs"
 
+    # exactly-once replay token FIRST — before the shingle/minhash
+    # pipeline: the pairs commit is the LAST action of the apply, so
+    # its presence proves the whole batch ran, and a checkpoint-replay
+    # pays one manifest lookup instead of the full O(batch) extraction
+    if batch_id is not None and SNAP._find_batch_commit(
+        pairs_t, batch_id
+    ) is not None:
+        return {"replayed": True}
+
     # delta shingles + bands — checkpointed: each feeds a table write
     # AND one-or-more joins below, and the HOF shingle pipeline must
     # not re-run per consumer
@@ -125,29 +134,49 @@ def build_dedup_index(
     # table with no committed snapshot. With pairs as the judge, that
     # redelivery re-takes the build path, where the shingles/bands
     # write_version calls no-op on their batch tokens and the pairs
-    # commit completes the batch. Only one batch can ever be in this
-    # partial state (foreachBatch redelivers the same id until the
-    # apply succeeds), so pairs-empty implies bands holds at most this
-    # batch's rows.
+    # commit completes the batch.
     first = not SNAP.main_versions(pairs_t)
     if first:
-        cand_ids = _band_pairs(bands, bands).localCheckpoint()
-        n_cand = cand_ids.count()
         SNAP.write_version(sh, shingles_t, batch_id=batch_id)
+        bands_replay = batch_id is not None and SNAP._find_batch_commit(
+            bands_t, batch_id
+        ) is not None
         v1 = SNAP.write_version(bands, bands_t, batch_id=batch_id)
-        # single-writer guard: candidates here are delta-self only — a
-        # CONCURRENT first builder would silently lose every
-        # cross-writer pair (both read no stored bands, hence
-        # v_read=-1: any earlier bands version is an interloper)
-        SNAP.assert_serial_apply(bands_t, -1, v1, "dedup-index first build")
+        if not bands_replay:
+            # FRESH bands commit racing another first builder: raise
+            # before the pairs write — bands appends commute, so
+            # nothing is damaged and redelivery heals (it reads the
+            # interloper's bands through the table read-back below)
+            SNAP.assert_serial_apply(
+                bands_t, -1, v1, "dedup-index first build"
+            )
+        # candidate partners come from the TABLE read-back, not the
+        # in-memory delta: on a clean first build they are identical
+        # (one version = our bands), and on a crash redelivery after
+        # a raced build the read-back includes the interloper's bands
+        # — so the retry covers exactly the cross-writer pairs the
+        # race lost. Verification mirrors the choice.
+        foreign = len(SNAP.main_versions(bands_t)) > 1
+        ref_bands = SNAP.read_version(spark, bands_t) if foreign else bands
+        ref_sh = SNAP.read_version(spark, shingles_t) if foreign else sh
+        cand_ids = _band_pairs(bands, ref_bands).localCheckpoint()
+        n_cand = cand_ids.count()
         # lazy checkpoint: the write below materializes it once, and a
         # downstream consumer (the cluster-label refresh) reuses the
         # cached rows instead of re-verifying
-        pairs = _verified_pairs(cand_ids, sh).localCheckpoint(eager=False)
+        pairs = _verified_pairs(cand_ids, ref_sh).localCheckpoint(eager=False)
         # composite (a_id, b_id) bloom sidecar: later MERGE refreshes
-        # probe it and prove pure-insert batches rewrite zero files
+        # probe it and prove pure-insert batches rewrite zero files.
+        # unique_keys is the concurrent-first-build backstop: if two
+        # builders raced past the bands guard, overlapping pairs —
+        # exactly the rows both computed — refuse the later append,
+        # and its redelivery heals through the refresh-path MERGE.
         SNAP.write_version(
-            pairs, pairs_t, batch_id=batch_id, bloom_cols=[("a_id", "b_id")]
+            pairs,
+            pairs_t,
+            batch_id=batch_id,
+            bloom_cols=[("a_id", "b_id")],
+            unique_keys=["a_id", "b_id"],
         )
         return {
             "n_delta_docs": n_delta,
@@ -155,13 +184,6 @@ def build_dedup_index(
             "n_new_pairs": -1,
             "pairs": pairs,
         }
-
-    # exactly-once replay token: the pairs commit is the LAST action
-    # of the apply — its presence proves the whole batch ran
-    if batch_id is not None and SNAP._find_batch_commit(
-        pairs_t, batch_id
-    ) is not None:
-        return {"n_delta_docs": n_delta, "replayed": True}
 
     # candidates = delta-vs-stored ∪ delta-vs-delta (appends only add
     # docs, so every new pair involves a delta doc — old-old pairs are
@@ -223,6 +245,14 @@ def build_cluster_index(
 
     spark = pairs.sparkSession
     labels_t = f"{root}/labels"
+
+    # replay token FIRST — before the edge checkpoint/count, a
+    # checkpoint-replay pays one manifest lookup only
+    if batch_id is not None and SNAP._find_batch_commit(
+        labels_t, batch_id
+    ) is not None:
+        return {"replayed": True}
+
     e = pairs.select(
         F.col("a_id").cast("long").alias("a"),
         F.col("b_id").cast("long").alias("b"),
@@ -234,21 +264,23 @@ def build_cluster_index(
         labs = D.connected_components(e, src="a", dst="b")
         # node bloom + min/max stats: refresh MERGEs take the pruned
         # zone+bloom path, so a wide table rewrites only files holding
-        # affected nodes — never O(labels)
+        # affected nodes — never O(labels). unique_keys is the
+        # concurrent-first-build guard: two builders with DISJOINT
+        # node sets are independent clusterings and both land; an
+        # OVERLAPPING node — exactly the case whose cross-builder
+        # connectivity would be lost — refuses the later append, and
+        # its redelivery heals through the refresh path (which reads
+        # the winner's labels).
         SNAP.write_version(
             labs, labels_t, batch_id=batch_id,
             stats_cols=["node"], bloom_cols=["node"],
+            unique_keys=["node"],
         )
         return {
             "n_delta_edges": n_edges,
             "n_affected_nodes": 0,
             "n_relabeled": labs.count(),
         }
-
-    if batch_id is not None and SNAP._find_batch_commit(
-        labels_t, batch_id
-    ) is not None:
-        return {"n_delta_edges": n_edges, "replayed": True}
 
     v0 = SNAP.main_versions(labels_t)[-1]
     old = SNAP.read_version(spark, labels_t, version=v0)
@@ -271,13 +303,22 @@ def build_cluster_index(
         star.unionByName(e), src="a", dst="b"
     ).localCheckpoint()
     n_relabel = new_labs.count()
-    v1 = SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
-    # single-writer guard: the relabels were derived from labels@v0 —
-    # an interloper's merge in between would be partially overwritten
-    # (lost relabels on shared affected nodes). Failing is the repair:
+    # PRE-commit serial-apply check: the relabels were derived from
+    # labels@v0 — an interloper's merge since then would be partially
+    # overwritten (lost relabels on shared affected nodes). Raising
+    # HERE is self-healing: nothing of ours committed yet, and the
     # redelivery recomputes the affected set from state that includes
     # the interloper's labels.
-    SNAP.assert_serial_apply(labels_t, v0, v1, "cluster-label refresh")
+    SNAP.assert_serial_apply(labels_t, v0, what="cluster-label refresh")
+    v1 = SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
+    # POST-commit backstop for a racer landing inside the tiny
+    # check-to-commit window: our merge may already have overwritten
+    # its relabels, and the replay token would skip a redelivery — so
+    # this reports possible corruption honestly (rebuild = full CC
+    # over the pairs table) instead of promising a repair.
+    SNAP.assert_serial_apply(
+        labels_t, v0, v1, "cluster-label refresh", healable=False
+    )
     return {
         "n_delta_edges": n_edges,
         "n_affected_nodes": n_affected,
@@ -331,15 +372,27 @@ def foreach_batch_dedup_clusters(root: str):
             pairs_t = f"{root}/pairs"
             v = SNAP._find_batch_commit(pairs_t, batch_id)
             vs = SNAP.main_versions(pairs_t)
-            i = vs.index(v)
-            if i == 0:
-                pairs = SNAP.read_version(spark, pairs_t, version=v)
-            else:
-                pairs = (
-                    SNAP.read_changes(spark, pairs_t, vs[i - 1], v)
-                    .where(F.col("change_type") == "insert")
-                    .drop("change_type")
-                )
+            try:
+                i = vs.index(v)
+                if i == 0:
+                    pairs = SNAP.read_version(spark, pairs_t, version=v)
+                else:
+                    pairs = (
+                        SNAP.read_changes(spark, pairs_t, vs[i - 1], v)
+                        .where(F.col("change_type") == "insert")
+                        .drop("change_type")
+                    )
+            except (ValueError, FileNotFoundError):
+                # the batch's version (or its predecessor) was expired
+                # by retention maintenance during the outage — the
+                # O(delta) recovery is gone, but the UNIVERSAL repair
+                # is not: re-offer the ENTIRE current pairs table as
+                # the edge batch. build_cluster_index treats it as one
+                # big delta (affected = every touched cluster; stars
+                # preserve connectivity), so the merge converges to
+                # exactly the full-CC labels, and the batch token
+                # still commits exactly-once.
+                pairs = SNAP.read_version(spark, pairs_t)
         build_cluster_index(
             pairs.select("a_id", "b_id"), root, batch_id=batch_id
         )

@@ -130,7 +130,15 @@ def build_spans_index(
         # every file MAYBE (see select_files_keys). A deployment with
         # NARROW deltas (<=1024 grams) should pass bloom_cols=["gram"]
         # here and get the driver-path prune back.
-        SNAP.write_version(counts, counts_t, batch_id=batch_id)
+        # unique_keys is the concurrent-first-build guard: builders
+        # with DISJOINT gram sets have no cross-corpus duplication and
+        # both land; an OVERLAPPING gram — exactly the cross-builder
+        # duplication the split nd counts would miss — refuses the
+        # later append, and its redelivery heals through the refresh
+        # path (counts MERGE against the winner's table).
+        SNAP.write_version(
+            counts, counts_t, batch_id=batch_id, unique_keys=["gram"]
+        )
         dup = g.join(
             SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
             "gram",
@@ -201,15 +209,23 @@ def build_spans_index(
     # and the counts-table read don't re-evaluate per action
     SNAP.write_version(g, postings_t, batch_id=batch_id)
     new_counts = merged_counts.drop("nd_old").localCheckpoint()
+    # PRE-commit serial-apply check: the merged nd values were derived
+    # from counts@v0 — an interloper's merge since then would lose its
+    # increments on shared grams (and the flip detection with them).
+    # Raising HERE is self-healing: our counts merge hasn't run, so
+    # the redelivery re-reads counts that include the interloper.
+    SNAP.assert_serial_apply(counts_t, v0, what="spans-index counts refresh")
     v1 = SNAP.merge_into(
         spark, counts_t, new_counts, ["gram"], batch_id=batch_id
     )
-    # single-writer guard: the merged nd values were derived from
-    # counts@v0 — an interloper's merge in between would lose its
-    # increments on shared grams (and the flip detection with them).
-    # Failing is the repair: redelivery re-reads counts that include
-    # the interloper's merge.
-    SNAP.assert_serial_apply(counts_t, v0, v1, "spans-index counts refresh")
+    # POST-commit backstop for a racer inside the check-to-commit
+    # window: our merge may already have overwritten its increments,
+    # and the algebraic redelivery rewind would reproduce the loss —
+    # report possible corruption honestly (rebuild = re-count from the
+    # postings table) instead of promising a repair.
+    SNAP.assert_serial_apply(
+        counts_t, v0, v1, "spans-index counts refresh", healable=False
+    )
 
     # 3. affected docs = holders of flipped grams (stored postings,
     # column-pruned semi-join) + the delta docs

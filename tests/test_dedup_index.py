@@ -559,3 +559,115 @@ def test_cluster_concurrent_writer_detected_and_retry_heals(
     assert _labels(spark, root) == {
         1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
     }
+
+
+def test_first_build_race_detected_and_retry_heals(spark, tmp_path, monkeypatch):
+    """Two FIRST builders racing: the bands guard raises on the fresh
+    commit (bands appends commute — nothing damaged), and the
+    redelivery's candidate read-back covers the interloper's bands,
+    so the healed pairs include the cross-builder near-dups."""
+    import pytest
+
+    from binance_etl_spark.operators import dedup as D
+
+    root = str(tmp_path / "t")
+    # the interloper's partial apply: doc 50 is a variant of doc 1/2,
+    # its shingles + bands committed (its own pairs not yet)
+    inter = spark.createDataFrame(
+        [(50, _BASE + " anew")], "doc_id long, text string"
+    )
+    ish = inter.select("doc_id", D.shingles(F.col("text")).alias("sh"))
+    ibands = D.lsh_bands(D.minhash_signature(ish, "doc_id", "sh"), "doc_id")
+
+    import binance_etl_spark.operators.snapshots as SNAP_mod
+
+    real = SNAP_mod.write_version
+    fired = {"done": False}
+
+    def racy(df, table_dir, *a, **kw):
+        if table_dir.endswith("/bands") and not fired["done"]:
+            fired["done"] = True
+            real(ish, table_dir[: -len("/bands")] + "/shingles")
+            real(ibands, table_dir)
+        return real(df, table_dir, *a, **kw)
+
+    monkeypatch.setattr(SNAP_mod, "write_version", racy)
+    with pytest.raises(RuntimeError, match="concurrent writers"):
+        build_dedup_index(_docs_batch1(spark), root, batch_id=0)
+    monkeypatch.setattr(SNAP_mod, "write_version", real)
+    assert not SNAP.main_versions(f"{root}/pairs")  # nothing damaged
+    ev = build_dedup_index(_docs_batch1(spark), root, batch_id=0)
+    assert ev.get("replayed") is not True
+    got = [(a, b) for a, b, _ in _served(spark, root)]
+    assert (1, 2) in got
+    assert any(50 in p for p in got), got  # cross-builder pair healed
+
+
+def test_cluster_precheck_race_heals_shared_cluster(spark, tmp_path, monkeypatch):
+    """An interloper merging INTO a cluster we are also relabeling,
+    caught by the PRE-commit check (nothing of ours committed):
+    redelivery recomputes the affected set from state including the
+    interloper, so the shared cluster ends fully merged."""
+    import pytest
+
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+
+    root = str(tmp_path / "t")
+    build_cluster_index(_edges(spark, [(1, 2), (10, 11)]), root, batch_id=0)
+    labels_t = f"{root}/labels"
+
+    import binance_etl_spark.operators.dedup as DED
+
+    real_cc = DED.connected_components
+    fired = {"done": False}
+
+    def racy_cc(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # the interloper's refresh lands while we are computing:
+            # its edge (2, 20) joined node 20 into cluster 1
+            from binance_etl_spark.operators import snapshots as SNAP_
+
+            SNAP_.merge_into(
+                spark,
+                labels_t,
+                spark.createDataFrame([(20, 1)], "node long, cluster_id long"),
+                ["node"],
+            )
+        return real_cc(*a, **kw)
+
+    monkeypatch.setattr(DED, "connected_components", racy_cc)
+    with pytest.raises(RuntimeError, match="redeliver the batch"):
+        build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    monkeypatch.setattr(DED, "connected_components", real_cc)
+    # nothing of ours committed: the batch token is absent
+    assert SNAP._find_batch_commit(labels_t, 1) is None
+    build_cluster_index(_edges(spark, [(2, 3)]), root, batch_id=1)
+    assert _labels(spark, root) == {
+        1: 1, 2: 1, 3: 1, 20: 1, 10: 10, 11: 10,
+    }
+
+
+def test_index_tables_carry_pk_enforcement(spark, tmp_path):
+    """The first builds commit unique_keys on every read-modify-write
+    index table — the concurrent-first-build backstop."""
+    from binance_etl_spark.plans.dedup_index import build_cluster_index
+    from binance_etl_spark.plans.spans_index import build_spans_index
+
+    root = str(tmp_path / "t")
+    build_dedup_index(_docs_batch1(spark), root)
+    build_cluster_index(_edges(spark, [(1, 2)]), root)
+    build_spans_index(
+        spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id bigint, text string"
+        ),
+        root,
+    )
+    for table, keys in (
+        ("pairs", ["a_id", "b_id"]),
+        ("labels", ["node"]),
+        ("counts", ["gram"]),
+    ):
+        t = f"{root}/{table}"
+        m = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
+        assert m["unique_keys"] == keys, (table, m.get("unique_keys"))

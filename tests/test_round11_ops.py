@@ -652,3 +652,27 @@ def test_spans_redelivery_survives_vacuum_of_prebatch_counts(spark, tmp_path):
         for r in SNAP.read_version(spark, f"{root}/spans").collect()
     )
     assert got == want
+
+
+def test_asof_prefilter_keeps_null_key_matches(spark):
+    """partitionBy groups NULL keys into one window partition, so
+    NULL-keyed left rows receive NULL-keyed right matches — the
+    prefilter semi-join must be null-safe (<=>) to stay
+    result-identical."""
+    from binance_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "l1"), (1, 10, "l2")], "k int, ts int, lid string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 100.0), (1, 7, 200.0)], "k int, ts int, value double"
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="ts", right_cols=["value"])
+    cols = ["lid", "asof_value"]
+    slow = sorted(
+        map(tuple, asof_join(left, right, prefilter=False, **kw).select(*cols).collect())
+    )
+    fast = sorted(
+        map(tuple, asof_join(left, right, prefilter=True, **kw).select(*cols).collect())
+    )
+    assert slow == fast == [("l1", 100.0), ("l2", 200.0)]
