@@ -101,6 +101,129 @@ def _sj_values(tape: list[list[tuple[int, str, int]]]) -> str:
     return f"(VALUES\n      {rows})"
 
 
+def _run_stream_join(
+    spark: SparkSession,
+    trades_tape: list[list[tuple[int, str, int]]],
+    depth_tape: list[list[tuple[int, str, int]]],
+    join_type: str,
+    prefix: str,
+    t_delay_ms: int = _SJ_DELAY_MS,
+    d_delay_ms: int = _SJ_DELAY_MS,
+) -> DataFrame:
+    """Shared driver for every REAL stream-stream interval-join op:
+    spool the two (event-offset, symbol, id) tapes phase-by-phase
+    through the deterministic replay source (one phase = one
+    micro-batch, sources/replay.py offset-gated admission), run
+    trades JOIN depth on symbol within +/-_SJ_TOL_MS event time with
+    per-side watermarks, and return the collected rows under the
+    canonical (symbol, trade_id, t_ms, depth_id, d_ms) schema (outer
+    joins surface their NULL sides through it unchanged). Conf
+    save/restore and teardown wrap the WHOLE lifecycle — including a
+    .start() that throws — and the memory-sink name is unique per
+    invocation so repeated bench/parity calls never collide."""
+    from binance_etl_spark.sources.replay import register as _reg_replay
+
+    _reg_replay(spark)
+    root = tempfile.mkdtemp(prefix=prefix)
+    tlog = os.path.join(root, "trades.jsonl")
+    dlog = os.path.join(root, "depth.jsonl")
+    open(tlog, "w").close()
+    open(dlog, "w").close()
+    seq = [0]
+
+    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
+        with open(log, "a") as f:
+            for off, sym, ident in phase:
+                frame = json.dumps(
+                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
+                )
+                seq[0] += 1
+                f.write(
+                    json.dumps(
+                        {
+                            "frame": frame,
+                            "arrival_ms": 1000 + seq[0],
+                            "seq": seq[0],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def _side(log: str, tag: str, delay_ms: int):
+        sdf = (
+            spark.readStream.format("replay")
+            .option("path", log)
+            .option("maxFramesPerBatch", "100000")
+            .load()
+        )
+        return sdf.select(
+            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
+            F.timestamp_millis(
+                F.get_json_object("frame", "$.E").cast("long")
+            ).alias(f"{tag}_ev"),
+            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
+            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
+        ).withWatermark(f"{tag}_ev", f"{delay_ms // 1000} seconds")
+
+    joined = _side(tlog, "t", t_delay_ms).join(
+        _side(dlog, "d", d_delay_ms),
+        F.expr(
+            "t_sym = d_sym AND d_ev BETWEEN "
+            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
+            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
+        ),
+        join_type,
+    )
+    name = prefix.rstrip("_") + "_" + uuid.uuid4().hex[:12]
+    # pin a small stream partition count (the quad-bench discipline —
+    # a ~20-row symmetric hash join under 200 shuffle partitions pays
+    # ~2400 empty state-store tasks per batch) and restore after
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "4")
+    q = None
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        for tphase, dphase in zip(trades_tape, depth_tape):
+            _append(tlog, tphase)
+            _append(dlog, dphase)
+            q.processAllAvailable()
+        q.processAllAvailable()
+        rows = (
+            spark.table(name)
+            .select(
+                F.coalesce(F.col("t_sym"), F.col("d_sym")).alias("symbol"),
+                F.col("t_id").alias("trade_id"),
+                "t_ms",
+                F.col("d_id").alias("depth_id"),
+                "d_ms",
+            )
+            .collect()
+        )
+    finally:
+        # invocation-clean: the parity sweep and bench warmups call
+        # registered fns repeatedly in one session — the memory-sink
+        # view and the spool dir must not accumulate
+        if q is not None:
+            q.stop()
+        spark.conf.set(shuffle_key, prior_shuffle)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+    schema = (
+        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
+        "depth_id BIGINT, d_ms BIGINT"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "stream_join_late_watermark",
     oracle=f"""
@@ -157,102 +280,7 @@ def _sj_values(tape: list[list[tuple[int, str, int]]]) -> str:
     tags=("streaming", "join", "market"),
 )
 def stream_join_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_spark.sources.replay import register as _reg_replay
-
-    _reg_replay(spark)
-    root = tempfile.mkdtemp(prefix="besk_sj_wm_")
-    tlog = os.path.join(root, "trades.jsonl")
-    dlog = os.path.join(root, "depth.jsonl")
-    open(tlog, "w").close()
-    open(dlog, "w").close()
-    seq = [0]
-
-    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
-        with open(log, "a") as f:
-            for off, sym, ident in phase:
-                frame = json.dumps(
-                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
-                )
-                seq[0] += 1
-                f.write(
-                    json.dumps(
-                        {
-                            "frame": frame,
-                            "arrival_ms": 1000 + seq[0],
-                            "seq": seq[0],
-                        }
-                    )
-                    + "\n"
-                )
-
-    def _side(log: str, tag: str):
-        sdf = (
-            spark.readStream.format("replay")
-            .option("path", log)
-            .option("maxFramesPerBatch", "100000")
-            .load()
-        )
-        return sdf.select(
-            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
-            F.timestamp_millis(
-                F.get_json_object("frame", "$.E").cast("long")
-            ).alias(f"{tag}_ev"),
-            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
-            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
-        ).withWatermark(f"{tag}_ev", f"{_SJ_DELAY_MS // 1000} seconds")
-
-    joined = _side(tlog, "t").join(
-        _side(dlog, "d"),
-        F.expr(
-            "t_sym = d_sym AND d_ev BETWEEN "
-            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
-            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
-        ),
-        "inner",
-    )
-    name = "sj_wm_" + uuid.uuid4().hex[:12]
-    # pin a small stream partition count (the quad-bench discipline —
-    # a ~20-row symmetric hash join under 200 shuffle partitions pays
-    # ~2400 empty state-store tasks per batch) and restore after
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prior_shuffle = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, "4")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        for tphase, dphase in zip(_SJ_TRADES, _SJ_DEPTH):
-            _append(tlog, tphase)
-            _append(dlog, dphase)
-            q.processAllAvailable()
-        q.processAllAvailable()
-        rows = (
-            spark.table(name)
-            .select(
-                F.col("t_sym").alias("symbol"),
-                F.col("t_id").alias("trade_id"),
-                "t_ms",
-                F.col("d_id").alias("depth_id"),
-                "d_ms",
-            )
-            .collect()
-        )
-    finally:
-        # invocation-clean: the parity sweep and bench warmups call
-        # registered fns repeatedly in one session — the memory-sink
-        # view and the spool dir must not accumulate
-        q.stop()
-        spark.conf.set(shuffle_key, prior_shuffle)
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(root, ignore_errors=True)
-    schema = (
-        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
-        "depth_id BIGINT, d_ms BIGINT"
-    )
-    return spark.createDataFrame(rows, schema)
+    return _run_stream_join(spark, _SJ_TRADES, _SJ_DEPTH, "inner", "besk_sj_wm_")
 
 
 # --- join_asof_prefiltered (r10 verdict optional op A) ----------------
@@ -413,96 +441,7 @@ _SJO_DEPTH: list[list[tuple[int, str, int]]] = [
     tags=("streaming", "join", "market"),
 )
 def stream_join_outer_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_spark.sources.replay import register as _reg_replay
-
-    _reg_replay(spark)
-    root = tempfile.mkdtemp(prefix="besk_sjo_wm_")
-    tlog = os.path.join(root, "trades.jsonl")
-    dlog = os.path.join(root, "depth.jsonl")
-    open(tlog, "w").close()
-    open(dlog, "w").close()
-    seq = [0]
-
-    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
-        with open(log, "a") as f:
-            for off, sym, ident in phase:
-                frame = json.dumps(
-                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
-                )
-                seq[0] += 1
-                f.write(
-                    json.dumps(
-                        {
-                            "frame": frame,
-                            "arrival_ms": 1000 + seq[0],
-                            "seq": seq[0],
-                        }
-                    )
-                    + "\n"
-                )
-
-    def _side(log: str, tag: str):
-        sdf = (
-            spark.readStream.format("replay")
-            .option("path", log)
-            .option("maxFramesPerBatch", "100000")
-            .load()
-        )
-        return sdf.select(
-            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
-            F.timestamp_millis(
-                F.get_json_object("frame", "$.E").cast("long")
-            ).alias(f"{tag}_ev"),
-            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
-            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
-        ).withWatermark(f"{tag}_ev", f"{_SJ_DELAY_MS // 1000} seconds")
-
-    joined = _side(tlog, "t").join(
-        _side(dlog, "d"),
-        F.expr(
-            "t_sym = d_sym AND d_ev BETWEEN "
-            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
-            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
-        ),
-        "left_outer",
-    )
-    name = "sjo_wm_" + uuid.uuid4().hex[:12]
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prior_shuffle = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, "4")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        for tphase, dphase in zip(_SJO_TRADES, _SJO_DEPTH):
-            _append(tlog, tphase)
-            _append(dlog, dphase)
-            q.processAllAvailable()
-        q.processAllAvailable()
-        rows = (
-            spark.table(name)
-            .select(
-                F.col("t_sym").alias("symbol"),
-                F.col("t_id").alias("trade_id"),
-                "t_ms",
-                F.col("d_id").alias("depth_id"),
-                "d_ms",
-            )
-            .collect()
-        )
-    finally:
-        q.stop()
-        spark.conf.set(shuffle_key, prior_shuffle)
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(root, ignore_errors=True)
-    schema = (
-        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
-        "depth_id BIGINT, d_ms BIGINT"
-    )
-    return spark.createDataFrame(rows, schema)
+    return _run_stream_join(spark, _SJO_TRADES, _SJO_DEPTH, "left_outer", "besk_sjo_wm_")
 
 
 # --- stream_join_full_watermark ---------------------------------------
@@ -618,93 +557,4 @@ _SJF_ADMIT = f"""
     tags=("streaming", "join", "market"),
 )
 def stream_join_full_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_spark.sources.replay import register as _reg_replay
-
-    _reg_replay(spark)
-    root = tempfile.mkdtemp(prefix="besk_sjf_wm_")
-    tlog = os.path.join(root, "trades.jsonl")
-    dlog = os.path.join(root, "depth.jsonl")
-    open(tlog, "w").close()
-    open(dlog, "w").close()
-    seq = [0]
-
-    def _append(log: str, phase: list[tuple[int, str, int]]) -> None:
-        with open(log, "a") as f:
-            for off, sym, ident in phase:
-                frame = json.dumps(
-                    {"E": _SJ_BASE_MS + off, "s": sym, "i": ident}
-                )
-                seq[0] += 1
-                f.write(
-                    json.dumps(
-                        {
-                            "frame": frame,
-                            "arrival_ms": 1000 + seq[0],
-                            "seq": seq[0],
-                        }
-                    )
-                    + "\n"
-                )
-
-    def _side(log: str, tag: str):
-        sdf = (
-            spark.readStream.format("replay")
-            .option("path", log)
-            .option("maxFramesPerBatch", "100000")
-            .load()
-        )
-        return sdf.select(
-            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
-            F.timestamp_millis(
-                F.get_json_object("frame", "$.E").cast("long")
-            ).alias(f"{tag}_ev"),
-            F.get_json_object("frame", "$.E").cast("long").alias(f"{tag}_ms"),
-            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
-        ).withWatermark(f"{tag}_ev", f"{_SJ_DELAY_MS // 1000} seconds")
-
-    joined = _side(tlog, "t").join(
-        _side(dlog, "d"),
-        F.expr(
-            "t_sym = d_sym AND d_ev BETWEEN "
-            f"t_ev - INTERVAL {_SJ_TOL_MS} MILLISECONDS "
-            f"AND t_ev + INTERVAL {_SJ_TOL_MS} MILLISECONDS"
-        ),
-        "full_outer",
-    )
-    name = "sjf_wm_" + uuid.uuid4().hex[:12]
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prior_shuffle = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, "4")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        for tphase, dphase in zip(_SJF_TRADES, _SJF_DEPTH):
-            _append(tlog, tphase)
-            _append(dlog, dphase)
-            q.processAllAvailable()
-        q.processAllAvailable()
-        rows = (
-            spark.table(name)
-            .select(
-                F.coalesce(F.col("t_sym"), F.col("d_sym")).alias("symbol"),
-                F.col("t_id").alias("trade_id"),
-                "t_ms",
-                F.col("d_id").alias("depth_id"),
-                "d_ms",
-            )
-            .collect()
-        )
-    finally:
-        q.stop()
-        spark.conf.set(shuffle_key, prior_shuffle)
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(root, ignore_errors=True)
-    schema = (
-        "symbol STRING, trade_id BIGINT, t_ms BIGINT, "
-        "depth_id BIGINT, d_ms BIGINT"
-    )
-    return spark.createDataFrame(rows, schema)
+    return _run_stream_join(spark, _SJF_TRADES, _SJF_DEPTH, "full_outer", "besk_sjf_wm_")

@@ -302,7 +302,7 @@ def test_stream_full_outer_join_symmetric_null_rows(spark):
 # --- asymmetric watermark delays: absorption generalizes -------------
 
 
-def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
+def test_stream_join_asymmetric_delays_match_twin(spark):
     """UNEQUAL watermark delays (trades 10s, depth 3s): there is still
     ONE global watermark = min(tmax - 10s, dmax - 3s), rows drop iff
     ev <= it, and state eviction still cannot exclude a pair both of
@@ -313,45 +313,45 @@ def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
     long-delay trades side (trade @0.5s admitted although the depth
     side's own max-minus-delay is 7.5s), phase 2 binds on the
     short-delay depth side (depth @7.5s drops AT the boundary), and a
-    phase-1 trade in state matches a phase-3 depth across the flip."""
-    import json as _json
-    import os
-    import shutil
-    import uuid
-
-    from pyspark.sql import functions as F
-
-    from binance_etl_spark.sources.replay import register as _reg_replay
+    phase-1 trade in state matches a phase-3 depth across the flip.
+    Runs through the shared _run_stream_join driver with per-side
+    delays — the same machinery as the three registered ops."""
+    from binance_etl_spark.plans.analytics8 import _run_stream_join
 
     T_DELAY, D_DELAY, TOL = 10_000, 3_000, 1_000
-    BASE = 1_700_000_000_000
     TR = [
-        [(10_000, 1)],
-        [(500, 2), (30_000, 3)],
-        [(8_000, 4)],
-        [(19_000, 5), (29_500, 6)],
+        [(10_000, "AAA", 1)],
+        [(500, "AAA", 2), (30_000, "AAA", 3)],
+        [(8_000, "AAA", 4)],
+        [(19_000, "AAA", 5), (29_500, "AAA", 6)],
     ]
     DP = [
-        [(10_500, 101)],
-        [(900, 102)],
-        [(7_500, 103), (8_400, 104), (40_000, 105)],
-        [(30_200, 106)],
+        [(10_500, "AAA", 101)],
+        [(900, "AAA", 102)],
+        [(7_500, "AAA", 103), (8_400, "AAA", 104), (40_000, "AAA", 105)],
+        [(30_200, "AAA", 106)],
     ]
 
     # pure-Python twin: global wm entering each phase, drops, join
     wms = [float("-inf")]
     tmax = dmax = None
     for tph, dph in zip(TR[:-1], DP[:-1]):
-        for off, _ in tph:
+        for off, _, _ in tph:
             tmax = off if tmax is None else max(tmax, off)
-        for off, _ in dph:
+        for off, _, _ in dph:
             dmax = off if dmax is None else max(dmax, off)
         wms.append(min(tmax - T_DELAY, dmax - D_DELAY))
     t_adm = [
-        (off, i) for ph, rows in enumerate(TR) for off, i in rows if off > wms[ph]
+        (off, i)
+        for ph, rows in enumerate(TR)
+        for off, _, i in rows
+        if off > wms[ph]
     ]
     d_adm = [
-        (off, i) for ph, rows in enumerate(DP) for off, i in rows if off > wms[ph]
+        (off, i)
+        for ph, rows in enumerate(DP)
+        for off, _, i in rows
+        if off > wms[ph]
     ]
     expected = {
         (ti, di)
@@ -363,79 +363,11 @@ def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
     assert wms[1] == 0 and wms[2] == 7_500 and wms[3] == 20_000
     assert expected == {(1, 101), (2, 102), (4, 104), (6, 106), (3, 106)}
 
-    _reg_replay(spark)
-    root = str(tmp_path / "sj_asym")
-    os.makedirs(root)
-    tlog, dlog = os.path.join(root, "t.jsonl"), os.path.join(root, "d.jsonl")
-    open(tlog, "w").close()
-    open(dlog, "w").close()
-    seq = [0]
-
-    def _append(log, phase):
-        with open(log, "a") as f:
-            for off, ident in phase:
-                seq[0] += 1
-                f.write(
-                    _json.dumps(
-                        {
-                            "frame": _json.dumps(
-                                {"E": BASE + off, "s": "AAA", "i": ident}
-                            ),
-                            "arrival_ms": 1000 + seq[0],
-                            "seq": seq[0],
-                        }
-                    )
-                    + "\n"
-                )
-
-    def _side(log, tag, delay_ms):
-        sdf = (
-            spark.readStream.format("replay")
-            .option("path", log)
-            .option("maxFramesPerBatch", "100000")
-            .load()
-        )
-        return sdf.select(
-            F.get_json_object("frame", "$.s").alias(f"{tag}_sym"),
-            F.timestamp_millis(
-                F.get_json_object("frame", "$.E").cast("long")
-            ).alias(f"{tag}_ev"),
-            F.get_json_object("frame", "$.i").cast("long").alias(f"{tag}_id"),
-        ).withWatermark(f"{tag}_ev", f"{delay_ms // 1000} seconds")
-
-    joined = _side(tlog, "t", T_DELAY).join(
-        _side(dlog, "d", D_DELAY),
-        F.expr(
-            "t_sym = d_sym AND d_ev BETWEEN "
-            f"t_ev - INTERVAL {TOL} MILLISECONDS "
-            f"AND t_ev + INTERVAL {TOL} MILLISECONDS"
-        ),
-        "inner",
+    df = _run_stream_join(
+        spark, TR, DP, "inner", "besk_sja_",
+        t_delay_ms=T_DELAY, d_delay_ms=D_DELAY,
     )
-    name = "sj_asym_" + uuid.uuid4().hex[:12]
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, "4")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        for tph, dph in zip(TR, DP):
-            _append(tlog, tph)
-            _append(dlog, dph)
-            q.processAllAvailable()
-        q.processAllAvailable()
-        got = {
-            (r["t_id"], r["d_id"]) for r in spark.table(name).collect()
-        }
-    finally:
-        q.stop()
-        spark.conf.set(shuffle_key, prior)
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(root, ignore_errors=True)
+    got = {(r["trade_id"], r["depth_id"]) for r in df.collect()}
     assert got == expected
     # branch facts: long-delay side sets the early watermark (trade 2
     # admitted), short-delay side binds later (depth 103 boundary
@@ -443,7 +375,6 @@ def test_stream_join_asymmetric_delays_match_twin(spark, tmp_path):
     assert (2, 102) in got
     assert all(di != 103 for _, di in got)
     assert (3, 106) in got
-
 
 def test_spans_concurrent_counts_writer_detected(spark, tmp_path, monkeypatch):
     """The spans refresh derives merged nd values from the counts
