@@ -538,3 +538,55 @@ def dedup_cluster_index_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         "cluster_id",
         F.lit(n_versions).cast("int").alias("n_versions"),
     )
+
+
+def _keep_list_oracle() -> str:
+    from binance_etl_spark.plans.llm_ops3 import _SQL_CC_BODY
+
+    return (
+        _SQL_CC_BODY
+        + """
+    , clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM comp GROUP BY node)
+    SELECT node, cluster_id, CAST(node = cluster_id AS BOOLEAN) AS kept
+    FROM clusters
+    """
+    )
+
+
+@register(
+    "dedup_cluster_keep_list",
+    oracle=_keep_list_oracle(),
+    doc="The dedup DECISION served from the incremental cluster "
+    "index — the user-facing end of the chain (docs -> pairs index "
+    "-> cluster labels -> keep list): every corpus doc with its "
+    "cluster id and kept = (doc is its cluster's canonical, i.e. the "
+    "min member id). Singletons have no pair rows, so they are "
+    "absent from the labels table and kept by definition — the serve "
+    "is one LEFT join of the corpus node list against the stored "
+    "labels with coalesce(cluster_id, node), no recompute. Oracle: "
+    "the recursive-CTE CC over all edges (comp seeds from ALL nodes, "
+    "so singletons label themselves). 100 TB shape: the labels table "
+    "is the only state read; the join broadcasts when the cluster "
+    "population is sparse relative to the corpus.",
+    tags=("dedup", "sink"),
+)
+def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_spark.operators import snapshots as SNAP
+    from binance_etl_spark.plans.llm_ops3 import cc_edge_batches
+
+    e_ab, e_bc, nodes = cc_edge_batches(spark, sf_dir)
+
+    def as_pairs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+
+    root = tempfile.mkdtemp(prefix="besk_cckeep_") + "/t"
+    build_cluster_index(as_pairs(e_ab), root)
+    build_cluster_index(as_pairs(e_bc), root)
+    labs = SNAP.read_version(spark, f"{root}/labels")
+    return nodes.join(labs, "node", "left").select(
+        "node",
+        F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("node")) == F.col("node")).alias(
+            "kept"
+        ),
+    )
