@@ -671,3 +671,41 @@ def test_index_tables_carry_pk_enforcement(spark, tmp_path):
         t = f"{root}/{table}"
         m = SNAP._load_manifest(t, SNAP.main_versions(t)[-1])
         assert m["unique_keys"] == keys, (table, m.get("unique_keys"))
+
+
+def test_composite_recovery_survives_vacuumed_pairs_version(spark, tmp_path):
+    """Crash between the pairs commit and the labels commit, then
+    retention maintenance (compact + vacuum) expires the batch's
+    pairs version during the outage: the O(delta) CDC recovery is
+    gone, so the redelivery re-offers the ENTIRE current pairs table
+    — the stars-preserve-connectivity merge converges to exactly the
+    full-CC labels, exactly-once."""
+    from binance_etl_spark.operators.dedup import connected_components
+    from binance_etl_spark.plans.dedup_index import foreach_batch_dedup_clusters
+
+    root = str(tmp_path / "t")
+    foreach_batch_dedup_clusters(root)(_docs_batch1(spark), 0)
+    # crash: batch 1 commits pairs only
+    build_dedup_index(_docs_batch2(spark), root, batch_id=1)
+    pairs_t = f"{root}/pairs"
+    before_labels = _labels(spark, root)
+    assert 7 not in before_labels
+    # outage maintenance: compact advances the head, vacuum expires
+    # the batch-1 merge version's manifest
+    SNAP.compact(spark, pairs_t)
+    SNAP.vacuum(pairs_t, keep_last=1, retain_seconds=0.0)
+    assert len(SNAP.main_versions(pairs_t)) == 1
+    # redelivery: CDC recovery impossible -> full re-offer heals
+    foreach_batch_dedup_clusters(root)(_docs_batch2(spark), 1)
+    want = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            SNAP.read_version(spark, pairs_t), src="a_id", dst="b_id"
+        ).collect()
+    }
+    assert _labels(spark, root) == want
+    assert _labels(spark, root)[7] == 1
+    # and the batch token committed: a second redelivery no-ops
+    lv = SNAP.main_versions(f"{root}/labels")
+    foreach_batch_dedup_clusters(root)(_docs_batch2(spark), 1)
+    assert SNAP.main_versions(f"{root}/labels") == lv
