@@ -188,29 +188,50 @@ def connected_components(
     lbl_type = dict(labels.dtypes)["lbl"]
     converged = False
     for _ in range(max_iter):
-        prop = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("lbl")
-        )
-        # Pointer jumping (label doubling): node's label also adopts its
-        # LABEL's label, halving chain depth every round — O(log
-        # diameter) total rounds vs O(diameter) for edge steps alone.
-        l2 = labels.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
-        jump = labels.join(l2, labels["lbl"] == l2["j_node"]).select(
-            F.col("node"), F.col("j_lbl").alias("lbl")
-        )
-        # Carry each node's previous label through the same grouped-min
-        # pass so convergence is detected by COUNTING CHANGED LABELS —
-        # type-agnostic (works for string/hash doc ids, where a label
-        # SUM is NULL and would false-converge after one hop) and sound
-        # (no bigint wrap on large id spaces).
-        merged = labels.select("node", "lbl", F.col("lbl").alias("prev")).unionByName(
-            prop.withColumn("prev", F.lit(None).cast(lbl_type))
-        ).unionByName(jump.withColumn("prev", F.lit(None).cast(lbl_type)))
-        step = (
-            merged.groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
-            .localCheckpoint(eager=True)
-        )
+        # TWO propagation steps per materialization round: each round
+        # pays exactly two Spark actions (the eager checkpoint and the
+        # convergence probe) regardless, so folding a second prop+jump
+        # into the same plan halves the action count per label hop —
+        # the fixed per-action cost (scheduling + planning) dominates
+        # these tiny-per-iteration jobs, and at scale fewer barriers
+        # means fewer stage launches for the same shuffled bytes. The
+        # plan stays shallow (both halves read the same checkpointed
+        # inputs), and convergence detection is unchanged: `prev`
+        # carries the ROUND-START label through both grouped-min
+        # passes, so "no label changed across the round" still means
+        # fixpoint (labels decrease monotonically).
+        cur = labels.select("node", "lbl", F.col("lbl").alias("prev"))
+        for _half in range(2):
+            prop = sym.join(cur, sym["a"] == cur["node"]).select(
+                F.col("b").alias("node"), F.col("lbl")
+            )
+            # Pointer jumping (label doubling): node's label also
+            # adopts its LABEL's label, halving chain depth every step
+            # — O(log diameter) total steps vs O(diameter) for edge
+            # steps alone.
+            l2 = cur.select(
+                F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")
+            )
+            jump = cur.join(l2, cur["lbl"] == l2["j_node"]).select(
+                cur["node"], F.col("j_lbl").alias("lbl")
+            )
+            # Carry each node's previous label through the same
+            # grouped-min pass so convergence is detected by COUNTING
+            # CHANGED LABELS — type-agnostic (works for string/hash doc
+            # ids, where a label SUM is NULL and would false-converge
+            # after one hop) and sound (no bigint wrap on large ids).
+            cur = (
+                cur.select("node", "lbl", "prev")
+                .unionByName(
+                    prop.withColumn("prev", F.lit(None).cast(lbl_type))
+                )
+                .unionByName(
+                    jump.withColumn("prev", F.lit(None).cast(lbl_type))
+                )
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
+            )
+        step = cur.localCheckpoint(eager=True)
         labels = step.select("node", "lbl")
         if step.where(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
             converged = True

@@ -434,9 +434,10 @@ def _enforce_unique(
         # wide batch (round-11): distributed zone+bloom probe instead
         # of the former unconditional full scan — same no-false-
         # negative guarantee, so a None (probe declined) simply keeps
-        # the full file list
+        # the full file list. Skipped under _PROBE_MIN_FILES: the
+        # probe's fixed job outcosts scanning a handful of files.
         specinfo = _bloom_spec_for(prev, keys)
-        if specinfo is not None:
+        if specinfo is not None and len(files) >= _PROBE_MIN_FILES:
             res = select_files_keys(
                 spark,
                 table_dir,
@@ -596,6 +597,27 @@ def write_version(
     try:
         _to_physical(df, cmap).write.mode("overwrite").parquet(staging)
         new_files, new_meta = _stage_files(table_dir, rel_dir)
+        # Gate passes below (expectations, unique-keys) are independent
+        # actions: running them against ``df`` re-executes its whole
+        # lineage per pass — for an un-checkpointed aggregation source
+        # that doubles or triples the commit's compute. The staged files
+        # hold exactly df's rows, so re-read THEM instead (columns mapped
+        # back to logical names). Falls back to df when the parquet
+        # round-trip changes the schema (e.g. exotic types).
+        gate_df = df
+        try:
+            _sdf = df.sparkSession.read.parquet(staging)
+            if cmap:
+                _inv = {p: l for l, p in cmap.items()}
+                _sdf = _sdf.select(
+                    *[F.col(c).alias(_inv.get(c, c)) for c in _sdf.columns]
+                )
+            if [(f.name, f.dataType) for f in _sdf.schema.fields] == [
+                (f.name, f.dataType) for f in df.schema.fields
+            ]:
+                gate_df = _sdf
+        except Exception:
+            pass
         new_stats = {}
         if stats_cols:
             # stats are keyed by PHYSICAL names (they describe files);
@@ -654,7 +676,7 @@ def write_version(
             effective_exp = {**prev.get("expectations", {}), **(expectations or {})}
             todo = set(effective_exp) - enforced
             if todo:  # heavy scans stay OUTSIDE the claim window
-                _enforce_expectations(df, effective_exp)
+                _enforce_expectations(gate_df, effective_exp)
                 enforced |= set(effective_exp)
             # unique-key (PK) gate — inherited like expectations; the
             # vs-table probe is re-run if a rebase moved the head (a
@@ -670,7 +692,7 @@ def write_version(
                     raise ValueError(f"unique_keys columns not in data: {missing_uk}")
                 head_now = prior[-1] if prior else None
                 if uk_checked_head != ("head", head_now):
-                    _enforce_unique(df, table_dir, prev, effective_uk)
+                    _enforce_unique(gate_df, table_dir, prev, effective_uk)
                     uk_checked_head = ("head", head_now)
             eff_bloom_cols = sorted(
                 set(bloom_cols or []) | set(prev.get("bloom_cols", []))
@@ -856,6 +878,11 @@ def _release_claim(table_dir: str, v: int) -> None:
 # the supported integer and string key types.
 
 _BLOOM_K = 4  # hash probes
+# Distributed zone+bloom probes pay one fixed Spark job; a table with
+# fewer files than this is cheaper to scan outright (the probe's best
+# case saves < its own cost). Driver-side probes stay unguarded — they
+# run no Spark job.
+_PROBE_MIN_FILES = 8
 _BLOOM_MIN_M = 2048  # floor: tiny files still get a real bitmap
 _BLOOM_MAX_M = 1 << 22  # cap: 512 KiB bitmap per file-column
 _BLOOM_BITS_PER_ROW = 12
@@ -1870,7 +1897,14 @@ def delete_keys(
         if not prior:
             raise ValueError(f"{table_dir}: no committed snapshot to delete from")
         prev = _load_manifest(table_dir, prior[-1])
-        if len(vset) > _BLOOM_DRIVER_KEYS_MAX:
+        if (
+            len(vset) > _BLOOM_DRIVER_KEYS_MAX
+            and len(prev["files"]) < _PROBE_MIN_FILES
+        ):
+            # wide batch over a handful of files: the probe job costs
+            # more than scanning them — full affected-file scan
+            candidates, _pruned = list(prev["files"]), []
+        elif len(vset) > _BLOOM_DRIVER_KEYS_MAX:
             # wide erasure batch: distributed zone+bloom probe — the
             # sidecar bitmaps never land on the driver (select_files_
             # keys), and zone restriction keeps per-file probe sets
@@ -2368,7 +2402,13 @@ def merge_into(
                     )
                     bloom_pruned = len(_skipped)
                 # else: NULL single-column key -> full scan
-            else:
+            elif len(prev["files"]) >= _PROBE_MIN_FILES:
+                # The distributed zone+bloom probe costs a fixed Spark
+                # job over the sidecar datasets; under a handful of
+                # files the affected-file scan reads them all anyway,
+                # so the probe can only add wall-clock. Scale guard,
+                # not a semantics change: below the threshold we take
+                # the (always-correct) full affected-file scan.
                 res = select_files_keys(
                     spark,
                     table_dir,

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from binance_etl_spark.catalog import fanout, load
 from binance_etl_spark.operators import dedup as D
+from binance_etl_spark.operators.lazydict import LazyDict
 from binance_etl_spark.plans.llm_ops import (
     CAP_JACCARD,
     _SQL_SHINGLES,
@@ -123,7 +124,6 @@ def build_dedup_index(
     sh = docs.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
     ).localCheckpoint()
-    n_delta = sh.count()
     sig = D.minhash_signature(sh, "doc_id", "sh")
     bands = D.lsh_bands(sig, "doc_id").localCheckpoint()
 
@@ -160,7 +160,6 @@ def build_dedup_index(
         ref_bands = SNAP.read_version(spark, bands_t) if foreign else bands
         ref_sh = SNAP.read_version(spark, shingles_t) if foreign else sh
         cand_ids = _band_pairs(bands, ref_bands).localCheckpoint()
-        n_cand = cand_ids.count()
         # lazy checkpoint: the write below materializes it once, and a
         # downstream consumer (the cluster-label refresh) reuses the
         # cached rows instead of re-verifying
@@ -178,12 +177,14 @@ def build_dedup_index(
             bloom_cols=[("a_id", "b_id")],
             unique_keys=["a_id", "b_id"],
         )
-        return {
-            "n_delta_docs": n_delta,
-            "n_candidates": n_cand,
-            "n_new_pairs": -1,
-            "pairs": pairs,
-        }
+        # evidence counters are deferred (operators/lazydict.py): each
+        # is its own Spark action over an already-checkpointed frame —
+        # tests that assert them still pay, the serve path doesn't
+        return LazyDict(
+            {"n_delta_docs": sh.count, "n_candidates": cand_ids.count},
+            n_new_pairs=-1,
+            pairs=pairs,
+        )
 
     # candidates = delta-vs-stored ∪ delta-vs-delta (appends only add
     # docs, so every new pair involves a delta doc — old-old pairs are
@@ -196,7 +197,6 @@ def build_dedup_index(
         .distinct()
         .localCheckpoint()
     )
-    n_cand = cand_ids.count()
 
     # commit the delta postings, then verify against the FULL shingles
     # table (delta rows included) — two key-projected lookups
@@ -213,16 +213,17 @@ def build_dedup_index(
     new_pairs = _verified_pairs(
         cand_ids, SNAP.read_version(spark, shingles_t)
     ).localCheckpoint()
-    n_new = new_pairs.count()
     SNAP.merge_into(
         spark, pairs_t, new_pairs, ["a_id", "b_id"], batch_id=batch_id
     )
-    return {
-        "n_delta_docs": n_delta,
-        "n_candidates": n_cand,
-        "n_new_pairs": n_new,
-        "pairs": new_pairs,
-    }
+    return LazyDict(
+        {
+            "n_delta_docs": sh.count,
+            "n_candidates": cand_ids.count,
+            "n_new_pairs": new_pairs.count,
+        },
+        pairs=new_pairs,
+    )
 
 
 def build_cluster_index(
@@ -257,7 +258,6 @@ def build_cluster_index(
         F.col("a_id").cast("long").alias("a"),
         F.col("b_id").cast("long").alias("b"),
     ).localCheckpoint()
-    n_edges = e.count()
 
     first = not SNAP.main_versions(labels_t)
     if first:
@@ -276,11 +276,10 @@ def build_cluster_index(
             stats_cols=["node"], bloom_cols=["node"],
             unique_keys=["node"],
         )
-        return {
-            "n_delta_edges": n_edges,
-            "n_affected_nodes": 0,
-            "n_relabeled": labs.count(),
-        }
+        return LazyDict(
+            {"n_delta_edges": e.count, "n_relabeled": labs.count},
+            n_affected_nodes=0,
+        )
 
     v0 = SNAP.main_versions(labels_t)[-1]
     old = SNAP.read_version(spark, labels_t, version=v0)
@@ -295,14 +294,12 @@ def build_cluster_index(
         old.join(delta_nodes, "node", "left_semi").select("cluster_id").distinct()
     )
     affected = old.join(touched_cids, "cluster_id", "left_semi").localCheckpoint()
-    n_affected = affected.count()
     star = affected.select(
         F.col("node").alias("a"), F.col("cluster_id").alias("b")
     )
     new_labs = D.connected_components(
         star.unionByName(e), src="a", dst="b"
     ).localCheckpoint()
-    n_relabel = new_labs.count()
     # PRE-commit serial-apply check: the relabels were derived from
     # labels@v0 — an interloper's merge since then would be partially
     # overwritten (lost relabels on shared affected nodes). Raising
@@ -319,11 +316,13 @@ def build_cluster_index(
     SNAP.assert_serial_apply(
         labels_t, v0, v1, "cluster-label refresh", healable=False
     )
-    return {
-        "n_delta_edges": n_edges,
-        "n_affected_nodes": n_affected,
-        "n_relabeled": n_relabel,
-    }
+    return LazyDict(
+        {
+            "n_delta_edges": e.count,
+            "n_affected_nodes": affected.count,
+            "n_relabeled": new_labs.count,
+        }
+    )
 
 
 def foreach_batch_dedup_index(root: str):

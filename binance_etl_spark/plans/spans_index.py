@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from binance_etl_spark.catalog import fanout, load
+from binance_etl_spark.operators.lazydict import LazyDict
 from binance_etl_spark.plans.llm_ops10 import _K, _SQL_GRAMS, _gram_stream
 from binance_etl_spark.plans.registry import register
 
@@ -105,7 +106,9 @@ def build_spans_index(
     # joins) would each re-run the HOF gram extraction otherwise
     g = _gram_stream(docs).localCheckpoint()
     delta_docs = docs.select("doc_id").distinct()
-    n_delta = delta_docs.count()
+    # deferred evidence count (operators/lazydict.py): its own Spark
+    # action, paid only by callers that read it
+    n_delta = delta_docs.count
     dnd = g.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd_delta")
     )
@@ -147,11 +150,10 @@ def build_spans_index(
         SNAP.write_version(
             _spans_from_positions(dup), spans_t, batch_id=batch_id
         )
-        return {
-            "n_delta_docs": n_delta,
-            "n_flipped_grams": -1,
-            "n_affected_docs": n_delta,
-        }
+        return LazyDict(
+            {"n_delta_docs": n_delta, "n_affected_docs": n_delta},
+            n_flipped_grams=-1,
+        )
 
     # exactly-once replay token: if this batch already committed to
     # the spans table (the LAST commit of the apply), the whole apply
@@ -159,7 +161,7 @@ def build_spans_index(
     if batch_id is not None and SNAP._find_batch_commit(
         spans_t, batch_id
     ) is not None:
-        return {"n_delta_docs": n_delta, "replayed": True}
+        return LazyDict({"n_delta_docs": n_delta}, replayed=True)
 
     # 1. old counts for the DELTA's grams only (key-projected lookup).
     # The PRE-BATCH counts state is load-bearing: a redelivery after a
@@ -201,7 +203,6 @@ def build_spans_index(
         & (F.coalesce(F.col("nd_old"), F.lit(0)) < 2)
     ).select("gram")
     flipped = flipped.localCheckpoint()  # cut lineage: used twice below
-    n_flipped = flipped.count()
 
     # 2. commit postings append + counts MERGE. merge_into runs
     # several actions on its source (dup gate, key semi-join, the
@@ -234,7 +235,6 @@ def build_spans_index(
         post.join(flipped, "gram", "left_semi").select("doc_id").distinct()
     )
     affected = holders.unionByName(delta_docs).distinct().localCheckpoint()
-    n_affected = affected.count()
 
     # 4. recompute spans for affected docs only, against the UPDATED
     # full-corpus counts, and MERGE (unaffected docs carry by name)
@@ -250,11 +250,13 @@ def build_spans_index(
     # with spans): new_spans only contains span-bearing docs, and an
     # affected doc that HAD a row keeps gaining, so upsert suffices
     SNAP.merge_into(spark, spans_t, new_spans, ["doc_id"], batch_id=batch_id)
-    return {
-        "n_delta_docs": n_delta,
-        "n_flipped_grams": n_flipped,
-        "n_affected_docs": n_affected,
-    }
+    return LazyDict(
+        {
+            "n_delta_docs": n_delta,
+            "n_flipped_grams": flipped.count,
+            "n_affected_docs": affected.count,
+        }
+    )
 
 
 def _spans_lifecycle_oracle() -> str:
