@@ -884,6 +884,13 @@ _BLOOM_K = 4  # hash probes
 # run no Spark job.
 _PROBE_MIN_FILES = 8
 _BLOOM_MIN_M = 2048  # floor: tiny files still get a real bitmap
+# Bloom builder path switch: at/above this many rows in the commit's
+# largest file, md5 bit positions are computed in the JVM (codegen)
+# and Python only scatters bits — the per-row Python hashing term
+# dominates there. Below it the per-row hashlib fold wins (the JVM-
+# position plan carries ~+0.15s/commit of fixed cost; measured A/B).
+# Both paths are byte-identical (pinned).
+_BLOOM_VECTORIZE_MIN_ROWS = 1 << 16
 _BLOOM_MAX_M = 1 << 22  # cap: 512 KiB bitmap per file-column
 _BLOOM_BITS_PER_ROW = 12
 # driver-side probe path: collect the key set and test every sidecar
@@ -957,10 +964,24 @@ def _write_bloom_index(
     """Build per-(file, column) bloom bitmaps for the given NEW files
     and write them as the commit's index dataset ``bloom/<name>/``
     (version number or staging transaction token).
-    One column-pruned pass: each input partition folds its rows into
-    local bitmaps (mapInPandas — the md5 loop runs executor-side,
-    parallel across files), then a groupBy(f, col) OR-reduce merges
-    the per-partition bitmaps; only bitmap-sized rows ever shuffle.
+    One column-pruned pass, SIZE-ADAPTIVE (both paths byte-identical,
+    pinned by test_jvm_position_builder_matches_hashlib_reference):
+
+    - big commits (rows_max >= _BLOOM_VECTORIZE_MIN_ROWS): the k md5
+      bit positions per row are computed IN THE JVM (codegen md5 +
+      conv — bit-identical to the hashlib probe contract: same "{i}:"
+      prefix, same first-8-hex-chars word, same % m), so the Python
+      boundary carries only (file, col, p0..pk) ints and the
+      mapInPandas fold is a pure vectorized numpy scatter — no
+      per-row Python hashing (guide §4). This is the path that
+      matters at 100 TB: the per-row hashing term dominates there.
+    - small commits: the per-row hashlib loop. The JVM-position plan
+      (explode + 4x md5/conv exprs) carries a fixed per-commit cost
+      that a measured same-boot A/B put at ~+0.15s/commit, which
+      outweighs the per-row win below ~64k rows.
+
+    A groupBy(f, col) OR-reduce then merges the per-partition bitmaps;
+    only bitmap-sized rows ever shuffle.
     Returns the index's rel path, or None if there is nothing to do."""
     import pandas as pd
 
@@ -977,34 +998,109 @@ def _write_bloom_index(
     rows_max = max(new_meta.get(rel, {}).get("rows", 0) for rel in rels)
     m, k = _bloom_m_for(rows_max), _BLOOM_K
     mb = m // 8
-    df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels]).select(
-        _file_rel_expr(table_dir).alias("__f"),
-        *[_bloom_value_expr(spec.split(",")).alias(spec) for spec in have],
-    )
 
-    def fold(batches):
-        import hashlib
+    def _positions(spec: str):
+        val = _bloom_value_expr(spec.split(","))
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), val).cast("binary")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).cast("int")
+            for i in range(k)
+        ]
 
-        acc: dict[tuple[str, str], bytearray] = {}
-        for pdf in batches:
-            for c in have:
-                for f, val in zip(pdf["__f"], pdf[c]):
-                    if val is None:
-                        continue
+    src = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+    if rows_max >= _BLOOM_VECTORIZE_MIN_ROWS:
+        # long format: one row per input row per covered spec, k FLAT
+        # int position columns (no per-row arrays — Arrow ships plain
+        # int32 vectors, the fold reads whole columns). NULL-keyed
+        # rows are dropped exactly like the Python fold's
+        # `val is None` skip (concat/md5 propagate NULL, so p0 is
+        # NULL iff val was).
+        df = (
+            src.select(
+                _file_rel_expr(table_dir).alias("__f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(spec).alias("col"),
+                                *[
+                                    p.alias(f"p{i}")
+                                    for i, p in enumerate(_positions(spec))
+                                ],
+                            )
+                            for spec in have
+                        ]
+                    )
+                ).alias("e"),
+            )
+            .select("__f", "e.*")
+            .where(F.col("p0").isNotNull())
+        )
+
+        def fold(batches):
+            import numpy as np
+
+            acc: dict[tuple[str, str], "np.ndarray"] = {}
+            for pdf in batches:
+                for (f, c), sub in pdf.groupby(["__f", "col"], sort=False):
                     buf = acc.get((f, c))
                     if buf is None:
-                        buf = acc[(f, c)] = bytearray(mb)
-                    for i in range(k):
-                        pos = (
-                            int(
-                                hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8],
-                                16,
+                        buf = acc[(f, c)] = np.zeros(mb, dtype=np.uint8)
+                    pos = np.concatenate(
+                        [sub[f"p{i}"].to_numpy(np.int64) for i in range(k)]
+                    )
+                    np.bitwise_or.at(
+                        buf,
+                        pos >> 3,
+                        np.left_shift(1, pos & 7).astype(np.uint8),
+                    )
+            out = [(f, c, b.tobytes()) for (f, c), b in acc.items()]
+            yield pd.DataFrame(out, columns=["f", "col", "bits"])
+
+    else:
+        df = src.select(
+            _file_rel_expr(table_dir).alias("__f"),
+            *[
+                _bloom_value_expr(spec.split(",")).alias(spec)
+                for spec in have
+            ],
+        )
+
+        def fold(batches):
+            import hashlib
+
+            acc: dict[tuple[str, str], bytearray] = {}
+            for pdf in batches:
+                for c in have:
+                    for f, val in zip(pdf["__f"], pdf[c]):
+                        if val is None:
+                            continue
+                        buf = acc.get((f, c))
+                        if buf is None:
+                            buf = acc[(f, c)] = bytearray(mb)
+                        for i in range(k):
+                            pos = (
+                                int(
+                                    hashlib.md5(
+                                        f"{i}:{val}".encode()
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % m
                             )
-                            % m
-                        )
-                        buf[pos >> 3] |= 1 << (pos & 7)
-        out = [(f, c, bytes(b)) for (f, c), b in acc.items()]
-        yield pd.DataFrame(out, columns=["f", "col", "bits"])
+                            buf[pos >> 3] |= 1 << (pos & 7)
+            out = [(f, c, bytes(b)) for (f, c), b in acc.items()]
+            yield pd.DataFrame(out, columns=["f", "col", "bits"])
 
     def orred(pdf):
         import numpy as np

@@ -121,3 +121,49 @@ def test_bloom_string_keys(spark, table):
     got = SNAP.read_version(spark, table, v)
     assert got.count() == 398
     assert got.where("uid IN ('user-17','user-350')").count() == 0
+
+
+@pytest.mark.parametrize("path", ["jvm", "python"])
+def test_jvm_position_builder_matches_hashlib_reference(
+    spark, table, path, monkeypatch
+):
+    """The round-11 vectorized builder computes md5 bit positions in
+    the JVM (codegen md5+conv) for big commits and keeps the per-row
+    hashlib loop for small ones; the probe side always hashes with
+    hashlib. Pin BYTE equality of the written bitmaps against a
+    pure-Python reference build FOR BOTH PATHS so the contract can
+    never drift silently — including NULL keys (skipped), string
+    keys, and int keys."""
+    import hashlib
+    import os
+
+    monkeypatch.setattr(
+        SNAP,
+        "_BLOOM_VECTORIZE_MIN_ROWS",
+        0 if path == "jvm" else 1 << 60,
+    )
+    df = spark.range(0, 500).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CONCAT('u-', id) END AS uid",
+        "id",
+    ).repartitionByRange(3, "id")
+    SNAP.write_version(df, table, bloom_cols=["uid", "id"])
+    m = SNAP._load_manifest(table, 1)
+    entries = SNAP._load_bloom_entries(table, m)
+    assert entries, "bloom sidecar missing"
+    # reference bitmaps from the file bytes via hashlib
+    import pyarrow.parquet as pq
+
+    for (f, col), (mm, k, bits) in entries.items():
+        tbl = pq.read_table(os.path.join(table, f), columns=[col])
+        ref = bytearray(mm // 8)
+        for v in tbl.column(col).to_pylist():
+            if v is None:
+                continue
+            val = str(v)
+            for i in range(k):
+                pos = (
+                    int(hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8], 16)
+                    % mm
+                )
+                ref[pos >> 3] |= 1 << (pos & 7)
+        assert bytes(ref) == bits, (f, col)
