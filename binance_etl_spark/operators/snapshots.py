@@ -953,6 +953,90 @@ def _bloom_spec_for(manifest: dict, key_cols: list[str]):
     return None
 
 
+def _bloom_build_driver(
+    table_dir: str,
+    rels: list[str],
+    have: list[str],
+    m: int,
+    k: int,
+    mb: int,
+    rel: str,
+) -> str | None:
+    """Tiny-commit fast path: build the sidecar ON THE DRIVER with
+    pyarrow + hashlib — zero Spark jobs. The sidecar is INDEX
+    metadata, and the commit's staged files are local KB-scale
+    parquet (the gate bounds total rows at _BLOOM_VECTORIZE_MIN_ROWS,
+    ~1-2 MB of keys), so this is the same driver-metadata discipline
+    as _stage_files / _load_bloom_entries. hashlib IS the probe's
+    hashing contract, so builder==prober trivially; the (f,col)
+    emit-only-when-a-non-null-value-exists rule matches the Spark
+    fold exactly. Declines (returns None) for composite specs or
+    non-int/string key dtypes, whose value spelling is defined by JVM
+    expressions (to_json/CAST) that a Python twin must not guess."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(os.path.join(table_dir, rels[0])).schema_arrow
+    for spec in have:
+        if "," in spec:
+            return None
+        idx = first.get_field_index(spec)
+        if idx < 0:
+            return None
+        t = first.field(idx).type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+        ):
+            return None
+    out_f: list[str] = []
+    out_c: list[str] = []
+    out_b: list[bytes] = []
+    for relf in rels:
+        tbl = pq.read_table(
+            os.path.join(table_dir, relf), columns=list(have)
+        )
+        for spec in have:
+            buf = bytearray(mb)
+            seen = False
+            for v in tbl.column(spec).to_pylist():
+                if v is None:
+                    continue
+                seen = True
+                sv = str(v)
+                for i in range(k):
+                    pos = (
+                        int(
+                            hashlib.md5(f"{i}:{sv}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % m
+                    )
+                    buf[pos >> 3] |= 1 << (pos & 7)
+            if seen:
+                out_f.append(relf)
+                out_c.append(spec)
+                out_b.append(bytes(buf))
+    dirp = os.path.join(table_dir, rel)
+    os.makedirs(dirp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "f": pa.array(out_f, pa.string()),
+                "col": pa.array(out_c, pa.string()),
+                "m": pa.array([m] * len(out_f), pa.int32()),
+                "k": pa.array([k] * len(out_f), pa.int32()),
+                "bits": pa.array(out_b, pa.binary()),
+            }
+        ),
+        os.path.join(dirp, "part-00000.parquet"),
+    )
+    return rel
+
+
 def _write_bloom_index(
     spark: SparkSession,
     table_dir: str,
@@ -964,24 +1048,33 @@ def _write_bloom_index(
     """Build per-(file, column) bloom bitmaps for the given NEW files
     and write them as the commit's index dataset ``bloom/<name>/``
     (version number or staging transaction token).
-    One column-pruned pass, SIZE-ADAPTIVE (both paths byte-identical,
-    pinned by test_jvm_position_builder_matches_hashlib_reference):
+    SIZE-ADAPTIVE, three regimes (all byte-identical, pinned by
+    test_jvm_position_builder_matches_hashlib_reference):
 
-    - big commits (rows_max >= _BLOOM_VECTORIZE_MIN_ROWS): the k md5
-      bit positions per row are computed IN THE JVM (codegen md5 +
-      conv — bit-identical to the hashlib probe contract: same "{i}:"
-      prefix, same first-8-hex-chars word, same % m), so the Python
-      boundary carries only (file, col, p0..pk) ints and the
-      mapInPandas fold is a pure vectorized numpy scatter — no
-      per-row Python hashing (guide §4). This is the path that
-      matters at 100 TB: the per-row hashing term dominates there.
-    - small commits: the per-row hashlib loop. The JVM-position plan
-      (explode + 4x md5/conv exprs) carries a fixed per-commit cost
-      that a measured same-boot A/B put at ~+0.15s/commit, which
-      outweighs the per-row win below ~64k rows.
+    - tiny commits (total staged rows <= _BLOOM_VECTORIZE_MIN_ROWS,
+      single-column int/string specs): built ON THE DRIVER with
+      pyarrow + hashlib, zero Spark jobs (_bloom_build_driver) — the
+      sidecar is index metadata and a whole Spark job (2 Python
+      boundaries + shuffle + write) per KB-scale commit was measured
+      at ~1s of pure fixed cost.
+    - big commits (rows_max >= _BLOOM_VECTORIZE_MIN_ROWS): one
+      column-pruned distributed pass; the k md5 bit positions per row
+      are computed IN THE JVM (codegen md5 + conv — bit-identical to
+      the hashlib probe contract: same "{i}:" prefix, same
+      first-8-hex-chars word, same % m), so the Python boundary
+      carries only (file, col, p0..pk) ints and the mapInPandas fold
+      is a pure vectorized numpy scatter — no per-row Python hashing
+      (guide §4). This is the path that matters at 100 TB: the
+      per-row hashing term dominates there.
+    - in between, or when the driver path declines (composite specs /
+      exotic dtypes): the distributed pass with the per-row hashlib
+      fold. The JVM-position plan (explode + 4x md5/conv exprs)
+      carries a fixed per-commit cost a same-boot A/B put at
+      ~+0.15s/commit, which outweighs the per-row win below ~64k
+      rows.
 
-    A groupBy(f, col) OR-reduce then merges the per-partition bitmaps;
-    only bitmap-sized rows ever shuffle.
+    The distributed passes end in a groupBy(f, col) OR-reduce merging
+    per-partition bitmaps; only bitmap-sized rows ever shuffle.
     Returns the index's rel path, or None if there is nothing to do."""
     import pandas as pd
 
@@ -998,6 +1091,12 @@ def _write_bloom_index(
     rows_max = max(new_meta.get(rel, {}).get("rows", 0) for rel in rels)
     m, k = _bloom_m_for(rows_max), _BLOOM_K
     mb = m // 8
+    rel = os.path.join("bloom", name if isinstance(name, str) else f"v{name}")
+    total_rows = sum(new_meta.get(r, {}).get("rows", 0) for r in rels)
+    if total_rows <= _BLOOM_VECTORIZE_MIN_ROWS:
+        got = _bloom_build_driver(table_dir, rels, have, m, k, mb, rel)
+        if got is not None:
+            return got
 
     def _positions(spec: str):
         val = _bloom_value_expr(spec.split(","))
@@ -1122,7 +1221,6 @@ def _write_bloom_index(
             "f", "col", F.lit(m).alias("m"), F.lit(k).alias("k"), "bits"
         )
     )
-    rel = os.path.join("bloom", name if isinstance(name, str) else f"v{name}")
     agg.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
     return rel
 

@@ -123,25 +123,31 @@ def test_bloom_string_keys(spark, table):
     assert got.where("uid IN ('user-17','user-350')").count() == 0
 
 
-@pytest.mark.parametrize("path", ["jvm", "python"])
+@pytest.mark.parametrize("path", ["driver", "python", "jvm"])
 def test_jvm_position_builder_matches_hashlib_reference(
     spark, table, path, monkeypatch
 ):
-    """The round-11 vectorized builder computes md5 bit positions in
-    the JVM (codegen md5+conv) for big commits and keeps the per-row
-    hashlib loop for small ones; the probe side always hashes with
-    hashlib. Pin BYTE equality of the written bitmaps against a
-    pure-Python reference build FOR BOTH PATHS so the contract can
+    """The round-11 size-adaptive builder has three regimes: a
+    driver-side pyarrow+hashlib build for tiny commits, the per-row
+    hashlib mapInPandas fold, and the JVM-codegen-position +
+    numpy-scatter path for big commits; the probe side always hashes
+    with hashlib. Pin BYTE equality of the written bitmaps against a
+    pure-Python reference build FOR ALL THREE so the contract can
     never drift silently — including NULL keys (skipped), string
     keys, and int keys."""
     import hashlib
     import os
 
-    monkeypatch.setattr(
-        SNAP,
-        "_BLOOM_VECTORIZE_MIN_ROWS",
-        0 if path == "jvm" else 1 << 60,
-    )
+    if path == "jvm":
+        monkeypatch.setattr(SNAP, "_BLOOM_VECTORIZE_MIN_ROWS", 0)
+    else:
+        monkeypatch.setattr(SNAP, "_BLOOM_VECTORIZE_MIN_ROWS", 1 << 60)
+        if path == "python":
+            # force the distributed hashlib fold by declining the
+            # driver build
+            monkeypatch.setattr(
+                SNAP, "_bloom_build_driver", lambda *a, **k: None
+            )
     df = spark.range(0, 500).selectExpr(
         "CASE WHEN id % 7 = 0 THEN NULL ELSE CONCAT('u-', id) END AS uid",
         "id",
