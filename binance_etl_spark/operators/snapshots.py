@@ -398,13 +398,17 @@ def _enforce_unique(
     to one key-projected, column-pruned scan + semi-join — what PK
     enforcement costs without an index, stated rather than hidden."""
     spark = df.sparkSession
-    dupe = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
+    # ONE batch job serves BOTH the in-batch dup gate and the bloom
+    # probe (round-11 job fold, same shape as merge_into's): collect
+    # the grouped key head; if it fits, dup-check on the driver and
+    # reuse the rows as the probe key set. A truncated head = wide
+    # batch: dup gate re-runs distributed, probe goes distributed.
+    _grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    probe = _grouped.limit(_BLOOM_DRIVER_KEYS_MAX + 2).collect()
+    if len(probe) <= _BLOOM_DRIVER_KEYS_MAX + 1:
+        dupe = [r for r in probe if r["n"] > 1][:1]
+    else:
+        dupe = _grouped.where(F.col("n") > 1).limit(1).collect()
     if dupe:
         raise ValueError(
             f"unique_keys violated in the incoming batch, commit refused: "
@@ -415,7 +419,6 @@ def _enforce_unique(
         return
     new_keys = df.select(*keys).distinct()
     files = prev["files"]
-    probe = new_keys.limit(_BLOOM_DRIVER_KEYS_MAX + 1).collect()
     if (
         len(probe) <= _BLOOM_DRIVER_KEYS_MAX
         and keys[0] in prev.get("bloom_cols", [])
@@ -2504,13 +2507,35 @@ def merge_into(
         if pv is not None:
             return pv  # replayed micro-batch: already applied
     key_struct = F.struct(*[F.col(c) for c in key_cols])
-    dup = (
-        source.groupBy(*key_cols)
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
+    # ONE source job serves BOTH the dup gate and the driver bloom
+    # probe (round-11 job fold): when the head of the table's manifest
+    # says a single-column bloom spec covers the merge key (a json
+    # read, no Spark job — a perf peek only, both downstream paths are
+    # correct if it goes stale mid-retry), collect the grouped key
+    # head. If it fits (source carries <= _BLOOM_DRIVER_KEYS_MAX + 1
+    # distinct keys — the CDC-batch shape), the full key set is in
+    # hand, the dup check runs on the driver, and the single-key probe
+    # below reuses the rows. A truncated head means a wide source: the
+    # dup gate re-runs distributed (exactly the former plan) and the
+    # distributed zone+bloom probe takes over. Tables with no usable
+    # bloom spec skip the head collect outright — there the key set
+    # has no consumer, so the old single distributed dup gate stays
+    # the cheaper plan.
+    _khead = None
+    _grouped = source.groupBy(*key_cols).count()
+    _mv0 = main_versions(table_dir)
+    _peek = _load_manifest(table_dir, _mv0[-1]) if _mv0 else None
+    if (
+        len(key_cols) == 1
+        and _peek is not None
+        and _bloom_spec_for(_peek, key_cols) is not None
+    ):
+        _khead = _grouped.limit(_BLOOM_DRIVER_KEYS_MAX + 2).collect()
+    if _khead is not None and len(_khead) <= _BLOOM_DRIVER_KEYS_MAX + 1:
+        dup = [r for r in _khead if r["count"] > 1][:1]
+    else:
+        _khead = None
+        dup = _grouped.where(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(
             f"merge_into: source has multiple rows for key {tuple(dup[0])[:-1]!r}; "
@@ -2524,10 +2549,9 @@ def merge_into(
     all_keys = source.select(key_struct.alias("_k")).distinct()
     # retry-invariant probe state (ADVICE r10): the source key set and
     # its dtypes never change across optimistic-retry attempts, so the
-    # limit-collect runs at most ONCE; only the manifest-dependent
-    # select_files_* calls stay inside the loop
+    # grouped-head collect above runs exactly ONCE; only the manifest-
+    # dependent select_files_* calls stay inside the loop
     src_dtypes = dict(source.dtypes)
-    _probe_cache: dict = {}
 
     for _attempt in range(4):
         prior = main_versions(table_dir)
@@ -2581,15 +2605,9 @@ def merge_into(
             for c in key_cols
         ):
             _spec_logical = _specinfo[1]
-            krows = None
-            if len(key_cols) == 1:
-                if "krows" not in _probe_cache:
-                    _probe_cache["krows"] = all_keys.limit(
-                        _BLOOM_DRIVER_KEYS_MAX + 1
-                    ).collect()
-                krows = _probe_cache["krows"]
+            krows = _khead if len(key_cols) == 1 else None
             if krows is not None and len(krows) <= _BLOOM_DRIVER_KEYS_MAX:
-                kvals = [r["_k"][0] for r in krows]
+                kvals = [r[key_cols[0]] for r in krows]
                 if all(v is not None for v in kvals):
                     scan_rel, _skipped = select_files_point(
                         table_dir, prior[-1], key_cols[0], kvals
