@@ -81,14 +81,75 @@ def test_cc_deep_chain_converges_via_pointer_jumping(spark):
     assert got == {i: 0 for i in range(n)}
 
 
-def test_cc_raises_when_not_converged(spark):
+def test_cc_raises_when_not_converged(spark, monkeypatch):
     import pytest
 
+    from binance_etl_spark.operators import dedup as DED
+
+    # the non-convergence contract belongs to the DISTRIBUTED path —
+    # the driver union-find (which would absorb this tiny chain)
+    # always converges, so force the distributed loop
+    monkeypatch.setattr(DED, "_CC_DRIVER_EDGES_MAX", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(49)], "src BIGINT, dst BIGINT"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_driver_path_equals_distributed(spark, monkeypatch):
+    """The round-11 size-adaptive switch: the driver union-find path
+    and the distributed min-label loop must return IDENTICAL rows on
+    the same graph — seeded and unseeded, string and long ids, dup
+    edges, self-loops, isolated seeds, and a component with no seed
+    (seeded case: it must not emit)."""
+    import random
+
+    from binance_etl_spark.operators import dedup as DED
+
+    rng = random.Random(7)
+    cases = []
+    # random long graphs, unseeded
+    for _ in range(2):
+        cases.append(
+            (
+                [(rng.randrange(30), rng.randrange(30)) for _ in range(25)],
+                "src BIGINT, dst BIGINT",
+                None,
+            )
+        )
+    # dup edges + self loop, unseeded
+    cases.append(([(1, 2), (2, 1), (1, 2), (3, 3)], "src BIGINT, dst BIGINT", None))
+    # string ids, unseeded
+    cases.append(
+        ([("b", "a"), ("b", "c"), ("z", "y")], "src STRING, dst STRING", None)
+    )
+    # seeded: isolated seed 9, component {5,6} with NO seed must not emit
+    cases.append(
+        (
+            [(1, 2), (2, 3), (5, 6)],
+            "src BIGINT, dst BIGINT",
+            [1, 2, 3, 9],
+        )
+    )
+    for i, (edges, schema, seeds) in enumerate(cases):
+        edf = spark.createDataFrame(edges, schema)
+        ndf = (
+            spark.createDataFrame([(s,) for s in seeds], "node BIGINT")
+            if seeds is not None
+            else None
+        )
+        monkeypatch.setattr(DED, "_CC_DRIVER_EDGES_MAX", 100_000)
+        drv = {
+            (r.node, r.cluster_id)
+            for r in connected_components(edf, nodes=ndf).collect()
+        }
+        monkeypatch.setattr(DED, "_CC_DRIVER_EDGES_MAX", 0)
+        dist = {
+            (r.node, r.cluster_id)
+            for r in connected_components(edf, nodes=ndf).collect()
+        }
+        assert drv == dist, f"case {i}: driver {drv} != distributed {dist}"
 
 
 def test_leakage_safe_split_never_splits_a_cluster(spark):
