@@ -440,7 +440,7 @@ def _enforce_unique(
         # the full file list. Skipped under _PROBE_MIN_FILES: the
         # probe's fixed job outcosts scanning a handful of files.
         specinfo = _bloom_spec_for(prev, keys)
-        if specinfo is not None and len(files) >= _PROBE_MIN_FILES:
+        if specinfo is not None and _probe_worthwhile(prev):
             res = select_files_keys(
                 spark,
                 table_dir,
@@ -881,11 +881,34 @@ def _release_claim(table_dir: str, v: int) -> None:
 # the supported integer and string key types.
 
 _BLOOM_K = 4  # hash probes
-# Distributed zone+bloom probes pay one fixed Spark job; a table with
-# fewer files than this is cheaper to scan outright (the probe's best
-# case saves < its own cost). Driver-side probes stay unguarded — they
-# run no Spark job.
+# Distributed zone+bloom probes pay several fixed Spark jobs (sidecar
+# scan + digest pass + verdict collect, ~1-2s); a table with fewer
+# files than this, or whose candidate files total fewer BYTES than
+# _PROBE_MIN_BYTES, is cheaper to scan outright (the probe's best case
+# saves < its own cost — round-11 profile: a 32-file KB-scale labels
+# table paid 1.6s of probe to avoid a sub-second scan). At 100 TB
+# candidate sets are GBs, so both gates always pass there. Driver-side
+# probes stay unguarded — they run no Spark job.
 _PROBE_MIN_FILES = 8
+_PROBE_MIN_BYTES = 64 << 20
+
+
+def _probe_worthwhile(prev: dict) -> bool:
+    """Is the distributed zone+bloom probe worth its fixed jobs for
+    this snapshot? Files without recorded sizes count as unknown-big
+    (probe). Semantics-free: both answers are correct — False just
+    selects the always-correct full affected-file scan."""
+    files = prev.get("files", [])
+    if len(files) < _PROBE_MIN_FILES:
+        return False
+    fm = prev.get("file_meta", {})
+    total = 0
+    for rel in files:
+        b = fm.get(rel, {}).get("bytes")
+        if b is None:
+            return True
+        total += b
+    return total >= _PROBE_MIN_BYTES
 _BLOOM_MIN_M = 2048  # floor: tiny files still get a real bitmap
 # Bloom builder path switch: at/above this many rows in the commit's
 # largest file, md5 bit positions are computed in the JVM (codegen)
@@ -2096,10 +2119,11 @@ def delete_keys(
         prev = _load_manifest(table_dir, prior[-1])
         if (
             len(vset) > _BLOOM_DRIVER_KEYS_MAX
-            and len(prev["files"]) < _PROBE_MIN_FILES
+            and not _probe_worthwhile(prev)
         ):
-            # wide batch over a handful of files: the probe job costs
-            # more than scanning them — full affected-file scan
+            # wide batch over a handful of files (or KB-scale bytes):
+            # the probe job costs more than scanning them — full
+            # affected-file scan
             candidates, _pruned = list(prev["files"]), []
         elif len(vset) > _BLOOM_DRIVER_KEYS_MAX:
             # wide erasure batch: distributed zone+bloom probe — the
@@ -2614,13 +2638,14 @@ def merge_into(
                     )
                     bloom_pruned = len(_skipped)
                 # else: NULL single-column key -> full scan
-            elif len(prev["files"]) >= _PROBE_MIN_FILES:
-                # The distributed zone+bloom probe costs a fixed Spark
-                # job over the sidecar datasets; under a handful of
-                # files the affected-file scan reads them all anyway,
-                # so the probe can only add wall-clock. Scale guard,
-                # not a semantics change: below the threshold we take
-                # the (always-correct) full affected-file scan.
+            elif _probe_worthwhile(prev):
+                # The distributed zone+bloom probe costs several fixed
+                # Spark jobs over the sidecar datasets; under a handful
+                # of files — or KB-scale candidate bytes — the
+                # affected-file scan reads them all anyway, so the
+                # probe can only add wall-clock. Scale guard, not a
+                # semantics change: below the thresholds we take the
+                # (always-correct) full affected-file scan.
                 res = select_files_keys(
                     spark,
                     table_dir,

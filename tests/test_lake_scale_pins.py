@@ -290,13 +290,16 @@ def _synth(spark, n_rows: int = 100_000, n_files: int = 8):
     )
 
 
-def test_merge_wide_key_distributed_prune(spark):
+def test_merge_wide_key_distributed_prune(spark, monkeypatch):
     """r10 verdict item 1: a 10k-key CDC merge must NOT fall back to a
     full affected-file scan — the distributed zone+bloom probe opens
     only MAYBE files. The fixture is the CDC reality the zone stage
     exists for: keys contiguous in doc_id against a range-clustered
     table, so files outside the key range prune by zone even though
     accumulated per-key bloom FPR alone would read every file MAYBE."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     t = tempfile.mkdtemp(prefix="lake_pin_wide_") + "/t"
     SNAP.write_version(
         _synth(spark), t, bloom_cols=["doc_id"], stats_cols=["doc_id"]
@@ -331,12 +334,15 @@ def test_merge_wide_key_distributed_prune(spark):
     assert [r["n_chars"] for r in got] == [1_000_000, 1_029_997, 30_000]
 
 
-def test_merge_composite_key_bloom_prunes(spark):
+def test_merge_composite_key_bloom_prunes(spark, monkeypatch):
     """r10 verdict item 2: a composite (doc_id, lang) merge key with a
     composite bloom spec takes the PRUNED path (the old guard fell
     back to a full scan for any multi-column key), including a
     NULL-keyed row — the composite encoding is null-preserving, so
     NULL==NULL struct-join matches stay visible to the probe."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     t = tempfile.mkdtemp(prefix="lake_pin_comp_") + "/t"
     base = _synth(spark)
     nullrow = spark.createDataFrame(
@@ -371,11 +377,14 @@ def test_merge_composite_key_bloom_prunes(spark):
     assert got == {5: -1, 9: -1, None: 888}
 
 
-def test_merge_composite_key_prunes_after_rename(spark):
+def test_merge_composite_key_prunes_after_rename(spark, monkeypatch):
     """The composite spec stores PHYSICAL names; _bloom_spec_for must
     resolve it through the column mapping after a rename, and the
     positional k0..kn encoding must keep build==probe despite the
     logical name change."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     t = tempfile.mkdtemp(prefix="lake_pin_compren_") + "/t"
     SNAP.write_version(_synth(spark), t, bloom_cols=[("doc_id", "lang")])
     SNAP.rename_column(t, "lang", "language")
@@ -393,9 +402,12 @@ def test_merge_composite_key_prunes_after_rename(spark):
     assert [r["n_chars"] for r in got] == [-2]
 
 
-def test_delete_keys_wide_distributed(spark):
+def test_delete_keys_wide_distributed(spark, monkeypatch):
     """delete_keys above the driver cap routes through the distributed
     probe: rewrote stays O(affected files), values exact."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     t = tempfile.mkdtemp(prefix="lake_pin_widedel_") + "/t"
     SNAP.write_version(
         _synth(spark), t, bloom_cols=["doc_id"], stats_cols=["doc_id"]
@@ -409,10 +421,13 @@ def test_delete_keys_wide_distributed(spark):
     assert m["rewrote"] <= 8 - m["bloom_pruned"]
 
 
-def test_wide_probe_null_key_still_falls_back(spark):
+def test_wide_probe_null_key_still_falls_back(spark, monkeypatch):
     """The single-column NULL-source-key fallback survives the wide
     path: >1024 keys with one NULL must decline pruning (the builder
     skips NULLs) and still merge the NULL row correctly."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     t = tempfile.mkdtemp(prefix="lake_pin_widenull_") + "/t"
     base = _synth(spark, n_rows=5_000, n_files=4).unionByName(
         spark.createDataFrame(
@@ -585,13 +600,16 @@ def test_zone_stage_boundary_inclusive_randomized(spark):
         assert holding <= {os.path.normpath(c) for c in res[0]}
 
 
-def test_merge_paths_randomized_vs_model(spark):
+def test_merge_paths_randomized_vs_model(spark, monkeypatch):
     """Randomized MERGE fuzz across all four probe paths (driver
     <=1024, distributed wide, composite, NULL fallback): every trial
     compares the post-merge table against a pure-Python dict model AND
     pins rewrote == ground-truth affected files. Catches interaction
     bugs a fixed fixture can't (keys straddling file boundaries, empty
     prune sets, insert-only sources)."""
+    # KB-scale fixture: force the distributed probe past the
+    # round-11 byte gate (perf-only; both paths value-identical)
+    monkeypatch.setattr(SNAP, "_PROBE_MIN_BYTES", 0)
     import random
 
     rng = random.Random(42)
@@ -670,3 +688,24 @@ def test_merge_paths_randomized_vs_model(spark):
             for r in SNAP.read_version(spark, t).collect()
         }
         assert got == model, f"trial {trial}: table != model"
+
+
+def test_probe_byte_gate(spark):
+    """_probe_worthwhile: file-count floor, byte floor, and the
+    unknown-size-counts-as-big rule (round-11 gate — perf heuristic
+    only, both answers correct)."""
+    fm = {f"data/f{i}": {"rows": 10, "bytes": 1_000} for i in range(10)}
+    small = {"files": list(fm), "file_meta": fm}
+    assert not SNAP._probe_worthwhile(small), "KB-scale table must scan"
+    assert not SNAP._probe_worthwhile(
+        {"files": list(fm)[:4], "file_meta": fm}
+    ), "file-count floor"
+    big = {
+        "files": list(fm),
+        "file_meta": {
+            r: {"rows": 10, "bytes": 50 << 20} for r in fm
+        },
+    }
+    assert SNAP._probe_worthwhile(big), "GB-scale table must probe"
+    unknown = {"files": list(fm), "file_meta": {}}
+    assert SNAP._probe_worthwhile(unknown), "unknown sizes count as big"
