@@ -335,21 +335,139 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
-def _stage_files(table_dir: str, rel_dir: str) -> tuple[list[str], dict]:
+# Auto-coalesce threshold for freshly staged commits: a commit whose
+# staged parquet totals at most this many bytes is rewritten into ONE
+# file on the driver (pyarrow) before the manifest records it. Spark's
+# parallel write of a small frame emits one near-empty file per task
+# (often 32-200), and every later step pays per file: footer stats,
+# bloom sidecar rows, live-read opens, affected-file scans, zone
+# probes (guide §6 "small files hurt twice"). Scale-adaptive by
+# construction — a commit bigger than the threshold keeps its parallel
+# layout, so real data at cluster scale is untouched; this is Delta's
+# optimized-write idea applied at the commit point. Env-tunable so a
+# deployment can widen or disable it (0 disables).
+_STAGE_COMPACT_MAX_BYTES = int(
+    os.environ.get("BESK_STAGE_COMPACT_MAX_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def _looks_clustered(paths: list[str]) -> bool:
+    """True when the staged files are RANGE-CLUSTERED on some column —
+    per-file footer [min,max] intervals pairwise disjoint for at least
+    one column. A caller that shaped the layout (repartitionByRange, a
+    sorted rewrite) did so for rewrite granularity or future pruning,
+    so auto-coalescing must leave it alone even when the table has not
+    (yet) declared stats. Random task shards overlap on every column
+    and stay eligible. Footer-stats only — no data read; a column
+    whose stats are missing simply can't vouch for clustering."""
+    import pyarrow.parquet as pq
+
+    per_file: list[dict] = []
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        if meta.num_rows == 0:
+            continue
+        cols: dict = {}
+        for i in range(meta.num_columns):
+            name = meta.schema.column(i).name
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and isinstance(lo, (int, float, str)) and not isinstance(
+                lo, bool
+            ):
+                cols[name] = (lo, hi)
+        per_file.append(cols)
+    if len(per_file) < 2:
+        return False
+    candidates = set.intersection(*[set(c) for c in per_file])
+    for col in candidates:
+        spans = sorted(c[col] for c in per_file)
+        if all(
+            spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+        ):
+            return True
+    return False
+
+
+def _compact_staged(staging: str, rels_abs: list[str]) -> bool:
+    """Rewrite a small staged commit's parquet parts into one file,
+    VERIFIED (the read-back of the written file must .equals() the
+    concatenated input tables — schema and values bit-exact) before
+    the parts are removed; any surprise (exotic physical types the
+    arrow round-trip can't keep, inequality) leaves the original
+    layout in place. Returns True iff compacted."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        parts = [pq.read_table(p) for p in rels_abs]
+        merged = pa.concat_tables(parts)
+        out = os.path.join(
+            staging, f"part-00000-{_uuid.uuid4().hex}-coalesced.parquet"
+        )
+        pq.write_table(merged, out, compression="snappy")
+        if not pq.read_table(out).equals(merged):
+            os.remove(out)
+            return False
+    except Exception:
+        return False
+    for p in rels_abs:
+        os.remove(p)
+        crc = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    return True
+
+
+def _stage_files(
+    table_dir: str, rel_dir: str, coalesce_small: bool = True
+) -> tuple[list[str], dict]:
     """List a commit's staged parquet files and capture per-file
     footer metadata (row count + bytes) for the manifest — METADATA-
     only reads of files just written (still page-cache-hot), so
     `count_rows`/`history` answer without ever scanning data. Driver-
     side O(new files) like the rest of the log; Delta records the
-    same numRecords per file in its commit JSON."""
+    same numRecords per file in its commit JSON.
+
+    coalesce_small=True additionally merges a many-file commit under
+    _STAGE_COMPACT_MAX_BYTES total into one file (see _compact_staged)
+    — callers whose file layout IS the contract (compact()'s requested
+    file count, partition-clustered writes) pass False."""
     import pyarrow.parquet as pq
 
     staging = os.path.join(table_dir, rel_dir)
-    rels = sorted(
-        os.path.join(rel_dir, name)
-        for name in os.listdir(staging)
-        if name.endswith(".parquet")
-    )
+
+    def _list() -> list[str]:
+        return sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(staging)
+            if name.endswith(".parquet")
+        )
+
+    rels = _list()
+    sizes = [os.path.getsize(os.path.join(table_dir, r)) for r in rels]
+    if (
+        coalesce_small
+        and _STAGE_COMPACT_MAX_BYTES > 0
+        and len(rels) > 1
+        and sum(sizes) <= _STAGE_COMPACT_MAX_BYTES
+        and not _looks_clustered(
+            [os.path.join(table_dir, r) for r in rels]
+        )
+        and _compact_staged(
+            staging, [os.path.join(table_dir, r) for r in rels]
+        )
+    ):
+        rels = _list()
     meta = {}
     for rel in rels:
         p = os.path.join(table_dir, rel)
@@ -382,7 +500,11 @@ def _enforce_expectations(df: DataFrame, expectations: dict) -> None:
 
 
 def _enforce_unique(
-    df: DataFrame, table_dir: str, prev: dict, keys: list[str]
+    df: DataFrame,
+    table_dir: str,
+    prev: dict,
+    keys: list[str],
+    skip_batch_check: bool = False,
 ) -> None:
     """PRIMARY-KEY-style uniqueness gate: refuse the commit if the
     incoming batch repeats a key internally OR collides with a LIVE
@@ -398,6 +520,8 @@ def _enforce_unique(
     to one key-projected, column-pruned scan + semi-join — what PK
     enforcement costs without an index, stated rather than hidden."""
     spark = df.sparkSession
+    if skip_batch_check and not prev.get("files"):
+        return  # first commit + structural uniqueness: nothing to gate
     # ONE batch job serves BOTH the in-batch dup gate and the bloom
     # probe (round-11 job fold, same shape as merge_into's): collect
     # the grouped key head; if it fits, dup-check on the driver and
@@ -407,6 +531,8 @@ def _enforce_unique(
     probe = _grouped.limit(_BLOOM_DRIVER_KEYS_MAX + 2).collect()
     if len(probe) <= _BLOOM_DRIVER_KEYS_MAX + 1:
         dupe = [r for r in probe if r["n"] > 1][:1]
+    elif skip_batch_check:
+        dupe = []
     else:
         dupe = _grouped.where(F.col("n") > 1).limit(1).collect()
     if dupe:
@@ -473,6 +599,7 @@ def write_version(
     bloom_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     unique_keys: list[str] | None = None,
+    source_unique: bool = False,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
@@ -506,6 +633,11 @@ def write_version(
     building blooms for their new files over the table's bloom
     columns. Integer and string keys only (see the bloom section).
     Costs one extra column-pruned pass over the NEW files per commit.
+    source_unique: the writer's structural proof that ``df`` carries
+    at most one row per declared unique key (its plan aggregates or
+    distincts on them) — skips the unique-keys gate's in-batch dup
+    scan (see _enforce_unique); the vs-table collision probe still
+    runs whenever the table has live rows.
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
 
@@ -599,7 +731,28 @@ def write_version(
     idx_rel = None
     try:
         _to_physical(df, cmap).write.mode("overwrite").parquet(staging)
-        new_files, new_meta = _stage_files(table_dir, rel_dir)
+        # Auto-coalesce ONLY metadata-free tables: declared pruning
+        # metadata (partitioning, per-file stats, blooms — passed here
+        # or inherited from the head) means the caller's file layout
+        # is load-bearing for file skipping, so it is preserved; a
+        # table with no pruning metadata can never be file-pruned and
+        # a small commit's many task-shard files are pure overhead.
+        _head_meta = (
+            _load_manifest(table_dir, main_versions(table_dir)[-1])
+            if main_versions(table_dir) and mode == "append"
+            else {}
+        )
+        _layout_bound = bool(
+            partition_by
+            or stats_cols
+            or bloom_cols
+            or _head_meta.get("partition_by")
+            or _head_meta.get("stats")
+            or _head_meta.get("bloom_cols")
+        )
+        new_files, new_meta = _stage_files(
+            table_dir, rel_dir, coalesce_small=not _layout_bound
+        )
         # Gate passes below (expectations, unique-keys) are independent
         # actions: running them against ``df`` re-executes its whole
         # lineage per pass — for an un-checkpointed aggregation source
@@ -695,7 +848,13 @@ def write_version(
                     raise ValueError(f"unique_keys columns not in data: {missing_uk}")
                 head_now = prior[-1] if prior else None
                 if uk_checked_head != ("head", head_now):
-                    _enforce_unique(gate_df, table_dir, prev, effective_uk)
+                    _enforce_unique(
+                        gate_df,
+                        table_dir,
+                        prev,
+                        effective_uk,
+                        skip_batch_check=source_unique,
+                    )
                     uk_checked_head = ("head", head_now)
             eff_bloom_cols = sorted(
                 set(bloom_cols or []) | set(prev.get("bloom_cols", []))
@@ -2038,7 +2197,10 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str) -> int:
             _to_physical(keep, _mapping(prev)).write.mode(
                 "overwrite"
             ).parquet(staging)
-            new_files, new_meta = _stage_files(table_dir, rel_dir)
+            new_files, new_meta = _stage_files(
+                table_dir, rel_dir,
+                coalesce_small=not (prev.get("partition_by") or prev.get("stats") or prev.get("bloom_cols")),
+            )
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
@@ -2184,7 +2346,10 @@ def delete_keys(
             _to_physical(keep, _mapping(prev)).write.mode(
                 "overwrite"
             ).parquet(os.path.join(table_dir, rel_dir))
-            new_files, new_meta = _stage_files(table_dir, rel_dir)
+            new_files, new_meta = _stage_files(
+                table_dir, rel_dir,
+                coalesce_small=not (prev.get("partition_by") or prev.get("stats") or prev.get("bloom_cols")),
+            )
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
@@ -2313,7 +2478,10 @@ def update_where(
             _to_physical(updated, _mapping(prev)).write.mode(
                 "overwrite"
             ).parquet(os.path.join(table_dir, rel_dir))
-            new_files, new_meta = _stage_files(table_dir, rel_dir)
+            new_files, new_meta = _stage_files(
+                table_dir, rel_dir,
+                coalesce_small=not (prev.get("partition_by") or prev.get("stats") or prev.get("bloom_cols")),
+            )
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
@@ -2419,7 +2587,9 @@ def update_where_mor(
         _to_physical(updated, _mapping(prev)).write.mode(
             "overwrite"
         ).parquet(os.path.join(table_dir, rel_dir))
-        new_files, new_meta = _stage_files(table_dir, rel_dir)
+        new_files, new_meta = _stage_files(
+            table_dir, rel_dir, coalesce_small=not (prev.get("partition_by") or prev.get("stats") or prev.get("bloom_cols"))
+        )
         new_pos = matches.select(
             F.col("__f").alias("f"), F.col("__pos").alias("pos")
         )
@@ -2481,6 +2651,7 @@ def merge_into(
     delete_condition: str | None = None,
     batch_id: int | None = None,
     delete_matched_only: bool = False,
+    source_unique: bool = False,
 ) -> int:
     """MERGE INTO / CDC-apply over the snapshot log (the Delta MERGE
     upsert and the DLT APPLY CHANGES shape): every target row whose
@@ -2519,7 +2690,13 @@ def merge_into(
 
     Source must carry exactly the target columns (plus any
     ``delete_condition`` inputs) and at most ONE row per key —
-    ambiguous multi-row matches raise, as Delta's MERGE does. Shares
+    ambiguous multi-row matches raise, as Delta's MERGE does.
+    ``source_unique=True`` is the caller's PROOF of that contract
+    (the source plan ends in an aggregation/distinct on exactly the
+    merge key), which skips the dup-gate Spark job — one fewer pass
+    over the source per merge; a lying caller corrupts the table the
+    same way Delta's un-gated MERGE would, so pass it only when the
+    uniqueness is structural. Shares
     delete_where's optimistic-conflict retry: a concurrent append
     landing mid-scan restarts the merge against the newer snapshot.
     Returns the committed version. `batch_id` is the streaming
@@ -2559,7 +2736,15 @@ def merge_into(
         dup = [r for r in _khead if r["count"] > 1][:1]
     else:
         _khead = None
-        dup = _grouped.where(F.col("count") > 1).limit(1).collect()
+        # source_unique: the caller proved <=1 row/key structurally,
+        # so the distributed dup-gate job is pure cost — skip it. (The
+        # head collect above is NOT skipped when a bloom spec exists:
+        # it feeds the driver file-prune probe, not just the gate.)
+        dup = (
+            []
+            if source_unique
+            else _grouped.where(F.col("count") > 1).limit(1).collect()
+        )
     if dup:
         raise ValueError(
             f"merge_into: source has multiple rows for key {tuple(dup[0])[:-1]!r}; "
@@ -2714,7 +2899,9 @@ def merge_into(
         _to_physical(new_data, _mapping(prev)).write.mode(
             "overwrite"
         ).parquet(staging)
-        new_files, new_meta = _stage_files(table_dir, rel_dir)
+        new_files, new_meta = _stage_files(
+            table_dir, rel_dir, coalesce_small=not (prev.get("partition_by") or prev.get("stats") or prev.get("bloom_cols"))
+        )
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(untouched)
         }
@@ -2943,7 +3130,9 @@ def compact(
             _to_physical(df.repartition(n_out), _mapping(prev)).write.mode(
                 "overwrite"
             ).parquet(staging)
-        new_files, file_meta = _stage_files(table_dir, rel_dir)
+        new_files, file_meta = _stage_files(
+            table_dir, rel_dir, coalesce_small=False
+        )
         stats = {
             rel: s for rel, s in prev.get("stats", {}).items() if rel in set(carried)
         }
@@ -3660,7 +3849,17 @@ def write_branch(
     _to_physical(df, bmap).write.mode("overwrite").parquet(
         os.path.join(table_dir, rel_dir)
     )
-    new_files, file_meta = _stage_files(table_dir, rel_dir)
+    new_files, file_meta = _stage_files(
+        table_dir, rel_dir,
+        coalesce_small=not (
+            mode == "append"
+            and (
+                head.get("partition_by")
+                or head.get("stats")
+                or head.get("bloom_cols")
+            )
+        ),
+    )
     stats = {}
     if stats_cols:
         for rel in new_files:

@@ -176,6 +176,9 @@ def build_dedup_index(
             batch_id=batch_id,
             bloom_cols=[("a_id", "b_id")],
             unique_keys=["a_id", "b_id"],
+            # cand_ids is distinct and the shingle sides are unique
+            # per doc_id, so pairs carries one row per (a_id, b_id)
+            source_unique=True,
         )
         # evidence counters are deferred (operators/lazydict.py): each
         # is its own Spark action over an already-checkpointed frame —
@@ -214,7 +217,12 @@ def build_dedup_index(
         cand_ids, SNAP.read_version(spark, shingles_t)
     ).localCheckpoint()
     SNAP.merge_into(
-        spark, pairs_t, new_pairs, ["a_id", "b_id"], batch_id=batch_id
+        spark,
+        pairs_t,
+        new_pairs,
+        ["a_id", "b_id"],
+        batch_id=batch_id,
+        source_unique=True,  # distinct cand_ids x unique-per-id shingles
     )
     return LazyDict(
         {
@@ -275,6 +283,7 @@ def build_cluster_index(
             labs, labels_t, batch_id=batch_id,
             stats_cols=["node"], bloom_cols=["node"],
             unique_keys=["node"],
+            source_unique=True,  # CC labels are one row per node
         )
         return LazyDict(
             {"n_delta_edges": e.count, "n_relabeled": labs.count},
@@ -293,7 +302,12 @@ def build_cluster_index(
     touched_cids = (
         old.join(delta_nodes, "node", "left_semi").select("cluster_id").distinct()
     )
-    affected = old.join(touched_cids, "cluster_id", "left_semi").localCheckpoint()
+    # no checkpoint here (round-11): connected_components materializes
+    # its input itself (driver-path collect / distributed-path eager
+    # checkpoint), so an extra eager checkpoint of `affected` was one
+    # whole redundant pass over the label⋈delta joins; the lazy
+    # n_affected evidence recomputes on access (tests-only cost)
+    affected = old.join(touched_cids, "cluster_id", "left_semi")
     star = affected.select(
         F.col("node").alias("a"), F.col("cluster_id").alias("b")
     )
@@ -307,7 +321,14 @@ def build_cluster_index(
     # redelivery recomputes the affected set from state that includes
     # the interloper's labels.
     SNAP.assert_serial_apply(labels_t, v0, what="cluster-label refresh")
-    v1 = SNAP.merge_into(spark, labels_t, new_labs, ["node"], batch_id=batch_id)
+    v1 = SNAP.merge_into(
+        spark,
+        labels_t,
+        new_labs,
+        ["node"],
+        batch_id=batch_id,
+        source_unique=True,  # CC labels are one row per node
+    )
     # POST-commit backstop for a racer landing inside the tiny
     # check-to-commit window: our merge may already have overwritten
     # its relabels, and the replay token would skip a redelivery — so

@@ -139,8 +139,14 @@ def build_spans_index(
         # duplication the split nd counts would miss — refuses the
         # later append, and its redelivery heals through the refresh
         # path (counts MERGE against the winner's table).
+        # source_unique: counts is a groupBy("gram") output — the
+        # in-batch dup scan of the PK gate is structurally redundant
         SNAP.write_version(
-            counts, counts_t, batch_id=batch_id, unique_keys=["gram"]
+            counts,
+            counts_t,
+            batch_id=batch_id,
+            unique_keys=["gram"],
+            source_unique=True,
         )
         dup = g.join(
             SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
@@ -189,12 +195,21 @@ def build_spans_index(
         old_hit = cur_hit.select(
             "gram", (F.col("nd") - F.col("nd_delta")).alias("nd_old")
         ).where(F.col("nd_old") > 0)
-    merged_counts = dnd.join(old_hit, "gram", "left").select(
-        "gram",
-        (F.col("nd_delta") + F.coalesce(F.col("nd_old"), F.lit(0))).alias(
-            "nd"
-        ),
-        "nd_old",
+    # ONE materialization serves both consumers (round-11 job fold):
+    # `flipped` and `new_counts` are projections of the same join —
+    # checkpointing each separately ran the dnd ⋈ old-counts join
+    # twice (two full passes; measured ~2.5s apiece at sf0.1). The
+    # checkpoint carries nd_old so both derive by scan-only filters.
+    merged_counts = (
+        dnd.join(old_hit, "gram", "left")
+        .select(
+            "gram",
+            (
+                F.col("nd_delta") + F.coalesce(F.col("nd_old"), F.lit(0))
+            ).alias("nd"),
+            "nd_old",
+        )
+        .localCheckpoint()
     )
     # appends only GROW nd -> an existing doc's spans change iff one
     # of its grams crossed the nd>=2 threshold THIS batch
@@ -202,14 +217,13 @@ def build_spans_index(
         (F.col("nd") >= 2)
         & (F.coalesce(F.col("nd_old"), F.lit(0)) < 2)
     ).select("gram")
-    flipped = flipped.localCheckpoint()  # cut lineage: used twice below
 
     # 2. commit postings append + counts MERGE. merge_into runs
     # several actions on its source (dup gate, key semi-join, the
-    # write) — checkpoint the source once so the delta gram extraction
-    # and the counts-table read don't re-evaluate per action
+    # write) — they all read the checkpoint above, so nothing
+    # re-evaluates the delta gram extraction or the counts-table read
     SNAP.write_version(g, postings_t, batch_id=batch_id)
-    new_counts = merged_counts.drop("nd_old").localCheckpoint()
+    new_counts = merged_counts.drop("nd_old")
     # PRE-commit serial-apply check: the merged nd values were derived
     # from counts@v0 — an interloper's merge since then would lose its
     # increments on shared grams (and the flip detection with them).
@@ -217,7 +231,12 @@ def build_spans_index(
     # the redelivery re-reads counts that include the interloper.
     SNAP.assert_serial_apply(counts_t, v0, what="spans-index counts refresh")
     v1 = SNAP.merge_into(
-        spark, counts_t, new_counts, ["gram"], batch_id=batch_id
+        spark,
+        counts_t,
+        new_counts,
+        ["gram"],
+        batch_id=batch_id,
+        source_unique=True,  # merged_counts groups by gram
     )
     # POST-commit backstop for a racer inside the check-to-commit
     # window: our merge may already have overwritten its increments,
@@ -249,7 +268,14 @@ def build_spans_index(
     # spans never shrink — but merge semantics want exactly the docs
     # with spans): new_spans only contains span-bearing docs, and an
     # affected doc that HAD a row keeps gaining, so upsert suffices
-    SNAP.merge_into(spark, spans_t, new_spans, ["doc_id"], batch_id=batch_id)
+    SNAP.merge_into(
+        spark,
+        spans_t,
+        new_spans,
+        ["doc_id"],
+        batch_id=batch_id,
+        source_unique=True,  # _spans_from_positions groups by doc_id
+    )
     return LazyDict(
         {
             "n_delta_docs": n_delta,

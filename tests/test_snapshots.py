@@ -435,14 +435,17 @@ def test_vacuum_concurrent_reader_within_retention_is_safe(spark, tmp_path):
         expired_reader.count()
 
 
-def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path, monkeypatch):
     """OPTIMIZE-style compaction: value-identical snapshot, far fewer
     files, prior versions still time-travel, vacuum then reclaims the
-    small pre-compaction files."""
+    small pre-compaction files. The fixture needs a FRAGMENTED table —
+    at scale that comes from large commits; here the staging
+    auto-coalesce is disabled so small commits reproduce it."""
     import os
 
     from binance_etl_spark.operators import snapshots as SNAP
 
+    monkeypatch.setattr(SNAP, "_STAGE_COMPACT_MAX_BYTES", 0)
     table = str(tmp_path / "t")
     SNAP.write_version(spark.range(1000).repartition(24), table, mode="append")
     SNAP.write_version(
