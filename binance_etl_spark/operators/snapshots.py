@@ -684,6 +684,14 @@ def write_version(
         missing = sorted(set(partition_by) - set(df.columns))
         if missing:
             raise ValueError(f"partition_by columns not in data: {missing}")
+        # Materialize ONCE before the clustered write (round-11): a
+        # partitioned commit otherwise executes its full lineage three
+        # times — the distinct count below, repartitionByRange's range-
+        # boundary sampling pass, and the write itself. For a commit
+        # whose source is a real pipeline (tokenize/explode/groupBy)
+        # that tripled the commit cost; the checkpoint turns the two
+        # extra passes into cheap scans of materialized rows.
+        df = df.localCheckpoint()
         # one range partition per distinct partition tuple (explicit N,
         # so AQE cannot coalesce the clustering away): files come out
         # (near-)single-valued in the partition columns and the
@@ -1222,6 +1230,91 @@ def _bloom_build_driver(
     return rel
 
 
+def _bloom_write_sidecar(
+    table_dir: str, rel: str, m: int, k: int, entries: list[tuple]
+) -> str:
+    """Write (f, col, m, k, bits) sidecar rows driver-side (pyarrow) —
+    shared tail of the two tiny-commit builder paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirp = os.path.join(table_dir, rel)
+    os.makedirs(dirp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "f": pa.array([e[0] for e in entries], pa.string()),
+                "col": pa.array([e[1] for e in entries], pa.string()),
+                "m": pa.array([m] * len(entries), pa.int32()),
+                "k": pa.array([k] * len(entries), pa.int32()),
+                "bits": pa.array([e[2] for e in entries], pa.binary()),
+            }
+        ),
+        os.path.join(dirp, "part-00000.parquet"),
+    )
+    return rel
+
+
+def _bloom_build_driver_jvm_vals(
+    spark: SparkSession,
+    table_dir: str,
+    rels: list[str],
+    have: list[str],
+    m: int,
+    k: int,
+    mb: int,
+    rel: str,
+) -> str | None:
+    """Tiny-commit path for specs the pure-driver builder declines
+    (composite keys, exotic dtypes): ONE collect of the canonical
+    bloom VALUES — spelled by the JVM contract expression
+    (_bloom_value_expr), so there is zero Python-twin spelling risk —
+    then the hashlib position fold and the sidecar write run on the
+    driver. Replaces the distributed fold's mapInPandas + grouped
+    OR-reduce + distributed write (several fixed Spark jobs) with one
+    small job for a <=64k-row commit; the fold is byte-identical to
+    the distributed hashlib fold (same skip-None rule, same
+    emit-only-when-seen rule), pinned by the builder-equality test."""
+    import hashlib
+
+    src = spark.read.parquet(
+        *[os.path.join(table_dir, r) for r in rels]
+    )
+    sel = src.select(
+        _file_rel_expr(table_dir).alias("__f"),
+        *[
+            _bloom_value_expr(spec.split(",")).alias(f"v{j}")
+            for j, spec in enumerate(have)
+        ],
+    )
+    acc: dict[tuple[str, str], bytearray] = {}
+    for row in sel.collect():
+        f = row["__f"]
+        for j, spec in enumerate(have):
+            val = row[f"v{j}"]
+            if val is None:
+                continue
+            buf = acc.get((f, spec))
+            if buf is None:
+                buf = acc[(f, spec)] = bytearray(mb)
+            for i in range(k):
+                pos = (
+                    int(
+                        hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % m
+                )
+                buf[pos >> 3] |= 1 << (pos & 7)
+    return _bloom_write_sidecar(
+        table_dir,
+        rel,
+        m,
+        k,
+        [(f, c, bytes(b)) for (f, c), b in acc.items()],
+    )
+
+
 def _write_bloom_index(
     spark: SparkSession,
     table_dir: str,
@@ -1280,6 +1373,13 @@ def _write_bloom_index(
     total_rows = sum(new_meta.get(r, {}).get("rows", 0) for r in rels)
     if total_rows <= _BLOOM_VECTORIZE_MIN_ROWS:
         got = _bloom_build_driver(table_dir, rels, have, m, k, mb, rel)
+        if got is not None:
+            return got
+        # composite/exotic specs: one collect of JVM-spelled values,
+        # driver fold (round-11 fourth regime — see the function doc)
+        got = _bloom_build_driver_jvm_vals(
+            spark, table_dir, rels, have, m, k, mb, rel
+        )
         if got is not None:
             return got
 

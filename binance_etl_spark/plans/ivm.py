@@ -139,12 +139,16 @@ def sink_cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     av3 = SNAP.merge_into(
-        spark, ta, src_a, key_cols=["doc_id"], delete_condition="n_chars = -1"
+        spark, ta, src_a, key_cols=["doc_id"], delete_condition="n_chars = -1",
+        source_unique=True,  # disjoint %10 slices of unique doc_ids
     )
     src_b = dims.where(F.col("w") % 2 == 0).withColumn(
         "w", F.col("w") + 7
     )
-    bv2 = SNAP.merge_into(spark, tb, src_b, key_cols=["lang"])
+    bv2 = SNAP.merge_into(
+        spark, tb, src_b, key_cols=["lang"],
+        source_unique=True,  # filtered distinct-lang dimension rows
+    )
 
     da = _signed(SNAP.read_changes(spark, ta, av2, av3), "sgn_a")
     db = _signed(SNAP.read_changes(spark, tb, bv1, bv2), "sgn_b")

@@ -332,7 +332,8 @@ def sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         deletes.withColumn("n_chars", F.lit(-1).cast("bigint"))
     ).unionByName(inserts)
     SNAP.merge_into(
-        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1"
+        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1",
+        source_unique=True,  # disjoint %10 slices of unique doc_ids
     )
     return (
         SNAP.read_version(spark, table)
@@ -404,7 +405,8 @@ def sink_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v3 = SNAP.merge_into(
-        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1"
+        spark, table, src, key_cols=["doc_id"], delete_condition="n_chars = -1",
+        source_unique=True,  # disjoint %10 slices of unique doc_ids
     )
     for a, b in [(1, 2), (2, v3)]:
         ch = SNAP.read_changes(spark, table, a, b)

@@ -123,7 +123,7 @@ def test_bloom_string_keys(spark, table):
     assert got.where("uid IN ('user-17','user-350')").count() == 0
 
 
-@pytest.mark.parametrize("path", ["driver", "python", "jvm"])
+@pytest.mark.parametrize("path", ["driver", "jvm_vals", "python", "jvm"])
 def test_jvm_position_builder_matches_hashlib_reference(
     spark, table, path, monkeypatch
 ):
@@ -143,8 +143,17 @@ def test_jvm_position_builder_matches_hashlib_reference(
     else:
         monkeypatch.setattr(SNAP, "_BLOOM_VECTORIZE_MIN_ROWS", 1 << 60)
         if path == "python":
-            # force the distributed hashlib fold by declining the
-            # driver build
+            # force the distributed hashlib fold by declining BOTH
+            # tiny-commit builders
+            monkeypatch.setattr(
+                SNAP, "_bloom_build_driver", lambda *a, **k: None
+            )
+            monkeypatch.setattr(
+                SNAP, "_bloom_build_driver_jvm_vals", lambda *a, **k: None
+            )
+        elif path == "jvm_vals":
+            # force the collect-JVM-values driver fold (the tiny-
+            # commit path for composite/exotic specs)
             monkeypatch.setattr(
                 SNAP, "_bloom_build_driver", lambda *a, **k: None
             )
@@ -173,3 +182,43 @@ def test_jvm_position_builder_matches_hashlib_reference(
                 )
                 ref[pos >> 3] |= 1 << (pos & 7)
         assert bytes(ref) == bits, (f, col)
+
+
+def test_composite_tiny_builder_matches_distributed_fold(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 fourth builder regime: a tiny commit with a COMPOSITE
+    bloom spec builds via one collect of JVM-spelled digests + driver
+    fold. Its sidecar bytes must equal the distributed hashlib fold's
+    byte-for-byte (same data, same spec, NULL key components
+    included) — the spelling contract lives in the JVM expr both
+    ways, so any divergence is a fold bug."""
+    df = spark.range(0, 300).selectExpr(
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE id END AS a",
+        "CONCAT('s-', id % 13) AS b",
+        "id AS payload",
+    ).repartitionByRange(3, "payload")
+
+    def build(table, force_distributed):
+        if force_distributed:
+            monkeypatch.setattr(
+                SNAP, "_bloom_build_driver_jvm_vals", lambda *a, **k: None
+            )
+        SNAP.write_version(df, table, bloom_cols=[("a", "b")])
+        m = SNAP._load_manifest(table, 1)
+        if force_distributed:
+            monkeypatch.undo()
+        return SNAP._load_bloom_entries(table, m)
+
+    tiny = build(str(tmp_path / "tiny"), force_distributed=False)
+    dist = build(str(tmp_path / "dist"), force_distributed=True)
+    # filenames carry per-write UUIDs; range partitioning makes the
+    # part INDEX the stable identity (same data, same 3-way split)
+    norm = lambda e: {
+        (f.rsplit("/", 1)[-1].split("-")[1], c): v
+        for (f, c), v in e.items()
+    }
+    tn, dn = norm(tiny), norm(dist)
+    assert set(tn) == set(dn) and tn, "same (file, spec) coverage"
+    for key in tn:
+        assert tn[key] == dn[key], key
