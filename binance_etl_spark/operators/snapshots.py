@@ -600,6 +600,7 @@ def write_version(
     partition_by: list[str] | None = None,
     unique_keys: list[str] | None = None,
     source_unique: bool = False,
+    coalesce_small: bool | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of ``table_dir``.
 
@@ -638,6 +639,11 @@ def write_version(
     distincts on them) — skips the unique-keys gate's in-batch dup
     scan (see _enforce_unique); the vs-table collision probe still
     runs whenever the table has live rows.
+    coalesce_small: override the staging auto-coalesce rule (None =
+    automatic: coalesce small commits unless pruning metadata or
+    detected range clustering makes the layout load-bearing). Pass
+    False when the commit's exact multi-file layout IS the intent
+    (e.g. constructing fragmentation for compaction maintenance).
     Returns the committed version number. Data is written BEFORE the
     manifest; the manifest replace is the atomic commit point.
 
@@ -759,7 +765,13 @@ def write_version(
             or _head_meta.get("bloom_cols")
         )
         new_files, new_meta = _stage_files(
-            table_dir, rel_dir, coalesce_small=not _layout_bound
+            table_dir,
+            rel_dir,
+            coalesce_small=(
+                (not _layout_bound)
+                if coalesce_small is None
+                else coalesce_small
+            ),
         )
         # Gate passes below (expectations, unique-keys) are independent
         # actions: running them against ``df`` re-executes its whole

@@ -1265,14 +1265,22 @@ def sink_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     table = tempfile.mkdtemp(prefix="besk_compact_") + "/li_versioned"
+    # coalesce_small=False: the 24+8 small-file fragmentation IS the
+    # fixture (the shape a per-micro-batch sink accumulates) — the
+    # staging auto-coalesce would otherwise pre-empt the maintenance
+    # op this query demonstrates (and change its declared n_files)
     SNAP.write_version(
-        li.where(F.col("l_orderkey") < 10000).repartition(24), table, mode="append"
+        li.where(F.col("l_orderkey") < 10000).repartition(24),
+        table,
+        mode="append",
+        coalesce_small=False,
     )
     SNAP.write_version(
         li.where((F.col("l_orderkey") >= 10000) & (F.col("l_orderkey") < 20000))
         .repartition(8),
         table,
         mode="append",
+        coalesce_small=False,
     )
     v3 = SNAP.compact(spark, table, target_files=4)
     units = F.floor(F.col("l_quantity").cast("double") * 1_000_000).cast("bigint")

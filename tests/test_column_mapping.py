@@ -222,8 +222,8 @@ def test_append_racing_rename_is_refused_cleanly(spark, table, monkeypatch):
     real_stage = SNAP._stage_files
     fired = {"done": False}
 
-    def stage_then_rename(table_dir, rel_dir):
-        out = real_stage(table_dir, rel_dir)
+    def stage_then_rename(table_dir, rel_dir, **kw):
+        out = real_stage(table_dir, rel_dir, **kw)
         if not fired["done"] and rel_dir.startswith("data/tx-"):
             fired["done"] = True
             SNAP.rename_column(table, "v", "price")  # the racer
