@@ -112,7 +112,13 @@ def bpe_learn(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((rank, a, b, int(n)))
-        seqs = _apply_merge(seqs, a, b).localCheckpoint()
+        # LAZY checkpoint (round-11): the next round's pair-count
+        # collect computes the merged seqs anyway and persists the
+        # checkpoint blocks as a side effect — one Spark action per
+        # round instead of two (collect + eager materialization),
+        # while round k's plan still never replays rounds 1..k-1's
+        # interpreted HOF folds (the blocks are stored on first use).
+        seqs = _apply_merge(seqs, a, b).localCheckpoint(eager=False)
     return merges, seqs
 
 
