@@ -327,7 +327,11 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
             )
-        step = cur.localCheckpoint(eager=True)
+        # lazy (round-11): the convergence probe right below is the
+        # round's materializing action — an eager checkpoint here was
+        # a second full pass per round; the probe computes the plan
+        # once and persists the blocks as a side effect
+        step = cur.localCheckpoint(eager=False)
         labels = step.select("node", "lbl")
         if step.where(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
             converged = True

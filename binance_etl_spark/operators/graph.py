@@ -82,7 +82,10 @@ def pagerank(
                     + F.floor(F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0)))
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (round-11): the next iteration's job — or the final
+            # consumer — materializes the blocks; plan stays flat
+            # (LogicalRDD) with one Spark action for the whole loop
+            .localCheckpoint(eager=False)
         )
     return rank.select("node", F.col("r").alias("rank_units"))
 
@@ -122,7 +125,7 @@ def label_propagation(und_edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .agg(
                 F.expr("max_by(label, struct(c, -label))").alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: see pagerank note
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -170,6 +173,6 @@ def bfs_distances(
             )
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: see pagerank note
         )
     return dist

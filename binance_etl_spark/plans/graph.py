@@ -421,7 +421,9 @@ def kcore_degrees(
         edges = (
             edges.join(keep, "a", "semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "semi")
-            .localCheckpoint(eager=True)
+            # lazy (round-11): the next peel's degree count — or the
+            # final agg — materializes the blocks; one action total
+            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy(F.col("a").alias("node"))
