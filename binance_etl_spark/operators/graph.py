@@ -4,7 +4,8 @@
 Spark-first shape: each iteration is one equi-join (rank ⋈ edges on
 src) + one map-side-combinable aggregate (sum of contributions per
 dst) — O(iterations) shuffles, no driver-side adjacency. Like the CC
-loop, every iteration eagerly `localCheckpoint`s so the plan does not
+loop, every iteration `localCheckpoint`s (lazily since round 11 —
+the next round's job materializes the blocks) so the plan does not
 snowball across iterations (lineage of iteration k would otherwise
 re-execute iterations 1..k-1 at every action).
 

@@ -56,7 +56,7 @@ _SQL_ITER = """
     doc="PageRank, 3 power iterations over the deterministic event "
     "link graph (operators/graph.py): per iteration one rank⋈edges "
     "equi-join plus one map-side-combinable sum per dst — O(iters) "
-    "shuffles, eager localCheckpoint per iteration so lineage stays "
+    "shuffles, lazy per-iteration localCheckpoint so lineage stays "
     "flat (same discipline as dedup_cluster_cc). Ranks are BIGINT "
     "e-12 units; the two floor(double) steps operate on integers "
     "< 2^53, so the unrolled DuckDB oracle matches bit-for-bit. "
@@ -205,7 +205,7 @@ _LPA_ITER = """
     "exact iterations (arg_max == max_by, integer labels, no "
     "randomness). Per iteration one labels-to-edges equi-join, one "
     "map-side-combinable (node, label) count, one argmax aggregate — "
-    "O(iters) shuffles, lineage kept flat with eager localCheckpoint "
+    "O(iters) shuffles, lineage kept flat with lazy localCheckpoint "
     "like pagerank/CC; no per-node sort and no driver-side adjacency, "
     "so the plan survives a power-law 100 TB graph the same way the "
     "degree-oriented triangle count does.",
@@ -262,7 +262,7 @@ _BFS_ITER = """
     "the frontier layer under shortest-path / k-hop-neighborhood "
     "queries (operators/graph.py::bfs_distances). Per iteration one "
     "dist-to-edges equi-join plus a map-side-combinable MIN per node "
-    "— O(iters) shuffles, eager localCheckpoint per round; BIGINT "
+    "— O(iters) shuffles, lazy localCheckpoint per round; BIGINT "
     "distances make MIN order-free, so the DuckDB oracle is an exact "
     "4-step unroll. Unreached nodes stay absent (no sentinel rows).",
     tags=("graph", "iterative", "join"),
@@ -330,7 +330,7 @@ _SQL_PPR_ITER = """
     "the walk cannot reach stay at zero and are filtered). Same "
     "machinery and exactness as graph_pagerank: one rank-edges "
     "equi-join plus a map-side-combinable per-dst sum per iteration, "
-    "BIGINT e-12 units, eager localCheckpoint keeping lineage flat — "
+    "BIGINT e-12 units, lazy localCheckpoint keeping lineage flat — "
     "the unrolled DuckDB oracle matches bit-for-bit.",
     tags=("graph", "iterative", "rag"),
 )
