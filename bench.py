@@ -726,6 +726,51 @@ SENTINELS = [
     "win_running_sum",
 ]
 
+# Previous round's DRIVER-run sentinel walls (BENCH_DETAIL.json as
+# committed after round 11). The stdout artifact divides this run's
+# sentinels by these to publish `sentinel_ratio_vs_prev` — the host-
+# drift normalizer the round-11 PERF comparison lacked (its 20
+# "regressions" were 1.3-1.75x sentinel drift, adjudicated out-of-band;
+# now the artifact carries the correction factor itself). Update these
+# pins each round from the sealed BENCH_DETAIL.
+_SENTINELS_PREV = {
+    "agg_pricing_summary": 2.6905,
+    "dedup_minhash_lsh": 1.3792,
+    "graph_pagerank": 1.6073,
+    "join_asof_events": 0.7476,
+    "join_inner_broadcast": 2.0046,
+    "scan_csv_roundtrip": 1.4094,
+    "sql_q3_topk": 1.7165,
+    "win_running_sum": 0.5461,
+}
+
+# Key-stable inline subset (round-12, closing the r11 verdict's
+# "phantom drops" item): the stdout line's `queries` map previously
+# kept whichever entries happened to be slowest that run, so two runs
+# in different machine phases "dropped" and "added" entries and the
+# driver's round-over-round diff reported 24 phantom drops. These are
+# the 44 names of the ROUND-11 inline map — always emitted first (so
+# no name ever drops from the inline artifact again); remaining budget
+# is filled with the slowest others.
+_INLINE_PIN = [
+    "agg_pricing_summary", "book_sync_futures_20k", "book_sync_stream_20k",
+    "dedup_cluster_index_incremental", "dedup_cross_source_matrix",
+    "dedup_index_incremental", "dedup_minhash_lsh", "emb_hamming_ann",
+    "emb_outlier_centroid", "graph_assortativity", "graph_modularity",
+    "graph_pagerank", "join_asof_prefiltered", "ms_intraday_seasonality",
+    "ms_obv_adline", "ms_rs_profile", "ms_time_weighted_imbalance",
+    "profile_columns_hll", "sample_stratified_neyman", "sim_ann_ivf",
+    "sim_ann_ivfpq", "sink_batch_source_read", "sink_cdc_incremental_agg",
+    "sink_cdc_incremental_join", "sink_rename_column",
+    "sink_snapshot_changes", "sink_sql_dml", "sink_sql_rf_tpch",
+    "sql_q18_large_orders", "sql_q21_waiting_supplier",
+    "sql_recursive_tree", "stats_dickey_fuller", "stats_kruskal_wallis",
+    "stats_levene_bf", "stats_spearman", "streaming_sustained_quad",
+    "text_bpe_learn", "text_bpe_segment", "text_encode_ids",
+    "text_index_lifecycle", "text_ngram_novelty", "text_spans_incremental",
+    "text_substring_scrub", "ts_sax_symbols",
+]
+
 
 def _warmup(spark) -> None:
     # Engine warmup on SYNTHETIC data only — no headline query or test
@@ -994,10 +1039,32 @@ def main() -> None:
           + json.dumps(sentinels, sort_keys=True), file=sys.stderr)
     print("# full per-query timings -> " + detail_path, file=sys.stderr)
     print("# " + json.dumps(timings, sort_keys=True), file=sys.stderr)
-    slowest = sorted(timings, key=timings.get, reverse=True)
-    inline: dict[str, float] = {}
-    for name in slowest:
-        inline[name] = timings[name]
+    # Drift self-normalization on the artifact itself (r11 verdict item
+    # 6): geomean of this run's fresh-JVM sentinel walls over the
+    # previous sealed round's — identical code on an identical-phase
+    # host reads ~1.0; divide cross-round wall ratios by this first.
+    ratios = [
+        sentinels[n] / _SENTINELS_PREV[n]
+        for n in _SENTINELS_PREV
+        if sentinels.get(n) and _SENTINELS_PREV[n] > 0
+    ]
+    if ratios:
+        import math
+
+        out["sentinel_ratio_vs_prev"] = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+        )
+    # Inline map: the key-stable pinned subset first (3-decimal values —
+    # presentation rounding only, the full-precision map is in
+    # BENCH_DETAIL.json), then the slowest others while the line fits
+    # the driver's tail capture.
+    inline: dict[str, float] = {
+        name: round(timings[name], 3) for name in _INLINE_PIN if name in timings
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        if name in inline:
+            continue
+        inline[name] = round(timings[name], 3)
         if len(json.dumps({**out, "queries": inline})) > 1500:
             del inline[name]
             break

@@ -29,6 +29,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-(sf_dir, table) INFERRED READ SCHEMA cache (round-12): a plain
+# `spark.read.parquet(path)` launches one footer-read Spark job per
+# call just to infer the schema — measured with scripts/job_ledger.py,
+# one fixed job on every catalog scan of every query. A real
+# deployment's catalog (metastore/Iceberg) pins table schemas as
+# metadata exactly so reads never infer; this dict is that metadata,
+# populated by the first read of each table in the process. Schema
+# METADATA only — never rows, never results; every query still
+# computes from the parquet files.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 
 # Columns the driver has generated as parquet TIMESTAMP over the rounds —
 # as TIMESTAMP(NANOS) (reads as long under nanosAsLong) or as naive
@@ -58,7 +69,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.ENGINE_CONF — a table read must not mutate a timezone
         # the caller set.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.abspath(sf_dir), name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     dtypes = dict(df.dtypes)
     for col in _TS_COLS.get(name, ()):
         if dtypes.get(col) == "bigint":  # TIMESTAMP(NANOS) as long nanos

@@ -308,6 +308,38 @@ def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
     )
 
 
+def _first_parquet_file(path: str) -> str:
+    """``path`` itself if it is a parquet file, else the first
+    ``*.parquet`` inside it — for driver-side footer reads."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return path
+
+
+def _pinned_parquet_read(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """Read parquet with the schema pinned from the first file's
+    FOOTER (driver-side pyarrow + arrow->spark conversion) instead of
+    Spark's schema-inference pass — the inference is one whole Spark
+    job per read (round-12, measured via scripts/job_ledger.py), paid
+    by every staged-file re-read of every commit. Falls back to the
+    inference read for footer schemas the arrow->spark conversion
+    cannot express."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(
+            pq.ParquetFile(_first_parquet_file(paths[0])).schema_arrow
+        )
+        return spark.read.schema(schema).parquet(*paths)
+    except Exception:  # noqa: BLE001 — pinning is an optimization only
+        return spark.read.parquet(*paths)
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-column [min, max] from the parquet FOOTER row-group stats —
     no data read. JSON-safe types only (numeric/string); columns with
@@ -505,6 +537,7 @@ def _enforce_unique(
     prev: dict,
     keys: list[str],
     skip_batch_check: bool = False,
+    batch_rows: int | None = None,
 ) -> None:
     """PRIMARY-KEY-style uniqueness gate: refuse the commit if the
     incoming batch repeats a key internally OR collides with a LIVE
@@ -527,9 +560,20 @@ def _enforce_unique(
     # the grouped key head; if it fits, dup-check on the driver and
     # reuse the rows as the probe key set. A truncated head = wide
     # batch: dup gate re-runs distributed, probe goes distributed.
+    # WIDE-BY-COUNT shortcut (round-12): when the caller knows the
+    # staged row count (parquet footer metadata, zero jobs) and it
+    # exceeds the driver-probe cap, the head collect is provably
+    # useless — a VALID unique batch has >= one distinct key per row,
+    # so the head would always truncate. Skipping it saves the
+    # collect's jobs on every wide commit; a dup-heavy wide batch
+    # (rows > cap, keys <= cap) just means the distributed gate below
+    # finds the dup, exactly as the truncated-head path did.
     _grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    probe = _grouped.limit(_BLOOM_DRIVER_KEYS_MAX + 2).collect()
-    if len(probe) <= _BLOOM_DRIVER_KEYS_MAX + 1:
+    if batch_rows is not None and batch_rows > _BLOOM_DRIVER_KEYS_MAX + 1:
+        probe = None
+    else:
+        probe = _grouped.limit(_BLOOM_DRIVER_KEYS_MAX + 2).collect()
+    if probe is not None and len(probe) <= _BLOOM_DRIVER_KEYS_MAX + 1:
         dupe = [r for r in probe if r["n"] > 1][:1]
     elif skip_batch_check:
         dupe = []
@@ -546,7 +590,8 @@ def _enforce_unique(
     new_keys = df.select(*keys).distinct()
     files = prev["files"]
     if (
-        len(probe) <= _BLOOM_DRIVER_KEYS_MAX
+        probe is not None
+        and len(probe) <= _BLOOM_DRIVER_KEYS_MAX
         and keys[0] in prev.get("bloom_cols", [])
     ):
         entries = _load_bloom_entries(table_dir, prev, col=keys[0])
@@ -559,7 +604,7 @@ def _enforce_unique(
         ]
         if not files:
             return  # every file's bloom rules every new key out
-    elif len(probe) > _BLOOM_DRIVER_KEYS_MAX:
+    elif probe is None or len(probe) > _BLOOM_DRIVER_KEYS_MAX:
         # wide batch (round-11): distributed zone+bloom probe instead
         # of the former unconditional full scan — same no-false-
         # negative guarantee, so a None (probe declined) simply keeps
@@ -782,7 +827,7 @@ def write_version(
         # round-trip changes the schema (e.g. exotic types).
         gate_df = df
         try:
-            _sdf = df.sparkSession.read.parquet(staging)
+            _sdf = _pinned_parquet_read(df.sparkSession, [staging])
             if cmap:
                 _inv = {p: l for l, p in cmap.items()}
                 _sdf = _sdf.select(
@@ -874,6 +919,12 @@ def write_version(
                         prev,
                         effective_uk,
                         skip_batch_check=source_unique,
+                        # exact staged row count from the parquet
+                        # footers — routes wide batches past the
+                        # provably-truncating head collect (round-12)
+                        batch_rows=sum(
+                            m.get("rows", 0) for m in new_meta.values()
+                        ),
                     )
                     uk_checked_head = ("head", head_now)
             eff_bloom_cols = sorted(
@@ -1289,8 +1340,8 @@ def _bloom_build_driver_jvm_vals(
     emit-only-when-seen rule), pinned by the builder-equality test."""
     import hashlib
 
-    src = spark.read.parquet(
-        *[os.path.join(table_dir, r) for r in rels]
+    src = _pinned_parquet_read(
+        spark, [os.path.join(table_dir, r) for r in rels]
     )
     sel = src.select(
         _file_rel_expr(table_dir).alias("__f"),
@@ -1370,11 +1421,21 @@ def _write_bloom_index(
 
     if not rels or not cols:
         return None
-    probe = spark.read.parquet(*[os.path.join(table_dir, rels[0])])
+    # column names from the parquet FOOTER, driver-side — a plain
+    # spark.read.parquet here launched one schema-inference Spark job
+    # per bloom-carrying commit just to list columns (round-12,
+    # measured via scripts/job_ledger.py)
+    import pyarrow.parquet as pq
+
+    probe_cols = set(
+        pq.ParquetFile(
+            _first_parquet_file(os.path.join(table_dir, rels[0]))
+        ).schema_arrow.names
+    )
     have = [
         spec
         for spec in cols
-        if all(p in probe.columns for p in spec.split(","))
+        if all(p in probe_cols for p in spec.split(","))
     ]
     if not have:
         return None
@@ -1413,7 +1474,9 @@ def _write_bloom_index(
             for i in range(k)
         ]
 
-    src = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in rels])
+    src = _pinned_parquet_read(
+        spark, [os.path.join(table_dir, rel) for rel in rels]
+    )
     if rows_max >= _BLOOM_VECTORIZE_MIN_ROWS:
         # long format: one row per input row per covered spec, k FLAT
         # int position columns (no per-row arrays — Arrow ships plain
@@ -1778,7 +1841,13 @@ def select_files_keys(
             else ""
         )
         parts.append(
-            spark.read.parquet(path)
+            # sidecar schema is fixed by _bloom_write_sidecar / the
+            # distributed fold — pinning skips the per-read schema-
+            # inference job (round-12)
+            spark.read.schema(
+                "f STRING, col STRING, m INT, k INT, bits BINARY"
+            )
+            .parquet(path)
             .where(F.col("col") == spec)
             .select(
                 "f",
@@ -1981,7 +2050,10 @@ def _dv_df(spark: SparkSession, table_dir: str, manifest: dict):
     rel = manifest.get("dv")
     if not rel:
         return None
-    df = spark.read.parquet(os.path.join(table_dir, rel))
+    # DV datasets are always (f, pos) — pinned read, no inference job
+    df = spark.read.schema("f STRING, pos BIGINT").parquet(
+        os.path.join(table_dir, rel)
+    )
     if os.path.isabs(rel):
         # sidecar borrowed from a shallow clone's SOURCE table: its
         # `f` entries are source-relative — canonicalize to the

@@ -242,14 +242,15 @@ def build_cluster_index(
     (node, cluster_id), cluster_id = min member id). First call
     builds via full connected-components; later calls refresh
     incrementally: appends only ADD edges, so clusters can only
-    MERGE — the affected set is exactly the stored clusters touched
-    by a delta-edge node, and each stored cluster's (node ->
-    cluster_id) rows form a STAR that preserves its connectivity, so
-    CC over (affected stars ∪ delta edges) relabels the affected
-    subgraph exactly while every other cluster carries by manifest
-    name, zero I/O. O(delta + affected) per refresh — the union-find
-    sibling of the spans index's flipped-gram rule. Returns evidence:
-    {n_delta_edges, n_affected_nodes, n_relabeled}."""
+    MERGE — each stored cluster CONTRACTS to its cluster_id (= min
+    member id), CC runs over the delta edges mapped to contracted
+    ids (delta-sized input, not member-sized), and only members of
+    LOSING clusters (group min dropped) plus brand-new nodes merge
+    back; every other row — including the winning cluster's members
+    — carries by manifest name, zero I/O. O(delta) per refresh — the
+    union-find sibling of the spans index's flipped-gram rule.
+    Returns evidence: {n_delta_edges, n_affected_nodes (members of
+    every touched stored cluster), n_relabeled (rows written)}."""
     from binance_etl_spark.operators import snapshots as SNAP
 
     spark = pairs.sparkSession
@@ -297,23 +298,64 @@ def build_cluster_index(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    # whole clusters, not just touched nodes: a merge rewrites every
-    # member's label when the min drops
-    touched_cids = (
-        old.join(delta_nodes, "node", "left_semi").select("cluster_id").distinct()
+    # CONTRACTED refresh (round-12, closing the r11 verdict's "second
+    # CC" item): instead of running connected_components over every
+    # MEMBER of every affected cluster (stars ∪ delta — O(affected
+    # members) through an iterative op), contract each stored cluster
+    # to its cluster_id and run CC over the DELTA EDGES alone, mapped
+    # to contracted ids. Exactness: a stored cluster_id IS the min
+    # member id of its cluster, and an unlabeled node is its own
+    # (singleton) contraction, so the min over a merged GROUP of
+    # contracted ids equals the min member id over the union of their
+    # clusters — precisely what CC over the stars would converge to.
+    # The CC input shrinks from affected-member-sized to delta-sized,
+    # and the MERGE source shrinks to rows whose label actually
+    # changes (losing clusters' members) plus brand-new nodes —
+    # winning clusters' members no longer rewrite their files.
+    nodemap = (
+        old.join(delta_nodes, "node", "left_semi")
+        .select("node", "cluster_id")
+        .localCheckpoint()
+    )  # delta-sized: stored labels of delta endpoints only
+    ce = (
+        e.join(
+            nodemap.select(F.col("node").alias("a"), F.col("cluster_id").alias("ca")),
+            "a",
+            "left",
+        )
+        .join(
+            nodemap.select(F.col("node").alias("b"), F.col("cluster_id").alias("cb")),
+            "b",
+            "left",
+        )
+        .select(
+            F.coalesce("ca", "a").alias("a"), F.coalesce("cb", "b").alias("b")
+        )
     )
-    # no checkpoint here (round-11): connected_components materializes
-    # its input itself (driver-path collect / distributed-path eager
-    # checkpoint), so an extra eager checkpoint of `affected` was one
-    # whole redundant pass over the label⋈delta joins; the lazy
-    # n_affected evidence recomputes on access (tests-only cost)
-    affected = old.join(touched_cids, "cluster_id", "left_semi")
-    star = affected.select(
-        F.col("node").alias("a"), F.col("cluster_id").alias("b")
+    # glabs: (contracted id -> merged-group min id). Domain = stored
+    # cluster ids touched by a delta edge ∪ new node ids.
+    glabs = D.connected_components(ce, src="a", dst="b")
+    # losing contractions: groups whose min DROPPED — only their
+    # members need relabeling (new-node ids in cmap match no stored
+    # cluster_id and fall out of the join, as intended)
+    cmap = glabs.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("cluster_id"), F.col("cluster_id").alias("_new")
     )
-    new_labs = D.connected_components(
-        star.unionByName(e), src="a", dst="b"
-    ).localCheckpoint()
+    changed = old.join(cmap, "cluster_id").select(
+        "node", F.col("_new").alias("cluster_id")
+    )
+    new_rows = (
+        delta_nodes.join(old, "node", "left_anti")
+        .join(glabs.withColumnRenamed("cluster_id", "_new"), "node", "left")
+        .select("node", F.coalesce("_new", F.col("node")).alias("cluster_id"))
+    )
+    new_labs = changed.unionByName(new_rows).localCheckpoint()
+    # lazy evidence twin of the pre-contraction affected set (members
+    # of every touched stored cluster) — tests assert it, serve never
+    # computes it
+    affected = old.join(
+        nodemap.select("cluster_id").distinct(), "cluster_id", "left_semi"
+    )
     # PRE-commit serial-apply check: the relabels were derived from
     # labels@v0 — an interloper's merge since then would be partially
     # overwritten (lost relabels on shared affected nodes). Raising
@@ -530,10 +572,12 @@ def _cluster_index_oracle() -> str:
     "snapshot); REFRESH applies the b~c edge batch incrementally: "
     "appends only ADD edges, so clusters only MERGE, the affected set "
     "is exactly the stored clusters touched by a delta-edge node, and "
-    "each stored cluster's (node -> cluster_id) rows form a STAR that "
-    "preserves its connectivity — CC over (affected stars + delta "
-    "edges) relabels the affected subgraph exactly while every other "
-    "cluster's label rows carry by manifest name, zero I/O. SERVE "
+    "each affected cluster CONTRACTS to its cluster_id (= min member "
+    "id) — CC over the contracted delta edges relabels the affected "
+    "subgraph exactly (group min over contracted ids = min member id "
+    "over the merged clusters) while every other cluster's label rows "
+    "— and the winning cluster's members — carry by manifest name, "
+    "zero I/O. SERVE "
     "reads the labels table. Oracle: the dedup_cluster_cc recursive-"
     "CTE recompute over ALL edges, restricted to edged nodes (the "
     "index learns nodes from edges; singletons have no pair rows). "

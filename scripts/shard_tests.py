@@ -145,6 +145,9 @@ def _run_worker(i: int, bucket: list[dict], scratch: str, cpus: int, results: li
     base_env = dict(os.environ)
     base_env["SPARK_GRAFT_CPUS"] = str(cpus)
     base_env["TMPDIR"] = wtmp
+    # the sharded runner IS the full-suite tool: disable the default
+    # fast profile (tests/conftest.py) unless the caller already chose
+    base_env.setdefault("BESK_FULL_SUITE", "1")
 
     groups: dict[tuple, list[dict]] = {}
     for u in bucket:

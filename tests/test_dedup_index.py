@@ -196,7 +196,10 @@ def test_cluster_refresh_touches_affected_clusters_only(spark, tmp_path):
     assert _labels(spark, root) == {1: 1, 2: 1, 10: 10, 11: 10}
     ev = build_cluster_index(_edges(spark, [(2, 3)]), root)
     assert ev["n_affected_nodes"] == 2  # the {1,2} star only
-    assert ev["n_relabeled"] == 3  # 1, 2, 3
+    # contracted refresh (round-12): only rows whose label CHANGES are
+    # written — node 3 joins cluster 1; members 1, 2 keep label 1 and
+    # carry by manifest name
+    assert ev["n_relabeled"] == 1  # just 3
     assert _labels(spark, root) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
@@ -209,6 +212,9 @@ def test_cluster_merge_two_stored_clusters(spark, tmp_path):
     build_cluster_index(_edges(spark, [(5, 6), (10, 11)]), root)
     ev = build_cluster_index(_edges(spark, [(6, 10)]), root)
     assert ev["n_affected_nodes"] == 4
+    # only the LOSING cluster's members ({10, 11} -> label 5) rewrite;
+    # the winning cluster {5, 6} already carries the group min
+    assert ev["n_relabeled"] == 2
     assert _labels(spark, root) == {5: 5, 6: 5, 10: 5, 11: 5}
 
 
