@@ -123,9 +123,9 @@ def build_dedup_index(
     # not re-run per consumer
     sh = docs.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sig = D.minhash_signature(sh, "doc_id", "sh")
-    bands = D.lsh_bands(sig, "doc_id").localCheckpoint()
+    bands = D.lsh_bands(sig, "doc_id").localCheckpoint(eager=False)
 
     # first-ness is judged on the PAIRS table — the batch's commit
     # point (last sub-commit of every apply). Judging on bands wedges
@@ -159,7 +159,7 @@ def build_dedup_index(
         foreign = len(SNAP.main_versions(bands_t)) > 1
         ref_bands = SNAP.read_version(spark, bands_t) if foreign else bands
         ref_sh = SNAP.read_version(spark, shingles_t) if foreign else sh
-        cand_ids = _band_pairs(bands, ref_bands).localCheckpoint()
+        cand_ids = _band_pairs(bands, ref_bands).localCheckpoint(eager=False)
         # lazy checkpoint: the write below materializes it once, and a
         # downstream consumer (the cluster-label refresh) reuses the
         # cached rows instead of re-verifying
@@ -198,7 +198,7 @@ def build_dedup_index(
         _band_pairs(bands, old_bands)
         .unionByName(_band_pairs(bands, bands))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # commit the delta postings, then verify against the FULL shingles
@@ -215,7 +215,7 @@ def build_dedup_index(
     SNAP.assert_serial_apply(bands_t, v0, v1, "dedup-index refresh")
     new_pairs = _verified_pairs(
         cand_ids, SNAP.read_version(spark, shingles_t)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     SNAP.merge_into(
         spark,
         pairs_t,
@@ -266,7 +266,7 @@ def build_cluster_index(
     e = pairs.select(
         F.col("a_id").cast("long").alias("a"),
         F.col("b_id").cast("long").alias("b"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     first = not SNAP.main_versions(labels_t)
     if first:
@@ -315,7 +315,7 @@ def build_cluster_index(
     nodemap = (
         old.join(delta_nodes, "node", "left_semi")
         .select("node", "cluster_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )  # delta-sized: stored labels of delta endpoints only
     ce = (
         e.join(
@@ -349,7 +349,7 @@ def build_cluster_index(
         .join(glabs.withColumnRenamed("cluster_id", "_new"), "node", "left")
         .select("node", F.coalesce("_new", F.col("node")).alias("cluster_id"))
     )
-    new_labs = changed.unionByName(new_rows).localCheckpoint()
+    new_labs = changed.unionByName(new_rows).localCheckpoint(eager=False)
     # lazy evidence twin of the pre-contraction affected set (members
     # of every touched stored cluster) — tests assert it, serve never
     # computes it

@@ -103,8 +103,10 @@ def build_spans_index(
     spans_t = f"{root}/spans"
     # (doc_id, pos, gram) of the DELTA only — checkpointed: three
     # downstream consumers (postings write, counts agg, dup/holder
-    # joins) would each re-run the HOF gram extraction otherwise
-    g = _gram_stream(docs).localCheckpoint()
+    # joins) would each re-run the HOF gram extraction otherwise.
+    # Lazy (round-12): the first consumer's job materializes the
+    # blocks; the eager form was one extra dedicated action per batch.
+    g = _gram_stream(docs).localCheckpoint(eager=False)
     delta_docs = docs.select("doc_id").distinct()
     # deferred evidence count (operators/lazydict.py): its own Spark
     # action, paid only by callers that read it
@@ -209,7 +211,11 @@ def build_spans_index(
             ).alias("nd"),
             "nd_old",
         )
-        .localCheckpoint()
+        # lazy (round-12): the postings write / counts merge's first
+        # action materializes the join; both later consumers (flipped,
+        # new_counts) then scan the persisted blocks — the eager form
+        # paid one dedicated job per refresh for the same effect
+        .localCheckpoint(eager=False)
     )
     # appends only GROW nd -> an existing doc's spans change iff one
     # of its grams crossed the nd>=2 threshold THIS batch
@@ -248,22 +254,30 @@ def build_spans_index(
     )
 
     # 3. affected docs = holders of flipped grams (stored postings,
-    # column-pruned semi-join) + the delta docs
+    # column-pruned semi-join) + the delta docs. NO checkpoint here
+    # (round-12): the only execution consumer is the new_spans subtree
+    # right below, which checkpoints ONCE for the spans merge — an
+    # eager checkpoint of `affected` was a whole extra materialization
+    # action per refresh for a frame computed exactly once anyway (the
+    # lazy n_affected evidence recomputes on access, tests-only cost).
     post = SNAP.read_version(spark, postings_t)
     holders = (
         post.join(flipped, "gram", "left_semi").select("doc_id").distinct()
     )
-    affected = holders.unionByName(delta_docs).distinct().localCheckpoint()
+    affected = holders.unionByName(delta_docs).distinct()
 
     # 4. recompute spans for affected docs only, against the UPDATED
-    # full-corpus counts, and MERGE (unaffected docs carry by name)
+    # full-corpus counts, and MERGE (unaffected docs carry by name).
+    # Lazy checkpoint (round-12, the r11 graph-loop pattern): the
+    # spans merge's first action materializes the blocks — an eager
+    # checkpoint was one extra dedicated job per refresh.
     aff_post = post.join(affected, "doc_id", "left_semi")
     dup = aff_post.join(
         SNAP.read_version(spark, counts_t).where(F.col("nd") >= 2),
         "gram",
         "left_semi",
     ).select("doc_id", "pos")
-    new_spans = _spans_from_positions(dup).localCheckpoint()
+    new_spans = _spans_from_positions(dup).localCheckpoint(eager=False)
     # a recomputed doc may have ZERO spans (not possible on append —
     # spans never shrink — but merge semantics want exactly the docs
     # with spans): new_spans only contains span-bearing docs, and an
